@@ -1,0 +1,96 @@
+"""``csv2parquet``-compatible argv shim (SURVEY.md §2.9).
+
+Same option grammar as the reference CLI (`/root/reference/Readme.md:25-68`,
+clap derive at `/root/reference/src/main.rs:45-119`), same defaults
+(header=true, delimiter=',', dictionary=false), same stdout/stderr
+contract for ``--dry`` / ``--print-schema``.
+
+Usage: ``python -m csv2parquet_spark.converter.cli [OPTIONS] <CSV> <PARQUET>``
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from csv2parquet_spark.converter.convert import ConvertOptions, convert
+
+
+def _bool(v: str) -> bool:
+    if v.lower() in {"true", "1", "yes"}:
+        return True
+    if v.lower() in {"false", "0", "no"}:
+        return False
+    raise argparse.ArgumentTypeError(f"invalid bool {v!r}")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="csv2parquet",
+        description="Convert CSV files to Parquet (PySpark-native engine).",
+    )
+    p.add_argument("csv", metavar="CSV", help="Input CSV file")
+    p.add_argument("parquet", metavar="PARQUET", help="Output parquet file")
+    p.add_argument("-s", "--schema-file", default=None)
+    p.add_argument("--max-read-records", type=int, default=None)
+    p.add_argument("--header", type=_bool, default=True)
+    p.add_argument("-d", "--delimiter", default=",")
+    p.add_argument(
+        "-c",
+        "--compression",
+        choices=["uncompressed", "snappy", "gzip", "lzo", "brotli", "lz4", "zstd"],
+        default=None,
+    )
+    # W2: parquet-mr picks encodings automatically — accepted, documented gap.
+    p.add_argument(
+        "-e",
+        "--encoding",
+        choices=[
+            "plain", "rle", "bit-packed", "delta-binary-packed",
+            "delta-length-byte-array", "delta-byte-array", "rle-dictionary",
+        ],
+        default=None,
+    )
+    p.add_argument("--data-pagesize-limit", type=int, default=None)
+    p.add_argument("--dictionary-pagesize-limit", type=int, default=None)
+    p.add_argument("--write-batch-size", type=int, default=None)
+    p.add_argument("--max-row-group-size", type=int, default=None)
+    p.add_argument("--created-by", default=None)  # W10: documented gap
+    p.add_argument("--dictionary", action="store_true", default=False)
+    p.add_argument("--statistics", choices=["none", "chunk", "page"], default=None)
+    p.add_argument("--max-statistics-size", type=int, default=None)
+    p.add_argument("-p", "--print-schema", action="store_true")
+    p.add_argument("-n", "--dry", action="store_true")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if len(args.delimiter) != 1:
+        print("delimiter must be a single character", file=sys.stderr)
+        return 2
+    opts = ConvertOptions(
+        header=args.header,
+        delimiter=args.delimiter,
+        schema_file=args.schema_file,
+        max_read_records=args.max_read_records,
+        compression=args.compression,
+        dictionary=args.dictionary,
+        data_pagesize_limit=args.data_pagesize_limit,
+        dictionary_pagesize_limit=args.dictionary_pagesize_limit,
+        write_batch_size=args.write_batch_size,
+        max_row_group_size=args.max_row_group_size,
+        max_statistics_size=args.max_statistics_size,
+        created_by=args.created_by,
+        print_schema=args.print_schema,
+        dry=args.dry,
+    )
+    from csv2parquet_spark.session import get_spark
+
+    spark = get_spark("csv2parquet-cli")
+    convert(spark, args.csv, args.parquet, opts)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

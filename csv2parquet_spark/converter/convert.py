@@ -1,0 +1,168 @@
+"""CSV→Parquet conversion (SURVEY.md §2.1: O1 scan, O2/O3 schema,
+O4 print/dry, O5 sink, O6 identity projection; W1-W10 writer knobs).
+
+Reference behavior being matched (`/root/reference/src/main.rs`):
+  * header default **true** (main.rs:150), delimiter ',' (main.rs:69)
+  * schema: explicit file > inference over ≤max_read_records rows
+    (absent = all rows; 0 = all-Utf8) (main.rs:126-159)
+  * fail-fast on malformed rows (main.rs:253) → CSV mode=FAILFAST
+  * output overwrites (File::create, main.rs:178) → mode("overwrite")
+  * --dry/--print-schema: banner "Schema:" on stderr, JSON on stdout
+    (main.rs:161-168)
+
+Scale design: the plan is scan→project→write, narrow-only — no shuffle.
+``single_file=True`` gives byte-level CLI parity (one output file via
+coalesce(1) + rename); the default keeps one part-file per input split,
+which is the 100 TB path (SURVEY §7 "hard parts").
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import sys
+import tempfile
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from csv2parquet_spark.converter.inference import infer_schema
+from csv2parquet_spark.converter.schema_json import (
+    arrow_json_to_struct,
+    struct_to_arrow_json,
+)
+
+#: flag → (spark writer option, hadoop conf) for the W1-W10 table.
+_CODECS = {"uncompressed", "snappy", "gzip", "lzo", "brotli", "lz4", "zstd"}
+
+
+@dataclass
+class ConvertOptions:
+    """Mirror of the reference CLI options (main.rs:45-119)."""
+
+    header: bool = True                     # main.rs:64-66
+    delimiter: str = ","                    # main.rs:68-70 (single byte)
+    schema_file: str | None = None          # main.rs:57-58
+    max_read_records: int | None = None     # main.rs:60-62
+    compression: str | None = None          # W1, main.rs:72-74
+    dictionary: bool = False                # W5, main.rs:100-102 (default OFF)
+    data_pagesize_limit: int | None = None  # W6
+    dictionary_pagesize_limit: int | None = None  # W7
+    write_batch_size: int | None = None     # W8 (approx: page row-count limit)
+    max_row_group_size: int | None = None   # W9 (rows; see note below)
+    max_statistics_size: int | None = None  # W4
+    created_by: str | None = None           # W10 — documented gap (not settable)
+    print_schema: bool = False              # O4
+    dry: bool = False                       # O4
+    single_file: bool = True                # CLI parity: one output file
+
+
+def _resolve_schema(
+    spark: SparkSession, csv_path: str, opts: ConvertOptions
+) -> T.StructType:
+    """Schema resolution, three modes (SURVEY §1.2 / main.rs:126-159)."""
+    if opts.schema_file:
+        with open(opts.schema_file) as f:
+            return arrow_json_to_struct(f.read())
+    raw = spark.read.options(header=opts.header, sep=opts.delimiter).csv(csv_path)
+    return infer_schema(raw, opts.max_read_records)
+
+
+def read_csv(spark: SparkSession, csv_path: str, opts: ConvertOptions) -> DataFrame:
+    """O1: CSV scan with the resolved, frozen schema; FAILFAST like the
+    reference's first-error abort (main.rs:253)."""
+    schema = _resolve_schema(spark, csv_path, opts)
+    reader = spark.read.options(
+        header=opts.header,
+        sep=opts.delimiter,
+        mode="FAILFAST",
+        timestampFormat="yyyy-MM-dd[[ ]['T']HH:mm:ss]",
+        enforceSchema=True,
+    ).schema(schema)
+    return reader.csv(csv_path)
+
+
+def _apply_writer_conf(spark: SparkSession, opts: ConvertOptions) -> dict[str, str]:
+    """W1-W9 → parquet-mr Hadoop confs; returns prior values to restore.
+
+    W2 (forced column encodings), W3 statistics=none, W10 created_by are
+    unreachable through parquet-mr — documented gaps (SURVEY §2.1).
+    """
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    wanted: dict[str, str | None] = {
+        "parquet.enable.dictionary": str(opts.dictionary).lower(),  # W5
+        "parquet.page.size": str(opts.data_pagesize_limit) if opts.data_pagesize_limit else None,  # W6
+        "parquet.dictionary.page.size": str(opts.dictionary_pagesize_limit) if opts.dictionary_pagesize_limit else None,  # W7
+        "parquet.page.row.count.limit": str(opts.write_batch_size) if opts.write_batch_size else None,  # W8 approx
+        "parquet.statistics.truncate.length": str(opts.max_statistics_size) if opts.max_statistics_size else None,  # W4
+    }
+    prior: dict[str, str] = {}
+    for k, v in wanted.items():
+        if v is not None:
+            prior[k] = conf.get(k) or ""
+            conf.set(k, v)
+    return prior
+
+
+def convert(
+    spark: SparkSession,
+    csv_path: str,
+    parquet_path: str,
+    opts: ConvertOptions | None = None,
+    out=sys.stdout,
+    err=sys.stderr,
+) -> T.StructType | None:
+    """The reference's whole program as one function (SURVEY §3).
+
+    Returns the resolved schema (None only on unreachable paths).
+    """
+    opts = opts or ConvertOptions()
+    schema = _resolve_schema(spark, csv_path, opts)
+
+    if opts.print_schema or opts.dry:
+        # main.rs:161-168: banner on stderr, JSON on stdout.
+        print("Schema:", file=err)
+        print(struct_to_arrow_json(schema), file=out)
+        if opts.dry:
+            return schema
+
+    df = spark.read.options(
+        header=opts.header,
+        sep=opts.delimiter,
+        mode="FAILFAST",
+        timestampFormat="yyyy-MM-dd[[ ]['T']HH:mm:ss]",
+    ).schema(schema).csv(csv_path)
+
+    writer = df.coalesce(1).write if opts.single_file else df.write
+    if opts.compression:
+        if opts.compression not in _CODECS:
+            raise ValueError(f"unknown codec {opts.compression!r}")
+        writer = writer.option("compression", opts.compression)
+    if opts.max_row_group_size:
+        # W9: reference counts ROWS; parquet-mr's parquet.block.size is
+        # BYTES (SURVEY §2.1 W9 "semantic mismatch") — approximate via
+        # the row-count limit parquet-mr also honors per page/group.
+        writer = writer.option("parquet.block.size", str(opts.max_row_group_size * 128))
+
+    prior = _apply_writer_conf(spark, opts)
+    try:
+        if opts.single_file:
+            # One output FILE (not a directory) for CLI parity.
+            tmp = tempfile.mkdtemp(prefix="c2p_", dir=os.path.dirname(os.path.abspath(parquet_path)) or ".")
+            try:
+                writer.mode("overwrite").parquet(os.path.join(tmp, "out"))
+                part = glob.glob(os.path.join(tmp, "out", "part-*.parquet"))[0]
+                if os.path.isdir(parquet_path):
+                    shutil.rmtree(parquet_path)
+                shutil.move(part, parquet_path)
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            writer.mode("overwrite").parquet(parquet_path)
+    finally:
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        for k, v in prior.items():
+            conf.set(k, v)
+    return schema

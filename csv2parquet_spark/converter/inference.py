@@ -1,0 +1,114 @@
+"""arrow-csv-compatible schema inference (SURVEY.md §1.2, §4.3 item 3).
+
+The reference delegates to ``arrow::csv::reader::infer_file_schema``
+(`/root/reference/src/main.rs:145-158`): sample ≤N rows (absent N = all
+rows, N=0 = skip → all Utf8), regex-classify each column into
+{Boolean, Int64, Float64, Date32, Date64, Utf8}, merge conflicts
+(Int64+Float64→Float64, anything else→Utf8), mark everything nullable.
+
+Spark's own CSV inference yields different types (Int32 / Decimal /
+Timestamp), so for schema-output parity this module re-implements the
+arrow-csv lattice as a Spark job: read the sample as all-strings,
+classify with Catalyst regexp predicates (one aggregate over boolean
+matches — distributed, no driver-side row loop), then map to Spark types.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Regexes mirroring arrow-csv 32.0.0's inference lattice (SURVEY §1.2).
+BOOLEAN_RE = r"^(?i)(true|false)$"
+INTEGER_RE = r"^-?(\d+)$"
+# Decimal or scientific float literal.
+FLOAT_RE = r"^-?(\d+\.\d+|\d+\.|\.\d+|\d+)([eE][-+]?\d+)?$"
+DATE32_RE = r"^\d{4}-\d{2}-\d{2}$"
+DATE64_RE = r"^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}$"
+
+# Arrow type-name strings (serde spelling) in lattice order.
+ARROW_BOOLEAN = "Boolean"
+ARROW_INT64 = "Int64"
+ARROW_FLOAT64 = "Float64"
+ARROW_DATE32 = "Date32"
+ARROW_DATE64 = "Date64"
+ARROW_UTF8 = "Utf8"
+
+ARROW_TO_SPARK = {
+    ARROW_BOOLEAN: T.BooleanType(),
+    ARROW_INT64: T.LongType(),
+    ARROW_FLOAT64: T.DoubleType(),
+    ARROW_DATE32: T.DateType(),
+    # Date64 = epoch-millis datetime → TimestampType (SURVEY §1.4 / §7);
+    # session timezone is pinned to UTC for parity.
+    ARROW_DATE64: T.TimestampType(),
+    ARROW_UTF8: T.StringType(),
+}
+
+
+def _classify_column(df: DataFrame, col: str) -> F.Column:
+    """One aggregate row per column: does every non-null sampled value
+    match each lattice regex? Returns a struct of match-coverage flags."""
+    c = F.col(col)
+    nonnull = c.isNotNull() & (c != "")
+
+    def all_match(regex: str) -> F.Column:
+        return F.coalesce(
+            F.min(F.when(nonnull, c.rlike(regex))), F.lit(False)
+        )
+
+    return F.struct(
+        F.sum(F.when(nonnull, 1).otherwise(0)).alias("n"),
+        all_match(BOOLEAN_RE).alias("all_bool"),
+        all_match(INTEGER_RE).alias("all_int"),
+        all_match(FLOAT_RE).alias("all_float"),
+        all_match(DATE32_RE).alias("all_date32"),
+        all_match(DATE64_RE).alias("all_date64"),
+    ).alias(col)
+
+
+def infer_arrow_types(
+    raw: DataFrame, max_read_records: int | None = None
+) -> dict[str, str]:
+    """Infer the arrow type name per column of an all-strings DataFrame.
+
+    ``max_read_records`` caps the sample (None = all rows, mirroring the
+    reference's absent flag, main.rs:60-62); 0 = no inference → Utf8.
+    The whole classification is ONE distributed aggregate — no collect of
+    data rows, so it scales to any input size.
+    """
+    if max_read_records == 0:
+        return {c: ARROW_UTF8 for c in raw.columns}
+    sample = raw.limit(max_read_records) if max_read_records else raw
+    row = sample.agg(*[_classify_column(sample, c) for c in raw.columns]).collect()[0]
+    out: dict[str, str] = {}
+    for c in raw.columns:
+        st = row[c]
+        if st["n"] == 0:
+            out[c] = ARROW_UTF8  # all-null column
+        elif st["all_bool"]:
+            out[c] = ARROW_BOOLEAN
+        elif st["all_int"]:
+            out[c] = ARROW_INT64
+        elif st["all_float"]:
+            # arrow merges Int64+Float64 → Float64; all_float covers ints.
+            out[c] = ARROW_FLOAT64
+        elif st["all_date32"]:
+            out[c] = ARROW_DATE32
+        elif st["all_date64"]:
+            out[c] = ARROW_DATE64
+        else:
+            out[c] = ARROW_UTF8
+    return out
+
+
+def infer_schema(
+    raw: DataFrame, max_read_records: int | None = None
+) -> T.StructType:
+    """Arrow-lattice inference → Spark StructType (all fields nullable,
+    as arrow-csv marks every inferred field nullable)."""
+    arrow_types = infer_arrow_types(raw, max_read_records)
+    return T.StructType(
+        [T.StructField(c, ARROW_TO_SPARK[a], True) for c, a in arrow_types.items()]
+    )

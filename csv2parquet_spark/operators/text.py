@@ -1,0 +1,69 @@
+"""Text analysis primitives: tokenization, shingling, counting,
+fingerprinting, quality scoring (SURVEY.md §2.8 "Text analysis").
+
+Everything is Catalyst built-ins over string/array columns — no Python
+UDFs — so the hot path stays inside whole-stage codegen and scales
+linearly with input splits (no shuffle except where a groupBy demands
+one).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Word-or-punctuation tokens: a cheap BPE-ish pre-tokenizer split.
+TOKEN_REGEX = r"\w+|[^\w\s]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization → array<string>."""
+    return F.split(col, r"\s+")
+
+
+def regex_tokens(col: Column | str) -> Column:
+    """BPE-ish regex tokenization (words + punctuation runs)."""
+    return F.regexp_extract_all(
+        col if isinstance(col, Column) else F.col(col), F.lit(TOKEN_REGEX), 0
+    )
+
+
+def shingles(tok_col: Column, k: int = 3, sep: str = " ") -> Column:
+    """k-token shingles of a token array (array<string> → array<string>).
+
+    Pure Catalyst: sequence + transform + slice; no explode until the
+    caller wants one row per shingle.
+    """
+    n = F.size(tok_col)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    mapped = F.transform(idx, lambda i: F.concat_ws(sep, F.slice(tok_col, i, k)))
+    # sequence(1, m) with m < 1 counts DOWN — guard short docs explicitly.
+    return F.when(n >= k, mapped).otherwise(F.array().cast("array<string>"))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Canonical document fingerprint: md5 of the sorted distinct token
+    set — robust to token order (the classic 'fingerprint' key for
+    clustering near-identical records)."""
+    toks = tokens(col)
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
+    return F.md5(canon)
+
+
+def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality/stat columns used by the quality-score and
+    language-ID operators."""
+    toks = tokens(text_col)
+    return (
+        df.withColumn("n_tokens", F.size(toks))
+        .withColumn("n_chars_actual", F.length(text_col))
+        .withColumn("n_distinct_tokens", F.size(F.array_distinct(toks)))
+        .withColumn(
+            "avg_token_len",
+            F.round(
+                (F.length(text_col) - F.col("n_tokens") + 1).cast("double")
+                / F.col("n_tokens"),
+                6,
+            ),
+        )
+    )

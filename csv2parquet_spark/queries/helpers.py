@@ -1,0 +1,53 @@
+"""Shared conventions that make Spark vs DuckDB value-hashes match.
+
+The driver's oracle compare is an order-insensitive value hash, so the
+only sources of mismatch are float nondeterminism and type drift. Rules
+used across every registered query (SURVEY.md §5.2 item 1, §7 hard parts):
+
+* **Sums of doubles are computed in DECIMAL.** Double addition is not
+  associative; Spark's partial aggregation order differs run-to-run and
+  engine-to-engine. ``CAST(x AS DECIMAL(18,6))`` per row (deterministic
+  round-to-6dp of the same IEEE double on both engines), then an exact
+  decimal sum, then ``CAST(... AS DOUBLE)`` — identical bytes on both
+  sides regardless of association order. This also holds at 100 TB scale:
+  decimal sums cost the same shuffle as double sums.
+* **Averages** are derived as decimal-sum / count, rounded to 6dp —
+  again deterministic given identical inputs.
+* **Products stay in DOUBLE per-row** (IEEE multiply is deterministic),
+  and only the final per-row value is decimal-cast before summing.
+* **Timestamps never appear raw in outputs** — epoch millis
+  (``unix_millis`` ↔ ``epoch_ms``) or ``yyyy-MM-dd`` strings.
+* Every computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,6)"
+
+
+def dsum(col: Column, alias: str) -> Column:
+    """Association-order-proof sum of a double column."""
+    return F.sum(col.cast(DEC)).cast("double").alias(alias)
+
+
+def davg(col: Column, alias: str) -> Column:
+    """Deterministic average: exact decimal sum / count, rounded to 6dp."""
+    return F.round(
+        F.sum(col.cast(DEC)).cast("double") / F.count(col), 6
+    ).alias(alias)
+
+
+def sql_dsum(expr: str, alias: str) -> str:
+    """DuckDB-side twin of :func:`dsum`."""
+    return f"CAST(sum(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE) AS {alias}"
+
+
+def sql_davg(expr: str, alias: str) -> str:
+    """DuckDB-side twin of :func:`davg`."""
+    return (
+        f"round(CAST(sum(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
+        f" / count({expr}), 6) AS {alias}"
+    )

@@ -1,0 +1,366 @@
+"""LLM-data-pipeline queries (SURVEY.md §2.8): dedup (exact, MinHash-LSH,
+SimHash, n-gram Jaccard, embedding-cosine), similarity search (exact
+top-k, LSH approx), text analysis (token stats, quality, language-ID,
+fingerprints), multimodal binary columns.
+
+Oracle SQL uses DuckDB list lambdas for the vector math, computed in
+DOUBLE with a sequential fold to mirror Spark's ``F.aggregate`` exactly
+(DuckDB's native ``list_cosine_similarity`` is float32 — not used).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from csv2parquet_spark.operators import dedup as D
+from csv2parquet_spark.operators import similarity as S
+from csv2parquet_spark.operators import text as T
+from csv2parquet_spark.queries.helpers import sql_davg, sql_dsum
+from csv2parquet_spark.queries.registry import register
+from csv2parquet_spark.tables import table
+
+# DuckDB-side double-precision cosine (sequential fold like F.aggregate).
+_SQL_DOT = (
+    "list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    dot = _SQL_DOT.format(a=a, b=b)
+    na = f"sqrt({_SQL_DOT.format(a=a, b=a)})"
+    nb = f"sqrt({_SQL_DOT.format(a=b, b=b)})"
+    return f"({dot} / ({na} * {nb}))"
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS fp
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via text-hash groupBy — the shuffle moves 16-byte
+    hashes, never document bodies (the 100 TB-safe shape)."""
+    return D.exact_dedup(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_keep_first_counts",
+    oracle="""
+    SELECT lang, count(*) AS n_kept FROM (
+      SELECT lang, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1 GROUP BY lang
+    """,
+)
+def dedup_keep_first_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-based keep-first dedup, summarized per language."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("text").orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+    )
+
+
+@register(
+    "ngram_jaccard_near_dups",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)
+    ), sz AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, common, sa.sz AS sz_a, sb.sz AS sz_b,
+           round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jaccard
+    FROM common JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+    WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) >= 0.8
+    """,
+)
+def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.8) — the
+    blocking self-join on shingles bounds the pair space."""
+    return D.ngram_jaccard_pairs(table(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@register("minhash_near_dups", oracle=None)  # seeded LSH → rows-only check
+def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32 perms) + LSH(8 bands) candidates, verified with exact
+    Jaccard ≥ 0.8. Deterministic given the xxhash64 seeds, but the
+    banding math isn't expressible in portable SQL → rows-only check."""
+    return D.minhash_near_dups(
+        table(spark, sf_dir, "documents"), threshold=0.8, num_perm=32, bands=8
+    )
+
+
+@register("simhash_near_dups", oracle=None)  # hash-dependent → rows-only
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs with Hamming ≤ 3 via 16-bit band
+    blocking (pigeonhole-complete for the chosen radius)."""
+    return D.simhash_near_dups(table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@register(
+    "embedding_near_dups",
+    oracle=f"""
+    SELECT a.label AS blk, a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_sql_cosine('a.embedding', 'b.embedding')}, 6) AS sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round({_sql_cosine('a.embedding', 'b.embedding')}, 6) >= 0.4
+    """,
+)
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label (at scale: by
+    LSH bucket) so the self-join never goes quadratic in the corpus."""
+    return S.pairwise_near_dups(table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+@register(
+    "similarity_topk_exact",
+    oracle=f"""
+    SELECT b.vec_id, round({_sql_cosine('q.embedding', 'b.embedding')}, 6) AS sim
+    FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE b.vec_id <> 0
+    ORDER BY sim DESC, b.vec_id
+    LIMIT 10
+    """,
+)
+def similarity_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 for query vector vec_id=0.
+    Broadcast query × full scan → TakeOrderedAndProject; zero shuffles."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select("embedding")
+    return S.topk_similar(e.filter(F.col("vec_id") != 0), q, k=10)
+
+
+@register("similarity_topk_lsh", oracle=None)  # seeded hyperplanes → rows-only
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH bucketing — the scale
+    path: probe one bucket instead of scanning the corpus."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select("embedding")
+    return S.lsh_topk(e.filter(F.col("vec_id") != 0), q, k=10, num_planes=4)
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           {sql_davg("len(string_split(text, ' '))", 'avg_tokens')},
+           {sql_dsum('n_chars', 'total_chars')}
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csv2parquet_spark.queries.helpers import davg, dsum
+
+    d = table(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", " "))
+    return (
+        d.select("lang", "source", ntok.alias("ntok"), "n_chars")
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ntok").alias("total_tokens"),
+            davg(F.col("ntok"), "avg_tokens"),
+            dsum(F.col("n_chars"), "total_chars"),
+        )
+    )
+
+
+@register(
+    "token_count_regex",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens,
+           len(string_split(text, ' ')) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex pre-tokenizer."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(T.regex_tokens("text")).alias("n_bpe_tokens"),
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+    )
+
+
+@register(
+    "doc_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS fp
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive document fingerprint (md5 of sorted distinct
+    token set) — the canonical key for clustering re-ordered dups."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
+    return d.select("doc_id", F.md5(canon).alias("fp"))
+
+
+@register(
+    "quality_scores",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct,
+           round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS distinct_ratio,
+           round(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 64, 1.0) * 0.5
+                 + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) * 0.5, 6) AS quality
+    FROM documents
+    """,
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: length saturation + lexical diversity."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    n_dist = F.size(F.array_distinct(toks))
+    ratio = n_dist.cast("double") / n_tok
+    quality = F.round(
+        F.least(n_tok.cast("double") / 64, F.lit(1.0)) * 0.5 + ratio * 0.5, 6
+    )
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_dist.alias("n_distinct"),
+        F.round(ratio, 6).alias("distinct_ratio"),
+        quality.alias("quality"),
+    )
+
+
+@register(
+    "lang_id_heuristic",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents
+    ), lang_top AS (
+      SELECT lang AS model_lang, token FROM (
+        SELECT lang, token, row_number() OVER (
+          PARTITION BY lang ORDER BY count(*) DESC, token
+        ) AS rn
+        FROM tok GROUP BY lang, token
+      ) WHERE rn <= 10
+    ), votes AS (
+      SELECT t.doc_id, t.lang, lt.model_lang, count(*) AS score
+      FROM (SELECT DISTINCT doc_id, lang, token FROM tok) t
+      JOIN lang_top lt ON lt.token = t.token
+      GROUP BY 1, 2, 3
+    ), best AS (
+      SELECT doc_id, lang, model_lang AS predicted, score, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, model_lang
+      ) AS rn
+      FROM votes
+    )
+    SELECT lang, predicted, count(*) AS n_docs
+    FROM best WHERE rn = 1 GROUP BY lang, predicted
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven language ID: learn top-10 tokens per language from the
+    corpus, predict by distinct-token overlap vote, report the confusion
+    counts. Pure DataFrame ops — two shuffles (model fit + vote)."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("token"))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), "token")
+    lang_top = (
+        tok.groupBy("lang", "token")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select(F.col("lang").alias("model_lang"), "token")
+    )
+    distinct_tok = tok.distinct()
+    votes = (
+        distinct_tok.join(F.broadcast(lang_top), "token")
+        .groupBy("doc_id", "lang", "model_lang")
+        .agg(F.count("*").alias("score"))
+    )
+    wb = Window.partitionBy("doc_id").orderBy(F.desc("score"), "model_lang")
+    best = votes.withColumn("rn", F.row_number().over(wb)).filter(F.col("rn") == 1)
+    return (
+        best.groupBy("lang", F.col("model_lang").alias("predicted"))
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal binary columns
+# --------------------------------------------------------------------------
+@register(
+    "multimodal_binary_stats",
+    oracle="""
+    SELECT doc_id,
+           sha256(text) AS payload_sha,
+           CAST(octet_length(encode(text)) AS INTEGER) AS payload_bytes,
+           substring(md5(text), 1, 8) AS shard_key
+    FROM documents
+    """,
+)
+def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary payload handling: encode → hash / size / shard key.
+    (Payloads here are utf-8 text stand-ins; the plumbing — BinaryType
+    column, content hash, shard key — is the real surface.)"""
+    d = table(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    return d.select(
+        "doc_id",
+        F.sha2(payload, 256).alias("payload_sha"),
+        F.octet_length(payload).alias("payload_bytes"),
+        F.substring(F.md5(payload), 1, 8).alias("shard_key"),
+    )
+
+
+@register("multimodal_decode_stub", oracle=None)  # mapInPandas → rows-only
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract plumbing for binary media via mapInPandas.
+
+    The image/audio codecs aren't in this container (SURVEY §2.8), so the
+    decode is a deterministic fake (dimensions derived from the payload
+    hash); the Spark-side shape — Arrow batches in, typed metadata out —
+    is the real, tested surface.
+    """
+    from csv2parquet_spark.operators.multimodal import decode_metadata
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return decode_metadata(d)

@@ -1,0 +1,254 @@
+"""Scalar function families (SURVEY.md §2.2 "Scalar functions"): string,
+date/time, math, array, map, JSON — all Catalyst built-ins (JVM-side,
+whole-stage-codegen'd; no Python in the hot path).
+
+Oracle notes: only engine-deterministic functions appear in hashed
+outputs — string ops, integer math, sqrt (IEEE-correctly-rounded),
+date arithmetic. Transcendentals (ln/pow) are rounded to 4dp since libm
+vs java.lang.Math may differ in the last ulp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from csv2parquet_spark.queries.registry import register
+from csv2parquet_spark.tables import table
+
+
+@register(
+    "string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           lower(p_brand) AS brand_lower,
+           length(p_name) AS name_len,
+           substring(p_name, 1, 8) AS name_prefix,
+           concat(p_brand, '-', p_type) AS brand_type,
+           replace(p_name, ' ', '_') AS name_snake,
+           len(string_split(p_name, ' ')) AS n_words,
+           regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowels,
+           CASE WHEN contains(p_type, 'BRASS') THEN 1 ELSE 0 END AS is_brass,
+           trim(concat(' ', p_brand, ' ')) AS brand_trim
+    FROM part
+    """,
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace(F.col("p_name"), " ", "_").alias("name_snake"),
+        F.size(F.split("p_name", " ")).alias("n_words"),
+        F.regexp_replace(F.col("p_name"), "[aeiou]", "").alias("name_novowels"),
+        F.when(F.col("p_type").contains("BRASS"), 1).otherwise(0).alias("is_brass"),
+        F.trim(F.concat(F.lit(" "), F.col("p_brand"), F.lit(" "))).alias("brand_trim"),
+    )
+
+
+@register(
+    "date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS yr,
+           month(o_orderdate) AS mth,
+           day(o_orderdate) AS dom,
+           quarter(o_orderdate) AS qtr,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch_start,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+           epoch_ms(o_orderdate) AS order_ms
+    FROM orders
+    """,
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mth"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .alias("days_since_epoch_start"),
+        F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 30), "yyyy-MM-dd")
+        .alias("due_date"),
+        F.unix_millis("o_orderdate").alias("order_ms"),
+    )
+
+
+@register(
+    "math_funcs",
+    oracle="""
+    SELECT p_partkey,
+           abs(p_size - 25) AS size_dev,
+           CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+           CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+           sqrt(CAST(p_size AS DOUBLE)) AS size_sqrt,
+           round(ln(p_retailprice), 4) AS price_ln,
+           p_size % 7 AS size_mod,
+           CAST(p_size AS DOUBLE) / 2 AS half_size,
+           greatest(p_size, 10) AS size_floor10,
+           least(p_size, 40) AS size_cap40
+    FROM part
+    """,
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        F.floor("p_retailprice").alias("price_floor"),
+        F.ceil("p_retailprice").alias("price_ceil"),
+        F.sqrt(F.col("p_size").cast("double")).alias("size_sqrt"),
+        F.round(F.log(F.col("p_retailprice")), 4).alias("price_ln"),
+        (F.col("p_size") % 7).alias("size_mod"),
+        (F.col("p_size").cast("double") / 2).alias("half_size"),
+        F.greatest(F.col("p_size"), F.lit(10)).alias("size_floor10"),
+        F.least(F.col("p_size"), F.lit(40)).alias("size_cap40"),
+    )
+
+
+@register(
+    "array_funcs",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
+           round(CAST(list_sum(embedding) AS DOUBLE), 5) AS vec_sum,
+           round(CAST(list_max(embedding) AS DOUBLE), 6) AS vec_max,
+           round(CAST(list_min(embedding) AS DOUBLE), 6) AS vec_min
+    FROM embeddings
+    """,
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_elem"),
+        F.round(
+            F.aggregate(
+                "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            ),
+            5,
+        ).alias("vec_sum"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("vec_max"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("vec_min"),
+    )
+
+
+@register(
+    "array_transform_filter",
+    oracle="""
+    SELECT vec_id,
+           len(list_filter(embedding, x -> x > 0)) AS n_positive,
+           round(CAST(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DOUBLE), 5)
+               AS sum_sq
+    FROM embeddings
+    """,
+)
+def array_transform_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions: transform / filter / aggregate."""
+    e = table(spark, sf_dir, "embeddings")
+    x2 = F.transform("embedding", lambda x: x.cast("double") * x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+        F.round(
+            F.aggregate(x2, F.lit(0.0), lambda acc, v: acc + v), 5
+        ).alias("sum_sq"),
+    )
+
+
+@register(
+    "json_funcs",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
+           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@register(
+    "map_funcs",
+    oracle="""
+    SELECT event_id,
+           'k' AS first_key,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           1 AS map_size
+    FROM events
+    """,
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map functions: build a map from parsed JSON, then read it back via
+    map_keys / element_at / size. DuckDB oracle produces the same values
+    without a map type (the hash checks values, not construction)."""
+    e = table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return e.select(
+        "event_id",
+        F.element_at(F.map_keys(m), 1).alias("first_key"),
+        F.element_at(m, "k").alias("k_value"),
+        F.size(m).alias("map_size"),
+    )
+
+
+@register(
+    "conditional_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 100000 THEN 'big'
+                WHEN o_totalprice > 50000 THEN 'mid'
+                ELSE 'small' END AS price_class,
+           coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_norm,
+           CASE WHEN o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%'
+                THEN 1 ELSE 0 END AS is_urgent
+    FROM orders
+    """,
+)
+def conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 100000, "big")
+        .when(F.col("o_totalprice") > 50000, "mid")
+        .otherwise("small")
+        .alias("price_class"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("P")), F.lit("PENDING")).alias(
+            "status_norm"
+        ),
+        F.when(
+            F.col("o_orderpriority").like("1%") | F.col("o_orderpriority").like("2%"), 1
+        )
+        .otherwise(0)
+        .alias("is_urgent"),
+    )

@@ -1,0 +1,106 @@
+"""Windowed event aggregations (SURVEY.md §2.6) — the batch-replay side.
+
+These use the exact operators Structured Streaming runs (``F.window``,
+``F.session_window``); ``csv2parquet_spark.streaming`` wires the same
+transformations onto ``readStream`` and the pytest suite asserts
+stream-vs-batch equality. Oracles via DuckDB ``time_bucket`` (10-minute
+buckets align across engines: both origins are midnight-aligned).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from csv2parquet_spark.queries.helpers import dsum, sql_dsum
+from csv2parquet_spark.queries.registry import register
+from csv2parquet_spark.tables import table
+
+
+@register(
+    "stream_tumbling_window",
+    oracle=f"""
+    SELECT epoch_ms(time_bucket(INTERVAL '10 minutes', ts)) AS window_start_ms,
+           event_type, count(*) AS n, {sql_dsum('value', 'total_value')}
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum(F.col("value"), "total_value"))
+        .select(
+            F.unix_millis("w.start").alias("window_start_ms"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "stream_sliding_window",
+    oracle=f"""
+    SELECT epoch_ms(time_bucket(INTERVAL '5 minutes', ts)
+                    - to_minutes(off.off)) AS window_start_ms,
+           count(*) AS n, {sql_dsum('value', 'total_value')}
+    FROM events, (VALUES (0), (5)) AS off(off)
+    GROUP BY 1
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 — each event lands in exactly
+    two windows (the two 5-minute-aligned starts covering it)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), dsum(F.col("value"), "total_value"))
+        .select(
+            F.unix_millis("w.start").alias("window_start_ms"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "stream_session_windows",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts >= INTERVAL '30 minutes' THEN 1 ELSE 0 END
+                 AS new_session
+      FROM ordered
+    ), sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, epoch_ms(min(ts)) AS session_start_ms,
+           epoch_ms(max(ts)) AS session_end_ms, count(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) per user via F.session_window —
+    the same operator Structured Streaming uses for stateful sessions.
+    Oracle replays the classic gaps-and-islands SQL."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.max("ts").alias("last_ts"))
+        .select(
+            "user_id",
+            F.unix_millis("w.start").alias("session_start_ms"),
+            F.unix_millis("last_ts").alias("session_end_ms"),
+            "n_events",
+        )
+    )

@@ -1,0 +1,171 @@
+"""Window-function surface + as-of join (SURVEY.md §2.2 "Window functions",
+§2.2 "Joins → as-of").
+
+All window specs carry a total order (ties broken by a unique key) so
+results are deterministic across engines. Running sums use decimal
+accumulation — window sums in DuckDB use segment trees, Spark uses running
+buffers; decimal makes association order irrelevant.
+
+Scale: every window here partitions by a high-cardinality key (custkey,
+orderkey, user_id) — state per partition stays tiny, the shuffle is one
+hash exchange on the partition key, and no window spans the whole dataset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from csv2parquet_spark.queries.helpers import DEC
+from csv2parquet_spark.queries.registry import register
+from csv2parquet_spark.tables import table
+
+
+@register(
+    "window_rank_orders",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER w AS rn,
+             rank()       OVER w AS rnk,
+             dense_rank() OVER w AS drnk
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    ) WHERE rn <= 3
+    """,
+)
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer: row_number / rank / dense_rank."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_lag_lead_order_gaps",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           epoch_ms(o_orderdate) AS order_ms,
+           epoch_ms(lag(o_orderdate)  OVER w) AS prev_ms,
+           epoch_ms(lead(o_orderdate) OVER w) AS next_ms
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_lag_lead_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.unix_millis("o_orderdate").alias("order_ms"),
+        F.unix_millis(F.lag("o_orderdate").over(w)).alias("prev_ms"),
+        F.unix_millis(F.lead("o_orderdate").over(w)).alias("next_ms"),
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
+                OVER (PARTITION BY l_orderkey
+                      ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity,
+                               l_extendedprice
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_qty
+    FROM lineitem
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # l_linenumber alone is not unique per order in the synthetic data —
+    # extend the ORDER BY until the order is total (same on both sides).
+    l = table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
+                 "l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_quantity").cast(DEC)).over(w).cast("double").alias("running_qty"),
+    )
+
+
+@register(
+    "window_ntile_percentiles",
+    oracle="""
+    SELECT o_orderkey,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_ntile_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-order window: fine at test scale; at 100 TB this is the one
+    window shape to avoid (single-partition sort) — documented tradeoff."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "asof_purchase_prev_click",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           epoch_ms(p.ts) AS purchase_ms,
+           (SELECT epoch_ms(max(c.ts)) FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click'
+              AND c.ts < p.ts) AS prev_click_ms
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def asof_purchase_prev_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (SURVEY §2.2): each purchase matched to the latest
+    strictly-earlier click by the same user.
+
+    Spark has no native as-of join; implemented as the union+window
+    pattern — one shuffle on user_id, a range-frame max over epoch
+    millis, then filter back to purchases. Scales as a single window
+    (no per-row subquery, no pandas): state per user is O(1).
+    """
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    e = e.withColumn("ts_ms", F.unix_millis("ts"))
+    click_ms = F.when(F.col("event_type") == "click", F.col("ts_ms"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        e.withColumn("prev_click_ms", F.max(click_ms).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts_ms").alias("purchase_ms"),
+            "prev_click_ms",
+        )
+    )

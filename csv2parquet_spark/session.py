@@ -1,0 +1,57 @@
+"""SparkSession factory.
+
+Defaults are tuned for the local[N] test rig but every knob is chosen to
+survive a 1000-executor cluster: AQE on (runtime re-plan, skew-join
+splitting, partition coalescing), UTC session timezone (oracle parity and
+sanity at scale), Arrow-accelerated Python interchange, and shuffle
+partitions sized to the actual parallelism rather than the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "csv2parquet_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default all
+    cores). On a real cluster the caller passes its own master / lets
+    spark-submit set it; everything else here is cluster-safe.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else (os.cpu_count() or 8)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # Shuffle sized to parallelism; AQE coalesces further at runtime.
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # UTC everywhere: DuckDB oracle timestamps are UTC-naive.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Parquet TIMESTAMP(NANOS) (events.ts) is otherwise unreadable:
+        # surface it as LongType and convert in the table loader.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Arrow batch transfer for pandas UDF / toPandas paths.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

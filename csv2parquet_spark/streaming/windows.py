@@ -1,0 +1,126 @@
+"""Structured Streaming operators over the ``events`` table (SURVEY.md
+§2.6): file-source readStream, tumbling/sliding/session windows,
+watermark late-data handling, stateful dedup, continuous CSV→Parquet.
+
+Each transformation is the SAME DataFrame expression the batch queries
+in ``queries/streaming_batch.py`` use — the pytest suite replays the
+parquet through ``readStream`` and asserts stream == batch (SURVEY §5.2
+item 5). Watermarks bound the state store per key; at scale the state
+is sharded by the groupBy key across executors.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from csv2parquet_spark.queries.helpers import dsum
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream: replays the events parquet as a stream
+    (one file = one micro-batch at minimum; real deployments point this
+    at a directory that keeps growing, or Kafka)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sf_dir)
+    )
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """10-minute tumbling windows with watermarked late-data drop."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum(F.col("value"), "total_value"))
+        .select(
+            F.unix_millis("w.start").alias("window_start_ms"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """10-minute windows sliding every 5."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), dsum(F.col("value"), "total_value"))
+        .select(F.unix_millis("w.start").alias("window_start_ms"), "n", "total_value")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    """Per-user session windows (gap-based), stateful across batches."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.max("ts").alias("last_ts"))
+        .select(
+            "user_id",
+            F.unix_millis("w.start").alias("session_start_ms"),
+            F.unix_millis("last_ts").alias("session_end_ms"),
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stateful dedup on event_id within the watermark horizon —
+    ``dropDuplicatesWithinWatermark`` keeps state bounded (keys older
+    than the watermark are evicted)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def streaming_csv_to_parquet(
+    spark: SparkSession,
+    csv_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: str,
+    header: bool = True,
+    delimiter: str = ",",
+):
+    """Continuous CSV→Parquet conversion — the reference's one dataflow
+    (main.rs:250-255) as an always-on stream: new CSV files landing in
+    ``csv_dir`` are converted incrementally, exactly-once via the
+    checkpoint."""
+    stream = (
+        spark.readStream.schema(schema)
+        .options(header=header, sep=delimiter)
+        .csv(csv_dir)
+    )
+    return (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> tuple[str, object]:
+    """Drive a streaming query to completion against the memory sink and
+    return (queryName, query). Test helper: processAllAvailable() then
+    read ``SELECT * FROM <name>``."""
+    name = "s_" + uuid.uuid4().hex[:8]
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    return name, q
