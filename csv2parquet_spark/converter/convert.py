@@ -57,6 +57,10 @@ class ConvertOptions:
     print_schema: bool = False              # O4
     dry: bool = False                       # O4
     single_file: bool = True                # CLI parity: one output file
+    # RFC-4180 quoted newlines (arrow-csv default behavior). Costs file
+    # splittability — turn OFF for the 100 TB path when records are
+    # known single-line, so each file splits into parallel tasks.
+    multiline: bool = True
 
 
 def _resolve_schema(
@@ -66,7 +70,9 @@ def _resolve_schema(
     if opts.schema_file:
         with open(opts.schema_file) as f:
             return arrow_json_to_struct(f.read())
-    raw = spark.read.options(header=opts.header, sep=opts.delimiter).csv(csv_path)
+    raw = spark.read.options(
+        header=opts.header, sep=opts.delimiter, multiLine=opts.multiline, escape='"'
+    ).csv(csv_path)
     return infer_schema(raw, opts.max_read_records)
 
 
@@ -78,6 +84,8 @@ def read_csv(spark: SparkSession, csv_path: str, opts: ConvertOptions) -> DataFr
         header=opts.header,
         sep=opts.delimiter,
         mode="FAILFAST",
+        multiLine=opts.multiline,
+        escape='"',  # RFC-4180 doubled-quote escaping (arrow-csv default)
         timestampFormat="yyyy-MM-dd[[ ]['T']HH:mm:ss]",
         enforceSchema=True,
     ).schema(schema)
@@ -132,6 +140,8 @@ def convert(
         header=opts.header,
         sep=opts.delimiter,
         mode="FAILFAST",
+        multiLine=opts.multiline,
+        escape='"',  # RFC-4180 doubled-quote escaping (arrow-csv default)
         timestampFormat="yyyy-MM-dd[[ ]['T']HH:mm:ss]",
     ).schema(schema).csv(csv_path)
 

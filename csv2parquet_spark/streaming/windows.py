@@ -11,6 +11,7 @@ is sharded by the groupBy key across executors.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -23,16 +24,27 @@ EVENTS_SCHEMA = (
     "value double, props string"
 )
 
+# testdata events.ts is parquet TIMESTAMP(NANOS) → read as epoch-nanos
+# long (spark.sql.legacy.parquet.nanosAsLong) and convert, like tables.py.
+_EVENTS_RAW_SCHEMA = EVENTS_SCHEMA.replace("ts timestamp", "ts bigint")
+
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream: replays the events parquet as a stream
     (one file = one micro-batch at minimum; real deployments point this
     at a directory that keeps growing, or Kafka)."""
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
+    from csv2parquet_spark.tables import ensure_session_confs
+
+    ensure_session_confs(spark)
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
         .option("maxFilesPerTrigger", 1)
+        # file stream sources take a directory; select just the events
+        # table out of the sf dir
+        .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:

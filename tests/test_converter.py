@@ -1,0 +1,204 @@
+"""Converter-surface tests (SURVEY.md §5.2 items 2-4): round-trips for
+the FIXTURES.md §B fixture family, inference-lattice unit tests, schema
+JSON round-trip, writer-property assertions via parquet footers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import duckdb
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import types as T
+
+from csv2parquet_spark.converter import (
+    ConvertOptions,
+    arrow_json_to_struct,
+    convert,
+    infer_schema,
+    struct_to_arrow_json,
+)
+
+TYPED_CSV = (
+    "b,i,f,d,t,s\n"
+    "true,42,1.5,2021-03-04,2021-03-04T05:06:07,hello\n"
+    "False,-3,2e3,1999-12-31,2000-01-01 00:00:00,world\n"
+    'TRUE,0,-0.25,2020-02-29,2021-06-07T08:09:10,"quoted, comma"\n'
+)
+
+
+@pytest.fixture()
+def tmp(tmp_path):
+    return str(tmp_path)
+
+
+def _write(tmp, name, content):
+    p = os.path.join(tmp, name)
+    with open(p, "w") as f:
+        f.write(content)
+    return p
+
+
+def _raw(spark, path, **opts):
+    return spark.read.options(header=True, **opts).csv(path)
+
+
+def test_inference_lattice(spark, tmp):
+    p = _write(tmp, "typed.csv", TYPED_CSV)
+    schema = infer_schema(_raw(spark, p))
+    assert [f.dataType for f in schema.fields] == [
+        T.BooleanType(),
+        T.LongType(),
+        T.DoubleType(),
+        T.DateType(),
+        T.TimestampType(),
+        T.StringType(),
+    ]
+    assert all(f.nullable for f in schema.fields)
+
+
+def test_inference_conflict_merge(spark, tmp):
+    p = _write(tmp, "conflict.csv", "x,y\n1,1\n2.5,word\n3,2\n")
+    schema = infer_schema(_raw(spark, p))
+    # Int64+Float64 → Float64; Int64+Utf8 → Utf8 (arrow-csv merge rules)
+    assert schema["x"].dataType == T.DoubleType()
+    assert schema["y"].dataType == T.StringType()
+
+
+def test_inference_max_read_records(spark, tmp):
+    rows = "\n".join(["1"] * 5 + ["abc"])
+    p = _write(tmp, "late.csv", "x\n" + rows + "\n")
+    assert infer_schema(_raw(spark, p), None)["x"].dataType == T.StringType()
+    assert infer_schema(_raw(spark, p), 5)["x"].dataType == T.LongType()
+    assert infer_schema(_raw(spark, p), 0)["x"].dataType == T.StringType()
+
+
+def test_inference_nulls(spark, tmp):
+    p = _write(tmp, "nulls.csv", "i,s\n1,\n,x\n3,y\n")
+    schema = infer_schema(_raw(spark, p))
+    assert schema["i"].dataType == T.LongType()
+
+
+def test_roundtrip_typed(spark, tmp):
+    src = _write(tmp, "typed.csv", TYPED_CSV)
+    out = os.path.join(tmp, "typed.parquet")
+    convert(spark, src, out)
+    con = duckdb.connect()
+    res = con.execute(f"SELECT count(*), sum(i), sum(f) FROM read_parquet('{out}')").fetchone()
+    assert res == (3, 39, 2001.25)
+    vals = con.execute(f"SELECT s FROM read_parquet('{out}') ORDER BY i").fetchall()
+    assert [v[0] for v in vals] == ["world", "quoted, comma", "hello"]
+
+
+def test_roundtrip_noheader_and_delimiter(spark, tmp):
+    src = _write(tmp, "tabs.tsv", "1\tx\n2\ty\n")
+    out = os.path.join(tmp, "tabs.parquet")
+    convert(spark, src, out, ConvertOptions(header=False, delimiter="\t"))
+    f = pq.ParquetFile(out)
+    assert f.metadata.num_rows == 2
+    assert f.schema_arrow.names == ["_c0", "_c1"]
+
+
+def test_roundtrip_quoted(spark, tmp):
+    src = _write(
+        tmp, "quoted.csv", 'a,b\n"x, y",1\n"he said ""hi""",2\n"multi\nline",3\n'
+    )
+    out = os.path.join(tmp, "quoted.parquet")
+    convert(spark, src, out, ConvertOptions(max_read_records=0))
+    con = duckdb.connect()
+    vals = con.execute(f"SELECT a FROM read_parquet('{out}') ORDER BY b").fetchall()
+    assert [v[0] for v in vals] == ["x, y", 'he said "hi"', "multi\nline"]
+
+
+def test_schema_json_roundtrip(spark, tmp):
+    src = _write(tmp, "typed.csv", TYPED_CSV)
+    schema = infer_schema(_raw(spark, src))
+    doc = struct_to_arrow_json(schema)
+    parsed = json.loads(doc)
+    assert [f["data_type"] for f in parsed["fields"]] == [
+        "Boolean", "Int64", "Float64", "Date32", "Date64", "Utf8",
+    ]
+    assert arrow_json_to_struct(doc) == schema
+
+
+def test_schema_file_mode(spark, tmp):
+    """--schema-file overrides inference (reference Mode B)."""
+    src = _write(tmp, "typed.csv", TYPED_CSV)
+    schema_doc = struct_to_arrow_json(
+        T.StructType(
+            [
+                T.StructField("b", T.StringType()),
+                T.StructField("i", T.DoubleType()),
+                T.StructField("f", T.DoubleType()),
+                T.StructField("d", T.StringType()),
+                T.StructField("t", T.StringType()),
+                T.StructField("s", T.StringType()),
+            ]
+        )
+    )
+    sf = _write(tmp, "schema.json", schema_doc)
+    out = os.path.join(tmp, "explicit.parquet")
+    convert(spark, src, out, ConvertOptions(schema_file=sf))
+    arrow = pq.ParquetFile(out).schema_arrow
+    assert str(arrow.field("b").type) == "string"
+    assert str(arrow.field("i").type) == "double"
+
+
+def test_dry_prints_schema_without_writing(spark, tmp, capsys):
+    src = _write(tmp, "typed.csv", TYPED_CSV)
+    out = os.path.join(tmp, "never.parquet")
+    import io
+
+    o, e = io.StringIO(), io.StringIO()
+    convert(spark, src, out, ConvertOptions(dry=True), out=o, err=e)
+    assert not os.path.exists(out)
+    assert e.getvalue().strip() == "Schema:"
+    assert json.loads(o.getvalue())["fields"][0]["name"] == "b"
+
+
+@pytest.mark.parametrize("codec,expect", [("zstd", "ZSTD"), ("gzip", "GZIP"), ("snappy", "SNAPPY"), ("uncompressed", "UNCOMPRESSED")])
+def test_writer_compression(spark, tmp, codec, expect):
+    src = _write(tmp, "typed.csv", TYPED_CSV)
+    out = os.path.join(tmp, f"c_{codec}.parquet")
+    convert(spark, src, out, ConvertOptions(compression=codec))
+    md = pq.ParquetFile(out).metadata
+    assert md.row_group(0).column(1).compression == expect
+
+
+def test_writer_dictionary_default_off(spark, tmp):
+    """Reference inverts parquet default: dictionary OFF unless asked
+    (main.rs:100-102, main.rs:180)."""
+    src = _write(tmp, "rep.csv", "s\n" + "\n".join(["aaa"] * 200) + "\n")
+    out_off = os.path.join(tmp, "dict_off.parquet")
+    out_on = os.path.join(tmp, "dict_on.parquet")
+    convert(spark, src, out_off, ConvertOptions())
+    convert(spark, src, out_on, ConvertOptions(dictionary=True))
+
+    def encodings(p):
+        return pq.ParquetFile(p).metadata.row_group(0).column(0).encodings
+
+    assert not any("DICTIONARY" in e for e in encodings(out_off))
+    assert any("DICTIONARY" in e for e in encodings(out_on))
+
+
+def test_multi_part_output(spark, tmp):
+    """single_file=False → directory of part files (the 100 TB path)."""
+    src = _write(tmp, "typed.csv", TYPED_CSV)
+    out = os.path.join(tmp, "dir.parquet")
+    convert(spark, src, out, ConvertOptions(single_file=False))
+    assert os.path.isdir(out)
+    con = duckdb.connect()
+    assert con.execute(f"SELECT count(*) FROM read_parquet('{out}/*.parquet')").fetchone()[0] == 3
+
+
+def test_failfast_on_malformed(spark, tmp):
+    src = _write(tmp, "bad.csv", "i,j\n1,2\nx,y,z,w\n")
+    out = os.path.join(tmp, "bad.parquet")
+    schema_doc = struct_to_arrow_json(
+        T.StructType([T.StructField("i", T.LongType()), T.StructField("j", T.LongType())])
+    )
+    sf = _write(tmp, "bad_schema.json", schema_doc)
+    with pytest.raises(Exception):
+        convert(spark, src, out, ConvertOptions(schema_file=sf))

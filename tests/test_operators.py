@@ -1,0 +1,86 @@
+"""Unit tests for the LLM-pipeline operators: shingle edge cases,
+MinHash-LSH recall against exact Jaccard, SimHash properties, LSH top-k
+vs brute force, multimodal decode plumbing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from csv2parquet_spark.operators import dedup as D
+from csv2parquet_spark.operators import similarity as S
+from csv2parquet_spark.operators.multimodal import decode_metadata
+from csv2parquet_spark.operators.text import shingles, tokens
+from csv2parquet_spark.tables import table
+
+
+def test_shingles_short_docs(spark):
+    df = spark.createDataFrame(
+        [("a b c d",), ("a b",), ("",), ("x",)], "text string"
+    )
+    got = df.select(shingles(tokens("text"), 3).alias("sh")).collect()
+    assert got[0].sh == ["a b c", "b c d"]
+    assert got[1].sh == []
+    assert got[3].sh == []
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark, sf_dir):
+    """Every exact-Jaccard ≥0.8 pair must be recalled by the LSH pipeline
+    (at 0.8 similarity with 8 bands × 4 rows, miss probability per pair
+    is (1-0.8^4)^8 ≈ 0.8% — the planted pairs at ~0.99 are near-certain)."""
+    docs = table(spark, sf_dir, "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    lsh = {(r.id_a, r.id_b) for r in D.minhash_near_dups(docs, threshold=0.8).collect()}
+    assert exact, "fixture should contain planted near-dups"
+    assert lsh == exact  # verification step makes candidates exact
+
+
+def test_simhash_identical_docs_zero_hamming(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "totally different words here")],
+        "doc_id bigint, text string",
+    )
+    pairs = D.simhash_near_dups(df, max_hamming=3).collect()
+    assert {(p.id_a, p.id_b, p.hamming) for p in pairs} == {(1, 2, 0)}
+
+
+def test_lsh_topk_subset_of_exact_scores(spark, sf_dir):
+    """LSH top-k scores must agree with brute-force cosine for the ids it
+    returns (it probes a subset; scores are computed the same way)."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select("embedding")
+    rest = e.filter(F.col("vec_id") != 0)
+    exact = {r.vec_id: r.sim for r in S.topk_similar(rest, q, k=500).collect()}
+    approx = S.lsh_topk(rest, q, k=10, num_planes=4).collect()
+    assert approx, "bucket should not be empty"
+    for r in approx:
+        assert abs(exact[r.vec_id] - r.sim) < 1e-9
+
+
+def test_exact_dedup_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "other")], "doc_id bigint, text string"
+    )
+    got = {r.keep_id: r.n_copies for r in D.exact_dedup(df).collect()}
+    assert got == {1: 2, 3: 1}
+
+
+def test_multimodal_decode_shapes(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"payload-one")), (2, bytearray(b"p2"))],
+        "doc_id bigint, payload binary",
+    )
+    rows = {r.doc_id: r for r in decode_metadata(df).collect()}
+    assert rows[1].payload_bytes == 11
+    assert rows[2].payload_bytes == 2
+    for r in rows.values():
+        assert 64 <= r.width <= 255 and 64 <= r.height <= 255
+        assert 1 <= r.channels <= 4
+        assert r.format in {"png", "jpeg", "webp", "tiff"}
+    # deterministic across runs
+    again = {r.doc_id: r for r in decode_metadata(df).collect()}
+    assert {k: tuple(v) for k, v in rows.items()} == {k: tuple(v) for k, v in again.items()}

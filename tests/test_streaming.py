@@ -1,0 +1,107 @@
+"""Structured Streaming tests (SURVEY.md §5.2 item 5): replay the events
+parquet through readStream and assert stream results == batch results
+for tumbling / sliding / session windows; stateful dedup; continuous
+CSV→Parquet conversion.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from csv2parquet_spark.queries.registry import REGISTRY
+from csv2parquet_spark.streaming import (
+    read_events_stream,
+    run_to_memory,
+    session_counts,
+    sliding_counts,
+    streaming_csv_to_parquet,
+    streaming_dedup,
+    tumbling_counts,
+)
+
+
+def _sorted_rows(df):
+    return sorted(map(str, df.collect()))
+
+
+def _run_stream(spark, stream_df, mode="complete"):
+    name, q = run_to_memory(stream_df, mode)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir):
+    events = read_events_stream(spark, sf_dir)
+    got = _run_stream(spark, tumbling_counts(events))
+    want = REGISTRY["stream_tumbling_window"].fn(spark, sf_dir)
+    assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_sliding_stream_equals_batch(spark, sf_dir):
+    events = read_events_stream(spark, sf_dir)
+    got = _run_stream(spark, sliding_counts(events))
+    want = REGISTRY["stream_sliding_window"].fn(spark, sf_dir)
+    assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_session_stream_equals_batch(spark, sf_dir):
+    events = read_events_stream(spark, sf_dir)
+    got = _run_stream(spark, session_counts(events))
+    want = REGISTRY["stream_session_windows"].fn(spark, sf_dir)
+    assert _sorted_rows(got) == _sorted_rows(want)
+
+
+def test_streaming_dedup(spark, tmp_path, sf_dir):
+    """Duplicate events across micro-batch files are dropped within the
+    watermark horizon."""
+    src = str(tmp_path / "dup_events")
+    os.makedirs(src)
+    base = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .limit(50)
+    )
+    base.write.parquet(os.path.join(src, "a.parquet"))
+    base.write.parquet(os.path.join(src, "b.parquet"))  # exact duplicates
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+            "value double, props string"
+        )
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    got = _run_stream(spark, streaming_dedup(stream), mode="append")
+    assert got.count() == 50
+    assert got.select("event_id").distinct().count() == 50
+
+
+def test_streaming_csv_to_parquet(spark, tmp_path):
+    """The reference's dataflow as an always-on incremental stream."""
+    csv_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(csv_dir)
+    with open(os.path.join(csv_dir, "a.csv"), "w") as f:
+        f.write("i,s\n1,x\n2,y\n")
+    q = streaming_csv_to_parquet(
+        spark, csv_dir, out_dir, ckpt, schema="i bigint, s string"
+    )
+    q.awaitTermination(60)
+    first = spark.read.parquet(out_dir)
+    assert first.count() == 2
+    # a second file lands → only the increment is processed
+    with open(os.path.join(csv_dir, "b.csv"), "w") as f:
+        f.write("i,s\n3,z\n")
+    q2 = streaming_csv_to_parquet(
+        spark, csv_dir, out_dir, ckpt, schema="i bigint, s string"
+    )
+    q2.awaitTermination(60)
+    out = spark.read.parquet(out_dir)
+    assert sorted(r.i for r in out.collect()) == [1, 2, 3]
