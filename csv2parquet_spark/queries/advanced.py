@@ -1,0 +1,340 @@
+"""Advanced relational surface, batch 2: statistical aggregates, exact
+percentiles, grouping sets + GROUPING(), correlated subqueries (via the
+SQL API), ordered string aggregation, histogram binning, regex group
+extraction, union-by-name.
+
+Statistical aggregates are rounded (6dp) rather than decimal-cast: the
+quantities involved are O(1)–O(100) so cross-engine error (~1e-13) is
+far below the rounding grain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from csv2parquet_spark.queries.helpers import dsum, sql_dsum
+from csv2parquet_spark.queries.registry import register
+from csv2parquet_spark.tables import table, register_views
+
+
+@register(
+    "stats_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 6) AS sd_qty,
+           round(var_samp(l_discount), 6) AS var_disc,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # (skewness/kurtosis excluded from the oracle: Spark uses population
+    # moments, DuckDB bias-corrected sample moments — different formulas.)
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
+    )
+
+
+@register(
+    "percentiles_exact",
+    oracle="""
+    SELECT l_linestatus,
+           round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+           round(quantile_cont(l_quantity, 0.5), 6) AS q50,
+           round(quantile_cont(l_quantity, 0.9), 6) AS q90,
+           round(median(l_extendedprice), 6) AS median_price
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines sort + interpolate —
+    deterministic). The scale caveat: exact percentile is a sort per
+    group; the approx variant below is the 100 TB default."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_linestatus").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 6).alias("q25"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("q50"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("q90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("median_price"),
+    )
+
+
+@register("percentiles_approx", oracle=None)  # sketch-based → rows-only
+def percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (GK sketch): mergeable, one pass, no per-group
+    sort — the percentile you actually run at 100 TB."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_linestatus").agg(
+        F.approx_percentile("l_quantity", F.lit(0.5), F.lit(10000)).alias("p50"),
+        F.approx_percentile("l_extendedprice", F.lit(0.9), F.lit(10000)).alias("p90"),
+    )
+
+
+@register(
+    "grouping_sets_sql",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) AS g_status,
+           GROUPING(o_orderpriority) AS g_prio,
+           count(*) AS n, {sql_dsum('o_totalprice', 'total')}
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with GROUPING() markers via the SQL API (Catalyst
+    expands to a single Expand+Aggregate — one shuffle)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+               count(*) AS n, {sql_dsum('o_totalprice', 'total')}
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "sql_exists_subquery",
+    oracle="""
+    SELECT p.p_brand, count(*) AS n_parts
+    FROM part p
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)
+    GROUP BY p.p_brand
+    """,
+)
+def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS via the SQL API (Catalyst rewrites to a semi
+    join — same physical plan as the DataFrame left_semi variant)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p.p_brand, count(*) AS n_parts
+        FROM part p
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)
+        GROUP BY p.p_brand
+        """
+    )
+
+
+@register(
+    "sql_scalar_subquery",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_above
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+    GROUP BY c_mktsegment
+    """,
+)
+def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: avg computed once, broadcast into
+    the filter. (Float comparison against an aggregate is safe here:
+    the predicate only needs consistency within each engine.)"""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_mktsegment, count(*) AS n_above
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+@register(
+    "sql_in_subquery",
+    oracle="""
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    WHERE s.s_nationkey IN (SELECT n_nationkey FROM nation
+                            WHERE n_regionkey <= 2)
+    """,
+)
+def sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT s.s_name, s.s_acctbal
+        FROM supplier s
+        WHERE s.s_nationkey IN (SELECT n_nationkey FROM nation
+                                WHERE n_regionkey <= 2)
+        """
+    )
+
+
+@register(
+    "listagg_sorted",
+    oracle="""
+    SELECT n.n_name,
+           string_agg(s.s_name, ',' ORDER BY s.s_name) AS suppliers
+    FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def listagg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: collect_list → sort_array →
+    array_join (deterministic regardless of shuffle arrival order)."""
+    n = table(spark, sf_dir, "nation")
+    s = table(spark, sf_dir, "supplier")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("s_name")), ",").alias(
+                "suppliers"
+            )
+        )
+    )
+
+
+@register(
+    "collect_set_sorted",
+    oracle="""
+    SELECT source,
+           string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,
+           count(DISTINCT lang) AS n_langs
+    FROM documents
+    GROUP BY source
+    """,
+)
+def collect_set_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.array_join(F.sort_array(F.collect_set("lang")), ",").alias("langs"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+@register(
+    "histogram_price_bins",
+    oracle=f"""
+    SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bin,
+           count(*) AS n, {sql_dsum('o_totalprice', 'bin_total')}
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def histogram_price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable histogram: binning is a map-side expression, the groupBy
+    carries only (bin, partial agg) — O(bins) result regardless of input."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.withColumn("bin", F.floor(F.col("o_totalprice") / 25000))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"), dsum(F.col("o_totalprice"), "bin_total"))
+    )
+
+
+@register(
+    "regexp_extract_groups",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(regexp_extract(o_orderpriority, '^(\\d)', 1) AS INT) AS prio_num,
+           regexp_extract(o_orderpriority, '^\\d-(\\w+)', 1) AS prio_word
+    FROM orders
+    """,
+)
+def regexp_extract_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.regexp_extract("o_orderpriority", r"^(\d)", 1).cast("int").alias("prio_num"),
+        F.regexp_extract("o_orderpriority", r"^\d-(\w+)", 1).alias("prio_word"),
+    )
+
+
+@register(
+    "union_by_name",
+    oracle=f"""
+    SELECT kind, count(*) AS n, {sql_dsum('acctbal', 'total_bal')}
+    FROM (
+      SELECT 'customer' AS kind, c_acctbal AS acctbal FROM customer
+      UNION ALL BY NAME
+      SELECT s_acctbal AS acctbal, 'supplier' AS kind FROM supplier
+    )
+    GROUP BY kind
+    """,
+)
+def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName: position-independent union (schema evolution shape)."""
+    c = table(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("kind"), F.col("c_acctbal").alias("acctbal")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_acctbal").alias("acctbal"), F.lit("supplier").alias("kind")
+    )
+    return (
+        c.unionByName(s)
+        .groupBy("kind")
+        .agg(F.count("*").alias("n"), dsum(F.col("acctbal"), "total_bal"))
+    )
+
+
+@register(
+    "top_tokens_per_lang",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+    ), counts AS (
+      SELECT lang, token, count(*) AS cnt FROM tok GROUP BY lang, token
+    )
+    SELECT lang, token, cnt, rn FROM (
+      SELECT lang, token, cnt,
+             row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rn
+      FROM counts
+    ) WHERE rn <= 5
+    """,
+)
+def top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode + two-level aggregation + ranked window: the canonical
+    'top terms per group' shape."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(F.split("text", " ")).alias("token"))
+    counts = tok.groupBy("lang", "token").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), "token")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "token", "cnt", "rn")
+    )
+
+
+@register(
+    "monthly_order_rollup",
+    oracle=f"""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           count(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'revenue')},
+           count(DISTINCT o_custkey) AS n_customers
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def monthly_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time rollup: truncate-to-bucket + aggregate —
+    the batch twin of the streaming tumbling window at month grain."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.withColumn("month", F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM"))
+        .groupBy("month")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum(F.col("o_totalprice"), "revenue"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
