@@ -50,35 +50,21 @@ def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame,
-    threshold: float = 0.5,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    k: int = 3,
-) -> DataFrame:
-    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
-
-    Self-join on shingle → common count; |A|,|B| from per-doc sizes;
-    J = common / (|A| + |B| - common). The shingle join is the blocking
-    step: disjoint documents never meet, so the join output is bounded by
-    co-occurrence, not |corpus|².
-    """
-    sh = shingle_sets(df, text_col, id_col, k).cache()
+def _verify_jaccard(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard for candidate (id_a, id_b) pairs against the full
+    shingle relation; emits pairs with J ≥ threshold."""
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
     common = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("common"))
     )
-    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     return (
-        common.join(sz_a, "id_a")
-        .join(sz_b, "id_b")
+        common.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -90,6 +76,70 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "common", "sz_a", "sz_b", "jaccard")
     )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    prefix_filter: bool = True,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join (all pairs with J ≥ threshold).
+
+    With ``prefix_filter`` (the scale path — the PPJoin/AllPairs prefix
+    principle from the set-similarity-join literature): order each doc's
+    shingles rarest-first globally; two sets with J ≥ t must share a
+    shingle within each other's first ``|A| - ceil(t·|A|) + 1`` shingles,
+    so the candidate self-join runs only on those prefixes. Rare-first
+    ordering makes prefix join keys low-frequency — the hot-key blowup of
+    a naive shingle self-join (vocabulary³ keys shared by thousands of
+    docs) disappears, and the verify step touches only surviving pairs.
+    Output is EXACT either way (verification recomputes true Jaccard).
+    """
+    sh = shingle_sets(df, text_col, id_col, k)
+    if not prefix_filter:
+        a = sh.select(F.col("id").alias("id_a"), "shingle")
+        b = sh.select(F.col("id").alias("id_b"), "shingle")
+        cand = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        return _verify_jaccard(cand, sh, threshold)
+
+    from pyspark.sql import Window
+
+    sh = sh.cache()
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("df_freq"))
+    w = Window.partitionBy("id").orderBy("df_freq", "shingle")
+    ranked = (
+        sh.join(freq, "shingle")
+        .withColumn("pos", F.row_number().over(w))
+        .withColumn("sz", F.count("*").over(Window.partitionBy("id")))
+    )
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).select("id", "shingle")
+    a = prefix.select(F.col("id").alias("id_a"), "shingle")
+    b = prefix.select(F.col("id").alias("id_b"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _verify_jaccard(cand, sh, threshold)
+
+
+def _minhash_signatures_from_shingles(sh: DataFrame, num_perm: int) -> DataFrame:
+    mins = [
+        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}") for i in range(num_perm)
+    ]
+    sig = sh.groupBy("id").agg(*mins)
+    return sig.select("id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig"))
 
 
 def minhash_signatures(
@@ -105,12 +155,9 @@ def minhash_signatures(
     per-doc min of each. One explode + one groupBy — the groupBy carries
     num_perm partial mins, so the shuffle is (id, num_perm·8 bytes).
     """
-    sh = shingle_sets(df, text_col, id_col, k)
-    mins = [
-        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}") for i in range(num_perm)
-    ]
-    sig = sh.groupBy("id").agg(*mins)
-    return sig.select("id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig"))
+    return _minhash_signatures_from_shingles(
+        shingle_sets(df, text_col, id_col, k), num_perm
+    )
 
 
 def minhash_lsh_candidates(
@@ -154,32 +201,10 @@ def minhash_near_dups(
 ) -> DataFrame:
     """MinHash-LSH near-dup pipeline with exact-Jaccard verification of
     candidates (so the result is deterministic given the seeds)."""
-    sig = minhash_signatures(df, num_perm, text_col, id_col, k)
-    cand = minhash_lsh_candidates(sig, num_perm, bands)
     sh = shingle_sets(df, text_col, id_col, k).cache()
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
-    common = (
-        cand.join(a, "id_a")
-        .join(b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("common"))
-    )
-    return (
-        common.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("common").cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    sig = _minhash_signatures_from_shingles(sh, num_perm)
+    cand = minhash_lsh_candidates(sig, num_perm, bands)
+    return _verify_jaccard(cand, sh, threshold).select("id_a", "id_b", "jaccard")
 
 
 def simhash_signatures(

@@ -49,13 +49,24 @@ def topk_similar(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Exact brute-force top-k: cross-join the (tiny, broadcast) query
-    against every vector, score, take top-k. Returns (vec_id, sim)."""
-    q = F.broadcast(query.select(F.col(vec_col).alias("__qvec")))
+    against every vector, score, take top-k. Returns (vec_id, sim).
+
+    Norms are computed once per side (a projection), so the per-pair
+    work is a single dot fold — same arithmetic as dot/(|a|·|b|),
+    just not recomputed N times.
+    """
+    q = F.broadcast(
+        query.select(F.col(vec_col).alias("__qvec"), norm(F.col(vec_col)).alias("__qn"))
+    )
     scored = (
-        vectors.crossJoin(q)
+        vectors.withColumn("__vn", norm(F.col(vec_col)))
+        .crossJoin(q)
         .select(
             F.col(id_col),
-            F.round(cosine(F.col(vec_col), F.col("__qvec")), 6).alias("sim"),
+            F.round(
+                dot(F.col(vec_col), F.col("__qvec")) / (F.col("__vn") * F.col("__qn")),
+                6,
+            ).alias("sim"),
         )
     )
     return scored.orderBy(F.desc("sim"), id_col).limit(k)
@@ -73,11 +84,17 @@ def pairwise_near_dups(
     The block key keeps the self-join from going quadratic in the corpus
     — at scale the block is an LSH bucket; here it's the given column.
     """
-    a = vectors.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col(block_col).alias("blk")
+    withn = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.col(block_col).alias("blk"),
+        norm(F.col(vec_col)).alias("nrm"),  # once per vector, not per pair
     )
-    b = vectors.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col(block_col).alias("blk")
+    a = withn.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), "blk", F.col("nrm").alias("na")
+    )
+    b = withn.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), "blk", F.col("nrm").alias("nb")
     )
     return (
         a.join(b, "blk")
@@ -86,7 +103,9 @@ def pairwise_near_dups(
             "blk",
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"),
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )
