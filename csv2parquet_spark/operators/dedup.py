@@ -6,18 +6,27 @@ Scale design (the point of each implementation):
 * **Exact dedup** groups on a hash of the text, not the text itself —
   the shuffle moves 16-byte keys, not documents. At 100 TB this is the
   difference between a feasible and an infeasible exchange.
-* **MinHash+LSH** is pure DataFrame ops: explode shingles →
-  ``xxhash64(shingle, seed_i)`` per permutation → min per doc → band →
-  groupBy band signature → pair join. No driver state, no ML-lib fit;
-  every stage is a hash shuffle that AQE can coalesce or skew-split.
-  Candidate pairs are then verified with exact Jaccard so the output is
+* **Per-doc shingle sets are built row-at-a-time** (`array_distinct` +
+  `transform`/`xxhash64` inside codegen) — ZERO shuffle to shingle the
+  corpus. Shingles travel as 8-byte hashes, never strings, so every
+  downstream exchange is fixed-width. (xxhash64 collisions are the only
+  approximation; at 2^64 the expected collision count is ~0 below
+  trillions of distinct shingles.)
+* **MinHash signatures** are per-row array folds over the shingle set —
+  no explode, no groupBy: the signature job is embarrassingly parallel.
+  LSH banding then buckets with one explode + one self-join; candidate
+  pairs are verified with exact Jaccard so the output is
   seeded-deterministic.
-* **SimHash** aggregates per-bit sign counts with a single groupBy
-  (64 conditional sums), reconstructs the 64-bit signature, and blocks
-  on 16-bit bands for Hamming-distance candidate generation.
+* **n-gram Jaccard** uses the PPJoin/AllPairs prefix principle for
+  candidate generation (rarest-first global ordering; only prefix
+  shingles enter the self-join) and array-intersection verification, so
+  neither the pair space nor the verify shuffle is quadratic.
+* **SimHash** computes the 64-bit signature per-row from the hashed
+  token array, then blocks on 16-bit bands for Hamming-distance
+  candidate generation (pigeonhole-complete at radius 3).
 * All pair-joins emit ``a < b`` once, and block within a cheap
-  partition key (band / bucket) so the join never goes quadratic in the
-  corpus, only in the bucket.
+  partition key (band / bucket / prefix shingle) so the join never goes
+  quadratic in the corpus, only in the bucket.
 """
 
 from __future__ import annotations
@@ -41,30 +50,71 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def doc_shingle_arrays(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, sset: array<bigint>, sz) — each doc's distinct k-token shingle
+    set as xxhash64 values, built entirely inside a per-row projection.
+
+    No shuffle: tokenize → shingle → array_distinct → hash all happen in
+    whole-stage codegen over the scan. This is the shared input relation
+    for Jaccard and MinHash; docs too short to have a shingle are dropped
+    (they cannot match anything).
+    """
+    hashed = F.transform(
+        F.array_distinct(shingles(tokens(text_col), k)), lambda s: F.xxhash64(s)
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), hashed.alias("sset"))
+        .withColumn("sz", F.size("sset"))
+        .filter(F.col("sz") > 0)
+    )
+
+
 def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                  k: int = 3) -> DataFrame:
-    """(id, shingle) distinct pairs — the input relation for Jaccard/MinHash."""
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(shingles(tokens(text_col), k)).alias("shingle"))
-        .distinct()
+    """(id, shingle) distinct pairs (shingle = xxhash64 of the k-gram) —
+    the exploded view of :func:`doc_shingle_arrays`."""
+    return doc_shingle_arrays(df, text_col, id_col, k).select(
+        "id", F.explode("sset").alias("shingle")
     )
 
 
-def _verify_jaccard(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
-    """Exact Jaccard for candidate (id_a, id_b) pairs against the full
-    shingle relation; emits pairs with J ≥ threshold."""
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
-    common = (
-        cand.join(a, "id_a")
-        .join(b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("common"))
-    )
+def _verify_jaccard(cand: DataFrame, dsa: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard for candidate (id_a, id_b) pairs against the per-doc
+    shingle arrays; emits pairs with J ≥ threshold.
+
+    Verification is array-at-a-time: the doc-array relation is hash-joined
+    to the candidates on doc id (AQE broadcasts it when it fits) and the
+    exact overlap is ``size(array_intersect(...))`` per pair. The
+    alternative — re-exploding candidates against the shingle relation —
+    shuffles |cand| × |shingles per doc| rows; this shuffles |cand| pairs
+    plus the doc-sized relation. A length prefilter
+    (J ≥ t ⇒ t·max(|A|,|B|) ≤ min(|A|,|B|)) drops size-mismatched pairs
+    before any intersection is computed.
+    """
     return (
-        common.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        cand.join(
+            dsa.select(
+                F.col("id").alias("id_a"),
+                F.col("sset").alias("set_a"),
+                F.col("sz").alias("sz_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            dsa.select(
+                F.col("id").alias("id_b"),
+                F.col("sset").alias("set_b"),
+                F.col("sz").alias("sz_b"),
+            ),
+            "id_b",
+        )
+        .filter(
+            F.greatest("sz_a", "sz_b") * F.lit(threshold)
+            <= F.least("sz_a", "sz_b")
+        )
+        .withColumn("common", F.size(F.array_intersect("set_a", "set_b")))
         .withColumn(
             "jaccard",
             F.round(
@@ -94,35 +144,41 @@ def ngram_jaccard_pairs(
     shingle within each other's first ``|A| - ceil(t·|A|) + 1`` shingles,
     so the candidate self-join runs only on those prefixes. Rare-first
     ordering makes prefix join keys low-frequency — the hot-key blowup of
-    a naive shingle self-join (vocabulary³ keys shared by thousands of
+    a naive shingle self-join (common shingles shared by thousands of
     docs) disappears, and the verify step touches only surviving pairs.
     Output is EXACT either way (verification recomputes true Jaccard).
+
+    Shuffle budget (prefix path): document-frequency groupBy + one
+    groupBy(id) to order each set + the prefix self-join + verify joins.
+    The window-function formulation this replaces added a full sort
+    exchange per window; ordering via ``array_sort(collect_list(...))``
+    keeps the per-doc sort local to the aggregate.
     """
-    sh = shingle_sets(df, text_col, id_col, k)
-    if not prefix_filter:
-        a = sh.select(F.col("id").alias("id_a"), "shingle")
-        b = sh.select(F.col("id").alias("id_b"), "shingle")
-        cand = (
-            a.join(b, "shingle")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .distinct()
+    dsa = doc_shingle_arrays(df, text_col, id_col, k).cache()
+    if prefix_filter:
+        ex = dsa.select("id", "sz", F.explode("sset").alias("shingle"))
+        freq = ex.groupBy("shingle").agg(F.count("*").alias("df_freq"))
+        ranked = (
+            ex.join(freq, "shingle")
+            .groupBy("id")
+            .agg(
+                F.first("sz").alias("sz"),
+                F.array_sort(F.collect_list(F.struct("df_freq", "shingle"))).alias(
+                    "rk"
+                ),
+            )
         )
-        return _verify_jaccard(cand, sh, threshold)
-
-    from pyspark.sql import Window
-
-    sh = sh.cache()
-    freq = sh.groupBy("shingle").agg(F.count("*").alias("df_freq"))
-    w = Window.partitionBy("id").orderBy("df_freq", "shingle")
-    ranked = (
-        sh.join(freq, "shingle")
-        .withColumn("pos", F.row_number().over(w))
-        .withColumn("sz", F.count("*").over(Window.partitionBy("id")))
-    )
-    prefix = ranked.filter(
-        F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    ).select("id", "shingle")
+        plen = (
+            F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+        ).cast("int")
+        prefix = ranked.select(
+            "id",
+            F.explode(
+                F.slice(F.transform("rk", lambda x: x["shingle"]), F.lit(1), plen)
+            ).alias("shingle"),
+        )
+    else:
+        prefix = dsa.select("id", F.explode("sset").alias("shingle"))
     a = prefix.select(F.col("id").alias("id_a"), "shingle")
     b = prefix.select(F.col("id").alias("id_b"), "shingle")
     cand = (
@@ -131,15 +187,19 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    return _verify_jaccard(cand, sh, threshold)
+    return _verify_jaccard(cand, dsa, threshold)
 
 
-def _minhash_signatures_from_shingles(sh: DataFrame, num_perm: int) -> DataFrame:
-    mins = [
-        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}") for i in range(num_perm)
-    ]
-    sig = sh.groupBy("id").agg(*mins)
-    return sig.select("id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig"))
+def _minhash_sig_col(sset, num_perm: int):
+    """array<bigint> MinHash signature of a shingle-set column: per
+    permutation i, min over the set of xxhash64(shingle, seed=i). Pure
+    per-row expression — no shuffle anywhere in the signature job."""
+    return F.array(
+        *[
+            F.array_min(F.transform(sset, lambda s: F.xxhash64(s, F.lit(i))))
+            for i in range(num_perm)
+        ]
+    )
 
 
 def minhash_signatures(
@@ -152,12 +212,11 @@ def minhash_signatures(
     """MinHash signatures: (id, array<bigint> sig[num_perm]).
 
     Permutation i is ``xxhash64(shingle, seed=i)``; the signature is the
-    per-doc min of each. One explode + one groupBy — the groupBy carries
-    num_perm partial mins, so the shuffle is (id, num_perm·8 bytes).
-    """
-    return _minhash_signatures_from_shingles(
-        shingle_sets(df, text_col, id_col, k), num_perm
-    )
+    per-doc min of each, computed as an array fold inside the row — the
+    whole signature stage is map-only (embarrassingly parallel at any
+    scale)."""
+    dsa = doc_shingle_arrays(df, text_col, id_col, k)
+    return dsa.select("id", _minhash_sig_col(F.col("sset"), num_perm).alias("sig"))
 
 
 def minhash_lsh_candidates(
@@ -201,41 +260,41 @@ def minhash_near_dups(
 ) -> DataFrame:
     """MinHash-LSH near-dup pipeline with exact-Jaccard verification of
     candidates (so the result is deterministic given the seeds)."""
-    sh = shingle_sets(df, text_col, id_col, k).cache()
-    sig = _minhash_signatures_from_shingles(sh, num_perm)
+    dsa = doc_shingle_arrays(df, text_col, id_col, k).cache()
+    sig = dsa.select("id", _minhash_sig_col(F.col("sset"), num_perm).alias("sig"))
     cand = minhash_lsh_candidates(sig, num_perm, bands)
-    return _verify_jaccard(cand, sh, threshold).select("id_a", "id_b", "jaccard")
+    return _verify_jaccard(cand, dsa, threshold).select("id_a", "id_b", "jaccard")
 
 
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:
-    """64-bit SimHash per document.
+    """64-bit SimHash per document, computed per-row.
 
-    Token hash = xxhash64(token); bit b of the signature is the sign of
-    Σ(±1) over tokens for that bit. One explode + one groupBy with
-    ``bits`` conditional sums — stays in codegen, shuffles only
-    (id, bits·8B) partials.
+    Token hash = xxhash64(token); bit b of the signature is the majority
+    sign of bit b over the doc's token hashes (repeats count). The hashed
+    token array is materialized once per row, then each bit is a
+    ``size(filter(...))`` over it — map-only, no explode, no shuffle.
     """
-    tok = df.select(
-        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("token")
-    ).withColumn("h", F.xxhash64("token"))
+    t = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(tokens(text_col), lambda x: F.xxhash64(x)).alias("harr"),
+    )
+
     def mask(b: int) -> int:
         # bit 63 of a signed 64-bit long is the sign bit: use the signed
         # two's-complement value (1<<63 would overflow LongType).
         return (1 << b) if b < 63 else -(1 << 63)
 
-    bit_sums = [
-        F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(mask(b))) != 0, 1).otherwise(-1)
-        ).alias(f"b{b}")
-        for b in range(bits)
-    ]
-    agg = tok.groupBy("id").agg(*bit_sums)
+    n = F.size("harr")
     sig = F.lit(0).cast("bigint")
     for b in range(bits):
-        sig = sig + F.when(F.col(f"b{b}") > 0, F.lit(mask(b)).cast("bigint")).otherwise(0)
-    return agg.select("id", sig.alias("simhash"))
+        pos = F.size(
+            F.filter("harr", lambda h: h.bitwiseAND(F.lit(mask(b))) != 0)
+        )
+        # majority of +1/-1 votes > 0  ⇔  2·pos > n
+        sig = sig + F.when(pos * 2 > n, F.lit(mask(b)).cast("bigint")).otherwise(0)
+    return t.select("id", sig.alias("simhash"))
 
 
 def simhash_near_dups(
