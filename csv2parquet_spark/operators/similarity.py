@@ -111,6 +111,127 @@ def pairwise_near_dups(
     )
 
 
+def kmeans_centroids(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Lloyd's k-means in DataFrame algebra; returns the centroid table
+    (a ``n_centroids × dim`` Python list — the ONLY thing that ever
+    reaches the driver; the vectors never do).
+
+    Per iteration: assignment is a per-row argmax of cosine against the
+    literal centroid arrays (codegen, no join, no shuffle); the update is
+    ``posexplode → groupBy(cluster, pos) → avg`` — a map-side-combining
+    shuffle of n·dim scalar partials, the standard distributed-Lloyd
+    shape. Init is the ``n_centroids`` vectors with the smallest
+    ``xxhash64(id)`` (deterministic, seed-free sampling).
+    """
+    init = (
+        vectors.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = [[float(x) for x in r.v] for r in init]
+    for _ in range(n_iter):
+        assigned = vectors.select(
+            _nearest_centroid(F.col(vec_col), centroids).alias("cluster"),
+            F.posexplode(F.col(vec_col)).alias("pos", "x"),
+        )
+        new = (
+            assigned.groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cluster", F.col("pm.m").alias("centroid"))
+            .collect()
+        )
+        for r in new:
+            centroids[r.cluster] = [float(x) for x in r.centroid]
+    return centroids
+
+
+def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """argmax-cosine cluster id for a vector column against literal
+    centroid arrays — pure codegen expression, no join."""
+    sims = F.array(
+        *[
+            cosine(vec, F.array(*[F.lit(float(x)) for x in c]))
+            for c in centroids
+        ]
+    )
+    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add the IVF list id (``cluster``) to every vector. At scale this
+    column is the partition/bucket key of the stored index, so a probe
+    reads ``nprobe`` partitions instead of the corpus."""
+    return vectors.withColumn("cluster", _nearest_centroid(F.col(vec_col), centroids))
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-Flat top-k (FAISS-style, in DataFrame algebra): train coarse
+    centroids, assign every vector to its nearest list, probe only the
+    query's ``nprobe`` nearest lists, brute-force within them.
+
+    With ``nprobe == n_centroids`` the probe covers every list and the
+    result is EXACTLY the brute-force top-k (the hash-checked oracle
+    configuration); smaller ``nprobe`` is the approximate scale path.
+    The probe is a broadcast join on the cluster column — on a stored
+    index partitioned by ``cluster`` it becomes partition pruning.
+    """
+    centroids = kmeans_centroids(vectors, n_centroids, n_iter, vec_col, id_col)
+    assigned = ivf_assign(vectors, centroids, vec_col)
+
+    # Query side: nprobe nearest centroid ids as a literal-array sort.
+    sims = F.array(
+        *[
+            F.struct(
+                (cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])) * -1)
+                .alias("negsim"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    qprobe = F.broadcast(
+        query.select(
+            F.col(vec_col).alias("__qvec"),
+            norm(F.col(vec_col)).alias("__qn"),
+            F.slice(F.array_sort(sims)["cid"], 1, nprobe).alias("__probes"),
+        )
+    )
+    scored = (
+        assigned.withColumn("__vn", norm(F.col(vec_col)))
+        .join(qprobe, F.array_contains(F.col("__probes"), F.col("cluster")))
+        .select(
+            F.col(id_col),
+            F.round(
+                dot(F.col(vec_col), F.col("__qvec")) / (F.col("__vn") * F.col("__qn")),
+                6,
+            ).alias("sim"),
+        )
+    )
+    return scored.orderBy(F.desc("sim"), id_col).limit(k)
+
+
 def _hyperplanes(num_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (no numpy RNG state leaks:
     a simple LCG keeps this reproducible everywhere)."""

@@ -164,6 +164,39 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(e.filter(F.col("vec_id") != 0), q, k=10, num_planes=4)
 
 
+@register(
+    "similarity_topk_ivf_full",
+    oracle=f"""
+    SELECT b.vec_id, round({_sql_cosine('q.embedding', 'b.embedding')}, 6) AS sim
+    FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE b.vec_id <> 0
+    ORDER BY sim DESC, b.vec_id
+    LIMIT 10
+    """,
+)
+def similarity_topk_ivf_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat top-k probing EVERY list (nprobe = n_centroids): covers
+    the whole index, so the result must hash-match the brute-force
+    oracle — this is the correctness proof for the IVF machinery."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select("embedding")
+    return S.ivf_topk(
+        e.filter(F.col("vec_id") != 0), q, k=10, n_centroids=8, nprobe=8, n_iter=2
+    )
+
+
+@register("similarity_topk_ivf", oracle=None)  # probe subset → approximate
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat approximate top-k (nprobe=2 of 8 lists) — the scale path:
+    a stored index partitioned by cluster turns the probe into partition
+    pruning, reading 1/4 of the corpus here."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select("embedding")
+    return S.ivf_topk(
+        e.filter(F.col("vec_id") != 0), q, k=10, n_centroids=8, nprobe=2, n_iter=2
+    )
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------
@@ -320,6 +353,53 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         best.groupBy("lang", F.col("model_lang").alias("predicted"))
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+# --------------------------------------------------------------------------
+# Chunking & grouped-pandas ops
+# --------------------------------------------------------------------------
+_CHUNK_ORACLE = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents)
+    SELECT doc_id, CAST((s - 1) // 24 AS INTEGER) AS chunk_idx,
+           array_to_string(tok[s:s + 31], ' ') AS chunk_text
+    FROM t, LATERAL (SELECT unnest(range(1, greatest(len(tok), 1) + 1, 24)) AS s)
+    """
+
+
+@register("chunk_documents", oracle=_CHUNK_ORACLE)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping token chunks (size 32, stride 24) — pure
+    Catalyst (sequence/slice/posexplode), the map-only hot path."""
+    from csv2parquet_spark.operators.chunking import chunk_documents as chunk
+
+    return chunk(table(spark, sf_dir, "documents"), size=32, stride=24)
+
+
+@register("chunk_documents_udtf", oracle=_CHUNK_ORACLE)
+def chunk_documents_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same chunk grammar through a Python UDTF + LATERAL join —
+    hash-matching the same oracle proves the UDTF plumbing end-to-end."""
+    from csv2parquet_spark.operators.chunking import chunk_documents_udtf as chunk
+
+    return chunk(spark, table(spark, sf_dir, "documents"), size=32, stride=24)
+
+
+@register(
+    "zscore_chars_by_lang",
+    oracle="""
+    SELECT doc_id, lang,
+           round((n_chars - avg(n_chars) OVER (PARTITION BY lang))
+                 / stddev_samp(n_chars) OVER (PARTITION BY lang), 6) AS z
+    FROM documents
+    """,
+)
+def zscore_chars_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language z-score via applyInPandas — the grouped-pandas
+    surface with a hash-checked oracle (window aggregates in SQL),
+    proving the Arrow group round-trip byte-exactly."""
+    from csv2parquet_spark.operators.grouped import grouped_zscore
+
+    return grouped_zscore(table(spark, sf_dir, "documents"))
 
 
 # --------------------------------------------------------------------------

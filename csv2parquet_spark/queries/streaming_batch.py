@@ -66,6 +66,27 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stateful_user_totals",
+    oracle=f"""
+    SELECT user_id, count(*) AS n_events, {sql_dsum('value', 'total_value')},
+           epoch_ms(max(ts)) AS last_ts_ms
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the applyInPandasWithState running-totals operator
+    (``streaming/stateful.py``): per-user event count / value total /
+    last-seen. The pytest suite replays the stream and asserts its final
+    emission equals this plan's result."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        dsum(F.col("value"), "total_value"),
+        F.unix_millis(F.max("ts")).alias("last_ts_ms"),
+    )
+
+
+@register(
     "stream_session_windows",
     oracle="""
     WITH ordered AS (

@@ -1,5 +1,6 @@
 """Structured Streaming surface (SURVEY.md §2.6)."""
 
+from csv2parquet_spark.streaming.stateful import user_running_totals
 from csv2parquet_spark.streaming.windows import (
     read_events_stream,
     sliding_counts,
@@ -18,4 +19,5 @@ __all__ = [
     "streaming_dedup",
     "streaming_csv_to_parquet",
     "run_to_memory",
+    "user_running_totals",
 ]

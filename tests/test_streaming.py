@@ -82,6 +82,35 @@ def test_streaming_dedup(spark, tmp_path, sf_dir):
     assert got.select("event_id").distinct().count() == 50
 
 
+def test_stateful_user_totals_equals_batch(spark, sf_dir):
+    """applyInPandasWithState running totals: the LAST emission per user
+    must equal the batch groupBy twin (count exactly; value within an
+    IEEE-accumulation ulp)."""
+    from csv2parquet_spark.streaming import user_running_totals
+
+    events = read_events_stream(spark, sf_dir)
+    got = _run_stream(spark, user_running_totals(events), mode="update")
+    # update mode re-emits a user on every batch that touches it; the
+    # memory sink keeps them all — the row with max n_events is final.
+    final = (
+        got.groupBy("user_id")
+        .agg(
+            F.max_by("n_events", "n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+            F.max_by("last_ts_ms", "n_events").alias("last_ts_ms"),
+        )
+    )
+    want = REGISTRY["stream_stateful_user_totals"].fn(spark, sf_dir)
+    f = {r.user_id: r for r in final.collect()}
+    w = {r.user_id: r for r in want.collect()}
+    assert set(f) == set(w)
+    for uid, wr in w.items():
+        fr = f[uid]
+        assert fr.n_events == wr.n_events, uid
+        assert fr.last_ts_ms == wr.last_ts_ms, uid
+        assert abs(fr.total_value - wr.total_value) < 1e-6, uid
+
+
 def test_streaming_csv_to_parquet(spark, tmp_path):
     """The reference's dataflow as an always-on incremental stream."""
     csv_dir = str(tmp_path / "in")
