@@ -1,0 +1,152 @@
+"""TPC-H-shaped multi-way analytical queries beyond Q1/Q3/Q5 (SURVEY.md
+§2.2 "Joins"/"Aggregations"): returned-item revenue (Q10-shaped), promo
+revenue share (Q14-shaped), priority counts with EXISTS (Q4-shaped),
+plus deterministic sampling.
+
+Scale notes: fact⋈fact joins (orders⋈lineitem) shuffle once on the
+orderkey; dimension sides (customer slice, nation, part) broadcast.
+Q14's month filter reaches the parquet scan as a pushed predicate —
+partition pruning at 100 TB when the table is date-partitioned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from csv2parquet_spark.queries.helpers import dsum, sql_dsum
+from csv2parquet_spark.queries.registry import register
+from csv2parquet_spark.tables import table
+
+
+@register(
+    "q10_returned_revenue",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+           count(*) AS n_items
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10-shaped: top-20 customers by revenue lost to returns in 1996.
+    lineitem⋈orders shuffles on orderkey once; customer and nation
+    broadcast; top-k is TakeOrderedAndProject (no global sort)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    n = table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_returnflag") == "R")
+        .join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(rev, "revenue"), F.count("*").alias("n_items"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    oracle="""
+    SELECT round(
+             100.0 * CAST(sum(CAST(CASE WHEN p.p_type = 'PROMO'
+                       THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END
+                       AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                       AS DECIMAL(18,6))) AS DOUBLE), 6) AS promo_share_pct,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+    """,
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14-shaped: % of March-1997 revenue from PROMO parts. The month
+    predicate is pushed to the scan; part broadcasts (no fact shuffle)."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    dec = "decimal(18,6)"
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(promo_rev.cast(dec)).cast("double")
+                / F.sum(rev.cast(dec)).cast("double"),
+                6,
+            ).alias("promo_share_pct"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q4_priority_order_counts",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q4_priority_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-shaped: orders (one quarter) with at least one line shipped
+    after the order date, counted per priority. The EXISTS is a left-semi
+    join — shuffles both sides on orderkey, emits each order once."""
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    filtered = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    return (
+        filtered.join(
+            l,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register("sample_lineitem_seeded", oracle=None)  # engine-specific RNG → rows-only
+def sample_lineitem_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli sampling with a fixed seed — deterministic re-execution
+    within Spark (same seed + same input splits), but the RNG stream is
+    engine-specific, so the check is rows-only. At scale: sampling is a
+    map-only filter, the cheapest way to bound a pipeline's input."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )

@@ -129,6 +129,73 @@ def window_ntile_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_first_last_nth",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_totalprice) OVER w AS cheapest,
+           last_value(o_totalprice)  OVER w AS priciest,
+           nth_value(o_totalprice, 2) OVER w AS second_cheapest
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value over a full-partition frame (the frame must
+    be explicit: the SQL default frame stops at CURRENT ROW, which makes
+    last_value just the current row)."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("cheapest"),
+        F.last("o_totalprice").over(w).alias("priciest"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_cheapest"),
+    )
+
+
+@register(
+    "window_moving_7day_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS dd,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS day_rev
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(dd, '%Y-%m-%d') AS d, day_rev,
+           CAST(sum(CAST(day_rev AS DECIMAL(18,6))) OVER (
+             ORDER BY dd RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rev_7d
+    FROM daily
+    """,
+)
+def window_moving_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-frame moving aggregate: daily revenue and its trailing
+    7-day sum. The range frame is over epoch-day ints (portable across
+    engines); the pre-aggregation to one row per day keeps the ordered
+    window tiny (days, not orders) — the shape that survives scale."""
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("day_rev"))
+    )
+    w = (
+        Window.orderBy(F.unix_date("d"))
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        "day_rev",
+        F.sum(F.col("day_rev").cast(DEC)).over(w).cast("double").alias("rev_7d"),
+    )
+
+
+@register(
     "asof_purchase_prev_click",
     oracle="""
     SELECT p.event_id, p.user_id,

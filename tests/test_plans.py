@@ -1,0 +1,86 @@
+"""Physical-plan regression tests (SURVEY.md §4.3, the 100 TB design
+contract): the properties that make these queries scale — pushdown,
+pruning, broadcasts, top-k without global sort, map-only stages — are
+asserted on the EXECUTED plan text, so a refactor that silently
+reintroduces a shuffle or drops a pushed filter fails CI, not the
+cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from csv2parquet_spark.queries.registry import REGISTRY
+
+
+def _plan(df) -> str:
+    """Formatted physical plan (executedPlan after AQE planning)."""
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_filter_pushdown_and_column_pruning(spark, sf_dir):
+    """filter_project: predicates reach the parquet scan; unused columns
+    are pruned out of ReadSchema."""
+    plan = _plan(REGISTRY["filter_project"].fn(spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "GreaterThan(l_quantity" in plan
+    # ReadSchema must NOT include columns the query never touches.
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "l_tax" not in read_schema[0]
+    assert "l_returnflag" not in read_schema[0]
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    """q10: customer/nation sides broadcast — the fact table is never
+    shuffled for a dimension join."""
+    plan = _plan(REGISTRY["q10_returned_revenue"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    """orderBy+limit plans TakeOrderedAndProject (per-partition heaps +
+    driver merge), never a global sort."""
+    plan = _plan(REGISTRY["topk_orders_by_price"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan  # no global Sort node
+
+
+def test_brute_force_topk_has_no_shuffle_exchange(spark, sf_dir):
+    """similarity_topk_exact: broadcast query + scan + TakeOrdered — the
+    only exchange allowed is the broadcast of the single query vector."""
+    plan = _plan(REGISTRY["similarity_topk_exact"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "Broadcast" in line, f"unexpected shuffle: {line.strip()}"
+
+
+def test_shingle_arrays_are_map_only(spark, sf_dir):
+    """doc_shingle_arrays claims zero shuffles — hold it to that."""
+    from csv2parquet_spark.operators.dedup import doc_shingle_arrays
+    from csv2parquet_spark.tables import table
+
+    dsa = doc_shingle_arrays(table(spark, sf_dir, "documents"))
+    plan = _plan(dsa)
+    assert "Exchange" not in plan
+
+
+def test_conversion_plan_has_no_shuffle(spark, tmp_path):
+    """The reference's core dataflow (CSV scan → Parquet sink) must stay
+    embarrassingly parallel: no exchange anywhere in the plan."""
+    p = tmp_path / "in.csv"
+    p.write_text("a,b\n1,x\n2,y\n")
+    df = spark.read.options(header=True, inferSchema=True).csv(str(p))
+    assert "Exchange" not in _plan(df.select("*"))
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    """q1: hash aggregate runs partial (map-side combine) before the
+    exchange — one shuffle of pre-aggregated partials, not rows."""
+    plan = _plan(REGISTRY["q1_pricing_summary"].fn(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "partial_sum" in plan
