@@ -338,3 +338,32 @@ def monthly_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_custkey").alias("n_customers"),
         )
     )
+
+
+@register(
+    "top_tokens_salted",
+    oracle="""
+    SELECT token, count(*) AS n FROM (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ) GROUP BY token ORDER BY n DESC, token LIMIT 20
+    """,
+)
+def top_tokens_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof token counting: the classic salted two-phase
+    aggregation. Hot tokens (stopwords at 100 TB) would overload single
+    reducers in a one-shot groupBy; salting by hash(doc_id)%32 splits
+    each token across 32 partial cells, then a second (tiny) aggregation
+    merges the partials. Result is EXACTLY the plain count — which is
+    what the oracle checks."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(F.split("text", " ")).alias("token"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(32)).alias("salt"),
+    )
+    partial = tok.groupBy("token", "salt").agg(F.count("*").alias("pn"))
+    return (
+        partial.groupBy("token")
+        .agg(F.sum("pn").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
+    )

@@ -429,6 +429,43 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("multimodal_features", oracle=None)  # mapInPandas → rows-only
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload → fixed-dim float feature vector via mapInPandas
+    (deterministic stub standing in for an embedding model forward
+    pass; the schema/batching contract is the tested surface)."""
+    from csv2parquet_spark.operators.multimodal import extract_features
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return extract_features(d)
+
+
+@register("multimodal_resize_plan", oracle=None)  # mapInPandas → rows-only
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize planning (shorter side → 224) over the
+    decoded metadata — codecless stub, real fan-in shape."""
+    from csv2parquet_spark.operators.multimodal import resize_metadata
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return resize_metadata(d)
+
+
+@register("multimodal_frame_sample", oracle=None)  # mapInPandas → rows-only
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-frame sampling stub: mapInPandas emitting N rows per input
+    payload (the generator fan-out shape a real ffmpeg decode uses)."""
+    from csv2parquet_spark.operators.multimodal import sample_frames
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return sample_frames(d)
+
+
 @register("multimodal_decode_stub", oracle=None)  # mapInPandas → rows-only
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract plumbing for binary media via mapInPandas.
