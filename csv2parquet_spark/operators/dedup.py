@@ -31,6 +31,7 @@ Scale design (the point of each implementation):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -269,32 +270,43 @@ def minhash_near_dups(
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:
-    """64-bit SimHash per document, computed per-row.
+    """64-bit SimHash per document, computed per-row (map-only, no
+    explode, no shuffle).
 
-    Token hash = xxhash64(token); bit b of the signature is the majority
-    sign of bit b over the doc's token hashes (repeats count). The hashed
-    token array is materialized once per row, then each bit is a
-    ``size(filter(...))`` over it — map-only, no explode, no shuffle.
+    Token hash = xxhash64(token) — computed JVM-side in Catalyst so the
+    hash function is identical everywhere it's used. Bit b of the
+    signature is the majority of bit b over the doc's token hashes
+    (repeats count). The per-bit counting runs as an Arrow-batched
+    pandas UDF: the pure-expression alternative (64 higher-order
+    ``filter`` passes per row) evaluates in Spark's interpreted HOF
+    path — ~17M lambda evaluations at 5k docs — while numpy unpacks all
+    64 bit-planes of a doc in one vectorized op. This is the documented
+    exception to "built-ins first": the built-in formulation cannot
+    reach codegen.
     """
-    t = df.select(
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def _simhash(harrs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = np.zeros(len(harrs), dtype=np.uint64)
+        shifts = np.arange(bits, dtype=np.uint64)
+        for i, h in enumerate(harrs):
+            a = np.asarray(h, dtype=np.int64).view(np.uint64)
+            if a.size == 0:
+                continue
+            # bit-plane popcounts: (n_tokens × bits) 0/1 matrix summed per bit
+            pos = ((a[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+            out[i] = np.uint64(((2 * pos) > a.size) @ (np.uint64(1) << shifts))
+        return pd.Series(out.view(np.int64))
+
+    return df.select(
         F.col(id_col).alias("id"),
-        F.transform(tokens(text_col), lambda x: F.xxhash64(x)).alias("harr"),
+        _simhash(F.transform(tokens(text_col), lambda x: F.xxhash64(x))).alias(
+            "simhash"
+        ),
     )
-
-    def mask(b: int) -> int:
-        # bit 63 of a signed 64-bit long is the sign bit: use the signed
-        # two's-complement value (1<<63 would overflow LongType).
-        return (1 << b) if b < 63 else -(1 << 63)
-
-    n = F.size("harr")
-    sig = F.lit(0).cast("bigint")
-    for b in range(bits):
-        pos = F.size(
-            F.filter("harr", lambda h: h.bitwiseAND(F.lit(mask(b))) != 0)
-        )
-        # majority of +1/-1 votes > 0  ⇔  2·pos > n
-        sig = sig + F.when(pos * 2 > n, F.lit(mask(b)).cast("bigint")).otherwise(0)
-    return t.select("id", sig.alias("simhash"))
 
 
 def simhash_near_dups(
