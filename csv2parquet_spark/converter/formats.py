@@ -1,0 +1,115 @@
+"""Format extensions beyond the reference's CSV→Parquet dataflow.
+
+The reference converts exactly one format pair (main.rs:49-54). A user
+of this engine also gets the adjacent conversions a data-pipeline needs,
+each the same narrow-only scan→write plan (no shuffle, embarrassingly
+parallel at any scale):
+
+* JSONL → Parquet (``jsonl_to_parquet``) — schema inference or explicit
+  DDL, fail-fast like the CSV path.
+* Parquet → CSV (``parquet_to_csv``) — the reverse trip; RFC-4180
+  quoting, header on by default to mirror the CSV dialect defaults.
+* Parquet/CSV → ORC (``to_orc``) — Spark's built-in columnar
+  alternative sink (no extra packages needed).
+
+All sinks accept ``single_file`` for CLI-style one-file output via the
+same coalesce(1)+rename trick as the main converter; default False
+(the multi-part 100 TB path).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _write_single_file(writer, out_path: str, part_glob: str) -> None:
+    tmp = tempfile.mkdtemp(
+        prefix="c2p_fmt_", dir=os.path.dirname(os.path.abspath(out_path)) or "."
+    )
+    try:
+        writer.save(os.path.join(tmp, "out"))
+        part = glob.glob(os.path.join(tmp, "out", part_glob))[0]
+        if os.path.isdir(out_path):
+            shutil.rmtree(out_path)
+        shutil.move(part, out_path)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def jsonl_to_parquet(
+    spark: SparkSession,
+    jsonl_path: str,
+    parquet_path: str,
+    schema: str | None = None,
+    single_file: bool = False,
+) -> DataFrame:
+    """Newline-delimited JSON → Parquet. Schema: explicit DDL string, or
+    Spark's full-pass JSON inference (mirroring the CSV default of
+    scanning all rows, SURVEY §1.2)."""
+    reader = spark.read.option("mode", "FAILFAST")
+    if schema:
+        reader = reader.schema(schema)
+    df = reader.json(jsonl_path)
+    writer = (df.coalesce(1) if single_file else df).write.mode("overwrite").format(
+        "parquet"
+    )
+    if single_file:
+        _write_single_file(writer, parquet_path, "part-*.parquet")
+    else:
+        writer.save(parquet_path)
+    return df
+
+
+def parquet_to_csv(
+    spark: SparkSession,
+    parquet_path: str,
+    csv_path: str,
+    header: bool = True,
+    delimiter: str = ",",
+    single_file: bool = False,
+) -> DataFrame:
+    """Parquet → CSV, the reference dataflow reversed. RFC-4180 quoting
+    (doubled-quote escape) to round-trip what the CSV reader accepts."""
+    df = spark.read.parquet(parquet_path)
+    writer = (
+        (df.coalesce(1) if single_file else df)
+        .write.mode("overwrite")
+        .format("csv")
+        .option("header", header)
+        .option("sep", delimiter)
+        .option("escape", '"')
+    )
+    if single_file:
+        _write_single_file(writer, csv_path, "part-*.csv")
+    else:
+        writer.save(csv_path)
+    return df
+
+
+def to_orc(
+    spark: SparkSession,
+    in_path: str,
+    orc_path: str,
+    in_format: str = "parquet",
+    single_file: bool = False,
+) -> DataFrame:
+    """Parquet/CSV → ORC via Spark's built-in ORC sink."""
+    if in_format == "parquet":
+        df = spark.read.parquet(in_path)
+    elif in_format == "csv":
+        df = spark.read.options(header=True, inferSchema=True).csv(in_path)
+    else:
+        raise ValueError(f"unsupported input format {in_format!r}")
+    writer = (df.coalesce(1) if single_file else df).write.mode("overwrite").format(
+        "orc"
+    )
+    if single_file:
+        _write_single_file(writer, orc_path, "part-*.orc")
+    else:
+        writer.save(orc_path)
+    return df

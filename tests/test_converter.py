@@ -202,3 +202,40 @@ def test_failfast_on_malformed(spark, tmp):
     sf = _write(tmp, "bad_schema.json", schema_doc)
     with pytest.raises(Exception):
         convert(spark, src, out, ConvertOptions(schema_file=sf))
+
+
+# --------------------------------------------------------------------------
+# Format extensions (converter/formats.py)
+# --------------------------------------------------------------------------
+def test_jsonl_to_parquet_roundtrip(spark, tmp_path):
+    import duckdb
+
+    src = tmp_path / "in.jsonl"
+    src.write_text('{"i": 1, "s": "x"}\n{"i": 2, "s": "y"}\n')
+    out = str(tmp_path / "out.parquet")
+    from csv2parquet_spark.converter.formats import jsonl_to_parquet
+
+    jsonl_to_parquet(spark, str(src), out, single_file=True)
+    got = duckdb.sql(f"SELECT i, s FROM read_parquet('{out}') ORDER BY i").fetchall()
+    assert got == [(1, "x"), (2, "y")]
+
+
+def test_parquet_to_csv_roundtrip(spark, tmp_path, sf_dir):
+    from csv2parquet_spark.converter.formats import parquet_to_csv
+
+    out = str(tmp_path / "nation.csv")
+    parquet_to_csv(spark, f"{sf_dir}/nation.parquet", out, single_file=True)
+    back = spark.read.options(header=True, inferSchema=True).csv(out)
+    want = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    assert back.count() == want.count()
+    assert sorted(back.columns) == sorted(want.columns)
+
+
+def test_to_orc_roundtrip(spark, tmp_path, sf_dir):
+    from csv2parquet_spark.converter.formats import to_orc
+
+    out = str(tmp_path / "region_orc")
+    to_orc(spark, f"{sf_dir}/region.parquet", out)
+    back = spark.read.orc(out)
+    want = spark.read.parquet(f"{sf_dir}/region.parquet")
+    assert sorted(map(str, back.collect())) == sorted(map(str, want.collect()))
