@@ -174,20 +174,47 @@ def ngram_jaccard_pairs(
         ).cast("int")
         prefix = ranked.select(
             "id",
-            F.explode(
+            "sz",
+            F.posexplode(
                 F.slice(F.transform("rk", lambda x: x["shingle"]), F.lit(1), plen)
-            ).alias("shingle"),
+            ).alias("pos", "shingle"),
+        )
+        a = prefix.select(
+            F.col("id").alias("id_a"),
+            F.col("sz").alias("pa_sz"),
+            F.col("pos").alias("pa_pos"),
+            "shingle",
+        )
+        b = prefix.select(
+            F.col("id").alias("id_b"),
+            F.col("sz").alias("pb_sz"),
+            F.col("pos").alias("pb_pos"),
+            "shingle",
+        )
+        # PPJoin position filter: a pair sharing a prefix shingle at
+        # (0-based) positions i, j can overlap in at most
+        # min(|A|-i, |B|-j) elements, so J ≤ maxo/(|A|+|B|-maxo); drop
+        # occurrences whose bound is already below the threshold.
+        maxo = F.least(
+            F.col("pa_sz") - F.col("pa_pos"), F.col("pb_sz") - F.col("pb_pos")
+        )
+        ub = maxo.cast("double") / (F.col("pa_sz") + F.col("pb_sz") - maxo)
+        cand = (
+            a.join(b, "shingle")
+            .filter((F.col("id_a") < F.col("id_b")) & (ub >= F.lit(threshold)))
+            .select("id_a", "id_b")
+            .distinct()
         )
     else:
         prefix = dsa.select("id", F.explode("sset").alias("shingle"))
-    a = prefix.select(F.col("id").alias("id_a"), "shingle")
-    b = prefix.select(F.col("id").alias("id_b"), "shingle")
-    cand = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+        a = prefix.select(F.col("id").alias("id_a"), "shingle")
+        b = prefix.select(F.col("id").alias("id_b"), "shingle")
+        cand = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
     return _verify_jaccard(cand, dsa, threshold)
 
 
