@@ -252,3 +252,100 @@ def conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_urgent"),
     )
+
+
+@register(
+    "string_funcs2",
+    oracle="""
+    SELECT p_partkey,
+           lpad(p_brand, 12, '*') AS brand_padded,
+           rpad(p_brand, 12, '.') AS brand_rpadded,
+           reverse(p_name) AS name_rev,
+           repeat(p_brand, 2) AS brand_twice,
+           translate(p_type, 'AEIOU', 'aeiou') AS type_lowvowels,
+           strpos(p_name, ' ') AS first_space,
+           to_base64(encode(p_brand)) AS brand_b64,
+           hex(p_partkey) AS key_hex,
+           left(p_name, 4) AS name_left4,
+           right(p_name, 4) AS name_right4
+    FROM part
+    """,
+)
+def string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string batch: padding, reverse/repeat/translate, position,
+    base64/hex encodings, left/right slicing."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, "*").alias("brand_padded"),
+        F.rpad("p_brand", 12, ".").alias("brand_rpadded"),
+        F.reverse("p_name").alias("name_rev"),
+        F.repeat("p_brand", 2).alias("brand_twice"),
+        F.translate("p_type", "AEIOU", "aeiou").alias("type_lowvowels"),
+        F.instr("p_name", " ").alias("first_space"),
+        F.base64(F.encode("p_brand", "UTF-8")).alias("brand_b64"),
+        F.upper(F.hex("p_partkey")).alias("key_hex"),
+        F.substring("p_name", 1, 4).alias("name_left4"),
+        F.substring(F.col("p_name"), -4, 4).alias("name_right4"),
+    )
+
+
+@register(
+    "array_funcs2",
+    oracle="""
+    SELECT s_suppkey,
+           list_sort(list_distinct(string_split(s_name, ' '))) AS toks_sorted,
+           array_to_string(list_reverse_sort(string_split(s_name, ' ')), '|')
+               AS toks_desc,
+           len(list_intersect(string_split(s_name, ' '),
+                              ['Supplier', 'supplier'])) AS n_supplier_tok,
+           flatten([string_split(s_name, ' '), ['#']]) AS toks_flat,
+           list_contains(string_split(s_name, ' '), 'Supplier') AS has_supplier
+    FROM supplier
+    """,
+)
+def array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second array batch: sort asc/desc, intersect, flatten, contains."""
+    s = table(spark, sf_dir, "supplier")
+    toks = F.split("s_name", " ")
+    return s.select(
+        "s_suppkey",
+        F.array_sort(F.array_distinct(toks)).alias("toks_sorted"),
+        F.concat_ws("|", F.sort_array(toks, asc=False)).alias("toks_desc"),
+        F.size(
+            F.array_intersect(toks, F.array(F.lit("Supplier"), F.lit("supplier")))
+        ).alias("n_supplier_tok"),
+        F.flatten(F.array(toks, F.array(F.lit("#")))).alias("toks_flat"),
+        F.array_contains(toks, "Supplier").alias("has_supplier"),
+    )
+
+
+@register(
+    "date_funcs2",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           weekofyear(o_orderdate) AS wk,
+           dayofweek(o_orderdate) AS dow,
+           strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS qtr_start,
+           datepart('doy', o_orderdate) AS doy
+    FROM orders
+    """,
+)
+def date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second date batch: add_months, last_day, ISO week, day-of-week,
+    quarter truncation, day-of-year. (DuckDB dayofweek is 0=Sunday;
+    Spark dayofweek is 1=Sunday — normalized to DuckDB's convention.)"""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.add_months("o_orderdate", 3), "yyyy-MM-dd").alias("plus3m"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.weekofyear("o_orderdate").alias("wk"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+        F.date_format(F.date_trunc("quarter", "o_orderdate"), "yyyy-MM-dd").alias(
+            "qtr_start"
+        ),
+        F.dayofyear("o_orderdate").alias("doy"),
+    )

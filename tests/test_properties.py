@@ -1,0 +1,110 @@
+"""Property-based tests (hypothesis) for the converter — SURVEY §5.2
+items 2-3 hardened: arbitrary typed tables must round-trip CSV→Parquet
+value-exactly, and the inference lattice must classify arbitrary
+single-type columns correctly.
+
+Example counts are small (each example runs a Spark job); the point is
+the generator's edge cases (empty strings, quotes, commas, negative
+zero, huge ints) rather than volume.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from csv2parquet_spark.converter import ConvertOptions, convert
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# CSV-safe text: printable, includes quotes/commas/spaces to exercise
+# RFC-4180; excludes newlines (covered by the quoted fixture test) and
+# NUL. Never all-digits (that would legally infer as a number).
+TEXT = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    min_size=0,
+    max_size=12,
+).map(lambda s: "s" + s)
+
+INTS = st.integers(min_value=-(2**62), max_value=2**62)
+BOOLS = st.booleans()
+
+
+def _write_csv(path: str, header: list[str], rows: list[tuple]) -> None:
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)  # RFC-4180 quoting
+        w.writerow(header)
+        w.writerows(rows)
+
+
+@pytest.fixture()
+def tmpdir_factory_path(tmp_path):
+    return tmp_path
+
+
+@SETTINGS
+@given(
+    rows=st.lists(st.tuples(INTS, TEXT, BOOLS), min_size=1, max_size=20),
+)
+def test_typed_roundtrip_value_exact(spark, tmp_path_factory, rows):
+    """int/string/bool rows survive CSV→Parquet byte-exactly (checked
+    through DuckDB, the independent reader)."""
+    d = tmp_path_factory.mktemp("prop")
+    src, out = str(d / "in.csv"), str(d / "out.parquet")
+    _write_csv(src, ["i", "s", "b"], rows)
+    convert(spark, src, out, ConvertOptions())
+    got = duckdb.sql(
+        f"SELECT i, s, b FROM read_parquet('{out}') ORDER BY ALL"
+    ).fetchall()
+    want = sorted((i, s if s != "" else None, b) for i, s, b in rows)
+    assert got == want
+
+
+@SETTINGS
+@given(vals=st.lists(INTS, min_size=1, max_size=20))
+def test_integer_column_infers_int64(spark, tmp_path_factory, vals):
+    d = tmp_path_factory.mktemp("prop")
+    src, out = str(d / "in.csv"), str(d / "out.parquet")
+    _write_csv(src, ["x"], [(v,) for v in vals])
+    schema = convert(spark, src, out, ConvertOptions(dry=True))
+    assert [f.dataType.simpleString() for f in schema.fields] == ["bigint"]
+
+
+@SETTINGS
+@given(
+    vals=st.lists(
+        st.floats(allow_nan=False, allow_infinity=False, width=32),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_float_column_infers_float64_or_int64(spark, tmp_path_factory, vals):
+    """Float literals infer Float64 — unless every sampled value prints
+    as an integer literal (arrow-csv classifies by lexical form)."""
+    d = tmp_path_factory.mktemp("prop")
+    src, out = str(d / "in.csv"), str(d / "out.parquet")
+    rows = [(repr(float(v)),) for v in vals]
+    _write_csv(src, ["x"], rows)
+    schema = convert(spark, src, out, ConvertOptions(dry=True))
+    got = schema.fields[0].dataType.simpleString()
+    all_integral = all("." not in r[0] and "e" not in r[0].lower() for r in rows)
+    assert got == ("bigint" if all_integral else "double")
+
+
+@SETTINGS
+@given(texts=st.lists(TEXT, min_size=1, max_size=20))
+def test_text_column_infers_utf8(spark, tmp_path_factory, texts):
+    d = tmp_path_factory.mktemp("prop")
+    src, out = str(d / "in.csv"), str(d / "out.parquet")
+    _write_csv(src, ["x"], [(t,) for t in texts])
+    schema = convert(spark, src, out, ConvertOptions(dry=True))
+    assert schema.fields[0].dataType.simpleString() == "string"
