@@ -367,3 +367,24 @@ def top_tokens_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "token")
         .limit(20)
     )
+
+
+@register("hll_sketch_distinct", oracle=None)  # sketch-based → rows-only
+def hll_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HyperLogLog sketches (Apache DataSketches built into
+    Spark 4): per-status customer cardinality, plus a union across
+    groups — the sketch shape that lets 100 TB dashboards pre-aggregate
+    distincts and merge them later without rescanning."""
+    o = table(spark, sf_dir, "orders")
+    per_status = o.groupBy("o_orderstatus").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    return per_status.select(
+        "o_orderstatus",
+        F.hll_sketch_estimate("sk").alias("approx_customers"),
+    ).unionByName(
+        per_status.agg(
+            F.lit("ALL").alias("o_orderstatus"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_customers"),
+        )
+    )

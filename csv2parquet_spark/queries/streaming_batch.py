@@ -125,3 +125,60 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "funnel_click_to_purchase",
+    oracle="""
+    WITH purch AS (
+      SELECT p.event_id, p.user_id, p.ts,
+             (SELECT max(c.ts) FROM events c
+              WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                AND c.ts < p.ts) AS prev_click
+      FROM events p WHERE p.event_type = 'purchase'
+    )
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           count(*) AS n_purchases,
+           CAST(sum(CASE WHEN prev_click IS NOT NULL
+                          AND ts - prev_click <= INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+           round(CAST(sum(CASE WHEN prev_click IS NOT NULL
+                          AND ts - prev_click <= INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS conv_rate
+    FROM purch GROUP BY 1
+    """,
+)
+def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase conversion funnel per day: a purchase 'converts'
+    when the same user clicked within the preceding 30 minutes. Built on
+    the as-of-join window (one shuffle on user_id, O(1) state per user)
+    — the distributed shape; the oracle replays it as a correlated
+    subquery."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    e = e.withColumn("ts_ms", F.unix_millis("ts"))
+    click_ms = F.when(F.col("event_type") == "click", F.col("ts_ms"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    converted = (
+        F.col("prev_click_ms").isNotNull()
+        & (F.col("ts_ms") - F.col("prev_click_ms") <= 30 * 60 * 1000)
+    ).cast("long")
+    return (
+        e.withColumn("prev_click_ms", F.max(click_ms).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(converted).alias("n_converted"),
+            F.round(
+                F.sum(converted).cast("double") / F.count("*"), 6
+            ).alias("conv_rate"),
+        )
+    )

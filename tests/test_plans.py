@@ -84,3 +84,52 @@ def test_q1_partial_aggregation(spark, sf_dir):
     plan = _plan(REGISTRY["q1_pricing_summary"].fn(spark, sf_dir))
     assert plan.count("HashAggregate") >= 2  # partial + final
     assert "partial_sum" in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Pre-bucketing both join sides on the key makes the join
+    co-located: zero Exchange in the plan. This is the 100 TB recipe for
+    repeated fact-fact joins (bucket once, join many times)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o.write.bucketBy(4, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable("o_bkt")
+    l.write.bucketBy(4, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable("l_bkt")
+    # Disable auto-broadcast: at test scale the dimension side fits under
+    # the threshold and the bucketing would be moot; the property under
+    # test is the big-big join path.
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ob, lb = spark.table("o_bkt"), spark.table("l_bkt")
+        joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey).select(
+            "o_orderkey", "l_linenumber"
+        )
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+        spark.sql("DROP TABLE IF EXISTS o_bkt")
+        spark.sql("DROP TABLE IF EXISTS l_bkt")
+        import shutil
+
+        shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-style partitioned parquet + a partition predicate: the scan
+    must show PartitionFilters and read only the matching directory —
+    at 100 TB this is the difference between a full scan and one shard."""
+    out = str(tmp_path / "li_part")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    l.write.partitionBy("l_returnflag").mode("overwrite").parquet(out)
+    df = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+    plan = _plan(df)
+    assert "PartitionFilters" in plan
+    assert "l_returnflag" in plan.split("PartitionFilters", 1)[1][:200]
+    import os
+
+    dirs = [d for d in os.listdir(out) if d.startswith("l_returnflag=")]
+    assert len(dirs) >= 2  # data actually laid out per partition
+    assert df.count() == l.filter(F.col("l_returnflag") == "R").count()

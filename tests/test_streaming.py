@@ -134,3 +134,61 @@ def test_streaming_csv_to_parquet(spark, tmp_path):
     q2.awaitTermination(60)
     out = spark.read.parquet(out_dir)
     assert sorted(r.i for r in out.collect()) == [1, 2, 3]
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """An event older than the watermark when its batch arrives must not
+    be counted; on-time events in the same batch must be. Two explicit
+    micro-batches (second file written only after the first is fully
+    processed) make watermark progression deterministic."""
+    import pandas as pd
+
+    src = str(tmp_path / "late_events")
+    os.makedirs(src)
+
+    def mk(rows, name):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        sdf = spark.createDataFrame(pdf)
+        sdf.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, name))
+
+    mk(
+        [
+            (1, "2026-01-01 10:00:00", 1, "click", 1.0, "{}"),
+            (2, "2026-01-01 13:00:00", 1, "click", 1.0, "{}"),  # advances watermark
+        ],
+        "a.parquet",
+    )
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+            "value double, props string"
+        )
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = tumbling_counts(stream, watermark="30 minutes")
+    name, q = run_to_memory(agg, "append")
+    try:
+        q.processAllAvailable()  # batch 1 processed; watermark ≈ 12:30
+        mk(
+            [
+                (3, "2026-01-01 10:01:00", 2, "click", 1.0, "{}"),  # LATE → dropped
+                (4, "2026-01-01 13:05:00", 2, "click", 1.0, "{}"),  # on time
+            ],
+            "b.parquet",
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.window_start_ms: r.n
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    ten_am = 1767261600000  # 2026-01-01 10:00:00 UTC epoch ms
+    # the 10:00 window was finalized with ONE event; the late duplicate
+    # arriving in batch 2 did not resurrect or increment it
+    assert got.get(ten_am) == 1, got
