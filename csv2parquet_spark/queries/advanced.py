@@ -31,6 +31,7 @@ from csv2parquet_spark.tables import table, register_views
     """,
 )
 def stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance/skewness/kurtosis/corr/covar."""
     # (skewness/kurtosis excluded from the oracle: Spark uses population
     # moments, DuckDB bias-corrected sample moments — different formulas.)
     l = table(spark, sf_dir, "lineitem")
@@ -164,6 +165,7 @@ def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN subquery (uncorrelated) — rewritten to a semi join by Catalyst."""
     register_views(spark, sf_dir)
     return spark.sql(
         """
@@ -211,6 +213,7 @@ def listagg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def collect_set_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set -> sorted array aggregation (order-stabilized for hashing)."""
     d = table(spark, sf_dir, "documents")
     return d.groupBy("source").agg(
         F.array_join(F.sort_array(F.collect_set("lang")), ",").alias("langs"),
@@ -248,6 +251,7 @@ def histogram_price_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def regexp_extract_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract with capture groups over part names."""
     o = table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",

@@ -212,6 +212,7 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) token and char totals with decimal averages."""
     from csv2parquet_spark.queries.helpers import davg, dsum
 
     d = table(spark, sf_dir, "documents")

@@ -48,6 +48,7 @@ from csv2parquet_spark.tables import table
     """,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: 9 aggregates over two keys."""
     l = table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
@@ -81,6 +82,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate + projection with a computed column; pushdown showcase."""
     l = table(spark, sf_dir, "lineitem")
     return (
         l.filter((F.col("l_quantity") > 30) & F.col("l_discount").between(0.02, 0.06))
@@ -110,6 +112,7 @@ def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension joins (nation x region x supplier) with explicit broadcast."""
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region")
     s = table(spark, sf_dir, "supplier")
@@ -209,6 +212,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_semi_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers having at least one open order."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
     return (
@@ -228,6 +232,7 @@ def join_semi_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> Da
     """,
 )
 def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     return (
@@ -248,6 +253,7 @@ def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> Data
     """,
 )
 def join_left_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join + per-key counts (nulls become zero)."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     return (
@@ -275,6 +281,7 @@ def join_left_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_full_outer_nation_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join preserving unmatched rows on both sides."""
     c = (
         table(spark, sf_dir, "customer")
         .groupBy(F.col("c_nationkey").alias("nationkey"))
@@ -347,6 +354,7 @@ def join_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact and distinct counts per group (count, countDistinct)."""
     o = table(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
         F.countDistinct("o_custkey").alias("n_customers"),
@@ -381,6 +389,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy (flag -> status) with subtotal and grand-total rows."""
     l = table(spark, sf_dir, "lineitem")
     return l.rollup("l_returnflag", "l_linestatus").agg(
         dsum(F.col("l_quantity"), "sum_qty"), F.count("*").alias("n")
@@ -397,6 +406,7 @@ def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all grouping-set combinations."""
     o = table(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n"), dsum(F.col("o_totalprice"), "total")
@@ -414,6 +424,7 @@ def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pivot_returnflag_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: returnflag rows x linestatus columns of decimal sums."""
     l = table(spark, sf_dir, "lineitem")
     piv = (
         l.groupBy("l_returnflag")
@@ -461,6 +472,7 @@ def topk_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def setop_union_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two filtered projections."""
     c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.union(s).distinct()
@@ -475,6 +487,7 @@ def setop_union_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def setop_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT of two filtered projections."""
     c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.intersect(s)
@@ -489,6 +502,7 @@ def setop_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def setop_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set difference on a projected key."""
     c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.subtract(s)  # EXCEPT (set semantics), not EXCEPT ALL
@@ -499,4 +513,5 @@ def setop_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
 )
 def distinct_flag_status_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT projection — dedup of a two-column key space."""
     return table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()

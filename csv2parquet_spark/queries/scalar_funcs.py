@@ -35,6 +35,7 @@ from csv2parquet_spark.tables import table
     """,
 )
 def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: case, length, substring, concat, regexp, trim."""
     p = table(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
@@ -67,6 +68,7 @@ def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date family: year/month/day, trunc, datediff, add, format."""
     o = table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
@@ -102,6 +104,7 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family: round/abs/floor/ceil/sqrt/log with stabilized rounding."""
     p = table(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
@@ -130,6 +133,7 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family: size/contains/element_at/transform/filter/aggregate."""
     e = table(spark, sf_dir, "embeddings")
     return e.select(
         "vec_id",
@@ -184,6 +188,7 @@ def array_transform_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family: get_json_object / from_json over events.props."""
     e = table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("bigint")
     return (
@@ -236,6 +241,7 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditionals: CASE/when, coalesce, nullif, least/greatest."""
     o = table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",

@@ -27,6 +27,7 @@ from csv2parquet_spark.tables import table
     """,
 )
 def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling windows over events (batch twin of the stream)."""
     e = table(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")

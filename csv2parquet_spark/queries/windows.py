@@ -63,6 +63,7 @@ def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_lag_lead_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over per-customer order history: gap-to-previous days."""
     o = table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return o.select(
@@ -88,6 +89,7 @@ def window_lag_lead_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running decimal sum per order (rows-frame cumulative window)."""
     # l_linenumber alone is not unique per order in the synthetic data —
     # extend the ORDER BY until the order is total (same on both sides).
     l = table(spark, sf_dir, "lineitem")
