@@ -61,6 +61,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-statistics-size", type=int, default=None)
     p.add_argument("-p", "--print-schema", action="store_true")
     p.add_argument("-n", "--dry", action="store_true")
+    # Engine extension (not in the reference grammar): malformed-row
+    # handling. Default FAILFAST = reference parity (main.rs:253).
+    p.add_argument(
+        "--parse-mode",
+        choices=["FAILFAST", "PERMISSIVE", "DROPMALFORMED"],
+        default="FAILFAST",
+    )
     return p
 
 
@@ -84,6 +91,7 @@ def main(argv: list[str] | None = None) -> int:
         created_by=args.created_by,
         print_schema=args.print_schema,
         dry=args.dry,
+        parse_mode=args.parse_mode,
     )
     from csv2parquet_spark.session import get_spark
 

@@ -61,6 +61,13 @@ class ConvertOptions:
     # splittability — turn OFF for the 100 TB path when records are
     # known single-line, so each file splits into parallel tasks.
     multiline: bool = True
+    # Engine extension beyond the reference's first-error abort
+    # (main.rs:253): "FAILFAST" (reference parity, default),
+    # "PERMISSIVE" (malformed cells → null, keep the row),
+    # "DROPMALFORMED" (skip bad rows). At 100 TB a single bad row
+    # aborting a day-long job is usually the wrong trade — but parity
+    # stays the default.
+    parse_mode: str = "FAILFAST"
 
 
 def _resolve_schema(
@@ -83,7 +90,7 @@ def read_csv(spark: SparkSession, csv_path: str, opts: ConvertOptions) -> DataFr
     reader = spark.read.options(
         header=opts.header,
         sep=opts.delimiter,
-        mode="FAILFAST",
+        mode=opts.parse_mode,
         multiLine=opts.multiline,
         escape='"',  # RFC-4180 doubled-quote escaping (arrow-csv default)
         timestampFormat="yyyy-MM-dd[[ ]['T']HH:mm:ss]",
@@ -139,7 +146,7 @@ def convert(
     df = spark.read.options(
         header=opts.header,
         sep=opts.delimiter,
-        mode="FAILFAST",
+        mode=opts.parse_mode,
         multiLine=opts.multiline,
         escape='"',  # RFC-4180 doubled-quote escaping (arrow-csv default)
         timestampFormat="yyyy-MM-dd[[ ]['T']HH:mm:ss]",

@@ -239,3 +239,24 @@ def test_to_orc_roundtrip(spark, tmp_path, sf_dir):
     back = spark.read.orc(out)
     want = spark.read.parquet(f"{sf_dir}/region.parquet")
     assert sorted(map(str, back.collect())) == sorted(map(str, want.collect()))
+
+
+def test_permissive_mode_nulls_bad_cells(spark, tmp_path):
+    """parse_mode='PERMISSIVE' (engine extension): malformed numeric
+    cells become null instead of aborting; FAILFAST stays the default
+    (reference parity, covered by test_failfast_on_malformed)."""
+    import duckdb
+
+    src = tmp_path / "bad.csv"
+    src.write_text("i,s\n1,a\nnotanumber,b\n3,c\n")
+    out = str(tmp_path / "out.parquet")
+    convert(
+        spark,
+        str(src),
+        out,
+        # sample only row 1 ("1") so column i locks to Int64; row 2's
+        # "notanumber" is then malformed under the frozen schema
+        ConvertOptions(schema_file=None, max_read_records=1, parse_mode="PERMISSIVE"),
+    )
+    rows = duckdb.sql(f"SELECT i, s FROM read_parquet('{out}') ORDER BY s").fetchall()
+    assert rows == [(1, "a"), (None, "b"), (3, "c")]
