@@ -392,3 +392,64 @@ def hll_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_customers"),
         )
     )
+
+
+@register(
+    "unpivot_order_metrics",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderstatus,
+             CAST(count(*) AS DOUBLE) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+             CAST(count(DISTINCT o_custkey) AS DOUBLE) AS n_customers
+      FROM orders GROUP BY 1
+    )
+    SELECT o_orderstatus, metric, value
+    FROM m UNPIVOT (value FOR metric IN (n_orders, revenue, n_customers))
+    """,
+)
+def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide per-status metrics → long (metric, value)
+    rows via DataFrame.unpivot — the inverse of pivot."""
+    o = table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderstatus").agg(
+        F.count("*").cast("double").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double").alias("revenue"),
+        F.countDistinct("o_custkey").cast("double").alias("n_customers"),
+    )
+    return wide.unpivot(
+        ids=["o_orderstatus"],
+        values=["n_orders", "revenue", "n_customers"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+@register(
+    "setop_except_all_intersect_all",
+    oracle="""
+    SELECT 'except_all' AS op, n_nationkey FROM (
+      SELECT n_nationkey FROM nation WHERE n_regionkey <= 2
+      EXCEPT ALL
+      SELECT n_nationkey FROM nation WHERE n_regionkey = 2
+    )
+    UNION ALL
+    SELECT 'intersect_all' AS op, n_nationkey FROM (
+      SELECT n_nationkey FROM nation WHERE n_regionkey <= 2
+      INTERSECT ALL
+      SELECT n_nationkey FROM nation WHERE n_regionkey >= 1
+    )
+    """,
+)
+def setop_except_all_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set ops: exceptAll / intersectAll preserve duplicates
+    (bag semantics), unlike their DISTINCT counterparts."""
+    n = table(spark, sf_dir, "nation")
+    le2 = n.filter(F.col("n_regionkey") <= 2).select("n_nationkey")
+    eq2 = n.filter(F.col("n_regionkey") == 2).select("n_nationkey")
+    ge1 = n.filter(F.col("n_regionkey") >= 1).select("n_nationkey")
+    ex = le2.exceptAll(eq2).select(F.lit("except_all").alias("op"), "n_nationkey")
+    ia = le2.intersectAll(ge1).select(
+        F.lit("intersect_all").alias("op"), "n_nationkey"
+    )
+    return ex.unionAll(ia)
