@@ -150,3 +150,74 @@ def sample_lineitem_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.sample(fraction=0.1, seed=42).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+                AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.05
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped: pure scan-filter-aggregate — every predicate
+    pushes to the parquet scan, no join, no wide exchange; the canonical
+    'how fast can you read' query."""
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.05)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle=f"""
+    SELECT c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_day,
+           {sql_dsum('l.l_quantity', 'total_qty')}
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1, 2, 3
+    HAVING sum(CAST(l.l_quantity AS DECIMAL(18,6))) > 250
+    ORDER BY total_qty DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped: orders whose total quantity exceeds a HAVING
+    threshold, top-100. The aggregate runs on the orderkey shuffle the
+    join already produced; customer broadcasts."""
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    c = table(spark, sf_dir, "customer")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        )
+        .agg(dsum(F.col("l_quantity"), "total_qty"))
+        .filter(F.col("total_qty") > 250)
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(100)
+    )

@@ -84,3 +84,40 @@ def test_multimodal_decode_shapes(spark):
     # deterministic across runs
     again = {r.doc_id: r for r in decode_metadata(df).collect()}
     assert {k: tuple(v) for k, v in rows.items()} == {k: tuple(v) for k, v in again.items()}
+
+
+def test_chunking_edges(spark):
+    """Chunk grammar edge cases: empty text -> one empty chunk; text
+    shorter than a chunk -> one chunk; exact-stride boundary."""
+    from csv2parquet_spark.operators.chunking import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "a b"), (3, " ".join(f"t{i}" for i in range(48)))],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r.doc_id, r.chunk_idx): r.chunk_text
+        for r in chunk_documents(df, size=32, stride=24).collect()
+    }
+    assert got[(1, 0)] == ""
+    assert got[(2, 0)] == "a b"
+    assert (2, 1) not in got
+    # 48 tokens, stride 24 → starts at 0 and 24 → exactly two chunks
+    assert got[(3, 0)] == " ".join(f"t{i}" for i in range(32))
+    assert got[(3, 1)] == " ".join(f"t{i}" for i in range(24, 48))
+    assert (3, 2) not in got
+
+
+def test_ivf_full_probe_equals_bruteforce(spark, sf_dir):
+    """nprobe == n_centroids must reproduce exact brute-force top-k."""
+    import pyspark.sql.functions as F
+
+    from csv2parquet_spark.operators import similarity as S
+    from csv2parquet_spark.tables import table
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select("embedding")
+    body = e.filter(F.col("vec_id") != 0)
+    exact = S.topk_similar(body, q, k=5).collect()
+    ivf = S.ivf_topk(body, q, k=5, n_centroids=4, nprobe=4, n_iter=1).collect()
+    assert [(r.vec_id, r.sim) for r in exact] == [(r.vec_id, r.sim) for r in ivf]
