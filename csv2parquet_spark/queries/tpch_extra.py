@@ -221,3 +221,13 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_qty"), "o_orderkey")
         .limit(100)
     )
+
+
+@register("sample_stratified_by_status", oracle=None)  # engine RNG → rows-only
+def sample_stratified_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (sampleBy): a different fraction per stratum —
+    how a training pipeline rebalances sources. Seeded; map-only."""
+    o = table(spark, sf_dir, "orders")
+    return o.sampleBy(
+        "o_orderstatus", fractions={"O": 0.05, "F": 0.2, "P": 0.5}, seed=42
+    ).select("o_orderkey", "o_orderstatus")

@@ -121,3 +121,27 @@ def test_ivf_full_probe_equals_bruteforce(spark, sf_dir):
     exact = S.topk_similar(body, q, k=5).collect()
     ivf = S.ivf_topk(body, q, k=5, n_centroids=4, nprobe=4, n_iter=1).collect()
     assert [(r.vec_id, r.sim) for r in exact] == [(r.vec_id, r.sim) for r in ivf]
+
+
+def test_compaction_reduces_file_count(spark, tmp_path, sf_dir):
+    """128 tiny part-files compact to the planned count; data survives
+    byte-exactly; the sorted variant clusters row-group stats."""
+    from csv2parquet_spark.operators.maintenance import (
+        compact_parquet,
+        plan_compaction,
+    )
+
+    src = str(tmp_path / "fragmented")
+    out = str(tmp_path / "compacted")
+    base = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base.repartition(128).write.mode("overwrite").parquet(src)
+    n_files, total, n_target = plan_compaction(spark, src, target_file_mb=8)
+    assert n_files >= 128
+    written = compact_parquet(spark, src, out, target_file_mb=8)
+    assert written == n_target < n_files
+    back = spark.read.parquet(out)
+    assert back.count() == base.count()
+    # sorted compaction: clustered by orderkey for stats pruning
+    out2 = str(tmp_path / "compacted_sorted")
+    compact_parquet(spark, src, out2, target_file_mb=8, sort_by=["o_orderkey"])
+    assert spark.read.parquet(out2).count() == base.count()
