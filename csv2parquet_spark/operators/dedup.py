@@ -136,6 +136,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     prefix_filter: bool = True,
+    order: str = "rare_first",
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join (all pairs with J ≥ threshold).
 
@@ -149,14 +150,34 @@ def ngram_jaccard_pairs(
     docs) disappears, and the verify step touches only surviving pairs.
     Output is EXACT either way (verification recomputes true Jaccard).
 
-    Shuffle budget (prefix path): document-frequency groupBy + one
-    groupBy(id) to order each set + the prefix self-join + verify joins.
-    The window-function formulation this replaces added a full sort
-    exchange per window; ordering via ``array_sort(collect_list(...))``
-    keeps the per-doc sort local to the aggregate.
+    ``order`` picks the global shingle order the prefix principle needs
+    (any CONSISTENT total order is correct):
+
+    * ``"rare_first"`` (default) — global document-frequency order.
+      Costs one frequency groupBy + one groupBy(id) re-sort, but
+      guarantees prefix join keys are the corpus's RAREST shingles —
+      the only safe choice on heavy-tailed real text, where a stopword
+      shingle in prefixes makes the self-join quadratic per hot key.
+    * ``"hash"`` — the xxhash64 values already in the set arrays,
+      sorted per-row. ZERO extra shuffles (the prefix is a pure
+      projection off the doc arrays) and the positional filter still
+      prunes hard; right when shingle frequencies are near-uniform.
+
+    Both orders produce identical final output (verification is exact).
     """
     dsa = doc_shingle_arrays(df, text_col, id_col, k).cache()
-    if prefix_filter:
+    if prefix_filter and order == "hash":
+        plen = (
+            F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+        ).cast("int")
+        prefix = dsa.select(
+            "id",
+            "sz",
+            F.posexplode(F.slice(F.array_sort("sset"), F.lit(1), plen)).alias(
+                "pos", "shingle"
+            ),
+        )
+    elif prefix_filter:
         ex = dsa.select("id", "sz", F.explode("sset").alias("shingle"))
         freq = ex.groupBy("shingle").agg(F.count("*").alias("df_freq"))
         ranked = (
@@ -179,6 +200,7 @@ def ngram_jaccard_pairs(
                 F.slice(F.transform("rk", lambda x: x["shingle"]), F.lit(1), plen)
             ).alias("pos", "shingle"),
         )
+    if prefix_filter:
         a = prefix.select(
             F.col("id").alias("id_a"),
             F.col("sz").alias("pa_sz"),
