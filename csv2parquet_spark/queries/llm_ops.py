@@ -482,3 +482,22 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     return decode_metadata(d)
+
+
+@register("similarity_two_stage_retrieval", oracle=None)  # LSH stage → rows-only
+def similarity_two_stage_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval, the production ANN shape: stage 1 gathers a
+    wide candidate pool cheaply (LSH bucket probe, union over 2 seeded
+    hash tables — at scale each table is a partition key); stage 2
+    re-ranks ONLY the pool with the exact kernel. Recall comes from the
+    union of tables, precision from the exact re-rank."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select("embedding")
+    body = e.filter(F.col("vec_id") != 0)
+    pools = [
+        S.lsh_topk(body, q, k=50, num_planes=3, seed=seed)
+        for seed in (42, 1337)
+    ]
+    pool_ids = pools[0].select("vec_id").union(pools[1].select("vec_id")).distinct()
+    pool = body.join(pool_ids, "vec_id")
+    return S.topk_similar(pool, q, k=10)
