@@ -355,3 +355,56 @@ def date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.dayofyear("o_orderdate").alias("doy"),
     )
+
+
+@register(
+    "variant_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+           CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_mod,
+           json_extract_string(props, '$.missing') AS missing
+    FROM events
+    """,
+)
+def variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT type (Spark 4): parse_json once into a
+    binary variant, then typed try_variant_get extraction — the
+    schema-on-read path that replaces repeated string re-parsing at
+    scale. Missing paths yield NULL (try_ semantics), matching the
+    oracle's json_extract."""
+    from csv2parquet_spark.tables import table as _t
+
+    e = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "int").alias("k"),
+        (F.try_variant_get(v, "$.k", "int") % 10).alias("k_mod"),
+        F.try_variant_get(v, "$.missing", "string").alias("missing"),
+    )
+
+
+@register(
+    "semi_structured_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name AS xml_name, n_name AS csv_name,
+           n_regionkey AS csv_region
+    FROM nation
+    """,
+)
+def semi_structured_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_xml / from_csv column functions: serialize row values into
+    XML/CSV strings, parse them back, and extract — the oracle checks
+    the round-trip is lossless (output equals the source values)."""
+    from csv2parquet_spark.tables import table as _t
+
+    n = _t(spark, sf_dir, "nation")
+    xml = F.concat(F.lit("<r><name>"), F.col("n_name"), F.lit("</name></r>"))
+    csvs = F.concat_ws(",", "n_name", "n_regionkey")
+    return n.select(
+        "n_nationkey",
+        F.from_xml(xml, "name string")["name"].alias("xml_name"),
+        F.from_csv(csvs, F.lit("a string, b bigint"))["a"].alias("csv_name"),
+        F.from_csv(csvs, F.lit("a string, b bigint"))["b"].alias("csv_region"),
+    )
