@@ -316,6 +316,62 @@ def minhash_near_dups(
     return _verify_jaccard(cand, dsa, threshold).select("id_a", "id_b", "jaccard")
 
 
+def connected_components(
+    edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Connected components of an undirected pair graph — the step that
+    turns near-dup PAIRS into dedup CLUSTERS (keep min-id per cluster).
+
+    Iterative min-label propagation: every vertex takes the minimum
+    component id among itself and its neighbors until fixpoint — the
+    standard large-graph CC shape (hash-join + groupBy per round,
+    converges in O(graph diameter) rounds; near-dup graphs are shallow).
+    ``localCheckpoint`` truncates the lineage each round so the plan
+    doesn't grow with iterations. Input: (id_a, id_b); output:
+    (id, component) for every vertex that appears in an edge.
+    """
+    sym = edges.select("id_a", "id_b").union(
+        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    labels = (
+        sym.select(F.col("id_a").alias("id")).distinct().withColumn("component", F.col("id"))
+    ).localCheckpoint()
+    sym = sym.localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(
+                labels.select(
+                    F.col("id").alias("id_b"), F.col("component").alias("nc")
+                ),
+                "id_b",
+            )
+            .groupBy("id_a")
+            .agg(F.min("nc").alias("nmin"))
+            .select(F.col("id_a").alias("id"), "nmin")
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nmin", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:

@@ -501,3 +501,46 @@ def similarity_two_stage_retrieval(spark: SparkSession, sf_dir: str) -> DataFram
     pool_ids = pools[0].select("vec_id").union(pools[1].select("vec_id")).distinct()
     pool = body.join(pool_ids, "vec_id")
     return S.topk_similar(pool, q, k=10)
+
+
+@register(
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)
+    ), sz AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM common JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+      WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) >= 0.8
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS id, least(a, min(b)) AS component
+    FROM reach GROUP BY a
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components (iterative min-label
+    propagation) over the exact Jaccard >= 0.8 pair graph — the step
+    that turns pairwise matches into keep-one-per-cluster dedup. Oracle
+    computes the same components via a recursive-CTE transitive
+    closure (WITH RECURSIVE is fine at oracle scale; the Spark side is
+    the shape that survives 100 TB)."""
+    pairs = D.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), threshold=0.8
+    ).select("id_a", "id_b")
+    return D.connected_components(pairs)
