@@ -232,6 +232,80 @@ def ivf_topk(
     return scored.orderBy(F.desc("sim"), id_col).limit(k)
 
 
+def knn_join(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    salt: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    qid_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Batch kNN join: exact top-k corpus neighbors for EVERY query row
+    at once — the production retrieval shape (one pass for a whole query
+    batch, not one job per query). Returns (query_id, vec_id, sim,
+    knn_rank).
+
+    Scale design: queries broadcast (with norms precomputed); scoring is
+    map-side over the corpus scan. The global per-query top-k is then
+    taken in two stages so no single reducer sees the whole corpus:
+    (1) a SALTED partial top-k — groupBy (query, hash-salt) keeps k rows
+    per salt via sorted-array slice, shrinking N·Q scored rows to
+    Q·salt·k; (2) a row_number window over that small remainder. A plain
+    window over the scored rows would shuffle the entire corpus×queries
+    product onto Q reducer keys — the classic skew trap this avoids.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(qid_col),
+            F.col(vec_col).alias("__qvec"),
+            norm(F.col(vec_col)).alias("__qn"),
+        )
+    )
+    scored = vectors.withColumn("__vn", norm(F.col(vec_col))).crossJoin(q)
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col(qid_col))
+    scored = scored.select(
+        F.col(qid_col),
+        F.col(id_col),
+        F.round(
+            dot(F.col(vec_col), F.col("__qvec")) / (F.col("__vn") * F.col("__qn")), 6
+        ).alias("sim"),
+    )
+    partial = (
+        scored.groupBy(
+            qid_col, F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt)).alias("__salt")
+        )
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("sim")).alias("negsim"),
+                            F.col(id_col).alias("nid"),
+                        )
+                    )
+                ),
+                1,
+                k,
+            ).alias("top")
+        )
+        .select(qid_col, F.explode("top").alias("t"))
+        .select(
+            qid_col,
+            F.col("t.nid").alias(id_col),
+            (-F.col("t.negsim")).alias("sim"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(qid_col).orderBy(F.desc("sim"), id_col)
+    return partial.withColumn("knn_rank", F.row_number().over(w)).filter(
+        F.col("knn_rank") <= k
+    )
+
+
 def _hyperplanes(num_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (no numpy RNG state leaks:
     a simple LCG keeps this reproducible everywhere)."""

@@ -54,6 +54,43 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(canon)
 
 
+def winnow_fingerprints(col: Column | str, k: int = 5, w: int = 8) -> Column:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 —
+    the MOSS algorithm): Karp-Rabin rolling hashes of character k-grams,
+    then the minimum hash of every w-hash window, deduplicated and
+    sorted → array<bigint>.
+
+    The k-gram hash is the exact polynomial Σ code·257^j (no modulus —
+    k=5 ASCII codes stay < 2^41, so the arithmetic is exact in BIGINT
+    and reproducible in any engine). Both stages use the shifted-slice
+    zip_with fold (k, resp. w, O(n) slices) instead of per-element
+    nested slices — the fast HOF shape on interpreted lambdas.
+    Documents shorter than one window keep a single global-min
+    fingerprint; shorter than k chars get an empty set.
+    """
+    c = col if isinstance(col, Column) else F.col(col)
+    codes = F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("bigint"))
+    n = F.size(codes)
+    m = F.greatest(n - (k - 1), F.lit(0))
+    parts = [F.slice(codes, i + 1, m) for i in range(k)]
+    h = parts[0]
+    for p in parts[1:]:
+        h = F.zip_with(h, p, lambda a, b: a * 257 + b)
+    hashes = F.when(n >= k, h).otherwise(F.array().cast("array<bigint>"))
+    nh = F.size(hashes)
+    mw = F.greatest(nh - (w - 1), F.lit(0))
+    wparts = [F.slice(hashes, i + 1, mw) for i in range(w)]
+    mn = wparts[0]
+    for p in wparts[1:]:
+        mn = F.zip_with(mn, p, lambda a, b: F.least(a, b))
+    mins = (
+        F.when(nh >= w, mn)
+        .when(nh > 0, F.array(F.array_min(hashes)))
+        .otherwise(F.array().cast("array<bigint>"))
+    )
+    return F.array_sort(F.array_distinct(mins))
+
+
 def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality/stat columns used by the quality-score and
     language-ID operators."""

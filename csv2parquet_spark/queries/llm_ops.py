@@ -155,6 +155,83 @@ def similarity_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.topk_similar(e.filter(F.col("vec_id") != 0), q, k=10)
 
 
+@register(
+    "winnowing_fingerprints",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text AS t, length(text) AS n FROM documents
+    ), h AS (
+      SELECT doc_id,
+        CASE WHEN n >= 5 THEN list_transform(range(1, n - 3), i ->
+          ((((CAST(ascii(t[i]) AS BIGINT) * 257 + ascii(t[i+1])) * 257
+             + ascii(t[i+2])) * 257 + ascii(t[i+3])) * 257 + ascii(t[i+4])))
+        ELSE [] END AS hashes
+      FROM base
+    ), m AS (
+      SELECT doc_id,
+        CASE WHEN len(hashes) >= 8 THEN
+          list_transform(range(1, len(hashes) - 6), i ->
+            least(hashes[i], hashes[i+1], hashes[i+2], hashes[i+3],
+                  hashes[i+4], hashes[i+5], hashes[i+6], hashes[i+7]))
+        WHEN len(hashes) > 0 THEN [list_min(hashes)]
+        ELSE [] END AS mins
+      FROM h
+    )
+    SELECT doc_id, CAST(len(list_distinct(mins)) AS BIGINT) AS n_fp,
+           md5(array_to_string(list_sort(list_distinct(mins)), ',')) AS fp_digest
+    FROM m
+    """,
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS, Schleimer et al. 2003) rolling-hash fingerprints
+    per document: Karp-Rabin char-5-gram hashes → min of each 8-hash
+    window → distinct sorted set, digested for the hash check. Pure
+    map-side Catalyst expressions — zero shuffles at any scale; the
+    polynomial hash (no modulus, exact in BIGINT) reproduces bit-for-bit
+    in DuckDB."""
+    docs = table(spark, sf_dir, "documents")
+    fps = T.winnow_fingerprints("text")
+    return docs.select(
+        "doc_id",
+        F.size(fps).cast("bigint").alias("n_fp"),
+        F.md5(
+            F.concat_ws(",", F.transform(fps, lambda x: x.cast("string")))
+        ).alias("fp_digest"),
+    )
+
+
+@register(
+    "similarity_knn_join",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.query_id, v.vec_id,
+             round({_sql_cosine('v.embedding', 'q.qv')}, 6) AS sim
+      FROM embeddings v, q
+      WHERE v.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, sim,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INT)
+             AS knn_rank
+    FROM scored
+    QUALIFY knn_rank <= 10
+    """,
+)
+def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN join: exact top-10 neighbors for five query vectors in
+    ONE pass — broadcast queries scored map-side over the corpus scan,
+    then a salted two-stage top-k so no reducer ever holds corpus×queries
+    rows (the skew trap a naive per-query window would hit at 100 TB)."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.knn_join(e, q, k=10)
+
+
 @register("similarity_topk_lsh", oracle=None)  # seeded hyperplanes → rows-only
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH bucketing — the scale
