@@ -236,7 +236,6 @@ def knn_join(
     vectors: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    salt: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     qid_col: str = "query_id",
@@ -248,13 +247,14 @@ def knn_join(
     knn_rank).
 
     Scale design: queries broadcast (with norms precomputed); scoring is
-    map-side over the corpus scan. The global per-query top-k is then
-    taken in two stages so no single reducer sees the whole corpus:
-    (1) a SALTED partial top-k — groupBy (query, hash-salt) keeps k rows
-    per salt via sorted-array slice, shrinking N·Q scored rows to
-    Q·salt·k; (2) a row_number window over that small remainder. A plain
-    window over the scored rows would shuffle the entire corpus×queries
-    product onto Q reducer keys — the classic skew trap this avoids.
+    map-side over the corpus scan. The per-query top-k is a rank-limited
+    window — Spark plans it as ``WindowGroupLimit Partial`` BELOW the
+    exchange (per input partition, at most k rows per query survive) +
+    ``Final`` above it, so the query-key shuffle moves O(partitions·Q·k)
+    rows, never the corpus×queries product. This built-in partial top-k
+    is why the naive-looking window is the right 100 TB plan (verified
+    against a hand-rolled salted two-stage top-k: same result, one fewer
+    shuffle, no collect_list state).
     """
     q = F.broadcast(
         queries.select(
@@ -273,35 +273,10 @@ def knn_join(
             dot(F.col(vec_col), F.col("__qvec")) / (F.col("__vn") * F.col("__qn")), 6
         ).alias("sim"),
     )
-    partial = (
-        scored.groupBy(
-            qid_col, F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt)).alias("__salt")
-        )
-        .agg(
-            F.slice(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            (-F.col("sim")).alias("negsim"),
-                            F.col(id_col).alias("nid"),
-                        )
-                    )
-                ),
-                1,
-                k,
-            ).alias("top")
-        )
-        .select(qid_col, F.explode("top").alias("t"))
-        .select(
-            qid_col,
-            F.col("t.nid").alias(id_col),
-            (-F.col("t.negsim")).alias("sim"),
-        )
-    )
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(qid_col).orderBy(F.desc("sim"), id_col)
-    return partial.withColumn("knn_rank", F.row_number().over(w)).filter(
+    return scored.withColumn("knn_rank", F.row_number().over(w)).filter(
         F.col("knn_rank") <= k
     )
 

@@ -222,9 +222,10 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch kNN join: exact top-10 neighbors for five query vectors in
-    ONE pass — broadcast queries scored map-side over the corpus scan,
-    then a salted two-stage top-k so no reducer ever holds corpus×queries
-    rows (the skew trap a naive per-query window would hit at 100 TB)."""
+    ONE pass — broadcast queries scored map-side over the corpus scan;
+    the per-query window plans as WindowGroupLimit Partial+Final, so the
+    shuffle moves at most k rows per partition per query, never the
+    corpus×queries product."""
     e = table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"

@@ -69,6 +69,40 @@ def test_shingle_arrays_are_map_only(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_knn_join_partial_window_group_limit(spark, sf_dir):
+    """similarity_knn_join: the per-query top-k window must plan a
+    WindowGroupLimit Partial BELOW the exchange — at most k rows per
+    query survive each input partition, so the shuffle never carries the
+    corpus×queries product."""
+    plan = _plan(REGISTRY["similarity_knn_join"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan and "Final" in plan
+    # the only non-broadcast exchange is the final query-key partitioning
+    # (match the "(N) Exchange" detail headers, not the tree rendering)
+    shuffles = [
+        ln
+        for ln in plan.splitlines()
+        if ln.startswith("(") and "Exchange" in ln and "Broadcast" not in ln
+    ]
+    assert len(shuffles) <= 1, shuffles
+
+
+def test_winnowing_is_map_only(spark, sf_dir):
+    """winnowing_fingerprints: pure per-row expressions — zero
+    exchanges at any scale."""
+    plan = _plan(REGISTRY["winnowing_fingerprints"].fn(spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_q21_single_fact_aggregation_chain(spark, sf_dir):
+    """q21: the EXISTS/NOT-EXISTS pair is two aggregations + a join —
+    orders must broadcast into lineitem (never shuffle the fact for the
+    dim), and the final top-100 is TakeOrderedAndProject."""
+    plan = _plan(REGISTRY["q21_waiting_suppliers"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_conversion_plan_has_no_shuffle(spark, tmp_path):
     """The reference's core dataflow (CSV scan → Parquet sink) must stay
     embarrassingly parallel: no exchange anywhere in the plan."""
