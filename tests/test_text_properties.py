@@ -1,0 +1,113 @@
+"""Property-based tests (hypothesis) for the text operators: the Spark
+winnowing fingerprints must equal an independent pure-Python reference
+on arbitrary ASCII documents, uphold the published MOSS guarantee
+(documents sharing a substring of length >= w+k-1 share a fingerprint),
+and chunking must cover every token with the declared overlap.
+
+One Spark job per batch of examples (hypothesis drives the strings; we
+run them through a single DataFrame per example) — example counts stay
+small like the converter property tests.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from csv2parquet_spark.operators.text import winnow_fingerprints
+
+K, W = 5, 8
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+ASCII = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    min_size=0,
+    max_size=60,
+)
+
+
+def ref_winnow(t: str, k: int = K, w: int = W) -> list[int]:
+    """Independent reference: Karp-Rabin polynomial hash (base 257, no
+    modulus), min per w-window, distinct sorted."""
+    codes = [ord(c) for c in t]
+    n = len(codes)
+    if n < k:
+        return []
+    hs = []
+    for i in range(n - k + 1):
+        h = 0
+        for j in range(k):
+            h = h * 257 + codes[i + j]
+        hs.append(h)
+    if len(hs) < w:
+        mins = [min(hs)]
+    else:
+        mins = [min(hs[i : i + w]) for i in range(len(hs) - w + 1)]
+    return sorted(set(mins))
+
+
+def _spark_winnow(spark, texts: list[str]) -> list[list[int]]:
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "t"])
+    rows = (
+        df.select("i", winnow_fingerprints("t", K, W).alias("fp"))
+        .orderBy("i")
+        .collect()
+    )
+    return [list(r.fp) for r in rows]
+
+
+@SETTINGS
+@given(texts=st.lists(ASCII, min_size=1, max_size=6))
+def test_winnow_matches_reference(spark, texts):
+    got = _spark_winnow(spark, texts)
+    want = [ref_winnow(t) for t in texts]
+    assert got == want
+
+
+@SETTINGS
+@given(
+    core=st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+        min_size=W + K - 1 + 8,  # comfortably past the guarantee threshold
+        max_size=W + K - 1 + 20,
+    ),
+    pre_a=ASCII,
+    suf_a=ASCII,
+    pre_b=ASCII,
+    suf_b=ASCII,
+)
+def test_winnow_shared_substring_guarantee(spark, core, pre_a, suf_a, pre_b, suf_b):
+    """MOSS guarantee (Schleimer et al. 2003): any match of length at
+    least w+k-1 is caught — two documents embedding the same core must
+    share at least one fingerprint."""
+    a, b = pre_a + core + suf_a, pre_b + core + suf_b
+    fa, fb = _spark_winnow(spark, [a, b])
+    assert set(fa) & set(fb), (a, b)
+
+
+@SETTINGS
+@given(n_tokens=st.integers(min_value=1, max_value=120))
+def test_chunking_covers_every_token(spark, n_tokens):
+    """Fixed-size overlapping chunking: every token index lands in at
+    least one chunk; consecutive chunks start exactly `stride` apart."""
+    from csv2parquet_spark.operators.chunking import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    chunks = chunk_documents(df, size=32, stride=24).orderBy("chunk_idx").collect()
+    seen: set[int] = set()
+    starts = []
+    for r in chunks:
+        toks = r.chunk_text.split(" ")
+        idxs = [int(t[1:]) for t in toks]
+        assert idxs == list(range(idxs[0], idxs[0] + len(idxs)))  # contiguous
+        starts.append(idxs[0])
+        seen.update(idxs)
+    assert seen == set(range(n_tokens))
+    assert starts == [i * 24 for i in range(len(starts))]
