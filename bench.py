@@ -46,6 +46,43 @@ HEADLINE = [
 ]
 
 
+def bench_conversion(spark, sf_dir: str) -> dict:
+    """The reference's actual workload: CSV→Parquet, timed both in CLI
+    parity mode (single output file, full-pass schema inference — the
+    reference's default behavior) and the scale path (multi-part write,
+    parallel across input splits). CSV generation is setup, not timed."""
+    import duckdb
+
+    from csv2parquet_spark.converter import ConvertOptions, convert
+
+    work = "/tmp/spark_graft_bench"
+    os.makedirs(work, exist_ok=True)
+    csv_path = os.path.join(work, f"lineitem_{os.path.basename(sf_dir)}.csv")
+    if not os.path.exists(csv_path):
+        duckdb.sql(
+            f"COPY (SELECT * FROM read_parquet('{sf_dir}/lineitem.parquet')) "
+            f"TO '{csv_path}' (HEADER, DELIMITER ',')"
+        )
+    size_mb = os.path.getsize(csv_path) / 1e6
+    t0 = time.perf_counter()
+    convert(spark, csv_path, os.path.join(work, "out_single.parquet"))
+    t_single = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    convert(
+        spark,
+        csv_path,
+        os.path.join(work, "out_multi.parquet"),
+        ConvertOptions(single_file=False),
+    )
+    t_multi = time.perf_counter() - t0
+    return {
+        "input_mb": round(size_mb, 1),
+        "single_file_sec": round(t_single, 3),
+        "parallel_sec": round(t_multi, 3),
+        "parallel_mb_per_sec": round(size_mb / t_multi, 1),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -72,6 +109,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "csv_to_parquet": bench_conversion(spark, sf_dir),
             }
         )
     )

@@ -70,6 +70,25 @@ class ConvertOptions:
     parse_mode: str = "FAILFAST"
 
 
+def _effective_multiline(csv_path: str, opts: ConvertOptions) -> bool:
+    """multiLine parsing only changes behavior when a quote character can
+    open a multi-line field — a quote-FREE file parses identically either
+    way, and multiLine=False lets Spark split the file into parallel
+    tasks (multiLine forces one task per file). Sniff the local file for
+    a double-quote byte (early-exit chunked scan; worst case one
+    sequential read, still far cheaper than a single-task parse). Non-
+    local / glob inputs keep the requested setting — at 100 TB callers
+    set ``multiline=False`` explicitly for known single-line records.
+    """
+    if not opts.multiline or not os.path.isfile(csv_path):
+        return opts.multiline
+    with open(csv_path, "rb") as f:
+        while chunk := f.read(1 << 22):
+            if b'"' in chunk:
+                return True
+    return False
+
+
 def _resolve_schema(
     spark: SparkSession, csv_path: str, opts: ConvertOptions
 ) -> T.StructType:
@@ -78,7 +97,10 @@ def _resolve_schema(
         with open(opts.schema_file) as f:
             return arrow_json_to_struct(f.read())
     raw = spark.read.options(
-        header=opts.header, sep=opts.delimiter, multiLine=opts.multiline, escape='"'
+        header=opts.header,
+        sep=opts.delimiter,
+        multiLine=_effective_multiline(csv_path, opts),
+        escape='"',
     ).csv(csv_path)
     return infer_schema(raw, opts.max_read_records)
 
@@ -91,7 +113,7 @@ def read_csv(spark: SparkSession, csv_path: str, opts: ConvertOptions) -> DataFr
         header=opts.header,
         sep=opts.delimiter,
         mode=opts.parse_mode,
-        multiLine=opts.multiline,
+        multiLine=_effective_multiline(csv_path, opts),
         escape='"',  # RFC-4180 doubled-quote escaping (arrow-csv default)
         timestampFormat="yyyy-MM-dd[[ ]['T']HH:mm:ss]",
         enforceSchema=True,
@@ -147,7 +169,7 @@ def convert(
         header=opts.header,
         sep=opts.delimiter,
         mode=opts.parse_mode,
-        multiLine=opts.multiline,
+        multiLine=_effective_multiline(csv_path, opts),
         escape='"',  # RFC-4180 doubled-quote escaping (arrow-csv default)
         timestampFormat="yyyy-MM-dd[[ ]['T']HH:mm:ss]",
     ).schema(schema).csv(csv_path)

@@ -81,6 +81,16 @@ def infer_arrow_types(
     if max_read_records == 0:
         return {c: ARROW_UTF8 for c in raw.columns}
     sample = raw.limit(max_read_records) if max_read_records else raw
+    # A multiLine CSV read is a single split, which would serialize the
+    # regex classification onto one core. When the sample arrives in
+    # fewer partitions than we have cores, one round-robin repartition
+    # (a pass over the string sample) lets the classify aggregate run
+    # on every core.
+    para = sample.sparkSession.sparkContext.defaultParallelism
+    if (
+        max_read_records is None or max_read_records > 65536
+    ) and sample.rdd.getNumPartitions() < para:
+        sample = sample.repartition(para)
     row = sample.agg(*[_classify_column(sample, c) for c in raw.columns]).collect()[0]
     out: dict[str, str] = {}
     for c in raw.columns:
