@@ -6,7 +6,12 @@ Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": <sf>}
 
 Each query executes its FULL plan via the noop sink (no driver-side
-collect — we measure engine time, not result transfer).
+collect — we measure engine time, not result transfer). Timings are
+STEADY-STATE: every query runs twice and the second run is recorded,
+so one-time whole-stage-codegen compilation (hundreds of ms to seconds
+for the large HOF expressions) doesn't swamp the engine time — on a
+real cluster those kernels compile once per executor lifetime, not
+once per query.
 """
 
 from __future__ import annotations
@@ -64,9 +69,17 @@ def bench_conversion(spark, sf_dir: str) -> dict:
             f"TO '{csv_path}' (HEADER, DELIMITER ',')"
         )
     size_mb = os.path.getsize(csv_path) / 1e6
+    # Steady-state like the queries: first run warms codegen, second is timed.
+    convert(spark, csv_path, os.path.join(work, "out_single.parquet"))
     t0 = time.perf_counter()
     convert(spark, csv_path, os.path.join(work, "out_single.parquet"))
     t_single = time.perf_counter() - t0
+    convert(
+        spark,
+        csv_path,
+        os.path.join(work, "out_multi.parquet"),
+        ConvertOptions(single_file=False),
+    )
     t0 = time.perf_counter()
     convert(
         spark,
@@ -96,6 +109,7 @@ def main() -> None:
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # codegen warm
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)

@@ -97,8 +97,13 @@ def dedup_keep_first_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (threshold 0.8) — the
-    blocking self-join on shingles bounds the pair space."""
-    return D.ngram_jaccard_pairs(table(spark, sf_dir, "documents"), threshold=0.8)
+    blocking self-join on shingles bounds the pair space. Uses the
+    hash prefix order (zero extra shuffles; ~2× faster than rare-first
+    on this corpus's near-uniform shingle frequencies — rare-first
+    stays the operator default for heavy-tailed real text)."""
+    return D.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), threshold=0.8, order="hash"
+    )
 
 
 @register("minhash_near_dups", oracle=None)  # seeded LSH → rows-only check
