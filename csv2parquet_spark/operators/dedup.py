@@ -247,12 +247,22 @@ def ngram_jaccard_pairs(
 def _minhash_sig_col(sset, num_perm: int):
     """array<bigint> MinHash signature of a shingle-set column: per
     permutation i, min over the set of xxhash64(shingle, seed=i). Pure
-    per-row expression — no shuffle anywhere in the signature job."""
-    return F.array(
-        *[
-            F.array_min(F.transform(sset, lambda s: F.xxhash64(s, F.lit(i))))
-            for i in range(num_perm)
-        ]
+    per-row expression — no shuffle anywhere in the signature job.
+
+    Computed as ONE fold over the shingle set with a num_perm-wide
+    accumulator (zip_with least against the per-shingle hash row)
+    rather than num_perm separate array passes — same values, single
+    traversal of the set in the interpreted HOF evaluator.
+    """
+    init = F.array_repeat(F.lit((1 << 63) - 1).cast("bigint"), num_perm)
+    return F.aggregate(
+        sset,
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(s, F.lit(i)) for i in range(num_perm)]),
+            lambda a, b: F.least(a, b),
+        ),
     )
 
 
