@@ -174,7 +174,11 @@ def convert(
         timestampFormat="yyyy-MM-dd[[ ]['T']HH:mm:ss]",
     ).schema(schema).csv(csv_path)
 
-    writer = df.coalesce(1).write if opts.single_file else df.write
+    # repartition(1), NOT coalesce(1): coalesce propagates up the plan
+    # and collapses the CSV *parse* to one task; repartition inserts an
+    # exchange so the read stays parallel and only the final parquet
+    # encode is single-task (the one-file contract forces that much).
+    writer = df.repartition(1).write if opts.single_file else df.write
     if opts.compression:
         if opts.compression not in _CODECS:
             raise ValueError(f"unknown codec {opts.compression!r}")

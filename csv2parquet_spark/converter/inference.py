@@ -48,24 +48,43 @@ ARROW_TO_SPARK = {
 
 
 def _classify_column(df: DataFrame, col: str) -> F.Column:
-    """One aggregate row per column: does every non-null sampled value
-    match each lattice regex? Returns a struct of match-coverage flags."""
+    """Per-column type mask: each non-null value is classified ONCE by a
+    short-circuiting CASE down the lattice (a numeric cell never reaches
+    the date regexes — ~2 regex evaluations per value instead of 5 full
+    passes), and the column aggregates to a bit-OR of observed classes.
+    The mask reproduces arrow-csv's merge rule exactly in
+    :func:`_mask_to_arrow`."""
     c = F.col(col)
     nonnull = c.isNotNull() & (c != "")
+    bit = (
+        F.when(c.rlike(BOOLEAN_RE), 1)
+        .when(c.rlike(INTEGER_RE), 2)
+        .when(c.rlike(FLOAT_RE), 4)
+        .when(c.rlike(DATE32_RE), 8)
+        .when(c.rlike(DATE64_RE), 16)
+        .otherwise(32)
+    )
+    return F.coalesce(F.bit_or(F.when(nonnull, bit)), F.lit(0)).alias(col)
 
-    def all_match(regex: str) -> F.Column:
-        return F.coalesce(
-            F.min(F.when(nonnull, c.rlike(regex))), F.lit(False)
-        )
 
-    return F.struct(
-        F.sum(F.when(nonnull, 1).otherwise(0)).alias("n"),
-        all_match(BOOLEAN_RE).alias("all_bool"),
-        all_match(INTEGER_RE).alias("all_int"),
-        all_match(FLOAT_RE).alias("all_float"),
-        all_match(DATE32_RE).alias("all_date32"),
-        all_match(DATE64_RE).alias("all_date64"),
-    ).alias(col)
+_BOOL, _INT, _FLOAT, _D32, _D64 = 1, 2, 4, 8, 16
+
+
+def _mask_to_arrow(mask: int) -> str:
+    """arrow-csv merge rule over the set of observed value classes:
+    single class → that type; {Int64,Float64} → Float64; anything else
+    (incl. all-null / any-Utf8) → Utf8."""
+    if mask == _BOOL:
+        return ARROW_BOOLEAN
+    if mask == _INT:
+        return ARROW_INT64
+    if mask in (_FLOAT, _INT | _FLOAT):
+        return ARROW_FLOAT64
+    if mask == _D32:
+        return ARROW_DATE32
+    if mask == _D64:
+        return ARROW_DATE64
+    return ARROW_UTF8
 
 
 def infer_arrow_types(
@@ -92,25 +111,7 @@ def infer_arrow_types(
     ) and sample.rdd.getNumPartitions() < para:
         sample = sample.repartition(para)
     row = sample.agg(*[_classify_column(sample, c) for c in raw.columns]).collect()[0]
-    out: dict[str, str] = {}
-    for c in raw.columns:
-        st = row[c]
-        if st["n"] == 0:
-            out[c] = ARROW_UTF8  # all-null column
-        elif st["all_bool"]:
-            out[c] = ARROW_BOOLEAN
-        elif st["all_int"]:
-            out[c] = ARROW_INT64
-        elif st["all_float"]:
-            # arrow merges Int64+Float64 → Float64; all_float covers ints.
-            out[c] = ARROW_FLOAT64
-        elif st["all_date32"]:
-            out[c] = ARROW_DATE32
-        elif st["all_date64"]:
-            out[c] = ARROW_DATE64
-        else:
-            out[c] = ARROW_UTF8
-    return out
+    return {c: _mask_to_arrow(row[c]) for c in raw.columns}
 
 
 def infer_schema(
