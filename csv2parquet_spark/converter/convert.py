@@ -121,7 +121,7 @@ def read_csv(spark: SparkSession, csv_path: str, opts: ConvertOptions) -> DataFr
     return reader.csv(csv_path)
 
 
-def _apply_writer_conf(spark: SparkSession, opts: ConvertOptions) -> dict[str, str]:
+def _apply_writer_conf(spark: SparkSession, opts: ConvertOptions) -> dict[str, str | None]:
     """W1-W9 → parquet-mr Hadoop confs; returns prior values to restore.
 
     W2 (forced column encodings), W3 statistics=none, W10 created_by are
@@ -135,10 +135,13 @@ def _apply_writer_conf(spark: SparkSession, opts: ConvertOptions) -> dict[str, s
         "parquet.page.row.count.limit": str(opts.write_batch_size) if opts.write_batch_size else None,  # W8 approx
         "parquet.statistics.truncate.length": str(opts.max_statistics_size) if opts.max_statistics_size else None,  # W4
     }
-    prior: dict[str, str] = {}
+    # Record None for keys that were UNSET so restore can conf.unset()
+    # them — restoring as "" would make a later parquet write in the same
+    # JVM feed Hadoop's Configuration.getInt an empty string (NFE).
+    prior: dict[str, str | None] = {}
     for k, v in wanted.items():
         if v is not None:
-            prior[k] = conf.get(k) or ""
+            prior[k] = conf.get(k)
             conf.set(k, v)
     return prior
 
@@ -207,5 +210,8 @@ def convert(
     finally:
         conf = spark.sparkContext._jsc.hadoopConfiguration()
         for k, v in prior.items():
-            conf.set(k, v)
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
     return schema

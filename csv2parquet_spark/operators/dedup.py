@@ -37,6 +37,21 @@ from pyspark.sql import functions as F
 
 from csv2parquet_spark.operators.text import shingles, tokens
 
+# IEEE-double guard for threshold arithmetic at exact-boundary cases:
+# 0.435*1000 = 435.00000000000006 in doubles, so a bare ceil(t*sz) would
+# overshoot and shorten the PPJoin prefix by one (silently missing true
+# pairs with J == threshold). Subtracting EPS before ceil / comparisons
+# keeps every mathematically-qualifying pair; it can only ADD candidates,
+# and verification computes exact Jaccard, so the output stays exact.
+_EPS = 1e-9
+
+
+def _prefix_len(threshold: float):
+    """PPJoin prefix length |A| - ceil(t*|A|) + 1, FP-safe."""
+    return (
+        F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(_EPS)) + 1
+    ).cast("int")
+
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep-first exact dedup: one row per distinct text, smallest id wins.
@@ -112,19 +127,19 @@ def _verify_jaccard(cand: DataFrame, dsa: DataFrame, threshold: float) -> DataFr
             "id_b",
         )
         .filter(
-            F.greatest("sz_a", "sz_b") * F.lit(threshold)
+            F.greatest("sz_a", "sz_b") * F.lit(threshold) - F.lit(_EPS)
             <= F.least("sz_a", "sz_b")
         )
         .withColumn("common", F.size(F.array_intersect("set_a", "set_b")))
         .withColumn(
-            "jaccard",
-            F.round(
-                F.col("common").cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
-                6,
-            ),
+            "jaccard_exact",
+            F.col("common").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
         )
-        .filter(F.col("jaccard") >= threshold)
+        # Threshold on the UNROUNDED value (rounding first would admit
+        # pairs up to 5e-7 below threshold); round only in the output.
+        .filter(F.col("jaccard_exact") >= threshold)
+        .withColumn("jaccard", F.round("jaccard_exact", 6))
         .select("id_a", "id_b", "common", "sz_a", "sz_b", "jaccard")
     )
 
@@ -173,9 +188,7 @@ def ngram_jaccard_pairs(
     # sf0.1, and it is the reuse shape that survives 100 TB (spillable).
     dsa = doc_shingle_arrays(df, text_col, id_col, k).localCheckpoint()
     if prefix_filter and order == "hash":
-        plen = (
-            F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-        ).cast("int")
+        plen = _prefix_len(threshold)
         prefix = dsa.select(
             "id",
             "sz",
@@ -196,9 +209,7 @@ def ngram_jaccard_pairs(
                 ),
             )
         )
-        plen = (
-            F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-        ).cast("int")
+        plen = _prefix_len(threshold)
         prefix = ranked.select(
             "id",
             "sz",
@@ -229,7 +240,10 @@ def ngram_jaccard_pairs(
         ub = maxo.cast("double") / (F.col("pa_sz") + F.col("pb_sz") - maxo)
         cand = (
             a.join(b, "shingle")
-            .filter((F.col("id_a") < F.col("id_b")) & (ub >= F.lit(threshold)))
+            .filter(
+                (F.col("id_a") < F.col("id_b"))
+                & (ub >= F.lit(threshold) - F.lit(_EPS))
+            )
             .select("id_a", "id_b")
             .distinct()
         )
@@ -291,6 +305,12 @@ def minhash_lsh_candidates(
     """LSH banding: split the signature into ``bands`` rows of
     ``num_perm // bands`` hashes, bucket by (band_idx, band_hash), and
     emit candidate pairs per bucket. Pairs are distinct (id_a < id_b)."""
+    if num_perm % bands != 0:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be divisible by bands ({bands}); "
+            "trailing signature hashes would be silently ignored, reducing "
+            "LSH recall below the requested permutation count"
+        )
     rows_per_band = num_perm // bands
     band_arrays = F.array(
         *[
@@ -387,6 +407,16 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        import warnings
+
+        warnings.warn(
+            f"connected_components hit max_iter={max_iter} without reaching "
+            "the fixpoint — returned components may be over-split; raise "
+            "max_iter (rounds needed ~ graph diameter)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

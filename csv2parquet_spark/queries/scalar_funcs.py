@@ -300,28 +300,37 @@ def string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_funcs2",
     oracle="""
     SELECT s_suppkey,
-           list_sort(list_distinct(string_split(s_name, ' '))) AS toks_sorted,
+           array_to_string(list_sort(list_distinct(string_split(s_name, ' '))), '|')
+               AS toks_sorted,
            array_to_string(list_reverse_sort(string_split(s_name, ' ')), '|')
                AS toks_desc,
            len(list_intersect(string_split(s_name, ' '),
                               ['Supplier', 'supplier'])) AS n_supplier_tok,
-           flatten([string_split(s_name, ' '), ['#']]) AS toks_flat,
+           array_to_string(flatten([string_split(s_name, ' '), ['#']]), '|')
+               AS toks_flat,
            list_contains(string_split(s_name, ' '), 'Supplier') AS has_supplier
     FROM supplier
     """,
 )
 def array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Second array batch: sort asc/desc, intersect, flatten, contains."""
+    """Second array batch: sort asc/desc, intersect, flatten, contains.
+
+    Array-typed outputs are serialized with ``concat_ws`` — the driver's
+    canonicalizer (pandas sort_values) cannot hash list cells, so every
+    registry query must emit scalar columns only.
+    """
     s = table(spark, sf_dir, "supplier")
     toks = F.split("s_name", " ")
     return s.select(
         "s_suppkey",
-        F.array_sort(F.array_distinct(toks)).alias("toks_sorted"),
+        F.concat_ws("|", F.array_sort(F.array_distinct(toks))).alias("toks_sorted"),
         F.concat_ws("|", F.sort_array(toks, asc=False)).alias("toks_desc"),
         F.size(
             F.array_intersect(toks, F.array(F.lit("Supplier"), F.lit("supplier")))
         ).alias("n_supplier_tok"),
-        F.flatten(F.array(toks, F.array(F.lit("#")))).alias("toks_flat"),
+        F.concat_ws("|", F.flatten(F.array(toks, F.array(F.lit("#"))))).alias(
+            "toks_flat"
+        ),
         F.array_contains(toks, "Supplier").alias("has_supplier"),
     )
 

@@ -25,7 +25,20 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm(v: Any) -> Any:
-    """Canonicalize a cell for cross-engine comparison."""
+    """Canonicalize a cell for cross-engine comparison.
+
+    List/dict/array cells are REJECTED, mirroring the driver's harness:
+    its pandas ``sort_values`` canonicalizer cannot factorize container
+    cells (round-1 ``array_funcs2`` hard-fail). Registry queries must
+    serialize arrays/structs (``concat_ws`` / ``to_json``) before return,
+    so local green predicts driver green.
+    """
+    if isinstance(v, (list, tuple, dict, set)) or type(v).__name__ == "ndarray":
+        raise TypeError(
+            f"container-typed cell {type(v).__name__} in query output — "
+            "serialize arrays/structs with concat_ws/to_json (driver "
+            "canonicalizer cannot hash list cells)"
+        )
     if v is None:
         return None
     if isinstance(v, float):
