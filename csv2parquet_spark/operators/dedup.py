@@ -66,6 +66,26 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _parallelize_scan(df: DataFrame) -> DataFrame:
+    """Repartition a too-few-partition input up to default parallelism.
+
+    The signature/shingle stages are CPU-bound map work; if the scan has
+    fewer partitions than half the cluster's cores (locally: one ~10 MB
+    parquet file = ONE task), the whole stage runs on a fraction of the
+    machine. The repartition shuffles the raw text once — acceptable
+    small, and a NO-OP at scale, where a 100 TB scan already yields
+    thousands of tasks and the gate never fires.
+    """
+    sc = df.sparkSession.sparkContext
+    try:
+        nparts = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if nparts < max(2, sc.defaultParallelism // 2):
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def doc_shingle_arrays(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
@@ -81,7 +101,8 @@ def doc_shingle_arrays(
         F.array_distinct(shingles(tokens(text_col), k)), lambda s: F.xxhash64(s)
     )
     return (
-        df.select(F.col(id_col).alias("id"), hashed.alias("sset"))
+        _parallelize_scan(df)
+        .select(F.col(id_col).alias("id"), hashed.alias("sset"))
         .withColumn("sz", F.size("sset"))
         .filter(F.col("sz") > 0)
     )
@@ -282,21 +303,109 @@ def _minhash_sig_col(sset, num_perm: int):
     )
 
 
+def _minhash_sig_pandas(num_perm: int):
+    """Arrow-batched pandas UDF computing the same signature as
+    :func:`_minhash_sig_col`, bit-exactly, in vectorized numpy.
+
+    The Catalyst fold is the right *topology* (map-only, no shuffle) but
+    runs in Spark's interpreted higher-order-function evaluator —
+    num_perm lambda evaluations per shingle dominate CPU at scale. This
+    kernel replicates Spark's ``xxhash64(shingle, lit(i))`` — which is
+    ``XXH64.hashInt(i, XXH64.hashLong(shingle, 42))`` (multi-arg
+    xxhash64 folds each argument with the running hash as seed;
+    ``lit(i)`` is an int32, so the outer round is the 4-byte variant) —
+    as two vectorized XXH64 rounds over the whole Arrow batch, then
+    per-doc signed minima via ``minimum.reduceat``. Identity with the
+    Catalyst twin is pinned by tests/test_operators.py.
+
+    NB: every op stays on uint64 *arrays* — numpy scalar uint64
+    arithmetic silently promotes to float64 on mixed operands, which
+    corrupts the hash.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<bigint>")
+    def _sig(ssets: pd.Series) -> pd.Series:
+        import numpy as np
+
+        np.seterr(over="ignore")
+        P1 = np.uint64(0x9E3779B185EBCA87)
+        P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+        P3 = np.uint64(0x165667B19E3779F9)
+        P4 = np.uint64(0x85EBCA77C2B2AE63)
+        P5 = np.uint64(0x27D4EB2F165667C5)
+        C64 = np.uint64(64)
+
+        def rotl(x, r):
+            r = np.uint64(r)
+            return (x << r) | (x >> (C64 - r))
+
+        def fmix(acc):
+            acc ^= acc >> np.uint64(33)
+            acc *= P2
+            acc ^= acc >> np.uint64(29)
+            acc *= P3
+            acc ^= acc >> np.uint64(32)
+            return acc
+
+        # Per-permutation constant: the input-lane term of the OUTER
+        # hashInt(i, seed=h1) depends only on i (zero-extended int32).
+        perms = np.arange(num_perm, dtype=np.uint64)
+        k_perm = perms * P1  # (num_perm,)
+
+        init = np.int64((1 << 63) - 1)
+        lens = np.fromiter((len(s) for s in ssets), dtype=np.int64, count=len(ssets))
+        out = np.full((len(ssets), num_perm), init, dtype=np.int64)
+        nonempty = np.flatnonzero(lens > 0)
+        if nonempty.size:
+            flat = np.concatenate(
+                [np.asarray(ssets.iloc[i], dtype=np.int64) for i in nonempty]
+            ).view(np.uint64)
+            # inner: h1 = hashLong(shingle, 42)
+            acc = np.uint64(42) + P5 + np.uint64(8)
+            acc = acc ^ (rotl(flat * P2, 31) * P1)
+            h1 = fmix(rotl(acc, 27) * P1 + P4)  # (total,)
+            # outer: sig_lane = hashInt(i, h1)  → (total, num_perm)
+            m = fmix(rotl((h1[:, None] + P5 + np.uint64(4)) ^ k_perm[None, :], 23) * P2 + P3)
+            offsets = np.zeros(nonempty.size, dtype=np.int64)
+            np.cumsum(lens[nonempty][:-1], out=offsets[1:])
+            out[nonempty] = np.minimum.reduceat(m.view(np.int64), offsets, axis=0)
+        return pd.Series(list(out))
+
+    return _sig
+
+
 def minhash_signatures(
     df: DataFrame,
     num_perm: int = 32,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
+    impl: str = "pandas",
 ) -> DataFrame:
     """MinHash signatures: (id, array<bigint> sig[num_perm]).
 
     Permutation i is ``xxhash64(shingle, seed=i)``; the signature is the
-    per-doc min of each, computed as an array fold inside the row — the
-    whole signature stage is map-only (embarrassingly parallel at any
-    scale)."""
+    per-doc min of each. Map-only either way (embarrassingly parallel at
+    any scale); ``impl`` picks the kernel:
+
+    * ``"pandas"`` (default) — Arrow-batched numpy XXH64, the scale path
+      (the Catalyst fold evaluates interpreted, ~num_perm lambda calls
+      per shingle).
+    * ``"catalyst"`` — the pure-expression fold; bit-identical output,
+      kept as the oracle twin and for environments without Arrow."""
     dsa = doc_shingle_arrays(df, text_col, id_col, k)
-    return dsa.select("id", _minhash_sig_col(F.col("sset"), num_perm).alias("sig"))
+    return _signatures_from_arrays(dsa, num_perm, impl)
+
+
+def _signatures_from_arrays(dsa: DataFrame, num_perm: int, impl: str) -> DataFrame:
+    if impl == "pandas":
+        sig = _minhash_sig_pandas(num_perm)(F.col("sset"))
+    elif impl == "catalyst":
+        sig = _minhash_sig_col(F.col("sset"), num_perm)
+    else:
+        raise ValueError(f"unknown minhash impl {impl!r}")
+    return dsa.select("id", sig.alias("sig"))
 
 
 def minhash_lsh_candidates(
@@ -343,13 +452,18 @@ def minhash_near_dups(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
+    impl: str = "pandas",
 ) -> DataFrame:
     """MinHash-LSH near-dup pipeline with exact-Jaccard verification of
-    candidates (so the result is deterministic given the seeds)."""
+    candidates (so the result is deterministic given the seeds, and
+    identical across ``impl`` kernels)."""
     # Shared by the signature job and both verify sides — see the
     # localCheckpoint note in ngram_jaccard_pairs.
     dsa = doc_shingle_arrays(df, text_col, id_col, k).localCheckpoint()
-    sig = dsa.select("id", _minhash_sig_col(F.col("sset"), num_perm).alias("sig"))
+    # sig feeds BOTH sides of the bucket self-join — checkpoint so the
+    # signature job runs once (the relation is n_docs × num_perm × 8 B,
+    # tiny relative to the corpus, and spillable).
+    sig = _signatures_from_arrays(dsa, num_perm, impl).localCheckpoint()
     cand = minhash_lsh_candidates(sig, num_perm, bands)
     return _verify_jaccard(cand, dsa, threshold).select("id_a", "id_b", "jaccard")
 
@@ -454,7 +568,7 @@ def simhash_signatures(
             out[i] = np.uint64(((2 * pos) > a.size) @ (np.uint64(1) << shifts))
         return pd.Series(out.view(np.int64))
 
-    return df.select(
+    return _parallelize_scan(df).select(
         F.col(id_col).alias("id"),
         _simhash(F.transform(tokens(text_col), lambda x: F.xxhash64(x))).alias(
             "simhash"

@@ -38,6 +38,30 @@ def test_minhash_lsh_finds_planted_near_dups(spark, sf_dir):
     assert lsh == exact  # verification step makes candidates exact
 
 
+def test_minhash_pandas_kernel_matches_catalyst(spark, sf_dir):
+    """The vectorized numpy XXH64 signature kernel must be BIT-IDENTICAL
+    to the Catalyst fold (same xxhash64(shingle, lit(i)) semantics) —
+    this is what lets the fast path keep the fold as its oracle twin."""
+    docs = table(spark, sf_dir, "documents").limit(200)
+    fast = {
+        r.id: list(r.sig)
+        for r in D.minhash_signatures(docs, num_perm=16, impl="pandas").collect()
+    }
+    slow = {
+        r.id: list(r.sig)
+        for r in D.minhash_signatures(docs, num_perm=16, impl="catalyst").collect()
+    }
+    assert fast == slow and fast
+
+
+def test_minhash_rejects_indivisible_bands(spark):
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id bigint, text string")
+    import pytest
+
+    with pytest.raises(ValueError, match="divisible"):
+        D.minhash_near_dups(df, num_perm=32, bands=7).collect()
+
+
 def test_simhash_identical_docs_zero_hamming(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
