@@ -72,42 +72,116 @@ def topk_similar(
     return scored.orderBy(F.desc("sim"), id_col).limit(k)
 
 
+def lsh_candidate_pairs(
+    vectors: DataFrame,
+    num_planes: int = 4,
+    num_tables: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs sharing an LSH bucket in ≥1 of
+    ``num_tables`` hyperplane tables (seeds ``seed..seed+T-1``).
+
+    The multi-table union is the recall knob: a pair at cosine s shares
+    one table's bucket with probability (1-θ/π)^P, and is MISSED by all
+    T tables with probability (1-(1-θ/π)^P)^T. The self-join is keyed on
+    (table, bucket) — never on a data column, so a hot metadata value
+    cannot make it quadratic; bucket skew is bounded by the hyperplane
+    split and AQE skew-join handles residual imbalance. Only the narrow
+    (id, table, bucket) relation is shuffled — vectors stay out of the
+    T-fold explode."""
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                _lsh_bucket_col(
+                    F.col(vec_col), _hyperplanes(num_planes, dim, seed + t)
+                ).alias("bucket"),
+            )
+            for t in range(num_tables)
+        ]
+    )
+    bk = vectors.select(F.col(id_col).alias("id"), F.explode(tables).alias("tb")).select(
+        "id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    )
+    a = bk.select(F.col("id").alias("id_a"), "tbl", "bucket")
+    b = bk.select(F.col("id").alias("id_b"), "tbl", "bucket")
+    return (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def pairwise_near_dups(
     vectors: DataFrame,
     threshold: float = 0.95,
-    block_col: str = "label",
+    block_col: str | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    num_planes: int = 4,
+    num_tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs within a blocking key.
+    """Embedding-cosine near-dup pairs: (id_a, id_b, sim ≥ threshold).
 
-    The block key keeps the self-join from going quadratic in the corpus
-    — at scale the block is an LSH bucket; here it's the given column.
+    With ``block_col=None`` (default — the scale path) candidates come
+    from :func:`lsh_candidate_pairs` and are verified with exact cosine,
+    so the contract is deterministic given the seeds: every pair that
+    shares ≥1 LSH bucket AND has cosine ≥ threshold. The join is keyed
+    on (table, bucket), never a data column — a hot label can't make it
+    quadratic (the round-1 weakness of the label-blocked variant).
+
+    ``block_col`` blocks on a metadata column instead — only sound when
+    that column is known near-uniform AND near-dups can't cross blocks.
     """
     withn = vectors.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        F.col(block_col).alias("blk"),
         norm(F.col(vec_col)).alias("nrm"),  # once per vector, not per pair
     )
-    a = withn.select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"), "blk", F.col("nrm").alias("na")
-    )
-    b = withn.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"), "blk", F.col("nrm").alias("nb")
-    )
-    return (
-        a.join(b, "blk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "blk",
-            "id_a",
-            "id_b",
-            F.round(
-                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
-            ).alias("sim"),
+    if block_col is None:
+        cand = lsh_candidate_pairs(
+            vectors, num_planes, num_tables, dim, vec_col, id_col, seed
         )
-        .filter(F.col("sim") >= threshold)
+    else:
+        blocks = vectors.select(
+            F.col(id_col).alias("id"), F.col(block_col).alias("blk")
+        )
+        a = blocks.select(F.col("id").alias("id_a"), "blk")
+        b = blocks.select(F.col("id").alias("id_b"), "blk")
+        cand = (
+            a.join(b, "blk")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+    return (
+        cand.join(
+            withn.select(
+                F.col("id").alias("id_a"),
+                F.col("v").alias("va"),
+                F.col("nrm").alias("na"),
+            ),
+            "id_a",
+        )
+        .join(
+            withn.select(
+                F.col("id").alias("id_b"),
+                F.col("v").alias("vb"),
+                F.col("nrm").alias("nb"),
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "sim_exact", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        )
+        .filter(F.col("sim_exact") >= threshold)
+        .select("id_a", "id_b", F.round("sim_exact", 6).alias("sim"))
     )
 
 
@@ -295,6 +369,17 @@ def _hyperplanes(num_planes: int, dim: int, seed: int = 42) -> list[list[float]]
     return planes
 
 
+def _lsh_bucket_col(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id of a vector column against literal hyperplane
+    arrays — evaluated in codegen, no Python, no broadcast needed."""
+    bucket = F.lit(0).cast("bigint")
+    for p, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(v) for v in plane])
+        bit = F.when(dot(vec, plane_col) >= 0, F.lit(1 << p).cast("bigint")).otherwise(0)
+        bucket = bucket + bit
+    return bucket
+
+
 def add_lsh_bucket(
     vectors: DataFrame,
     num_planes: int = 8,
@@ -302,18 +387,10 @@ def add_lsh_bucket(
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
-    """Random-hyperplane LSH bucket id (0..2^num_planes-1) per vector.
-
-    Hyperplanes are literal constant arrays — evaluated in codegen, no
-    Python, no broadcast variable needed.
-    """
-    planes = _hyperplanes(num_planes, dim, seed)
-    bucket = F.lit(0).cast("bigint")
-    for p, plane in enumerate(planes):
-        plane_col = F.array(*[F.lit(v) for v in plane])
-        bit = F.when(dot(F.col(vec_col), plane_col) >= 0, F.lit(1 << p).cast("bigint")).otherwise(0)
-        bucket = bucket + bit
-    return vectors.withColumn("bucket", bucket)
+    """Random-hyperplane LSH bucket id (0..2^num_planes-1) per vector."""
+    return vectors.withColumn(
+        "bucket", _lsh_bucket_col(F.col(vec_col), _hyperplanes(num_planes, dim, seed))
+    )
 
 
 def lsh_topk(

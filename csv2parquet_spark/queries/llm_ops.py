@@ -34,6 +34,32 @@ def _sql_cosine(a: str, b: str) -> str:
     return f"({dot} / ({na} * {nb}))"
 
 
+def _sql_lsh_bucket(vec: str, planes: list[list[float]]) -> str:
+    """DuckDB twin of similarity._lsh_bucket_col: sign-bit bucket against
+    the SAME literal hyperplanes (repr() roundtrips the doubles)."""
+    terms = []
+    for p, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(v) for v in plane) + "]"
+        dot = (
+            f"list_sum(list_transform(range(1, len({vec}) + 1), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * ({lit})[i]))"
+        )
+        terms.append(f"CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+# embedding_near_dups LSH-blocking config: 4 planes × 8 tables ≈ 75%
+# recall of the fixture's ~0.45-cosine pairs with a 2.4× candidate cut
+# (higher thresholds at scale → more planes; the label-blocked variant
+# this replaces found only 5 of 59 true pairs at sf0.01).
+_ND_PLANES, _ND_TABLES = 4, 8
+_ND_BK_COLS = ",\n           ".join(
+    f"{_sql_lsh_bucket('embedding', S._hyperplanes(_ND_PLANES, 64, 42 + t))} AS b{t}"
+    for t in range(_ND_TABLES)
+)
+_ND_BK_MATCH = " OR ".join(f"a.b{t} = b.b{t}" for t in range(_ND_TABLES))
+
+
 # --------------------------------------------------------------------------
 # Deduplication
 # --------------------------------------------------------------------------
@@ -126,17 +152,34 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_near_dups",
     oracle=f"""
-    SELECT a.label AS blk, a.vec_id AS id_a, b.vec_id AS id_b,
-           round({_sql_cosine('a.embedding', 'b.embedding')}, 6) AS sim
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE round({_sql_cosine('a.embedding', 'b.embedding')}, 6) >= 0.4
+    WITH bk AS (
+      SELECT vec_id,
+           {_ND_BK_COLS}
+      FROM embeddings
+    ), cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bk a JOIN bk b ON a.vec_id < b.vec_id AND ({_ND_BK_MATCH})
+    )
+    SELECT c.id_a, c.id_b,
+           round({_sql_cosine('va.embedding', 'vb.embedding')}, 6) AS sim
+    FROM cand c
+    JOIN embeddings va ON va.vec_id = c.id_a
+    JOIN embeddings vb ON vb.vec_id = c.id_b
+    WHERE {_sql_cosine('va.embedding', 'vb.embedding')} >= 0.4
     """,
 )
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, blocked by label (at scale: by
-    LSH bucket) so the self-join never goes quadratic in the corpus."""
-    return S.pairwise_near_dups(table(spark, sf_dir, "embeddings"), threshold=0.4)
+    """Embedding-cosine near-dup pairs blocked on multi-table LSH
+    buckets (4 planes × 8 tables) with exact-cosine verification — the
+    join is keyed on (table, bucket), never a data column, so a hot
+    metadata value can't make it quadratic. Deterministic given the
+    seeded hyperplanes; the oracle reproduces the same buckets."""
+    return S.pairwise_near_dups(
+        table(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        num_planes=_ND_PLANES,
+        num_tables=_ND_TABLES,
+    )
 
 
 # --------------------------------------------------------------------------

@@ -60,13 +60,31 @@ def test_brute_force_topk_has_no_shuffle_exchange(spark, sf_dir):
 
 
 def test_shingle_arrays_are_map_only(spark, sf_dir):
-    """doc_shingle_arrays claims zero shuffles — hold it to that."""
+    """doc_shingle_arrays claims no KEY shuffle — hold it to that. The
+    one allowed exchange is the gated RoundRobin input rebalance (fires
+    only when the scan has too few partitions, as the single-file local
+    fixture does; a no-op at scale), and with an already-parallel input
+    the plan must have no Exchange at all."""
     from csv2parquet_spark.operators.dedup import doc_shingle_arrays
     from csv2parquet_spark.tables import table
 
-    dsa = doc_shingle_arrays(table(spark, sf_dir, "documents"))
-    plan = _plan(dsa)
-    assert "Exchange" not in plan
+    plan = _plan(doc_shingle_arrays(table(spark, sf_dir, "documents")))
+    if "Exchange" in plan:
+        assert "RoundRobinPartitioning" in plan
+        assert "hashpartitioning" not in plan
+
+    pre = table(spark, sf_dir, "documents").repartition(4).localCheckpoint()
+    plan2 = _plan(doc_shingle_arrays(pre))
+    assert "Exchange" not in plan2
+
+
+def test_embedding_near_dups_not_blocked_on_data_column(spark, sf_dir):
+    """embedding_near_dups joins on (table, bucket) LSH keys — the plan
+    must never read or join on the `label` data column (round-1: a hot
+    label made the within-block join quadratic)."""
+    plan = _plan(REGISTRY["embedding_near_dups"].fn(spark, sf_dir))
+    assert "label" not in plan
+    assert "bucket" in plan
 
 
 def test_knn_join_partial_window_group_limit(spark, sf_dir):
