@@ -16,6 +16,7 @@
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -185,6 +186,46 @@ def pairwise_near_dups(
     )
 
 
+def _normalized_centroid_matrix(centroids: list[list[float]]):
+    """Row-normalized (k × dim) float64 centroid matrix: per-vector
+    cosine argmax over centroids == dot argmax against normalized rows
+    (|v| is constant across candidates)."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    n = np.linalg.norm(C, axis=1, keepdims=True)
+    n[n == 0.0] = 1.0
+    return C / n
+
+
+def _assign_clusters(
+    vectors: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Add the nearest-centroid ``cluster`` id — Arrow-batched pandas
+    UDF over a BROADCAST numpy centroid matrix.
+
+    This is the coarse-quantizer shape that survives a real index size:
+    literal-centroid expression trees (round 1) explode Catalyst at
+    thousands-of-lists × 768-dim, and a centroid-join + per-vector
+    argmin groupBy would shuffle the corpus×k score pairs. Here the
+    centroids ship once per executor (sc.broadcast) and assignment is
+    one map-only matmul per Arrow batch — zero shuffle, O(k·dim) driver
+    state, ties broken by lowest cluster id (np.argmax)."""
+    from pyspark.sql.functions import pandas_udf
+
+    sc = vectors.sparkSession.sparkContext
+    bc = sc.broadcast(_normalized_centroid_matrix(centroids))
+
+    @pandas_udf("int")
+    def _argmax(embs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        M = np.vstack([np.asarray(e, dtype=np.float64) for e in embs])
+        return pd.Series(np.argmax(M @ bc.value.T, axis=1).astype(np.int32))
+
+    return vectors.withColumn("cluster", _argmax(F.col(vec_col)))
+
+
 def kmeans_centroids(
     vectors: DataFrame,
     n_centroids: int = 16,
@@ -196,8 +237,8 @@ def kmeans_centroids(
     (a ``n_centroids × dim`` Python list — the ONLY thing that ever
     reaches the driver; the vectors never do).
 
-    Per iteration: assignment is a per-row argmax of cosine against the
-    literal centroid arrays (codegen, no join, no shuffle); the update is
+    Per iteration: assignment is the broadcast-matrix pandas UDF of
+    :func:`_assign_clusters` (map-only, no shuffle); the update is
     ``posexplode → groupBy(cluster, pos) → avg`` — a map-side-combining
     shuffle of n·dim scalar partials, the standard distributed-Lloyd
     shape. Init is the ``n_centroids`` vectors with the smallest
@@ -211,9 +252,8 @@ def kmeans_centroids(
     )
     centroids = [[float(x) for x in r.v] for r in init]
     for _ in range(n_iter):
-        assigned = vectors.select(
-            _nearest_centroid(F.col(vec_col), centroids).alias("cluster"),
-            F.posexplode(F.col(vec_col)).alias("pos", "x"),
+        assigned = _assign_clusters(vectors, centroids, vec_col).select(
+            "cluster", F.posexplode(F.col(vec_col)).alias("pos", "x")
         )
         new = (
             assigned.groupBy("cluster", "pos")
@@ -228,27 +268,95 @@ def kmeans_centroids(
     return centroids
 
 
-def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
-    """argmax-cosine cluster id for a vector column against literal
-    centroid arrays — pure codegen expression, no join."""
-    sims = F.array(
-        *[
-            cosine(vec, F.array(*[F.lit(float(x)) for x in c]))
-            for c in centroids
-        ]
-    )
-    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
-
-
 def ivf_assign(
     vectors: DataFrame,
     centroids: list[list[float]],
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Add the IVF list id (``cluster``) to every vector. At scale this
-    column is the partition/bucket key of the stored index, so a probe
-    reads ``nprobe`` partitions instead of the corpus."""
-    return vectors.withColumn("cluster", _nearest_centroid(F.col(vec_col), centroids))
+    column is the partition/bucket key of the stored index (see
+    :func:`write_ivf_index`), so a probe reads ``nprobe`` partitions
+    instead of the corpus."""
+    return _assign_clusters(vectors, centroids, vec_col)
+
+
+def _probe_lists(spark, centroids: list[list[float]], nprobe: int):
+    """pandas UDF: per query vector, the ``nprobe`` nearest centroid ids
+    (cosine, ties to the lower id via stable argsort) — the same
+    broadcast-matrix shape as :func:`_assign_clusters`."""
+    from pyspark.sql.functions import pandas_udf
+
+    bc = spark.sparkContext.broadcast(_normalized_centroid_matrix(centroids))
+
+    @pandas_udf("array<int>")
+    def _topn(embs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        M = np.vstack([np.asarray(e, dtype=np.float64) for e in embs])
+        order = np.argsort(-(M @ bc.value.T), axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([row.astype(np.int32) for row in order])
+
+    return _topn
+
+
+def write_ivf_index(
+    vectors: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Persist an IVF-Flat index: the corpus parquet-partitioned by its
+    ``cluster`` list id (``{path}/corpus/cluster=N/``) plus the centroid
+    table (``{path}/centroids``). A probe then reads only ``nprobe``
+    directories — partition PRUNING, not a scan-and-filter: at 100 TB
+    the probe cost is proportional to the probed lists, not the corpus.
+    Returns the trained centroids."""
+    centroids = kmeans_centroids(vectors, n_centroids, n_iter, vec_col, id_col)
+    assigned = ivf_assign(vectors, centroids, vec_col)
+    assigned.write.partitionBy("cluster").mode("overwrite").parquet(f"{path}/corpus")
+    spark = vectors.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cluster int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    return centroids
+
+
+def probe_ivf_index(
+    spark,
+    path: str,
+    query: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k against a persisted IVF index (:func:`write_ivf_index`).
+
+    The centroid table (k × dim — driver-sized by construction) is
+    collected, the query's ``nprobe`` nearest lists are chosen driver-
+    side in numpy, and the corpus read carries ``cluster IN (probes)``
+    — Spark turns that into partition pruning on the ``cluster=N``
+    directories (asserted on ``inputFiles()`` in tests), so the scan
+    touches only the probed lists. With ``nprobe == n_centroids`` the
+    result is exactly the brute-force top-k."""
+    import numpy as np
+
+    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cluster").collect()
+    Cn = _normalized_centroid_matrix([list(r.centroid) for r in cent_rows])
+    qrows = query.select(F.col(vec_col).alias("q")).collect()
+    if len(qrows) != 1:
+        raise ValueError(f"probe_ivf_index expects exactly one query row, got {len(qrows)}")
+    qv = np.asarray(qrows[0].q, dtype=np.float64)
+    probes = [
+        int(c)
+        for c in np.argsort(-(Cn @ qv), kind="stable")[:nprobe]
+    ]
+    corpus = spark.read.parquet(f"{path}/corpus").filter(F.col("cluster").isin(probes))
+    qdf = query.select(F.col(vec_col).alias(vec_col)).limit(1)
+    return topk_similar(corpus, qdf, k=k, vec_col=vec_col, id_col=id_col)
 
 
 def ivf_topk(
@@ -273,23 +381,13 @@ def ivf_topk(
     """
     centroids = kmeans_centroids(vectors, n_centroids, n_iter, vec_col, id_col)
     assigned = ivf_assign(vectors, centroids, vec_col)
-
-    # Query side: nprobe nearest centroid ids as a literal-array sort.
-    sims = F.array(
-        *[
-            F.struct(
-                (cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])) * -1)
-                .alias("negsim"),
-                F.lit(i).alias("cid"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
     qprobe = F.broadcast(
         query.select(
             F.col(vec_col).alias("__qvec"),
             norm(F.col(vec_col)).alias("__qn"),
-            F.slice(F.array_sort(sims)["cid"], 1, nprobe).alias("__probes"),
+            _probe_lists(query.sparkSession, centroids, nprobe)(F.col(vec_col)).alias(
+                "__probes"
+            ),
         )
     )
     scored = (

@@ -147,6 +147,36 @@ def test_ivf_full_probe_equals_bruteforce(spark, sf_dir):
     assert [(r.vec_id, r.sim) for r in exact] == [(r.vec_id, r.sim) for r in ivf]
 
 
+def test_ivf_index_probe_is_partition_pruned(spark, sf_dir, tmp_path):
+    """probe_ivf_index must read ONLY the nprobe cluster=N directories
+    (partition pruning on the persisted index), and a full probe must
+    reproduce brute-force top-k exactly."""
+    import pyspark.sql.functions as F
+
+    from csv2parquet_spark.operators import similarity as S
+    from csv2parquet_spark.tables import table
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select("embedding")
+    body = e.filter(F.col("vec_id") != 0)
+    path = str(tmp_path / "ivf")
+    S.write_ivf_index(body, path, n_centroids=4, n_iter=1)
+
+    pruned = S.probe_ivf_index(spark, path, q, k=5, nprobe=2)
+    # The cluster predicate must land in PartitionFilters — that's the
+    # directory-level pruning mechanism (the FileIndex never lists the
+    # non-probed cluster=N dirs); a post-scan Filter would mean the scan
+    # still reads the whole corpus.
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "cluster" in pf[0], plan
+    assert len(pruned.collect()) <= 5
+
+    full = S.probe_ivf_index(spark, path, q, k=5, nprobe=4).collect()
+    exact = S.topk_similar(body, q, k=5).collect()
+    assert [(r.vec_id, r.sim) for r in exact] == [(r.vec_id, r.sim) for r in full]
+
+
 def test_compaction_reduces_file_count(spark, tmp_path, sf_dir):
     """128 tiny part-files compact to the planned count; data survives
     byte-exactly; the sorted variant clusters row-group stats."""
