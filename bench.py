@@ -96,6 +96,72 @@ def bench_conversion(spark, sf_dir: str) -> dict:
     }
 
 
+def bench_conversion_big(spark, sf_dir: str) -> dict:
+    """Conversion throughput at REAL size: a multi-GB CSV (cached across
+    rounds — generation is setup, not timed) so the MB/s figure measures
+    sustained parse+encode, not fixed JVM/job overhead (a 39 MB input is
+    overhead-dominated and says nothing about the 100 TB path).
+
+    The input is the sf lineitem CSV body replicated to
+    $SPARK_GRAFT_BENCH_BIG_MB (default 2048 MB; 0 skips). Timed once per
+    mode — at GB scale codegen warm-up is noise."""
+    import duckdb
+
+    from csv2parquet_spark.converter import ConvertOptions, convert
+
+    target_mb = int(os.environ.get("SPARK_GRAFT_BENCH_BIG_MB", "2048"))
+    if target_mb <= 0:
+        return {}
+    work = "/tmp/spark_graft_bench"
+    os.makedirs(work, exist_ok=True)
+    base = os.path.join(work, f"lineitem_{os.path.basename(sf_dir)}.csv")
+    if not os.path.exists(base):
+        duckdb.sql(
+            f"COPY (SELECT * FROM read_parquet('{sf_dir}/lineitem.parquet')) "
+            f"TO '{base}' (HEADER, DELIMITER ',')"
+        )
+    big = os.path.join(work, f"big_lineitem_{target_mb}.csv")
+    if (
+        not os.path.exists(big)
+        or abs(os.path.getsize(big) - target_mb * 1e6) > 0.1 * target_mb * 1e6
+    ):
+        with open(base, "rb") as f:
+            header, body = f.read().split(b"\n", 1)
+        reps = max(1, int(target_mb * 1e6 // max(1, len(body))))
+        with open(big, "wb") as out:
+            out.write(header + b"\n")
+            for _ in range(reps):
+                out.write(body)
+    size_mb = os.path.getsize(big) / 1e6
+    t0 = time.perf_counter()
+    convert(
+        spark, big, os.path.join(work, "big_multi.parquet"), ConvertOptions(single_file=False)
+    )
+    t_multi = time.perf_counter() - t0
+    # Sampled inference (the realistic at-scale knob: --max-read-records):
+    # isolates the cost of the reference-default full-pass inference.
+    t0 = time.perf_counter()
+    convert(
+        spark,
+        big,
+        os.path.join(work, "big_multi.parquet"),
+        ConvertOptions(single_file=False, max_read_records=65536),
+    )
+    t_sampled = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    convert(spark, big, os.path.join(work, "big_single.parquet"))
+    t_single = time.perf_counter() - t0
+    return {
+        "input_mb": round(size_mb, 1),
+        "single_file_sec": round(t_single, 3),
+        "single_file_mb_per_sec": round(size_mb / t_single, 1),
+        "parallel_sec": round(t_multi, 3),
+        "parallel_mb_per_sec": round(size_mb / t_multi, 1),
+        "parallel_sampled_infer_sec": round(t_sampled, 3),
+        "parallel_sampled_infer_mb_per_sec": round(size_mb / t_sampled, 1),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -124,6 +190,7 @@ def main() -> None:
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "csv_to_parquet": bench_conversion(spark, sf_dir),
+                "csv_to_parquet_big": bench_conversion_big(spark, sf_dir),
             }
         )
     )

@@ -18,6 +18,7 @@ which is the 100 TB path (SURVEY §7 "hard parts").
 
 from __future__ import annotations
 
+import contextlib
 import glob
 import os
 import shutil
@@ -89,6 +90,36 @@ def _effective_multiline(csv_path: str, opts: ConvertOptions) -> bool:
     return False
 
 
+@contextlib.contextmanager
+def _tuned_splits(spark: SparkSession, csv_path: str):
+    """Right-size ``spark.sql.files.maxPartitionBytes`` to the input so a
+    splittable CSV fans out to ~2× the core count (clamped to
+    [16 MB, 128 MB]). The default 128 MB leaves a 2 GB file at 16 tasks
+    on a 32-core machine — half the machine idle through BOTH the
+    inference pass and the convert pass — and the former alternative (a
+    repartition inside inference) shuffled the whole string sample. On a
+    cluster-sized input the clamp keeps the standard 128 MB splits."""
+    size = os.path.getsize(csv_path) if os.path.isfile(csv_path) else None
+    para = max(1, spark.sparkContext.defaultParallelism)
+    # Only worth it when the file can actually feed every core ≥16 MB
+    # splits (≈1 GB at 32 cores) — below that, fixed job overhead
+    # dominates and the default split size is fine.
+    if size is None or size < 2 * para * (16 << 20):
+        yield
+        return
+    tgt = min(max(size // (2 * para), 16 << 20), 128 << 20)
+    key = "spark.sql.files.maxPartitionBytes"
+    prior = spark.conf.get(key, None)
+    spark.conf.set(key, str(tgt))
+    try:
+        yield
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+
+
 def _resolve_schema(
     spark: SparkSession, csv_path: str, opts: ConvertOptions
 ) -> T.StructType:
@@ -96,13 +127,14 @@ def _resolve_schema(
     if opts.schema_file:
         with open(opts.schema_file) as f:
             return arrow_json_to_struct(f.read())
-    raw = spark.read.options(
-        header=opts.header,
-        sep=opts.delimiter,
-        multiLine=_effective_multiline(csv_path, opts),
-        escape='"',
-    ).csv(csv_path)
-    return infer_schema(raw, opts.max_read_records)
+    with _tuned_splits(spark, csv_path):
+        raw = spark.read.options(
+            header=opts.header,
+            sep=opts.delimiter,
+            multiLine=_effective_multiline(csv_path, opts),
+            escape='"',
+        ).csv(csv_path)
+        return infer_schema(raw, opts.max_read_records)
 
 
 def read_csv(spark: SparkSession, csv_path: str, opts: ConvertOptions) -> DataFrame:
@@ -194,19 +226,10 @@ def convert(
 
     prior = _apply_writer_conf(spark, opts)
     try:
-        if opts.single_file:
-            # One output FILE (not a directory) for CLI parity.
-            tmp = tempfile.mkdtemp(prefix="c2p_", dir=os.path.dirname(os.path.abspath(parquet_path)) or ".")
-            try:
-                writer.mode("overwrite").parquet(os.path.join(tmp, "out"))
-                part = glob.glob(os.path.join(tmp, "out", "part-*.parquet"))[0]
-                if os.path.isdir(parquet_path):
-                    shutil.rmtree(parquet_path)
-                shutil.move(part, parquet_path)
-            finally:
-                shutil.rmtree(tmp, ignore_errors=True)
-        else:
-            writer.mode("overwrite").parquet(parquet_path)
+        # Split tuning must be live at ACTION time (FilePartition sizing
+        # reads the session conf when the scan is planned for execution).
+        with _tuned_splits(spark, csv_path):
+            _run_write(spark, writer, opts, parquet_path)
     finally:
         conf = spark.sparkContext._jsc.hadoopConfiguration()
         for k, v in prior.items():
@@ -215,3 +238,19 @@ def convert(
             else:
                 conf.set(k, v)
     return schema
+
+
+def _run_write(spark, writer, opts: ConvertOptions, parquet_path: str) -> None:
+    if opts.single_file:
+        # One output FILE (not a directory) for CLI parity.
+        tmp = tempfile.mkdtemp(prefix="c2p_", dir=os.path.dirname(os.path.abspath(parquet_path)) or ".")
+        try:
+            writer.mode("overwrite").parquet(os.path.join(tmp, "out"))
+            part = glob.glob(os.path.join(tmp, "out", "part-*.parquet"))[0]
+            if os.path.isdir(parquet_path):
+                shutil.rmtree(parquet_path)
+            shutil.move(part, parquet_path)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        writer.mode("overwrite").parquet(parquet_path)

@@ -39,6 +39,50 @@ INTS = st.integers(min_value=-(2**62), max_value=2**62)
 BOOLS = st.booleans()
 
 
+CLASSIFIER_CHARS = st.text(
+    alphabet=list("0123456789-.:eE+ Ttruefals/"), min_size=0, max_size=20
+)
+EDGE_VALUES = [
+    "", "-", "--", "+5", " 5", "5 ", "-0", "007", "5.", ".5", "-.5", ".",
+    "1e5", "1E+5", "1e-5", ".5e3", "5.e3", "e5", "1e", "1.2.3", "1-2",
+    "true", "False", "tRuE", "truefalse",
+    "2020-01-01", "2020-1-01", "0000-00-00", "9999-99-99", "2020-01-011",
+    "2020-01-01 00:00:00", "2020-01-01T00:00:00", "2020-01-01t00:00:00",
+    "2020-01-01 0:00:00", "2020-01-01 00-00-00",
+    "9223372036854775808123", "٥",
+]
+
+
+@SETTINGS
+@given(vals=st.lists(CLASSIFIER_CHARS, min_size=1, max_size=30))
+def test_fast_classifiers_match_reference_regexes(spark, vals):
+    """The regex-free classify predicates (translate/LIKE) must assign
+    every value the same lattice class as the reference arrow-csv
+    regexes. Newlines are excluded: a java-regex `$` matches before a
+    trailing newline while the string predicates (and rust-regex, which
+    the reference actually uses) do not."""
+    import pyspark.sql.functions as F
+
+    import csv2parquet_spark.converter.inference as I
+
+    rows = [(v,) for v in {*vals, *EDGE_VALUES}]
+    df = spark.createDataFrame(rows, "v string")
+    c = F.col("v")
+    regex_bit = (
+        F.when(c.rlike(I.INTEGER_RE), 2)
+        .when(c.rlike(I.FLOAT_RE), 4)
+        .when(c.rlike(I.DATE32_RE), 8)
+        .when(c.rlike(I.DATE64_RE), 16)
+        .when(c.rlike(I.BOOLEAN_RE), 1)
+        .otherwise(32)
+    )
+    got = df.select(
+        "v", regex_bit.alias("ref"), I._value_class_bit(c).alias("fast")
+    ).collect()
+    bad = [(r.v, r.ref, r.fast) for r in got if r.ref != r.fast]
+    assert not bad, f"classifier divergence: {bad[:10]}"
+
+
 def _write_csv(path: str, header: list[str], rows: list[tuple]) -> None:
     with open(path, "w", newline="") as f:
         w = csv.writer(f)  # RFC-4180 quoting
