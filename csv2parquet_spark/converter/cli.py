@@ -41,7 +41,8 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["uncompressed", "snappy", "gzip", "lzo", "brotli", "lz4", "zstd"],
         default=None,
     )
-    # W2: parquet-mr picks encodings automatically — accepted, documented gap.
+    # W2: mapped to parquet-mr's nearest knobs (writer version v2 /
+    # dictionary toggle) — see ConvertOptions.encoding for residual gaps.
     p.add_argument(
         "-e",
         "--encoding",
@@ -88,6 +89,7 @@ def main(argv: list[str] | None = None) -> int:
         write_batch_size=args.write_batch_size,
         max_row_group_size=args.max_row_group_size,
         max_statistics_size=args.max_statistics_size,
+        encoding=args.encoding,
         created_by=args.created_by,
         print_schema=args.print_schema,
         dry=args.dry,

@@ -54,6 +54,16 @@ class ConvertOptions:
     write_batch_size: int | None = None     # W8 (approx: page row-count limit)
     max_row_group_size: int | None = None   # W9 (rows; see note below)
     max_statistics_size: int | None = None  # W4
+    # W2 approximation (main.rs:25-35,206-218): the reference sets ONE
+    # default encoding for every column via arrow-rs WriterProperties.
+    # parquet-mr exposes no per-encoding switch, but its nearest knobs
+    # are wired: delta-* → format v2 writer with dictionary off (v2
+    # auto-picks DELTA_BINARY_PACKED for ints / DELTA_BYTE_ARRAY for
+    # byte arrays); rle-dictionary → dictionary on (v2 dictionary data
+    # pages ARE RLE_DICTIONARY); plain → dictionary off, v1 (PLAIN data
+    # pages). "rle"/"bit-packed" are level encodings parquet-mr always
+    # chooses itself — accepted and ignored, the residual gap.
+    encoding: str | None = None
     created_by: str | None = None           # W10 — documented gap (not settable)
     print_schema: bool = False              # O4
     dry: bool = False                       # O4
@@ -160,8 +170,19 @@ def _apply_writer_conf(spark: SparkSession, opts: ConvertOptions) -> dict[str, s
     unreachable through parquet-mr — documented gaps (SURVEY §2.1).
     """
     conf = spark.sparkContext._jsc.hadoopConfiguration()
+    dictionary = opts.dictionary
+    writer_version = None
+    if opts.encoding in {
+        "delta-binary-packed", "delta-length-byte-array", "delta-byte-array",
+    }:
+        writer_version, dictionary = "v2", False
+    elif opts.encoding == "rle-dictionary":
+        writer_version, dictionary = "v2", True
+    elif opts.encoding == "plain":
+        dictionary = False
     wanted: dict[str, str | None] = {
-        "parquet.enable.dictionary": str(opts.dictionary).lower(),  # W5
+        "parquet.writer.version": writer_version,  # W2 approx
+        "parquet.enable.dictionary": str(dictionary).lower(),  # W5
         "parquet.page.size": str(opts.data_pagesize_limit) if opts.data_pagesize_limit else None,  # W6
         "parquet.dictionary.page.size": str(opts.dictionary_pagesize_limit) if opts.dictionary_pagesize_limit else None,  # W7
         "parquet.page.row.count.limit": str(opts.write_batch_size) if opts.write_batch_size else None,  # W8 approx

@@ -183,6 +183,37 @@ def test_writer_dictionary_default_off(spark, tmp):
     assert any("DICTIONARY" in e for e in encodings(out_on))
 
 
+def test_writer_encoding_approximations(spark, tmp):
+    """W2 (main.rs:25-35,206-218) via parquet-mr's nearest knobs: the
+    chosen writer version / dictionary toggle must surface in the file's
+    actual column-chunk encodings (pyarrow metadata)."""
+    src = _write(
+        tmp,
+        "enc.csv",
+        "i,s\n" + "\n".join(f"{n},word{n % 7}" for n in range(300)) + "\n",
+    )
+
+    def encodings(p, col):
+        return set(pq.ParquetFile(p).metadata.row_group(0).column(col).encodings)
+
+    out = os.path.join(tmp, "e_delta.parquet")
+    convert(spark, src, out, ConvertOptions(encoding="delta-binary-packed"))
+    assert "DELTA_BINARY_PACKED" in encodings(out, 0)
+
+    out = os.path.join(tmp, "e_dba.parquet")
+    convert(spark, src, out, ConvertOptions(encoding="delta-byte-array"))
+    assert "DELTA_BYTE_ARRAY" in encodings(out, 1)
+
+    out = os.path.join(tmp, "e_rled.parquet")
+    convert(spark, src, out, ConvertOptions(encoding="rle-dictionary"))
+    assert "RLE_DICTIONARY" in encodings(out, 1)
+
+    out = os.path.join(tmp, "e_plain.parquet")
+    convert(spark, src, out, ConvertOptions(encoding="plain"))
+    assert "PLAIN" in encodings(out, 1)
+    assert not any("DICTIONARY" in e for e in encodings(out, 1))
+
+
 def test_multi_part_output(spark, tmp):
     """single_file=False → directory of part files (the 100 TB path)."""
     src = _write(tmp, "typed.csv", TYPED_CSV)

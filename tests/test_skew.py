@@ -1,0 +1,113 @@
+"""Skew-resilience tests (VERDICT r1 item 8): a corpus where ~30% of
+documents are byte-identical creates the worst-case hot key for every
+near-dup pipeline — one hot LSH band bucket, one hot SimHash band, hot
+prefix shingles. The pipelines must (a) stay EXACT (the quadratic
+C(hot, 2) pair set is the true answer, not a blowup artifact), and
+(b) finish in bounded time because the skew machinery — AQE skew-join
+splitting plus the PPJoin rare-first prefix ordering, which is the
+salting-equivalent for the shingle join — keeps per-task work bounded.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from csv2parquet_spark.operators import dedup as D
+
+HOT = 150  # 150 of 500 docs identical → 30% hot key
+EXPECTED_PAIRS = HOT * (HOT - 1) // 2
+
+
+@pytest.fixture(scope="module")
+def hot_corpus(spark):
+    hot = [
+        (i, "the same hot duplicated document body repeated many times across the corpus")
+        for i in range(HOT)
+    ]
+    uniq = [
+        (
+            1000 + i,
+            f"unique doc {i} alpha{i} beta{i * 7} gamma{i * 11} "
+            f"delta{i * 13} epsilon{i * 17} zeta{i * 19}",
+        )
+        for i in range(350)
+    ]
+    return spark.createDataFrame(hot + uniq, "doc_id bigint, text string")
+
+
+def test_session_enables_aqe_skew_handling(spark):
+    """The engine session must ship with runtime skew handling on — at
+    100 TB a skewed verify join is re-split by AQE, not hand-tuned."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true"
+
+
+@pytest.mark.parametrize(
+    "name,run",
+    [
+        ("jaccard", lambda df: D.ngram_jaccard_pairs(df, threshold=0.8)),
+        ("minhash", lambda df: D.minhash_near_dups(df, threshold=0.8)),
+        ("simhash", lambda df: D.simhash_near_dups(df, max_hamming=0)),
+    ],
+)
+def test_hot_key_near_dup_exact_and_bounded(hot_corpus, name, run):
+    """30% identical docs: every pipeline must return EXACTLY the
+    C(150,2) true pairs (hot keys must not drop or duplicate pairs) and
+    complete in bounded wall time (generous cap — the point is 'does not
+    degenerate', not a micro-benchmark)."""
+    t0 = time.time()
+    got = run(hot_corpus).count()
+    wall = time.time() - t0
+    assert got == EXPECTED_PAIRS, f"{name}: {got} != {EXPECTED_PAIRS}"
+    assert wall < 60, f"{name} degenerated on hot key: {wall:.1f}s"
+
+
+def test_hot_key_candidates_do_not_multiply(hot_corpus):
+    """The PPJoin position filter must emit each hot pair ~once: the
+    hot docs share every prefix shingle, so a naive prefix join would
+    yield |prefix|× duplicates of each pair before the distinct. The
+    positional upper-bound filter prunes those occurrences; candidate
+    multiplicity stays a small constant (measured ~1 for identical
+    docs at threshold 0.8)."""
+    from pyspark.sql import functions as F
+
+    dsa = D.doc_shingle_arrays(hot_corpus).localCheckpoint()
+    # Reproduce the rare-first prefix relation the operator builds.
+    ex = dsa.select("id", "sz", F.explode("sset").alias("shingle"))
+    freq = ex.groupBy("shingle").agg(F.count("*").alias("df_freq"))
+    ranked = (
+        ex.join(freq, "shingle")
+        .groupBy("id")
+        .agg(
+            F.first("sz").alias("sz"),
+            F.array_sort(F.collect_list(F.struct("df_freq", "shingle"))).alias("rk"),
+        )
+    )
+    plen = D._prefix_len(0.8)
+    prefix = ranked.select(
+        "id",
+        "sz",
+        F.posexplode(
+            F.slice(F.transform("rk", lambda x: x["shingle"]), F.lit(1), plen)
+        ).alias("pos", "shingle"),
+    )
+    a = prefix.select(
+        F.col("id").alias("id_a"), F.col("sz").alias("pa_sz"), F.col("pos").alias("pa_pos"), "shingle"
+    )
+    b = prefix.select(
+        F.col("id").alias("id_b"), F.col("sz").alias("pb_sz"), F.col("pos").alias("pb_pos"), "shingle"
+    )
+    maxo = F.least(F.col("pa_sz") - F.col("pa_pos"), F.col("pb_sz") - F.col("pb_pos"))
+    ub = maxo.cast("double") / (F.col("pa_sz") + F.col("pb_sz") - maxo)
+    pre_distinct = (
+        a.join(b, "shingle")
+        .filter((F.col("id_a") < F.col("id_b")) & (ub >= F.lit(0.8) - F.lit(1e-9)))
+        .count()
+    )
+    assert pre_distinct <= 3 * EXPECTED_PAIRS, (
+        f"position filter failed to bound hot-key candidates: "
+        f"{pre_distinct} occurrences for {EXPECTED_PAIRS} true pairs"
+    )
