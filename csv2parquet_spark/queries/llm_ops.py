@@ -281,10 +281,27 @@ def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_join(e, q, k=10)
 
 
-@register("similarity_topk_lsh", oracle=None)  # seeded hyperplanes → rows-only
+@register(
+    "similarity_topk_lsh",
+    oracle=f"""
+    WITH qb AS (
+      SELECT embedding AS qv,
+             {_sql_lsh_bucket('embedding', S._hyperplanes(4, 64, 42))} AS bucket
+      FROM embeddings WHERE vec_id = 0
+    )
+    SELECT b.vec_id, round({_sql_cosine('b.embedding', 'qb.qv')}, 6) AS sim
+    FROM embeddings b, qb
+    WHERE b.vec_id <> 0
+      AND {_sql_lsh_bucket('b.embedding', S._hyperplanes(4, 64, 42))} = qb.bucket
+    ORDER BY sim DESC, b.vec_id
+    LIMIT 10
+    """,
+)
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH bucketing — the scale
-    path: probe one bucket instead of scanning the corpus."""
+    path: probe one bucket instead of scanning the corpus. The seeded
+    hyperplanes are literal constants, so the DuckDB oracle reproduces
+    the exact bucket assignment (was rows-only in round 1)."""
     e = table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0).select("embedding")
     return S.lsh_topk(e.filter(F.col("vec_id") != 0), q, k=10, num_planes=4)
@@ -610,7 +627,35 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_metadata(d)
 
 
-@register("similarity_two_stage_retrieval", oracle=None)  # LSH stage → rows-only
+def _sql_lsh_pool(pool_alias: str, planes: list[list[float]], k: int) -> str:
+    """One LSH probe stage as SQL: query-bucket match → rounded-cosine
+    top-k ids (ORDER BY sim, vec_id mirrors Spark's deterministic
+    tie-break)."""
+    bucket = _sql_lsh_bucket("b.embedding", planes)
+    qbucket = _sql_lsh_bucket("q.embedding", planes)
+    return f"""{pool_alias} AS (
+      SELECT b.vec_id
+      FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      WHERE b.vec_id <> 0 AND {bucket} = {qbucket}
+      ORDER BY round({_sql_cosine('b.embedding', 'q.embedding')}, 6) DESC, b.vec_id
+      LIMIT {k}
+    )"""
+
+
+@register(
+    "similarity_two_stage_retrieval",
+    oracle=f"""
+    WITH {_sql_lsh_pool('p1', S._hyperplanes(3, 64, 42), 50)},
+    {_sql_lsh_pool('p2', S._hyperplanes(3, 64, 1337), 50)},
+    pool AS (SELECT vec_id FROM p1 UNION SELECT vec_id FROM p2)
+    SELECT b.vec_id, round({_sql_cosine('b.embedding', 'q.embedding')}, 6) AS sim
+    FROM embeddings b
+    JOIN pool USING (vec_id),
+         (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    ORDER BY sim DESC, b.vec_id
+    LIMIT 10
+    """,
+)
 def similarity_two_stage_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage retrieval, the production ANN shape: stage 1 gathers a
     wide candidate pool cheaply (LSH bucket probe, union over 2 seeded
