@@ -583,7 +583,17 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
-    return extract_features(d)
+    feats = extract_features(d)
+    # Serialize the vector for the driver harness (its canonicalizer
+    # cannot hash list cells — the array_funcs2 r1 lesson); dim + a
+    # rounded digest keep the full contract observable.
+    return feats.select(
+        "doc_id",
+        F.size("feature").alias("feature_dim"),
+        F.concat_ws(
+            ",", F.transform("feature", lambda x: F.round(x.cast("double"), 4).cast("string"))
+        ).alias("feature_csv"),
+    )
 
 
 @register("multimodal_resize_plan", oracle=None)  # mapInPandas → rows-only
