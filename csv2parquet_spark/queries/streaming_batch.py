@@ -183,3 +183,39 @@ def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("conv_rate"),
         )
     )
+
+
+@register(
+    "stream_interval_join_agg",
+    oracle="""
+    WITH j AS (
+      SELECT c.user_id,
+             epoch_ms(p.ts) - epoch_ms(c.ts) AS gap_ms
+      FROM events c JOIN events p
+        ON c.user_id = p.user_id
+       AND c.event_type = 'click' AND p.event_type = 'purchase'
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    )
+    SELECT user_id, count(*) AS n_pairs,
+           CAST(sum(gap_ms) AS BIGINT) AS total_gap_ms
+    FROM j GROUP BY user_id
+    """,
+)
+def stream_interval_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream INTERVAL join
+    (streaming/windows.py interval_join): purchases matched to same-user
+    clicks in the preceding 30 minutes, aggregated per user. Gap sums
+    are integer milliseconds — exact, engine-order-independent. The
+    pytest suite replays the identical join on readStream and asserts
+    stream == batch."""
+    from csv2parquet_spark.streaming.windows import interval_join
+
+    e = table(spark, sf_dir, "events")
+    pairs = interval_join(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "purchase"),
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("gap_ms").cast("bigint").alias("total_gap_ms"),
+    )

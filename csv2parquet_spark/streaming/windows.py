@@ -97,6 +97,50 @@ def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def interval_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream INTERVAL join: each purchase matched to every click
+    by the same user in the preceding ``horizon``.
+
+    The time-range predicate plus watermarks on BOTH sides is what lets
+    Spark bound the join state: a click older than
+    ``watermark + horizon`` can never match a future purchase, so its
+    state is evicted — without the range condition a stream-stream join
+    buffers forever. State is sharded by the equi-key (user_id) across
+    executors. ``withWatermark`` is a no-op in batch, so the SAME
+    function is the batch twin the tests compare against.
+
+    Returns (user_id, click_id, purchase_id, gap_ms) — the gap in
+    integer milliseconds (exact; no float accumulation downstream).
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    ).withWatermark("purchase_ts", watermark)
+    return c.join(
+        p,
+        F.expr(
+            f"c_user = user_id AND purchase_ts >= click_ts "
+            f"AND purchase_ts <= click_ts + interval {horizon}"
+        ),
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.unix_millis("purchase_ts") - F.unix_millis("click_ts")).alias("gap_ms"),
+    )
+
+
 def streaming_csv_to_parquet(
     spark: SparkSession,
     csv_dir: str,

@@ -192,3 +192,29 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # the 10:00 window was finalized with ONE event; the late duplicate
     # arriving in batch 2 did not resurrect or increment it
     assert got.get(ten_am) == 1, got
+
+
+def test_interval_join_stream_equals_batch(spark, sf_dir):
+    """Stream-stream interval join (clicks × purchases, 30-min horizon,
+    watermarks both sides) must produce exactly the batch join's pairs."""
+    from pyspark.sql import functions as F
+
+    from csv2parquet_spark.streaming.windows import interval_join
+    from csv2parquet_spark.tables import table
+
+    s = read_events_stream(spark, sf_dir)
+    got = _run_stream(
+        spark,
+        interval_join(
+            s.filter(F.col("event_type") == "click"),
+            s.filter(F.col("event_type") == "purchase"),
+        ),
+        mode="append",
+    )
+    e = table(spark, sf_dir, "events")
+    want = interval_join(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "purchase"),
+    )
+    assert _sorted_rows(got) == _sorted_rows(want)
+    assert want.count() > 0
