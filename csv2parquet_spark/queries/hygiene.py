@@ -1,0 +1,187 @@
+"""Corpus-hygiene queries (training-data pipeline surface beyond
+SURVEY.md §2.8's first wave): benchmark decontamination, C4-style
+quality filtering, Gopher repetition signals, boilerplate n-gram
+mining, and deterministic mixture sampling.
+
+Every query has a full DuckDB oracle — the hash keys are md5 (not
+xxhash64) and the sampling gate is multiplicative-arithmetic (not an
+RNG) precisely so both engines can reproduce the values bit-for-bit;
+the operators' docstrings name the at-scale substitutions
+(operators/pipeline.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from csv2parquet_spark.operators import pipeline as P
+from csv2parquet_spark.queries.registry import register
+from csv2parquet_spark.tables import table
+
+_EVAL_SOURCES = ("src0", "src1")
+
+_SQL_SHINGLE5 = (
+    "t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]"
+)
+_SQL_STOP_IN = "('" + "', '".join(P.STOPWORDS) + "')"
+
+
+@register(
+    "decontam_train_vs_eval",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, source, md5({_SQL_SHINGLE5}) AS h
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i)
+    ), ev AS (
+      SELECT DISTINCT h FROM sh WHERE source IN ('src0', 'src1')
+    )
+    SELECT s.doc_id, count(DISTINCT s.h) AS n_shared
+    FROM sh s JOIN ev USING (h)
+    WHERE s.source NOT IN ('src0', 'src1')
+    GROUP BY s.doc_id
+    """,
+)
+def decontam_train_vs_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: treating sources src0/src1 as the
+    held-out eval suite, find train documents sharing any 5-token
+    shingle with it. Eval keys are broadcast — the corpus is never
+    shuffled (operators/pipeline.py:decontaminate)."""
+    docs = table(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("source").isin(*_EVAL_SOURCES))
+    tr = docs.filter(~F.col("source").isin(*_EVAL_SOURCES))
+    return P.decontaminate(tr, ev, k=5)
+
+
+@register(
+    "quality_filter_c4",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, len(t) AS n,
+             (length(text) - len(t) + 1) * 1.0 / len(t) AS avg_len,
+             len(list_filter(t, x -> x IN {_SQL_STOP_IN})) AS nstop,
+             len(t) - 1 AS n2,
+             (SELECT count(DISTINCT t[i] || ' ' || t[i+1])
+              FROM (SELECT unnest(range(1, len(t))) AS i)) AS nd2
+      FROM (SELECT source, text, string_split(text, ' ') AS t FROM documents)
+    ), r AS (
+      SELECT source,
+             n >= 20 AS pass_min_words,
+             avg_len >= 3 AND avg_len <= 10 AS pass_word_len,
+             nstop * 1.0 / n >= 0.01 AS pass_stopword,
+             CASE WHEN n2 > 0 THEN (n2 - nd2) * 1.0 / n2 ELSE 0.0 END <= 0.10
+               AS pass_repetition
+      FROM s
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN pass_min_words AND pass_word_len
+                          AND pass_stopword AND pass_repetition
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           CAST(sum(CASE WHEN pass_min_words THEN 0 ELSE 1 END) AS BIGINT)
+             AS fail_min_words,
+           CAST(sum(CASE WHEN pass_word_len THEN 0 ELSE 1 END) AS BIGINT)
+             AS fail_word_len,
+           CAST(sum(CASE WHEN pass_stopword THEN 0 ELSE 1 END) AS BIGINT)
+             AS fail_stopword,
+           CAST(sum(CASE WHEN pass_repetition THEN 0 ELSE 1 END) AS BIGINT)
+             AS fail_repetition
+    FROM r GROUP BY source
+    """,
+)
+def quality_filter_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style quality gate, summarized per source: total docs, docs
+    passing all rules, and per-rule failure counts. Map-only rule
+    evaluation (operators/pipeline.py:quality_columns) + one small
+    per-source aggregate."""
+    q = P.quality_columns(table(spark, sf_dir, "documents"))
+
+    def fails(col: str):
+        return F.sum(F.when(F.col(col), 0).otherwise(1))
+
+    return q.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_keep"),
+        fails("pass_min_words").alias("fail_min_words"),
+        fails("pass_word_len").alias("fail_word_len"),
+        fails("pass_stopword").alias("fail_stopword"),
+        fails("pass_repetition").alias("fail_repetition"),
+    )
+
+
+@register(
+    "repetition_stats",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           LATERAL (SELECT unnest(range(1, len(t))) AS i)
+    ), per AS (
+      SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2
+    )
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams,
+           round((sum(c) - count(*)) * 1.0 / sum(c), 6) AS dup2_frac,
+           round(max(c) * 1.0 / sum(c), 6) AS top2_frac
+    FROM per GROUP BY doc_id
+    """,
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document repetition signals
+    (operators/pipeline.py:repetition_stats)."""
+    return P.repetition_stats(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "boilerplate_ngrams_top",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, {_SQL_SHINGLE5} AS shingle
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i)
+    )
+    SELECT shingle, CAST(count(*) AS BIGINT) AS n_docs
+    FROM sh GROUP BY shingle HAVING count(*) >= 3
+    ORDER BY n_docs DESC, shingle LIMIT 50
+    """,
+)
+def boilerplate_ngrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate 5-gram mining: shingles present in ≥3 distinct
+    documents, top 50 (deterministic tie-break on the shingle)."""
+    return P.boilerplate_ngrams(table(spark, sf_dir, "documents"), k=5, min_docs=3)
+
+
+@register(
+    "mixture_weighted_sample",
+    oracle=r"""
+    WITH s AS (
+      SELECT source, n_chars,
+             CASE (CAST(regexp_extract(source, 'src(\d+)', 1) AS INT) % 4)
+               WHEN 0 THEN 1000 WHEN 1 THEN 500 WHEN 2 THEN 250
+               ELSE 125 END AS thr,
+             (doc_id * 2654435761) % 1000 AS gate
+      FROM documents
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN gate < thr THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN gate < thr THEN n_chars ELSE 0 END) AS BIGINT)
+             AS kept_chars
+    FROM s GROUP BY source
+    """,
+)
+def mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture sampling: per-source weights
+    (1.0/0.5/0.25/0.125 per-mille classes by source number mod 4)
+    applied via the multiplicative-hash gate
+    (operators/pipeline.py:mixture_keep)."""
+    docs = table(spark, sf_dir, "documents")
+    srcnum = F.regexp_extract("source", r"src(\d+)", 1).cast("int")
+    thr = (
+        F.when(srcnum % 4 == 0, 1000)
+        .when(srcnum % 4 == 1, 500)
+        .when(srcnum % 4 == 2, 250)
+        .otherwise(125)
+    )
+    return P.mixture_weighted_sample(docs, thr)

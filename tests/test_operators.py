@@ -199,3 +199,60 @@ def test_compaction_reduces_file_count(spark, tmp_path, sf_dir):
     out2 = str(tmp_path / "compacted_sorted")
     compact_parquet(spark, src, out2, target_file_mb=8, sort_by=["o_orderkey"])
     assert spark.read.parquet(out2).count() == base.count()
+
+
+# ---------------------------------------------------------------------------
+# Corpus-hygiene operators (operators/pipeline.py)
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_flags_shared_shingles(spark):
+    from csv2parquet_spark.operators import pipeline as P
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta"),  # contains eval 5-gram
+            (2, "one two three four five six seven"),  # clean
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "xx alpha beta gamma delta epsilon yy")],
+        "doc_id long, text string",
+    )
+    hits = {r.doc_id: r.n_shared for r in P.decontaminate(train, ev, k=5).collect()}
+    assert hits == {1: 1}
+    kept = {r.doc_id for r in P.remove_contaminated(train, ev, k=5).collect()}
+    assert kept == {2}
+
+
+def test_mixture_keep_exact_fraction(spark):
+    """Over any 1000 consecutive ids the multiplicative gate keeps
+    EXACTLY weight_permille rows (the multiplier is coprime to 1000)."""
+    from pyspark.sql import functions as F
+
+    from csv2parquet_spark.operators.pipeline import mixture_keep
+
+    df = spark.range(5000, 6000).withColumnRenamed("id", "doc_id")
+    n = df.filter(mixture_keep(F.lit(250))).count()
+    assert n == 250
+
+
+def test_quality_columns_rules(spark):
+    from csv2parquet_spark.operators import pipeline as P
+
+    long_clean = "the " + " ".join(f"word{i:02d}xx" for i in range(30))
+    repetitive = "the " + "ab cd " * 20  # duplicate 2-grams dominate
+    short = "the quick brown fox"
+    rows = {
+        r.doc_id: r
+        for r in P.quality_columns(
+            spark.createDataFrame(
+                [(1, long_clean), (2, repetitive.strip()), (3, short)],
+                "doc_id long, text string",
+            )
+        ).collect()
+    }
+    assert rows[1].keep
+    assert not rows[2].pass_repetition and not rows[2].keep
+    assert not rows[3].pass_min_words and not rows[3].keep
