@@ -24,8 +24,10 @@ EVENTS_SCHEMA = (
     "value double, props string"
 )
 
-# testdata events.ts is parquet TIMESTAMP(NANOS) → read as epoch-nanos
-# long (spark.sql.legacy.parquet.nanosAsLong) and convert, like tables.py.
+# events.ts has shipped both as parquet TIMESTAMP(NANOS) — readable only
+# as an epoch-nanos long (spark.sql.legacy.parquet.nanosAsLong) — and as
+# TIMESTAMP(MICROS). Sniff the actual type from the batch reader's view
+# of the file and adapt, mirroring tables.py.
 _EVENTS_RAW_SCHEMA = EVENTS_SCHEMA.replace("ts timestamp", "ts bigint")
 
 
@@ -33,18 +35,27 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream: replays the events parquet as a stream
     (one file = one micro-batch at minimum; real deployments point this
     at a directory that keeps growing, or Kafka)."""
+    from pyspark.sql import types as T
+
     from csv2parquet_spark.tables import ensure_session_confs
 
     ensure_session_confs(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    ts_is_long = isinstance(
+        spark.read.parquet(path).schema["ts"].dataType, T.LongType
+    )
+    schema = _EVENTS_RAW_SCHEMA if ts_is_long else EVENTS_SCHEMA
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         # file stream sources take a directory; select just the events
         # table out of the sf dir
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_long:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:

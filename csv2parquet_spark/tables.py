@@ -51,9 +51,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
     for c in ntz:
         df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
-    if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) → read as epoch-nanos long
-        # (spark.sql.legacy.parquet.nanosAsLong) → truncate to micros.
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # events.ts stored as parquet TIMESTAMP(NANOS) → read as epoch-nanos
+        # long (spark.sql.legacy.parquet.nanosAsLong) → truncate to micros.
+        # Data generated with TIMESTAMP(MICROS) arrives as a timestamp
+        # already (handled by the NTZ cast above) and skips this.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 

@@ -61,11 +61,9 @@ def test_streaming_dedup(spark, tmp_path, sf_dir):
     watermark horizon."""
     src = str(tmp_path / "dup_events")
     os.makedirs(src)
-    base = (
-        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .limit(50)
-    )
+    from csv2parquet_spark.tables import table
+
+    base = table(spark, sf_dir, "events").limit(50)
     base.write.parquet(os.path.join(src, "a.parquet"))
     base.write.parquet(os.path.join(src, "b.parquet"))  # exact duplicates
 
