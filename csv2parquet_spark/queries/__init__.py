@@ -19,93 +19,77 @@ from csv2parquet_spark.queries import tpch_more  # noqa: E402,F401
 from csv2parquet_spark.queries import hygiene  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
-# Driver-window rotation.
+# Driver-window rotation (automatic).
 #
 # The driver's correctness harness checks roughly the FIRST 50 registry
-# entries per round (round 1 covered exactly indices 0-49). To convert the
-# remaining local-only queries into driver-verified ones, we rotate: the
-# names below register first this round. The first 50 entries:
-# the 47 queries the round-1 window never reached (windows, streaming,
-# advanced, tpch_extra, chunking/multimodal/grouped llm_ops tail) plus
-# three re-proofs for queries whose implementation changed this round
-# (array_funcs2 serialization fix, embedding near-dup LSH re-block, IVF
-# broadcast-centroid rework). Round 3 should rotate the tpch_more sweep
-# (and anything still unproven) to the front.
+# entries per round (round 1 covered exactly indices 0-49; 111 were
+# registered). To convert every local-only query into a driver-verified
+# one across rounds, the registry self-rotates from the evidence the
+# driver itself leaves behind: each round's CORRECTNESS_r{N}.json in the
+# repo root records which queries hash-matched. Ordering per round:
+#
+#   tier 0 — _FORCE_FIRST: manual re-proof list for queries whose
+#            implementation changed since their last green row (edit
+#            this when changing the behavior of an already-proven query);
+#   tier 1 — oracle-backed queries with no hash-proof in ANY prior round
+#            (registration order) — the slots that convert claims to
+#            proofs;
+#   tier 2 — rows-only queries (oracle=None) that have never produced a
+#            driver "ran clean" row;
+#   tier 3 — everything already evidenced.
+#
+# Queries that miss this round's window stay in tier 1/2 and surface
+# automatically next round once newly-proven names drop to tier 3.
 # ---------------------------------------------------------------------------
-_PRIORITY = [
-    # re-proofs for round-2 behavior changes
-    "array_funcs2",
-    "embedding_near_dups",
-    "similarity_topk_ivf_full",
-    # llm_ops tail (chunking / grouped-pandas / multimodal / retrieval)
-    "chunk_documents",
-    "chunk_documents_udtf",
-    "zscore_chars_by_lang",
-    "multimodal_binary_stats",
-    "multimodal_features",
-    "multimodal_resize_plan",
-    "multimodal_frame_sample",
-    "multimodal_decode_stub",
-    "similarity_two_stage_retrieval",
-    "dedup_clusters",
-    # window functions + as-of join
-    "window_rank_orders",
-    "window_lag_lead_order_gaps",
-    "window_running_sum",
-    "window_ntile_percentiles",
-    "window_first_last_nth",
-    "window_moving_7day_revenue",
-    "asof_purchase_prev_click",
-    # streaming (batch-twin checks)
-    "stream_tumbling_window",
-    "stream_sliding_window",
-    "stream_stateful_user_totals",
-    "stream_session_windows",
-    "funnel_click_to_purchase",
-    # advanced relational
-    "stats_aggs",
-    "percentiles_exact",
-    "percentiles_approx",
-    "grouping_sets_sql",
-    "sql_exists_subquery",
-    "sql_scalar_subquery",
-    "sql_in_subquery",
-    "listagg_sorted",
-    "collect_set_sorted",
-    "histogram_price_bins",
-    "regexp_extract_groups",
-    "union_by_name",
-    "top_tokens_per_lang",
-    "monthly_order_rollup",
-    "top_tokens_salted",
-    "hll_sketch_distinct",
-    "unpivot_order_metrics",
-    "setop_except_all_intersect_all",
-    # TPC-H extras (q10/q14/q4/q6/q18 + seeded sampling)
-    "q10_returned_revenue",
-    "q14_promo_revenue_share",
-    "q4_priority_order_counts",
-    "sample_lineitem_seeded",
-    "q6_forecast_revenue",
-    "q18_large_orders",
-    "sample_stratified_by_status",
-    # 51st: first-time oracle (was rows-only in r1) — lands in-window if
-    # the driver cap is >50, else round 3.
-    "similarity_topk_lsh",
-]
+# Round-2 re-proofs: proven in r1 but reimplemented since (LSH re-block /
+# broadcast-centroid IVF). Clear once CORRECTNESS_r02 shows them green.
+_FORCE_FIRST: list[str] = ["embedding_near_dups", "similarity_topk_ivf_full"]
 
 
-def _rotate(priority: list[str]) -> None:
-    """Rebuild REGISTRY (insertion-ordered dict) with ``priority`` first."""
-    missing = [n for n in priority if n not in REGISTRY]
-    if missing:
-        raise ValueError(f"priority rotation names missing from registry: {missing}")
-    rest = [n for n in REGISTRY if n not in set(priority)]
-    ordered = {n: REGISTRY[n] for n in [*priority, *rest]}
+def _proven_from_driver_rounds() -> tuple[set[str], set[str]]:
+    """(hash_proven, ran_clean) query names from CORRECTNESS_r*.json."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    hash_proven: set[str] = set()
+    ran_clean: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rounds = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if not isinstance(rounds, dict):
+            continue
+        for name, rec in rounds.items():
+            if not isinstance(rec, dict):
+                continue
+            if rec.get("hash_match") is True:
+                hash_proven.add(name)
+            if rec.get("spark_rows") is not None and rec.get("err") in (None, "no_oracle"):
+                ran_clean.add(name)
+    return hash_proven, ran_clean
+
+
+def _rotate() -> None:
+    """Rebuild REGISTRY (insertion-ordered dict) tiered as documented."""
+    hash_proven, ran_clean = _proven_from_driver_rounds()
+    force = [n for n in _FORCE_FIRST if n in REGISTRY]
+
+    def tier(name: str) -> int:
+        if REGISTRY[name].oracle is not None:
+            return 1 if name not in hash_proven else 3
+        return 2 if name not in ran_clean else 3
+
+    rest = [n for n in REGISTRY if n not in set(force)]
+    rest.sort(key=tier)  # stable: registration order within tiers
+    ordered = {n: REGISTRY[n] for n in [*force, *rest]}
     REGISTRY.clear()
     REGISTRY.update(ordered)
 
 
-_rotate(_PRIORITY)
+_rotate()
 
 __all__ = ["REGISTRY", "register"]
