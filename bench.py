@@ -69,25 +69,20 @@ def bench_conversion(spark, sf_dir: str) -> dict:
             f"TO '{csv_path}' (HEADER, DELIMITER ',')"
         )
     size_mb = os.path.getsize(csv_path) / 1e6
-    # Steady-state like the queries: first run warms codegen, second is timed.
-    convert(spark, csv_path, os.path.join(work, "out_single.parquet"))
-    t0 = time.perf_counter()
-    convert(spark, csv_path, os.path.join(work, "out_single.parquet"))
-    t_single = time.perf_counter() - t0
-    convert(
-        spark,
-        csv_path,
-        os.path.join(work, "out_multi.parquet"),
-        ConvertOptions(single_file=False),
-    )
-    t0 = time.perf_counter()
-    convert(
-        spark,
-        csv_path,
-        os.path.join(work, "out_multi.parquet"),
-        ConvertOptions(single_file=False),
-    )
-    t_multi = time.perf_counter() - t0
+    # Steady-state like the queries: first run warms codegen, then record
+    # the best of two timed runs (this box's I/O variance is ±2×).
+    def timed(opts=None):
+        args = (spark, csv_path, os.path.join(work, "out_bench.parquet"))
+        convert(*args, *( [opts] if opts else [] ))
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            convert(*args, *( [opts] if opts else [] ))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_single = timed()
+    t_multi = timed(ConvertOptions(single_file=False))
     return {
         "input_mb": round(size_mb, 1),
         "single_file_sec": round(t_single, 3),
@@ -176,9 +171,14 @@ def main() -> None:
     for name in HEADLINE:
         fn = REGISTRY[name].fn
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # codegen warm
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        # JIT tiers keep compiling past the first run for the large HOF
+        # kernels; record the best of two timed runs as steady state.
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
     print(
