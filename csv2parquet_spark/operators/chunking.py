@@ -33,16 +33,25 @@ def chunk_documents(
     stride: int = 24,
     text_col: str = "text",
     id_col: str = "doc_id",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(doc_id, chunk_idx, chunk_text) via Catalyst array ops only."""
+    """(doc_id, chunk_idx, chunk_text[, *extra_cols]) via Catalyst array
+    ops only. ``extra_cols`` are carried through the explode (no join
+    needed downstream to recover metadata like source/lang)."""
     tok = F.split(text_col, " ")
     n = F.size(tok)
     starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
     chunks = F.transform(starts, lambda s: F.concat_ws(" ", F.slice(tok, s, size)))
     return df.select(
         F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in extra_cols],
         F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
-    ).select("doc_id", F.col("chunk_idx").cast("int").alias("chunk_idx"), "chunk_text")
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        "chunk_text",
+        *[F.col(c) for c in extra_cols],
+    )
 
 
 def make_chunk_udtf(size: int = 32, stride: int = 24):

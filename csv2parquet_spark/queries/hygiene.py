@@ -185,3 +185,83 @@ def mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(125)
     )
     return P.mixture_weighted_sample(docs, thr)
+
+
+@register(
+    "corpus_pipeline_end_to_end",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, source, text, string_split(text, ' ') AS t FROM documents
+    ), q AS (
+      SELECT doc_id, source, text,
+             len(t) >= 20
+             AND (length(text) - len(t) + 1) * 1.0 / len(t) BETWEEN 3 AND 10
+             AND len(list_filter(t, x -> x IN {_SQL_STOP_IN})) * 1.0 / len(t)
+                 >= 0.01
+             AND CASE WHEN len(t) - 1 > 0 THEN
+                   (len(t) - 1
+                    - (SELECT count(DISTINCT t[i] || ' ' || t[i+1])
+                       FROM (SELECT unnest(range(1, len(t))) AS i)))
+                   * 1.0 / (len(t) - 1)
+                 ELSE 0.0 END <= 0.10 AS keep
+      FROM s
+    ), kept AS (
+      SELECT doc_id, source, text,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM q WHERE keep
+    ), c AS (
+      SELECT doc_id, source,
+             array_to_string(tok[st:st + 31], ' ') AS chunk_text
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS tok
+            FROM kept WHERE rn = 1),
+           LATERAL (SELECT unnest(range(1, greatest(len(tok), 1) + 1, 24)) AS st)
+    )
+    SELECT source,
+           (SELECT count(*) FROM s s2 WHERE s2.source = c.source) AS n_docs,
+           (SELECT count(*) FROM q q2 WHERE q2.source = c.source AND q2.keep)
+             AS n_quality,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_kept,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(len(string_split(chunk_text, ' '))) AS BIGINT) AS n_tokens
+    FROM c GROUP BY source
+    """,
+)
+def corpus_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data preprocessing flow as ONE composed Spark
+    job: C4 quality gate → exact keep-first dedup → fixed-window
+    chunking → per-source corpus stats.
+
+    Scale shape: the quality gate is map-only Catalyst arithmetic; dedup
+    shuffles one 16-byte md5 key per surviving document (window
+    keep-first on the hash, never the text); chunking is a map-only
+    explode that never shuffles chunk bodies; the final per-source
+    aggregate is partial-agg friendly. Net: TWO narrow shuffles
+    end-to-end over a corpus-sized input — the shape a 100 TB
+    preprocessing run needs.
+    """
+    from pyspark.sql import Window
+
+    from csv2parquet_spark.operators.chunking import chunk_documents
+
+    docs = table(spark, sf_dir, "documents")
+    q = P.quality_columns(docs)
+    per_source = q.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_quality"),
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept = (
+        q.filter("keep")
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("doc_id", "source", "text")
+    )
+    chunks = chunk_documents(kept, size=32, stride=24, extra_cols=("source",))
+    stats = chunks.groupBy("source").agg(
+        F.count_distinct("doc_id").alias("n_kept"),
+        F.count("*").alias("n_chunks"),
+        F.sum(F.size(F.split("chunk_text", " "))).alias("n_tokens"),
+    )
+    return per_source.join(stats, "source").select(
+        "source", "n_docs", "n_quality", "n_kept", "n_chunks", "n_tokens"
+    )
