@@ -69,6 +69,9 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["FAILFAST", "PERMISSIVE", "DROPMALFORMED"],
         default="FAILFAST",
     )
+    # Engine extension: input format. "auto" keys off the extension
+    # (.jsonl/.ndjson/.json → JSONL); the reference grammar is CSV-only.
+    p.add_argument("--format", choices=["auto", "csv", "jsonl"], default="auto")
     return p
 
 
@@ -98,7 +101,16 @@ def main(argv: list[str] | None = None) -> int:
     from csv2parquet_spark.session import get_spark
 
     spark = get_spark("csv2parquet-cli")
-    convert(spark, args.csv, args.parquet, opts)
+    fmt = args.format
+    if fmt == "auto":
+        ext = args.csv.rsplit(".", 1)[-1].lower()
+        fmt = "jsonl" if ext in {"jsonl", "ndjson", "json"} else "csv"
+    if fmt == "jsonl":
+        from csv2parquet_spark.converter.jsonl import convert_jsonl
+
+        convert_jsonl(spark, args.csv, args.parquet, opts)
+    else:
+        convert(spark, args.csv, args.parquet, opts)
     return 0
 
 

@@ -230,9 +230,21 @@ def convert(
         timestampFormat="yyyy-MM-dd[[ ]['T']HH:mm:ss]",
     ).schema(schema).csv(csv_path)
 
+    write_parquet(spark, df, csv_path, parquet_path, opts)
+    return schema
+
+
+def write_parquet(
+    spark: SparkSession,
+    df: DataFrame,
+    src_path: str,
+    parquet_path: str,
+    opts: ConvertOptions,
+) -> None:
+    """W1-W9 parquet sink shared by every source format (CSV, JSONL)."""
     # repartition(1), NOT coalesce(1): coalesce propagates up the plan
-    # and collapses the CSV *parse* to one task; repartition inserts an
-    # exchange so the read stays parallel and only the final parquet
+    # and collapses the source *parse* to one task; repartition inserts
+    # an exchange so the read stays parallel and only the final parquet
     # encode is single-task (the one-file contract forces that much).
     writer = df.repartition(1).write if opts.single_file else df.write
     if opts.compression:
@@ -249,7 +261,7 @@ def convert(
     try:
         # Split tuning must be live at ACTION time (FilePartition sizing
         # reads the session conf when the scan is planned for execution).
-        with _tuned_splits(spark, csv_path):
+        with _tuned_splits(spark, src_path):
             _run_write(spark, writer, opts, parquet_path)
     finally:
         conf = spark.sparkContext._jsc.hadoopConfiguration()
@@ -258,7 +270,6 @@ def convert(
                 conf.unset(k)
             else:
                 conf.set(k, v)
-    return schema
 
 
 def _run_write(spark, writer, opts: ConvertOptions, parquet_path: str) -> None:

@@ -50,18 +50,18 @@ def jsonl_to_parquet(
 ) -> DataFrame:
     """Newline-delimited JSON → Parquet. Schema: explicit DDL string, or
     Spark's full-pass JSON inference (mirroring the CSV default of
-    scanning all rows, SURVEY §1.2)."""
-    reader = spark.read.option("mode", "FAILFAST")
+    scanning all rows, SURVEY §1.2). Thin wrapper over the full-surface
+    converter (``converter/jsonl.py`` — W1-W9 knobs, sampled inference,
+    schema files, --dry) for the common call shape."""
+    from csv2parquet_spark.converter.convert import ConvertOptions, write_parquet
+    from csv2parquet_spark.converter.jsonl import read_jsonl
+
+    opts = ConvertOptions(single_file=single_file)
     if schema:
-        reader = reader.schema(schema)
-    df = reader.json(jsonl_path)
-    writer = (df.coalesce(1) if single_file else df).write.mode("overwrite").format(
-        "parquet"
-    )
-    if single_file:
-        _write_single_file(writer, parquet_path, "part-*.parquet")
+        df = spark.read.option("mode", "FAILFAST").schema(schema).json(jsonl_path)
     else:
-        writer.save(parquet_path)
+        df = read_jsonl(spark, jsonl_path, opts)
+    write_parquet(spark, df, jsonl_path, parquet_path, opts)
     return df
 
 

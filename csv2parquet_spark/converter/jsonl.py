@@ -1,0 +1,92 @@
+"""JSONL→Parquet conversion (engine extension beyond the reference's
+CSV-only surface — `/root/reference/src/main.rs:48-54` accepts only
+`<CSV> <PARQUET>`).
+
+JSON-lines is the de-facto interchange format for LLM training corpora
+(one document object per line), so the engine exposes the same converter
+contract for it: schema inference (capped or full), explicit schema
+files, the W1-W9 parquet writer knobs, single-file parity mode, and the
+parse-mode ladder. The plan stays scan→project→write, narrow-only, no
+shuffle — JSONL without multiline objects is line-splittable, so a 100 TB
+input fans out exactly like the CSV path.
+
+Differences from CSV, by design:
+  * no header/delimiter knobs (not meaningful);
+  * inference is Spark's native JSON schema inference — it already
+    handles nested objects/arrays, which the CSV lattice never sees;
+  * ``max_read_records`` caps inference by sampling the FIRST n lines
+    (mirrors the reference's ``--max-read-records`` contract of
+    "inference reads at most n records", main.rs:60-62); 0 still means
+    "no inference" — everything lands as string.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from csv2parquet_spark.converter.convert import (
+    ConvertOptions,
+    write_parquet,
+)
+from csv2parquet_spark.converter.schema_json import (
+    arrow_json_to_struct,
+    struct_to_arrow_json,
+)
+
+
+def _infer_jsonl_schema(
+    spark: SparkSession, jsonl_path: str, opts: ConvertOptions
+) -> T.StructType:
+    if opts.schema_file:
+        with open(opts.schema_file) as f:
+            return arrow_json_to_struct(f.read())
+    if opts.max_read_records == 0:
+        # CSV-parity contract: 0 sampled records → all columns string.
+        # Field NAMES still need one pass (JSON has no header line);
+        # values are left unparsed.
+        full = spark.read.json(jsonl_path).schema
+        return T.StructType([T.StructField(f.name, T.StringType()) for f in full])
+    if opts.max_read_records is not None:
+        # Cap inference: parse only the first n lines. limit() before
+        # the JSON parse prunes the text scan to the first file splits.
+        sample = spark.read.text(jsonl_path).limit(opts.max_read_records)
+        return (
+            spark.read.json(sample.rdd.map(lambda r: r.value)).schema
+        )
+    return spark.read.json(jsonl_path).schema
+
+
+def read_jsonl(
+    spark: SparkSession, jsonl_path: str, opts: ConvertOptions | None = None
+) -> DataFrame:
+    """JSONL scan with a frozen, pre-resolved schema (never inference at
+    read time — same discipline as the CSV path: O1/O2 separation)."""
+    opts = opts or ConvertOptions()
+    schema = _infer_jsonl_schema(spark, jsonl_path, opts)
+    return spark.read.options(mode=opts.parse_mode).schema(schema).json(jsonl_path)
+
+
+def convert_jsonl(
+    spark: SparkSession,
+    jsonl_path: str,
+    parquet_path: str,
+    opts: ConvertOptions | None = None,
+    out=sys.stdout,
+    err=sys.stderr,
+) -> T.StructType | None:
+    """JSONL→Parquet with the converter's full option surface."""
+    opts = opts or ConvertOptions()
+    schema = _infer_jsonl_schema(spark, jsonl_path, opts)
+
+    if opts.print_schema or opts.dry:
+        print("Schema:", file=err)
+        print(struct_to_arrow_json(schema), file=out)
+        if opts.dry:
+            return schema
+
+    df = spark.read.options(mode=opts.parse_mode).schema(schema).json(jsonl_path)
+    write_parquet(spark, df, jsonl_path, parquet_path, opts)
+    return schema

@@ -73,6 +73,18 @@ def _data_type_to_spark(dt: Any) -> T.DataType:
             return T.ArrayType(
                 _data_type_to_spark(field["data_type"]), field.get("nullable", True)
             )
+        if "Struct" in dt:
+            # Nested objects (JSONL surface; arrow-rs serde shape).
+            return T.StructType(
+                [
+                    T.StructField(
+                        f["name"],
+                        _data_type_to_spark(f["data_type"]),
+                        f.get("nullable", True),
+                    )
+                    for f in dt["Struct"]
+                ]
+            )
         if "Dictionary" in dt:
             # Dictionary encoding is physical; logical type is the value type.
             return _data_type_to_spark(dt["Dictionary"][1])
@@ -92,39 +104,44 @@ def arrow_json_to_struct(doc: str | dict) -> T.StructType:
     return T.StructType(fields)
 
 
-def struct_to_arrow_json(schema: T.StructType, indent: int = 2) -> str:
-    """Render a StructType in the reference's serde-JSON schema shape
-    (the ``--dry`` / ``--print-schema`` output, main.rs:161-168) so the
-    printed schema can be re-fed via ``--schema-file``."""
-    fields = []
-    for f in schema.fields:
-        tf = type(f.dataType)
-        if tf in _SPARK_TO_SIMPLE:
-            dt: Any = _SPARK_TO_SIMPLE[tf]
-        elif tf is T.DecimalType:
-            dt = {"Decimal128": [f.dataType.precision, f.dataType.scale]}
-        elif tf is T.ArrayType:
-            et = type(f.dataType.elementType)
-            dt = {
-                "List": {
-                    "name": "item",
-                    "data_type": _SPARK_TO_SIMPLE[et],
-                    "nullable": f.dataType.containsNull,
-                    "dict_id": 0,
-                    "dict_is_ordered": False,
-                    "metadata": {},
-                }
-            }
-        else:
-            raise ValueError(f"unsupported Spark type {f.dataType}")
-        fields.append(
-            {
-                "name": f.name,
-                "data_type": dt,
-                "nullable": f.nullable,
+def _spark_dt_to_arrow(dt: T.DataType) -> Any:
+    """Spark type → arrow serde data_type value, recursively (nested
+    structs/lists come from the JSONL inference surface)."""
+    tf = type(dt)
+    if tf in _SPARK_TO_SIMPLE:
+        return _SPARK_TO_SIMPLE[tf]
+    if tf is T.DecimalType:
+        return {"Decimal128": [dt.precision, dt.scale]}
+    if tf is T.ArrayType:
+        return {
+            "List": {
+                "name": "item",
+                "data_type": _spark_dt_to_arrow(dt.elementType),
+                "nullable": dt.containsNull,
                 "dict_id": 0,
                 "dict_is_ordered": False,
                 "metadata": {},
             }
-        )
+        }
+    if tf is T.StructType:
+        return {"Struct": [_field_to_arrow(f) for f in dt.fields]}
+    raise ValueError(f"unsupported Spark type {dt}")
+
+
+def _field_to_arrow(f: T.StructField) -> dict:
+    return {
+        "name": f.name,
+        "data_type": _spark_dt_to_arrow(f.dataType),
+        "nullable": f.nullable,
+        "dict_id": 0,
+        "dict_is_ordered": False,
+        "metadata": {},
+    }
+
+
+def struct_to_arrow_json(schema: T.StructType, indent: int = 2) -> str:
+    """Render a StructType in the reference's serde-JSON schema shape
+    (the ``--dry`` / ``--print-schema`` output, main.rs:161-168) so the
+    printed schema can be re-fed via ``--schema-file``."""
+    fields = [_field_to_arrow(f) for f in schema.fields]
     return json.dumps({"fields": fields, "metadata": {}}, indent=indent)

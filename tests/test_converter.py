@@ -291,3 +291,86 @@ def test_permissive_mode_nulls_bad_cells(spark, tmp_path):
     )
     rows = duckdb.sql(f"SELECT i, s FROM read_parquet('{out}') ORDER BY s").fetchall()
     assert rows == [(1, "a"), (None, "b"), (3, "c")]
+
+
+def test_convert_jsonl_nested_and_dry(spark, tmp_path):
+    """Full-surface JSONL converter: nested objects survive inference,
+    --dry prints a re-feedable arrow serde-JSON schema (Struct support),
+    and the written parquet round-trips values."""
+    import io
+
+    import duckdb
+
+    from csv2parquet_spark.converter import convert_jsonl
+
+    src = tmp_path / "docs.jsonl"
+    src.write_text(
+        '{"id": 1, "text": "hello", "meta": {"lang": "en", "score": 0.5}}\n'
+        '{"id": 2, "text": "welt", "meta": {"lang": "de", "score": 0.25}}\n'
+    )
+    out = str(tmp_path / "docs.parquet")
+
+    # --dry: schema on stdout, banner on stderr, nothing written
+    o, e = io.StringIO(), io.StringIO()
+    schema = convert_jsonl(
+        spark, str(src), out, ConvertOptions(dry=True), out=o, err=e
+    )
+    assert e.getvalue().strip() == "Schema:"
+    assert not os.path.exists(out)
+    # printed schema parses back to the same StructType (Struct serde)
+    assert arrow_json_to_struct(o.getvalue()) == schema
+
+    convert_jsonl(spark, str(src), out)
+    rows = duckdb.sql(
+        f"SELECT id, text, meta.lang, meta.score FROM read_parquet('{out}') ORDER BY id"
+    ).fetchall()
+    assert rows == [(1, "hello", "en", 0.5), (2, "welt", "de", 0.25)]
+
+
+def test_convert_jsonl_sampled_inference_and_string_mode(spark, tmp_path):
+    """max_read_records caps JSONL inference at the first n lines; 0
+    mirrors the CSV contract (no inference -> all columns string)."""
+    import duckdb
+
+    from csv2parquet_spark.converter import convert_jsonl
+
+    src = tmp_path / "mix.jsonl"
+    # first line int-looking, second would widen to double
+    src.write_text('{"v": 1}\n{"v": 2.5}\n')
+    out = str(tmp_path / "mix.parquet")
+
+    schema = convert_jsonl(
+        spark,
+        str(src),
+        out,
+        ConvertOptions(max_read_records=1, parse_mode="PERMISSIVE"),
+    )
+    assert schema.fields[0].dataType == T.LongType()
+    vals = duckdb.sql(f"SELECT v FROM read_parquet('{out}') ORDER BY v").fetchall()
+    # frozen long schema: 2.5 is malformed -> null under PERMISSIVE
+    # (DuckDB sorts NULLs last)
+    assert vals == [(1,), (None,)]
+
+    schema0 = convert_jsonl(
+        spark, str(src), str(tmp_path / "s.parquet"), ConvertOptions(max_read_records=0)
+    )
+    assert all(f.dataType == T.StringType() for f in schema0.fields)
+    svals = duckdb.sql(
+        f"SELECT v FROM read_parquet('{tmp_path / 's.parquet'}') ORDER BY v"
+    ).fetchall()
+    assert svals == [("1",), ("2.5",)]
+
+
+def test_cli_format_auto_jsonl(tmp_path):
+    """CLI --format auto routes .jsonl inputs through the JSONL path."""
+    import duckdb
+
+    from csv2parquet_spark.converter.cli import main
+
+    src = tmp_path / "in.jsonl"
+    src.write_text('{"a": 10, "b": "x"}\n')
+    out = str(tmp_path / "out.parquet")
+    assert main([str(src), out]) == 0
+    assert duckdb.sql(f"SELECT a, b FROM read_parquet('{out}')").fetchall() == [
+        (10, "x")
+    ]
