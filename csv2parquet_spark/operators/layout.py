@@ -1,0 +1,152 @@
+"""Data-layout operators for scan pruning at scale: Z-order clustering
+and range-clustered writes.
+
+The reference (`/root/reference/src/main.rs`) writes rows in input
+order; at 100 TB the LAYOUT of the output parquet decides how much of
+it every later query must read. Parquet readers (Spark, DuckDB, Trino)
+skip whole row groups via column min/max statistics — but statistics
+only help if the writer clusters values. Sorting by one column prunes
+one predicate dimension; interleaving the bits of several columns
+(a Z-order / Morton curve) makes row-group min/max boxes tight in ALL
+interleaved dimensions at once, so conjunctive range predicates prune
+multiplicatively.
+
+Shapes:
+* z-value computation is pure Catalyst bit arithmetic (codegen, no
+  Python, no shuffle);
+* the min/max scaling pass is one small aggregate (2 numbers per
+  column, collected to the driver — O(dims), not O(rows));
+* the clustered write is ONE range-partitioning shuffle followed by a
+  within-partition sort — exactly what a 1000-executor cluster needs:
+  every executor writes its own key range, files don't overlap, and
+  row-group stats are tight.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _scaled(col: Column, mn: float, mx: float, bits: int) -> Column:
+    """Map a numeric column into [0, 2^bits) as a long, linearly over
+    the observed [mn, mx] range. floor() keeps Spark/DuckDB parity
+    (CAST truncates in Spark but rounds in DuckDB)."""
+    span = mx - mn
+    if span <= 0:
+        return F.lit(0).cast("long")
+    scale = ((1 << bits) - 1) / span
+    return F.floor((col.cast("double") - F.lit(mn)) * F.lit(scale)).cast("long")
+
+
+def interleave_bits(cols: list[Column], bits: int = 16) -> Column:
+    """Morton/Z-value: bit i of column j lands at position i*n_cols + j.
+
+    Pure bit arithmetic — whole-stage codegen, no shuffle. ``cols`` must
+    already be scaled to [0, 2^bits) longs; n_cols*bits must be ≤ 63.
+    """
+    n = len(cols)
+    if n * bits > 63:
+        raise ValueError(f"{n} cols × {bits} bits exceeds a signed long")
+    terms = [
+        F.shiftleft(F.shiftright(c, i).bitwiseAND(F.lit(1)), i * n + j)
+        for j, c in enumerate(cols)
+        for i in range(bits)
+    ]
+    return reduce(lambda a, b: a.bitwiseOR(b), terms)
+
+
+def zorder_key(
+    df: DataFrame, cols: list[str], bits: int = 16
+) -> tuple[DataFrame, Column]:
+    """(df, zval column) for ``cols``, scaling each to the observed
+    min/max. The range scan is ONE tiny aggregate (2·dims numbers to the
+    driver); at a steady-state 100 TB table the ranges come from table
+    metadata instead and this pass disappears."""
+    ranges = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
+    ).collect()[0]
+    scaled = [
+        _scaled(F.col(c), ranges[f"mn_{c}"], ranges[f"mx_{c}"], bits) for c in cols
+    ]
+    return df, interleave_bits(scaled, bits)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    num_files: int | None = None,
+    block_bytes: int | None = None,
+) -> None:
+    """Write ``df`` as parquet clustered on the Z-order of ``cols``.
+
+    repartitionByRange on the z-value (one shuffle; Spark samples the
+    key distribution so output files are even-sized) then sort within
+    partitions — giving non-overlapping z-ranges per file AND tight
+    row-group stats inside each file. ``block_bytes`` shrinks row
+    groups (parquet.block.size) — useful in tests to get many groups
+    from small data; leave default at scale.
+    """
+    df, z = zorder_key(df, cols, bits)
+    with_z = df.withColumn("__z", z)
+    parts = num_files or df.sparkSession.sparkContext.defaultParallelism
+    writer = (
+        with_z.repartitionByRange(parts, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+    )
+    if block_bytes:
+        writer = writer.option("parquet.block.size", str(block_bytes))
+    writer.parquet(path)
+
+
+def write_range_clustered(
+    df: DataFrame, path: str, col: str, num_files: int | None = None
+) -> None:
+    """Single-column clustered write (the 1-D special case): range
+    partition + sort on one key. Best when queries filter on exactly one
+    dimension; Z-order dominates for 2-3-dimension conjunctive filters."""
+    parts = num_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.repartitionByRange(parts, col)
+        .sortWithinPartitions(col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def rowgroup_prune_fraction(
+    path: str, predicates: dict[str, tuple[float, float]]
+) -> float:
+    """Fraction of row groups a min/max-pruning reader SKIPS for a
+    conjunctive box predicate {col: (lo, hi)} — measured from real
+    parquet footers (the same stats Spark/DuckDB/Trino prune with).
+    Diagnostic for layout quality, not a query-path operator."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    files = (
+        sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+        if _os.path.isdir(path)
+        else [path]
+    )
+    total = skipped = 0
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        names = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+        for rg in range(meta.num_row_groups):
+            total += 1
+            for c, (lo, hi) in predicates.items():
+                st = meta.row_group(rg).column(names[c]).statistics
+                if st is not None and (st.min > hi or st.max < lo):
+                    skipped += 1
+                    break
+    return skipped / total if total else 0.0

@@ -453,3 +453,47 @@ def setop_except_all_intersect_all(spark: SparkSession, sf_dir: str) -> DataFram
         F.lit("intersect_all").alias("op"), "n_nationkey"
     )
     return ex.unionAll(ia)
+
+
+def _zorder_oracle(bits: int = 8) -> str:
+    """Generate the DuckDB twin of interleave_bits for (l_orderkey,
+    l_partkey): same scaling (divide-then-multiply, floor) and the same
+    bit-interleave, term by term."""
+    terms = []
+    for j, s in enumerate(("s0", "s1")):
+        for i in range(bits):
+            terms.append(f"((({s} >> {i}) & 1) << {i * 2 + j})")
+    z = " | ".join(terms)
+    mx = (1 << bits) - 1
+    return f"""
+    WITH r AS (
+      SELECT min(CAST(l_orderkey AS DOUBLE)) AS mn0,
+             max(CAST(l_orderkey AS DOUBLE)) AS mx0,
+             min(CAST(l_partkey AS DOUBLE)) AS mn1,
+             max(CAST(l_partkey AS DOUBLE)) AS mx1
+      FROM lineitem
+    ), s AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(floor((CAST(l_orderkey AS DOUBLE) - mn0)
+                        * ({mx}.0 / (mx0 - mn0))) AS BIGINT) AS s0,
+             CAST(floor((CAST(l_partkey AS DOUBLE) - mn1)
+                        * ({mx}.0 / (mx1 - mn1))) AS BIGINT) AS s1
+      FROM lineitem, r
+    )
+    SELECT l_orderkey, l_linenumber, CAST({z} AS BIGINT) AS zval FROM s
+    """
+
+
+@register("zorder_cluster_key", oracle=_zorder_oracle())
+def zorder_cluster_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (l_orderkey, l_partkey):
+    the value write_zordered range-partitions and sorts by so parquet
+    row-group min/max stats prune BOTH dimensions of a conjunctive
+    filter (operators/layout.py). Pure Catalyst bit arithmetic —
+    codegen, no shuffle; the min/max scaling pass is one 4-number
+    aggregate."""
+    from csv2parquet_spark.operators.layout import zorder_key
+
+    li = table(spark, sf_dir, "lineitem")
+    df, z = zorder_key(li, ["l_orderkey", "l_partkey"], bits=8)
+    return df.select("l_orderkey", "l_linenumber", z.alias("zval"))

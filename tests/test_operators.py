@@ -256,3 +256,62 @@ def test_quality_columns_rules(spark):
     assert rows[1].keep
     assert not rows[2].pass_repetition and not rows[2].keep
     assert not rows[3].pass_min_words and not rows[3].keep
+
+def test_zorder_layout_prunes_second_dimension(spark, tmp_path):
+    """Layout quality from real parquet footers: a linear sort prunes
+    only its own sort column; Z-order interleaving localizes BOTH
+    columns, so min/max row-group pruning works for a filter on the
+    second dimension alone (the case a 1-D layout cannot serve)."""
+    from csv2parquet_spark.operators.layout import (
+        rowgroup_prune_fraction,
+        write_zordered,
+    )
+    from csv2parquet_spark.tables import table
+
+    # sf0.01 (60k rows): enough row groups at 16 KB blocks for the
+    # footer-level measurement to be meaningful.
+    li = table(spark, "/root/testdata/sf0.01", "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    zpath = str(tmp_path / "z")
+    lpath = str(tmp_path / "lin")
+    write_zordered(li, zpath, ["l_orderkey", "l_partkey"], num_files=4,
+                   block_bytes=16 << 10)
+    (
+        li.repartitionByRange(4, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .option("parquet.block.size", str(16 << 10))
+        .parquet(lpath)
+    )
+
+    stats = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_orderkey"), F.max("l_orderkey"),
+    ).collect()[0]
+    pk_lo, pk_hi, ok_lo, ok_hi = stats
+
+    # filter on the SECOND dimension only (middle 10% of l_partkey)
+    pk_box = {
+        "l_partkey": (
+            pk_lo + 0.45 * (pk_hi - pk_lo), pk_lo + 0.55 * (pk_hi - pk_lo)
+        ),
+    }
+    z_skip = rowgroup_prune_fraction(zpath, pk_box)
+    l_skip = rowgroup_prune_fraction(lpath, pk_box)
+    assert l_skip <= 0.10  # linear-by-orderkey: partkey spans every group
+    assert z_skip >= 0.50  # interleaved bits localize partkey too
+
+    # conjunctive 2-D box: z-order must do no worse than the 1-D layout
+    box = {
+        "l_orderkey": (
+            ok_lo + 0.45 * (ok_hi - ok_lo), ok_lo + 0.55 * (ok_hi - ok_lo)
+        ),
+        **pk_box,
+    }
+    assert rowgroup_prune_fraction(zpath, box) >= rowgroup_prune_fraction(
+        lpath, box
+    ) - 0.05
+
+    # correctness: layout changes bytes, not rows
+    assert spark.read.parquet(zpath).count() == li.count()
