@@ -108,3 +108,42 @@ def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data hygiene): emails, phone-ish numbers, IPv4.
+# Patterns stay in the RE2-compatible subset (no lookaround) so the
+# DuckDB oracle can run the IDENTICAL regex; both engines replace ALL
+# occurrences. Order matters: emails before phones (an email's digits
+# must not be half-eaten by the phone pass), IPs after phones with a
+# phone pattern that can't span dots.
+# ---------------------------------------------------------------------------
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d()\- ]{6,}\d", "<PHONE>"),
+)
+
+
+def redact_pii(col: Column | str, kinds: tuple[str, ...] | None = None) -> Column:
+    """Replace each PII class with its tag — pure Catalyst
+    regexp_replace chain (codegen, map-only, no Python)."""
+    out = F.col(col) if isinstance(col, str) else col
+    for name, pat, tag in PII_PATTERNS:
+        if kinds is None or name in kinds:
+            out = F.regexp_replace(out, pat, tag)
+    return out
+
+
+def count_pii(col: Column | str) -> dict[str, Column]:
+    """{kind: count column} — occurrences of each PII class, for
+    corpus-level audit aggregates."""
+    c = F.col(col) if isinstance(col, str) else col
+    out: dict[str, Column] = {}
+    scrubbed = c
+    for name, pat, tag in PII_PATTERNS:
+        # count on the text as the redaction pass would see it, so the
+        # classes don't double-count each other's matches
+        out[name] = F.size(F.regexp_extract_all(scrubbed, F.lit(pat), 0))
+        scrubbed = F.regexp_replace(scrubbed, pat, tag)
+    return out

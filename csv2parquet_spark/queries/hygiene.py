@@ -265,3 +265,62 @@ def corpus_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_source.join(stats, "source").select(
         "source", "n_docs", "n_quality", "n_kept", "n_chunks", "n_tokens"
     )
+
+
+def _pii_oracle() -> str:
+    """DuckDB twin of the PII scrub, generated from the SAME pattern
+    table (operators/text.py:PII_PATTERNS) so the regexes cannot drift.
+    Both engines' regex dialects meet in the RE2-compatible subset the
+    patterns are restricted to."""
+    from csv2parquet_spark.operators.text import PII_PATTERNS
+
+    synth = (
+        "text || ' mail u' || CAST(doc_id AS VARCHAR) || '@ex.org tel "
+        "+12 3456 7' || CAST(doc_id % 90 + 10 AS VARCHAR) || ' ip 10.1.' "
+        "|| CAST(doc_id % 200 AS VARCHAR) || '.9'"
+    )
+    scrub = "s"
+    count_cols = []
+    for name, pat, tag in PII_PATTERNS:
+        lit = pat.replace("'", "''")
+        count_cols.append(
+            f"CAST(sum(len(regexp_extract_all({scrub}, '{lit}'))) AS BIGINT)"
+            f" AS n_{name}"
+        )
+        scrub = f"regexp_replace({scrub}, '{lit}', '{tag}', 'g')"
+    return f"""
+    WITH s0 AS (SELECT source, {synth} AS s FROM documents)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           {", ".join(count_cols)},
+           CAST(sum(length(s)) AS BIGINT) AS chars_before,
+           CAST(sum(length({scrub})) AS BIGINT) AS chars_after
+    FROM s0 GROUP BY source
+    """
+
+
+@register("pii_redaction_audit", oracle=_pii_oracle())
+def pii_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit over the corpus: per-source counts of redacted
+    emails/IPs/phone-ish numbers and the byte shrinkage. Deterministic
+    synthetic PII is appended per doc (the fixture corpus has none), so
+    both engines see identical inputs. Map-only regexp chain in codegen
+    (operators/text.py:redact_pii) + one small per-source aggregate —
+    the 100 TB shape for corpus scrubbing."""
+    from csv2parquet_spark.operators.text import count_pii, redact_pii
+
+    docs = table(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" mail u"), F.col("doc_id").cast("string"),
+        F.lit("@ex.org tel +12 3456 7"),
+        (F.col("doc_id") % 90 + 10).cast("string"),
+        F.lit(" ip 10.1."), (F.col("doc_id") % 200).cast("string"), F.lit(".9"),
+    )
+    s = docs.select("source", synth.alias("s"))
+    counts = count_pii("s")
+    return s.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        *[F.sum(c).alias(f"n_{k}") for k, c in counts.items()],
+        F.sum(F.length("s")).alias("chars_before"),
+        F.sum(F.length(redact_pii("s"))).alias("chars_after"),
+    )
