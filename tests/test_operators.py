@@ -315,3 +315,23 @@ def test_zorder_layout_prunes_second_dimension(spark, tmp_path):
 
     # correctness: layout changes bytes, not rows
     assert spark.read.parquet(zpath).count() == li.count()
+
+
+def test_pca_components_orthonormal_and_ordered(spark, sf_dir):
+    """principal_components returns orthonormal rows with descending
+    captured energy, under the deterministic sign convention."""
+    import numpy as np
+
+    from csv2parquet_spark.operators.linalg import principal_components
+    from csv2parquet_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    C = principal_components(emb, k=3, dim=64)
+    assert C.shape == (3, 64)
+    assert np.allclose(C @ C.T, np.eye(3), atol=1e-9)
+    V = np.vstack([np.asarray(r.embedding) for r in emb.collect()])
+    energies = [float(((V @ c) ** 2).sum()) for c in C]
+    assert energies == sorted(energies, reverse=True)
+    # sign convention: max-|coeff| entry positive
+    for c in C:
+        assert c[int(np.abs(c).argmax())] > 0
