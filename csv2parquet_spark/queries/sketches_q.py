@@ -1,0 +1,60 @@
+"""Count-Min sketch query with a full DuckDB oracle twin
+(operators/sketches.py): build the counter table from the documents
+token stream, estimate counts for the exact top-20 tokens, and report
+estimate vs truth. The oracle reproduces the md5-slice hash functions
+bit-for-bit, so this sketch — normally an "approximate, rows-only"
+structure — is hash-CHECKED end to end (the estimates are deterministic
+even though they are approximate)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from csv2parquet_spark.operators.sketches import CMS_DEPTH, CMS_WIDTH
+from csv2parquet_spark.queries.registry import register
+from csv2parquet_spark.tables import table
+
+_TOP = 20
+
+
+def _cms_oracle(depth: int = CMS_DEPTH, width: int = CMS_WIDTH, top: int = _TOP) -> str:
+    bucket = (
+        "CAST(('0x' || substr(md5(t), 1 + 8 * r.k, 8)) AS BIGINT) % " + str(width)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS t FROM documents
+    ), sk AS (
+      SELECT r.k AS k, {bucket} AS b, count(*) AS c
+      FROM tok, (SELECT unnest(range(0, {depth})) AS k) r
+      GROUP BY 1, 2
+    ), cnt AS (
+      SELECT t, count(*) AS c FROM tok GROUP BY t
+    ), top AS (
+      SELECT t, c FROM cnt ORDER BY c DESC, t LIMIT {top}
+    )
+    SELECT top.t AS token, CAST(top.c AS BIGINT) AS exact_count,
+           CAST(min(sk.c) AS BIGINT) AS cms_estimate
+    FROM top, (SELECT unnest(range(0, {depth})) AS k) r
+    JOIN sk ON sk.k = r.k AND sk.b = {bucket}
+    GROUP BY 1, 2
+    """
+
+
+@register("count_min_token_counts", oracle=_cms_oracle())
+def count_min_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min estimates vs exact counts for the corpus's top-20
+    tokens. Sketch construction shuffles ≤ depth·width counter cells
+    (partial agg collapses each partition map-side); the lookup
+    broadcasts the 4096-cell sketch. cms_estimate ≥ exact_count always
+    (CMS never undercounts) — the oracle pins both numbers."""
+    from csv2parquet_spark.operators.sketches import cms_build, cms_lookup
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    sketch = cms_build(tok)
+    cnt = tok.groupBy("token").agg(F.count("*").alias("exact_count"))
+    top = cnt.orderBy(F.desc("exact_count"), "token").limit(_TOP)
+    est = cms_lookup(sketch, top.select("token"))
+    return top.join(est, "token").select("token", "exact_count", "cms_estimate")

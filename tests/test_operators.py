@@ -335,3 +335,32 @@ def test_pca_components_orthonormal_and_ordered(spark, sf_dir):
     # sign convention: max-|coeff| entry positive
     for c in C:
         assert c[int(np.abs(c).argmax())] > 0
+
+
+def test_cms_merge_and_never_undercounts(spark, sf_dir):
+    """CMS invariants: (1) sketches built per shard and merged equal the
+    whole-corpus sketch (distributive merge); (2) estimates never
+    undercount the exact frequency."""
+    from csv2parquet_spark.operators.sketches import (
+        cms_build,
+        cms_lookup,
+        cms_merge,
+    )
+    from csv2parquet_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    whole = cms_build(tok.select("token"))
+    shard_a = cms_build(tok.filter("doc_id % 2 = 0").select("token"))
+    shard_b = cms_build(tok.filter("doc_id % 2 = 1").select("token"))
+    merged = cms_merge(shard_a, shard_b)
+    assert sorted(map(tuple, whole.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+
+    cnt = tok.groupBy("token").agg(F.count("*").alias("exact"))
+    est = cms_lookup(whole, cnt.select("token"))
+    joined = cnt.join(est, "token")
+    assert joined.filter("cms_estimate < exact").count() == 0
