@@ -7,6 +7,7 @@ from csv2parquet_spark.streaming.windows import (
     session_counts,
     streaming_dedup,
     streaming_csv_to_parquet,
+    streaming_jsonl_to_parquet,
     tumbling_counts,
     run_to_memory,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "session_counts",
     "streaming_dedup",
     "streaming_csv_to_parquet",
+    "streaming_jsonl_to_parquet",
     "run_to_memory",
     "user_running_totals",
 ]

@@ -179,6 +179,29 @@ def streaming_csv_to_parquet(
     )
 
 
+def streaming_jsonl_to_parquet(
+    spark: SparkSession,
+    jsonl_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: str,
+):
+    """Continuous JSONL→Parquet conversion (the JSONL twin of
+    :func:`streaming_csv_to_parquet`): new JSON-lines files landing in
+    ``jsonl_dir`` convert incrementally, exactly-once via the
+    checkpoint. Streaming sources need an explicit schema — resolve one
+    upfront with ``converter.jsonl.read_jsonl`` / a schema file, exactly
+    like the batch path's frozen-schema discipline."""
+    stream = spark.readStream.schema(schema).json(jsonl_dir)
+    return (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> tuple[str, object]:
     """Drive a streaming query to completion against the memory sink and
     return (queryName, query). Test helper: processAllAvailable() then

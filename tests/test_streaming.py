@@ -216,3 +216,36 @@ def test_interval_join_stream_equals_batch(spark, sf_dir):
     )
     assert _sorted_rows(got) == _sorted_rows(want)
     assert want.count() > 0
+
+
+def test_streaming_jsonl_to_parquet(spark, tmp_path):
+    """Continuous JSONL->Parquet conversion: files landing across
+    micro-batches all arrive in the output, exactly once."""
+    import json
+
+    from csv2parquet_spark.streaming import streaming_jsonl_to_parquet
+
+    src = tmp_path / "in"
+    src.mkdir()
+    for i in range(3):
+        (src / f"f{i}.jsonl").write_text(
+            "".join(json.dumps({"id": i * 10 + j, "s": f"r{i}-{j}"}) + "\n"
+                    for j in range(5))
+        )
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = streaming_jsonl_to_parquet(
+        spark, str(src), out, ckpt, "id bigint, s string"
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == 15
+    assert got.select("id").distinct().count() == 15
+
+    # a new file after a restart converts incrementally (checkpoint)
+    (src / "f3.jsonl").write_text('{"id": 99, "s": "late"}\n')
+    q2 = streaming_jsonl_to_parquet(
+        spark, str(src), out, ckpt, "id bigint, s string"
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(out).count() == 16
