@@ -324,3 +324,60 @@ def pii_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("s")).alias("chars_before"),
         F.sum(F.length(redact_pii("s"))).alias("chars_after"),
     )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), df AS (
+      SELECT token, count(*) AS df FROM tf GROUP BY 1
+    ), n AS (
+      SELECT count(*) AS n FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.token,
+             tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0) AS score
+      FROM tf JOIN df USING (token), n
+    ), ranked AS (
+      SELECT doc_id, token, score,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, token
+             ) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, token, round(score, 6) AS score
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf =
+    ln((N+1)/(df+1)) + 1). Scale shape: tf is a partial-agg groupBy on
+    (doc, token); df reuses tf's output (one more narrow agg); the idf
+    join carries only (token, df); the per-doc top-3 runs as
+    WindowGroupLimit — partial top-k below the exchange, so the shuffle
+    never sees more than 3 rows per (partition, doc)."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    n = docs.count()  # corpus cardinality: one tiny job, model-sized
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = tf.join(df_, "token").select(
+        "doc_id",
+        "token",
+        (F.col("tf") * (F.log((n + 1.0) / (F.col("df") + 1.0)) + 1.0)).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "token")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter("rnk <= 3")
+        .select("doc_id", "rnk", "token", F.round("score", 6).alias("score"))
+    )
