@@ -101,3 +101,63 @@ def cms_lookup(
         .groupBy(col)
         .agg(F.min("c").alias("cms_estimate"))
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog as a DataFrame (bucket, max-rank register table). Same
+# engine-parity trick as the CMS: the hash is a 32-bit md5 slice and
+# the register rank comes from the length of the minimal binary string
+# (bin()), both of which DuckDB reproduces exactly — so even the
+# ESTIMATE is hash-checkable. At production scale swap the hash for
+# xxhash64 and the estimate for approx_count_distinct (Spark's native
+# HLL++); this implementation exists to pin the algorithm end-to-end.
+# ---------------------------------------------------------------------------
+HLL_B = 10                      # 2^10 = 1024 registers
+HLL_M = 1 << HLL_B
+_HLL_WBITS = 32 - HLL_B         # remainder bits per hash
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def hll_registers(df: DataFrame, col: str) -> DataFrame:
+    """(bucket, r): per-bucket max rank — the HLL register table.
+
+    Partial-agg groupBy: each partition reduces to ≤ m cells before the
+    (kilobyte) shuffle. Merging shards = unionByName + re-max.
+    """
+    v = F.conv(F.substring(F.md5(F.col(col)), 1, 8), 16, 10).cast("long")
+    bucket = F.shiftright(v, _HLL_WBITS)
+    w = v.bitwiseAND(F.lit((1 << _HLL_WBITS) - 1))
+    rank = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.select(bucket.alias("bucket"), rank.alias("rank"))
+        .groupBy("bucket")
+        .agg(F.max("rank").alias("r"))
+    )
+
+
+def hll_merge(*registers: DataFrame) -> DataFrame:
+    """Union register tables and re-max — the HLL merge."""
+    out = registers[0]
+    for s in registers[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bucket").agg(F.max("r").alias("r"))
+
+
+def hll_estimate(registers: DataFrame) -> DataFrame:
+    """One-row (hll_estimate) from a register table: the standard
+    alpha·m²/Σ2^-M_j estimator with the small-range linear-counting
+    correction. Pure deterministic arithmetic — rounds to 3 dp for
+    float-association safety across engines."""
+    m = float(HLL_M)
+    agg = registers.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("s"),
+        F.count("*").alias("nz"),
+    )
+    zeros = F.lit(m) - F.col("nz")
+    raw = F.lit(_HLL_ALPHA) * F.lit(m) * F.lit(m) / (F.col("s") + zeros)
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0), F.lit(m) * F.log(F.lit(m) / zeros)
+    ).otherwise(raw)
+    return agg.select(F.round(est, 3).alias("hll_estimate"))

@@ -58,3 +58,59 @@ def count_min_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = cnt.orderBy(F.desc("exact_count"), "token").limit(_TOP)
     est = cms_lookup(sketch, top.select("token"))
     return top.join(est, "token").select("token", "exact_count", "cms_estimate")
+
+
+def _hll_oracle() -> str:
+    from csv2parquet_spark.operators.sketches import _HLL_ALPHA, _HLL_WBITS, HLL_M
+
+    mask = (1 << _HLL_WBITS) - 1
+    rmax = _HLL_WBITS + 1
+    # explicit DOUBLE casts: DuckDB parses bare float literals as
+    # DECIMAL and overflows multiplying alpha * m * m
+    m = f"CAST({float(HLL_M)!r} AS DOUBLE)"
+    alpha = f"CAST({_HLL_ALPHA!r} AS DOUBLE)"
+    return f"""
+    WITH h AS (
+      SELECT CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS v
+      FROM lineitem
+    ), reg AS (
+      SELECT v >> {_HLL_WBITS} AS bucket,
+             max(CASE WHEN (v & {mask}) = 0 THEN {rmax}
+                      ELSE {rmax} - length(bin(v & {mask})) END) AS r
+      FROM h GROUP BY 1
+    ), agg AS (
+      SELECT sum(pow(2.0, -r)) AS s, count(*) AS nz FROM reg
+    ), est AS (
+      SELECT CASE WHEN {alpha} * {m} * {m} / (s + ({m} - nz)) <= 2.5 * {m}
+                   AND ({m} - nz) > 0
+                  THEN {m} * ln({m} / ({m} - nz))
+                  ELSE {alpha} * {m} * {m} / (s + ({m} - nz)) END AS e
+      FROM agg
+    )
+    SELECT (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) FROM lineitem)
+             AS exact_distinct,
+           round(e, 3) AS hll_estimate
+    FROM est
+    """
+
+
+@register("hll_distinct_parts", oracle=_hll_oracle())
+def hll_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-rolled HyperLogLog vs exact distinct over l_partkey — and
+    because the hash (md5 slice) and register ranks (bin-string length)
+    are engine-reproducible, the ESTIMATE itself is hash-checked, not
+    just declared. Register build is a partial-agg groupBy to ≤1024
+    cells (kilobyte shuffle at any scale); production swaps in
+    approx_count_distinct (native HLL++), pinned here algorithmically."""
+    from csv2parquet_spark.operators.sketches import hll_estimate, hll_registers
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("string").alias("pk")
+    )
+    regs = hll_registers(li, "pk")
+    est = hll_estimate(regs)
+    exact = table(spark, sf_dir, "lineitem").agg(
+        F.count_distinct("l_partkey").alias("exact_distinct")
+    )
+    return exact.crossJoin(est)

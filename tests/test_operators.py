@@ -364,3 +364,31 @@ def test_cms_merge_and_never_undercounts(spark, sf_dir):
     est = cms_lookup(whole, cnt.select("token"))
     joined = cnt.join(est, "token")
     assert joined.filter("cms_estimate < exact").count() == 0
+
+
+def test_hll_merge_and_accuracy(spark, sf_dir):
+    """HLL invariants: shard-merge equals whole-corpus registers, and
+    the estimate lands within the ~3.25/sqrt(m) relative-error envelope
+    of the true distinct count."""
+    from csv2parquet_spark.operators.sketches import (
+        HLL_M,
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+    from csv2parquet_spark.tables import table
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_partkey").cast("string").alias("pk")
+    )
+    whole = hll_registers(li, "pk")
+    a = hll_registers(li.filter("l_orderkey % 2 = 0"), "pk")
+    b = hll_registers(li.filter("l_orderkey % 2 = 1"), "pk")
+    merged = hll_merge(a, b)
+    assert sorted(map(tuple, whole.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+
+    est = hll_estimate(whole).collect()[0].hll_estimate
+    true = li.select("pk").distinct().count()
+    assert abs(est - true) / true < 3.25 / (HLL_M ** 0.5)
