@@ -161,3 +161,54 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
         (raw <= 2.5 * m) & (zeros > 0), F.lit(m) * F.log(F.lit(m) / zeros)
     ).otherwise(raw)
     return agg.select(F.round(est, 3).alias("hll_estimate"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter as a DataFrame (a distinct set of bit positions). The
+# production use is the semi-join pre-filter: build over a small key set
+# (an eval suite's shingles, a blocklist), broadcast the position table,
+# and drop the non-matching bulk of a 100 TB scan before any exact join.
+# Same md5-slice hashes as the CMS — engine-reproducible, so probe
+# counts (including false positives) are hash-checkable.
+# ---------------------------------------------------------------------------
+BLOOM_K = 4
+BLOOM_BITS = 1 << 16
+
+
+def _bloom_positions(col: str, k: int, bits: int) -> Column:
+    return F.explode(
+        F.array(*[cms_bucket(F.col(col), i, bits) for i in range(k)])
+    )
+
+
+def bloom_build(
+    keys: DataFrame, col: str, k: int = BLOOM_K, bits: int = BLOOM_BITS
+) -> DataFrame:
+    """(pos): the set of bits the key set lights up — ≤ k·|keys| rows,
+    distinct'd (partial-agg friendly)."""
+    return keys.select(_bloom_positions(col, k, bits).alias("pos")).distinct()
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    queries: DataFrame,
+    col: str,
+    k: int = BLOOM_K,
+    bits: int = BLOOM_BITS,
+) -> DataFrame:
+    """queries + ``maybe`` flag: true iff ALL k probe bits are set.
+    The bit table broadcasts; per query the join matches ≤ k rows and
+    the groupBy counts them — no row explosion survives the aggregate."""
+    probes = queries.select(
+        F.col(col), _bloom_positions(col, k, bits).alias("pos")
+    )
+    hits = (
+        probes.join(F.broadcast(bloom), "pos")
+        .groupBy(col)
+        .agg(F.count("*").alias("nhit"))
+    )
+    return (
+        queries.join(hits, col, "left")
+        .withColumn("maybe", F.coalesce(F.col("nhit"), F.lit(0)) == k)
+        .drop("nhit")
+    )

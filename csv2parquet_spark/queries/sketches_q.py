@@ -114,3 +114,69 @@ def hll_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("l_partkey").alias("exact_distinct")
     )
     return exact.crossJoin(est)
+
+
+def _bloom_oracle() -> str:
+    from csv2parquet_spark.operators.sketches import BLOOM_BITS, BLOOM_K
+
+    pos = (
+        "CAST(('0x' || substr(md5(sh), 1 + 8 * r.k, 8)) AS BIGINT) % "
+        + str(BLOOM_BITS)
+    )
+    ks = f"(SELECT unnest(range(0, {BLOOM_K})) AS k) r"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, source,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+               || ' ' || t[i+4] AS sh
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i)
+    ), ev AS (
+      SELECT DISTINCT sh FROM sh WHERE source IN ('src0', 'src1')
+    ), bits AS (
+      SELECT DISTINCT {pos} AS pos FROM ev, {ks}
+    ), tr AS (
+      SELECT DISTINCT sh FROM sh WHERE source NOT IN ('src0', 'src1')
+    ), probe AS (
+      SELECT tr.sh, count(*) AS nhit
+      FROM tr, {ks} JOIN bits ON bits.pos = {pos}
+      GROUP BY tr.sh
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM tr) AS n_probes,
+           (SELECT CAST(count(*) AS BIGINT) FROM probe
+             WHERE nhit = {BLOOM_K}) AS n_maybe,
+           (SELECT CAST(count(*) AS BIGINT) FROM tr JOIN ev USING (sh))
+             AS n_true_hits
+    """
+
+
+@register("bloom_decontam_prefilter", oracle=_bloom_oracle())
+def bloom_decontam_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter as a decontamination pre-filter: light up the bits
+    of the eval suite's 5-token shingles, probe every distinct train
+    shingle, and report probes / maybe-hits / true hits (maybe ≥ true;
+    the gap is the false-positive cost). At 100 TB the broadcast bit
+    table drops the non-matching bulk of the corpus before any exact
+    join — the classic semi-join pre-filter. Counts are deterministic,
+    so even the FP behavior is hash-checked."""
+    from csv2parquet_spark.operators import text as TX
+    from csv2parquet_spark.operators.sketches import bloom_build, bloom_probe
+
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "source",
+        F.explode(
+            F.array_distinct(TX.shingles(TX.tokens("text"), k=5))
+        ).alias("sh"),
+    ).distinct()
+    ev = sh.filter(F.col("source").isin("src0", "src1")).select("sh").distinct()
+    tr = sh.filter(~F.col("source").isin("src0", "src1")).select("sh").distinct()
+    bloom = bloom_build(ev, "sh")
+    probed = bloom_probe(bloom, tr, "sh")
+    n_true = tr.join(ev, "sh").count()
+    return probed.agg(
+        F.count("*").alias("n_probes"),
+        F.sum(F.when(F.col("maybe"), 1).otherwise(0)).alias("n_maybe"),
+        F.lit(n_true).cast("long").alias("n_true_hits"),
+    )
