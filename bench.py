@@ -48,6 +48,10 @@ HEADLINE = [
     "text_token_stats",
     "doc_fingerprints",
     "json_funcs",
+    # round-2 additions
+    "corpus_pipeline_end_to_end",
+    "tfidf_top_terms",
+    "count_min_token_counts",
 ]
 
 
