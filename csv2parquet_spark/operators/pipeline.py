@@ -189,3 +189,16 @@ def mixture_weighted_sample(df: DataFrame, weight_permille: Column) -> DataFrame
         F.sum(kept).alias("n_kept"),
         F.sum(F.when(keep, F.col("n_chars")).otherwise(0)).alias("kept_chars"),
     )
+
+
+def split_assign(id_col: str = "doc_id", val_permille: int = 50, test_permille: int = 50) -> Column:
+    """Deterministic train/val/test assignment from the id — stable
+    across runs, engines, and re-partitioning (no RNG state, unlike
+    randomSplit). Gate arithmetic matches :func:`mixture_keep`; at
+    scale swap the multiplicative hash for xxhash64(id) % 1000."""
+    gate = F.pmod(F.col(id_col) * F.lit(_MIX_MULT), F.lit(1000))
+    return (
+        F.when(gate < val_permille, "val")
+        .when(gate < val_permille + test_permille, "test")
+        .otherwise("train")
+    )

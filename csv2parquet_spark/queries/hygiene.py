@@ -381,3 +381,34 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("rnk <= 3")
         .select("doc_id", "rnk", "token", F.round("score", 6).alias("score"))
     )
+
+
+@register(
+    "train_val_test_split",
+    oracle="""
+    WITH s AS (
+      SELECT source, n_chars,
+             CASE WHEN (doc_id * 2654435761) % 1000 < 50 THEN 'val'
+                  WHEN (doc_id * 2654435761) % 1000 < 100 THEN 'test'
+                  ELSE 'train' END AS split
+      FROM documents
+    )
+    SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars
+    FROM s GROUP BY source, split
+    """,
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment from the doc id
+    (operators/pipeline.py:split_assign) — reproducible across runs and
+    engines, unlike randomSplit; summarized per (source, split).
+    Map-only gate + one small aggregate."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("split", P.split_assign())
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+    )
