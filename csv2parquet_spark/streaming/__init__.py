@@ -1,5 +1,10 @@
 """Structured Streaming surface (SURVEY.md §2.6)."""
 
+from csv2parquet_spark.streaming.sinks import (
+    read_snapshot,
+    streaming_upsert_to_parquet,
+    upsert_batch,
+)
 from csv2parquet_spark.streaming.stateful import user_running_totals
 from csv2parquet_spark.streaming.windows import (
     read_events_stream,
@@ -22,4 +27,7 @@ __all__ = [
     "streaming_jsonl_to_parquet",
     "run_to_memory",
     "user_running_totals",
+    "read_snapshot",
+    "streaming_upsert_to_parquet",
+    "upsert_batch",
 ]

@@ -249,3 +249,47 @@ def test_streaming_jsonl_to_parquet(spark, tmp_path):
     )
     q2.awaitTermination()
     assert spark.read.parquet(out).count() == 16
+
+
+def test_streaming_upsert_sink(spark, tmp_path):
+    """foreachBatch keyed upsert: later batches overwrite earlier rows
+    with the same key; the snapshot equals last-writer-wins over the
+    whole stream, and a restart continues incrementally."""
+    import json
+
+    from csv2parquet_spark.streaming import (
+        read_snapshot,
+        streaming_upsert_to_parquet,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "b0.jsonl").write_text(
+        json.dumps({"k": 1, "v": "a"}) + "\n" + json.dumps({"k": 2, "v": "b"}) + "\n"
+    )
+    (src / "b1.jsonl").write_text(
+        json.dumps({"k": 2, "v": "b2"}) + "\n" + json.dumps({"k": 3, "v": "c"}) + "\n"
+    )
+    root = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema("k bigint, v string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = streaming_upsert_to_parquet(spark, stream, root, "k", ckpt)
+    q.awaitTermination()
+    snap = {r.k: r.v for r in read_snapshot(spark, root).collect()}
+    assert snap == {1: "a", 2: "b2", 3: "c"}
+
+    # restart with a new file: only the increment processes, upsert holds
+    (src / "b2.jsonl").write_text(json.dumps({"k": 1, "v": "a9"}) + "\n")
+    stream2 = (
+        spark.readStream.schema("k bigint, v string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q2 = streaming_upsert_to_parquet(spark, stream2, root, "k", ckpt)
+    q2.awaitTermination()
+    snap2 = {r.k: r.v for r in read_snapshot(spark, root).collect()}
+    assert snap2 == {1: "a9", 2: "b2", 3: "c"}
