@@ -412,3 +412,43 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("n_chars"),
         )
     )
+
+
+@register(
+    "unigram_logprob_scores",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ), freq AS (
+      SELECT t, count(*) AS c FROM tok GROUP BY t
+    ), n AS (
+      SELECT count(*) AS n FROM tok
+    )
+    SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(-sum(ln(freq.c * 1.0 / n.n)) / count(*), 6) AS nll
+    FROM tok JOIN freq USING (t), n
+    GROUP BY tok.doc_id
+    """,
+)
+def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality signal: per-document mean negative
+    log-likelihood under the corpus's own unigram token model (unusual
+    token mixes score high → outlier docs). Scale shape: the frequency
+    table is one partial-agg groupBy; scoring joins tokens to it on the
+    token key and reduces per doc — two narrow shuffles, no Python. In
+    production the LM is trained once on a reference corpus and
+    broadcast; here it's self-trained so the oracle can reproduce it."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    freq = tok.groupBy("t").agg(F.count("*").alias("c"))
+    n = tok.count()  # corpus token count: one scalar to the driver
+    return (
+        tok.join(freq, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                -F.sum(F.log(F.col("c") * 1.0 / n)) / F.count("*"), 6
+            ).alias("nll"),
+        )
+    )
