@@ -581,3 +581,60 @@ def lsh_topk(
         .orderBy(F.desc("sim"), id_col)
         .limit(k)
     )
+
+
+def int8_topk(
+    vectors: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    pool: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage top-k with int8-quantized pre-scoring: per-vector
+    symmetric quantization q_i = floor(x_i·127/max|x| + 0.5), integer
+    dot products for the candidate pool (4× less memory traffic than
+    float32 — the production motivation), exact-cosine re-rank of the
+    pool. Integer stage-1 arithmetic is EXACT, so the ranking (and the
+    DuckDB oracle twin) is deterministic — no float-association risk.
+
+    Scale shape: quantization is map-only; the pool is
+    TakeOrderedAndProject over one broadcast of the single query row;
+    only `pool` rows reach the exact re-rank. At corpus scale the int8
+    column is precomputed and stored (it compresses the scan, which is
+    the point)."""
+    absmax = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x)))
+    m = F.when(absmax == 0, F.lit(1.0)).otherwise(absmax)
+    qz = vectors.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v"), m.alias("m")
+    ).withColumn(
+        "q",
+        F.transform(
+            "v", lambda x: F.floor(x * 127.0 / F.col("m") + 0.5).cast("long")
+        ),
+    )
+    qq = qz.filter(F.col("vid") == query_id).select(
+        F.col("v").alias("qv"), F.col("m").alias("qm"), F.col("q").alias("qvec")
+    )
+    dotq = F.aggregate(
+        F.zip_with(F.col("q"), F.col("qvec"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pool_df = (
+        qz.filter(F.col("vid") != query_id)
+        .crossJoin(F.broadcast(qq))
+        .withColumn(
+            "approx", dotq.cast("double") * F.col("m") * F.col("qm") / 16129.0
+        )
+        .orderBy(F.desc("approx"), "vid")
+        .limit(pool)
+    )
+    return (
+        pool_df.withColumn(
+            "sim", F.round(cosine(F.col("v"), F.col("qv")), 6)
+        )
+        .orderBy(F.desc("sim"), "vid")
+        .limit(k)
+        .select(F.col("vid").alias(id_col), "sim")
+    )

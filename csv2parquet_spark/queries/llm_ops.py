@@ -725,3 +725,44 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents"), threshold=0.8
     ).select("id_a", "id_b")
     return D.connected_components(pairs)
+
+
+_SQL_ABSMAX = "list_max(list_transform({v}, x -> abs(x)))"
+
+
+@register(
+    "similarity_topk_int8",
+    oracle=f"""
+    WITH qz AS (
+      SELECT vec_id, embedding,
+             CASE WHEN {_SQL_ABSMAX.format(v='embedding')} = 0 THEN 1.0
+                  ELSE {_SQL_ABSMAX.format(v='embedding')} END AS m,
+             list_transform(embedding,
+               x -> CAST(floor(x * 127.0
+                    / (CASE WHEN {_SQL_ABSMAX.format(v='embedding')} = 0
+                            THEN 1.0
+                            ELSE {_SQL_ABSMAX.format(v='embedding')} END)
+                    + 0.5) AS BIGINT)) AS q
+      FROM embeddings
+    ), qq AS (
+      SELECT embedding AS qv, m AS qm, q AS qvec FROM qz WHERE vec_id = 0
+    ), pool AS (
+      SELECT b.vec_id, b.embedding,
+             CAST(list_sum(list_transform(range(1, len(b.q) + 1),
+                    i -> b.q[i] * qq.qvec[i])) AS DOUBLE)
+               * b.m * qq.qm / 16129.0 AS approx
+      FROM qz b, qq WHERE b.vec_id <> 0
+      ORDER BY approx DESC, b.vec_id LIMIT 50
+    )
+    SELECT pool.vec_id,
+           round({_sql_cosine('pool.embedding', 'qq.qv')}, 6) AS sim
+    FROM pool, qq
+    ORDER BY sim DESC, pool.vec_id LIMIT 10
+    """,
+)
+def similarity_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized candidate pool (exact integer dot products — 4×
+    less scan traffic at corpus scale) re-ranked by exact cosine
+    (operators/similarity.py:int8_topk). Stage-1 integer arithmetic is
+    exact, so even the quantized ranking hash-matches the oracle."""
+    return S.int8_topk(table(spark, sf_dir, "embeddings"), query_id=0, k=10, pool=50)

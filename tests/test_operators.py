@@ -392,3 +392,20 @@ def test_hll_merge_and_accuracy(spark, sf_dir):
     est = hll_estimate(whole).collect()[0].hll_estimate
     true = li.select("pk").distinct().count()
     assert abs(est - true) / true < 3.25 / (HLL_M ** 0.5)
+
+
+def test_int8_topk_matches_exact(spark, sf_dir):
+    """The int8-pooled two-stage top-10 must equal brute-force exact
+    top-10 (pool of 50 gives the quantized stage ample recall headroom
+    at 64 dims)."""
+    from csv2parquet_spark.operators.similarity import int8_topk, topk_similar
+    from csv2parquet_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    from pyspark.sql import functions as SF
+
+    q = emb.filter(SF.col("vec_id") == 0)
+    corpus = emb.filter(SF.col("vec_id") != 0)
+    got = [(r.vec_id, r.sim) for r in int8_topk(emb, query_id=0, k=10).collect()]
+    want = [(r.vec_id, r.sim) for r in topk_similar(corpus, q, k=10).collect()]
+    assert got == want
