@@ -497,3 +497,66 @@ def zorder_cluster_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     df, z = zorder_key(li, ["l_orderkey", "l_partkey"], bits=8)
     return df.select("l_orderkey", "l_linenumber", z.alias("zval"))
+
+
+@register(
+    "analyze_table_stats",
+    oracle="""
+    SELECT 'l_quantity' AS col,
+           CAST(min(l_quantity) AS VARCHAR) AS min_v,
+           CAST(max(l_quantity) AS VARCHAR) AS max_v,
+           CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           CAST(count(DISTINCT l_quantity) AS BIGINT) AS ndv
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate', CAST(min(l_shipdate) AS VARCHAR),
+           CAST(max(l_shipdate) AS VARCHAR),
+           CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT l_shipdate) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', CAST(min(l_returnflag) AS VARCHAR),
+           CAST(max(l_returnflag) AS VARCHAR),
+           CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT l_returnflag) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_partkey', CAST(min(l_partkey) AS VARCHAR),
+           CAST(max(l_partkey) AS VARCHAR),
+           CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT l_partkey) AS BIGINT)
+    FROM lineitem
+    """,
+)
+def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics (min/max/null-count/NDV) — what
+    a cost-based optimizer, a file-pruning reader, and a data-quality
+    monitor all consume. ONE scan computes every column's stats as
+    parallel aggregates (partial-agg, single exchange), then the narrow
+    result is unpivoted driver-side — rows = 4 columns, not 4 scans."""
+    li = table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_shipdate", "l_returnflag", "l_partkey"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(c).cast("string").alias(f"min_{c}"),
+            F.max(c).cast("string").alias(f"max_{c}"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"nn_{c}"),
+            F.count_distinct(c).alias(f"ndv_{c}"),
+        ]
+    row = li.agg(*aggs)
+    parts = [
+        row.select(
+            F.lit(c).alias("col"),
+            F.col(f"min_{c}").alias("min_v"),
+            F.col(f"max_{c}").alias("max_v"),
+            F.col(f"nn_{c}").alias("n_nulls"),
+            F.col(f"ndv_{c}").alias("ndv"),
+        )
+        for c in cols
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
