@@ -766,3 +766,93 @@ def similarity_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.py:int8_topk). Stage-1 integer arithmetic is
     exact, so even the quantized ranking hash-matches the oracle."""
     return S.int8_topk(table(spark, sf_dir, "embeddings"), query_id=0, k=10, pool=50)
+
+
+_RECALL_BUCKET = None  # populated lazily to keep import cheap
+
+
+@register(
+    "ann_recall_report",
+    oracle=f"""
+    WITH qs AS (
+      SELECT vec_id AS qid, embedding AS qv,
+             {_sql_lsh_bucket('embedding', S._hyperplanes(4, 64, 42))} AS qb
+      FROM embeddings WHERE vec_id < 10
+    ), ex AS (
+      SELECT qs.qid, b.vec_id,
+             row_number() OVER (
+               PARTITION BY qs.qid
+               ORDER BY round({_sql_cosine('b.embedding', 'qs.qv')}, 6) DESC,
+                        b.vec_id
+             ) AS rn
+      FROM embeddings b, qs WHERE b.vec_id <> qs.qid
+    ), ex10 AS (
+      SELECT qid, vec_id FROM ex WHERE rn <= 10
+    ), ls AS (
+      SELECT qs.qid, b.vec_id,
+             row_number() OVER (
+               PARTITION BY qs.qid
+               ORDER BY round({_sql_cosine('b.embedding', 'qs.qv')}, 6) DESC,
+                        b.vec_id
+             ) AS rn
+      FROM embeddings b, qs
+      WHERE b.vec_id <> qs.qid
+        AND {_sql_lsh_bucket('b.embedding', S._hyperplanes(4, 64, 42))} = qs.qb
+    ), ls10 AS (
+      SELECT qid, vec_id FROM ls WHERE rn <= 10
+    )
+    SELECT e.qid, CAST(count(l.vec_id) AS BIGINT) AS n_hit,
+           round(count(l.vec_id) / 10.0, 6) AS recall_at_10
+    FROM ex10 e LEFT JOIN ls10 l USING (qid, vec_id)
+    GROUP BY e.qid
+    """,
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@10 of the single-table LSH bucket
+    probe against exact top-10, for query vectors 0-9 — the measurement
+    loop any production ANN deployment runs before trusting an index.
+    Everything (hyperplanes, rounding, tie-breaks) is seeded and
+    deterministic, so even the recall numbers hash-match the oracle.
+    Scale shape: one corpus×queries broadcast join for the exact side
+    (queries are tiny), bucket-filtered join for the LSH side, both
+    top-10s via WindowGroupLimit."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "embeddings")
+    planes = S._hyperplanes(4, 64, 42)
+    qs = (
+        e.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+            S._lsh_bucket_col(F.col("embedding"), planes).alias("qb"),
+        )
+    )
+    b = e.select(
+        "vec_id", "embedding",
+        S._lsh_bucket_col(F.col("embedding"), planes).alias("bb"),
+    )
+    sim = F.round(S.cosine(F.col("embedding"), F.col("qv")), 6)
+    w = Window.partitionBy("qid").orderBy(F.desc("s"), "vec_id")
+
+    def top10(df):
+        return (
+            df.withColumn("s", sim)
+            .withColumn("rn", F.row_number().over(w))
+            .filter("rn <= 10")
+            .select("qid", "vec_id")
+        )
+
+    ex10 = top10(b.crossJoin(F.broadcast(qs)).filter(F.col("vec_id") != F.col("qid")))
+    ls10 = top10(
+        b.join(F.broadcast(qs), b.bb == qs.qb).filter(F.col("vec_id") != F.col("qid"))
+    )
+    return (
+        ex10.join(ls10.withColumnRenamed("vec_id", "hit"),
+                  (ex10.qid == ls10.qid) & (ex10.vec_id == F.col("hit")), "left")
+        .groupBy(ex10.qid)
+        .agg(
+            F.count("hit").alias("n_hit"),
+            F.round(F.count("hit") / 10.0, 6).alias("recall_at_10"),
+        )
+    )
