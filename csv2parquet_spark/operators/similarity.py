@@ -127,49 +127,101 @@ def _lsh_blas_candidates(
     id_col: str,
     seed: int,
 ) -> DataFrame:
-    """LSH-bucketed candidate pairs via per-bucket BLAS: group each
-    (table, bucket) with ``applyInPandas`` and emit only pairs whose
-    normalized-matmul cosine clears ``threshold - 1e-6``.
+    """LSH-bucketed candidate pairs via per-bucket BLAS over
+    INT8-QUANTIZED vectors: group each (table, bucket) with
+    ``applyInPandas`` and emit only pairs that could possibly clear
+    ``threshold`` given a rigorous quantization-error bound.
 
     Why not a bucket self-join? At n vectors per bucket the join
     MATERIALIZES n² candidate rows through a shuffle and scores each
     with an interpreted array fold — measured 13 s at 5 k vectors. Here
-    the shuffle carries only T×corpus narrow rows, the n² work happens
-    inside one numpy matmul per bucket, and only survivors leave Python.
-    The 1e-6 margin keeps every pair whose EXACT cosine ≥ threshold
-    (BLAS pairwise summation differs from the sequential fold by ~1e-15
-    relative), so the downstream exact verify loses nothing.
+    the n² work happens inside one numpy matmul per bucket, and only
+    survivors leave Python.
+
+    Why int8 in the exchange? The T-fold ``explode(tables)`` replicates
+    every corpus row into T groups; carrying float64 vectors through
+    that groupBy shuffles 8·dim bytes × T per vector — at corpus scale
+    the job's dominant cost. Instead the vector is quantized MAP-SIDE
+    (before the explode) to one binary cell of ``8 + dim`` bytes
+    (float64 scale ‖ int8 codes), an ~8× cut that cancels the T-fold
+    blow-up at T=8.
+
+    Losslessness: with per-vector scale s = max|x|/127 and
+    round-to-nearest codes, the reconstruction x̂ satisfies
+    |x̂ − x|₂ ≤ E = √dim·s/2, so the unit vectors differ by at most
+    δ = 2E/|x̂| (hat-norm known exactly in-kernel) and
+    |cos(x̂,ŷ) − cos(x,y)| ≤ δ_x + δ_y. A pair is kept iff
+    cos(x̂,ŷ) ≥ threshold − δ_x − δ_y − 1e-6 — every pair whose EXACT
+    cosine ≥ threshold survives, so the downstream exact float64 verify
+    (which re-joins the true vectors by id) loses nothing and the final
+    output is identical to the float64 stage it replaces.
 
     Caveat (same contract as FAISS-style bucketing): a bucket must fit
     in one worker's memory — size the plane count so 2^planes tracks the
-    corpus (buckets of ~thousands, matmul-cheap)."""
-    tables = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                _lsh_bucket_col(
-                    F.col(vec_col), _hyperplanes(num_planes, dim, seed + t)
-                ).alias("bucket"),
-            )
-            for t in range(num_tables)
-        ]
-    )
+    corpus (buckets of ~thousands, matmul-cheap).
+
+    Bucket ids are computed in the SAME numpy kernel as the quantizer
+    (one matmul against all T·P hyperplanes) rather than as Catalyst
+    literal-array folds: 32 plane-dot expression trees × 64 terms cost
+    ~2 s of driver-side analysis PER CALL, constant overhead that
+    dominated the sf0.1 bench. numpy's pairwise-summed dot can only
+    disagree with the oracle's sequential fold on the sign of a dot
+    within ~1e-13 of zero — tests assert the fixture's minimum |dot|
+    margin is orders of magnitude above that (test_operators.py)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.asarray(
+        [_hyperplanes(num_planes, dim, seed + t) for t in range(num_tables)],
+        dtype=np.float64,
+    ).reshape(num_tables * num_planes, dim)
+    bits_w = (1 << np.arange(num_planes)).astype(np.int64)
+    T, P = num_tables, num_planes
+
+    @pandas_udf("qz binary, buckets array<bigint>")
+    def _sig(embs: pd.Series) -> pd.DataFrame:
+        if len(embs) == 0:
+            return pd.DataFrame({"qz": [], "buckets": []})
+        V = np.vstack([np.asarray(e, dtype=np.float64) for e in embs])
+        m = np.max(np.abs(V), axis=1)
+        m[m == 0.0] = 1.0
+        Q = np.floor(V * (127.0 / m[:, None]) + 0.5).astype(np.int8)
+        s = (m / 127.0).astype(np.float64)
+        sign_bits = (V @ planes.T >= 0).astype(np.int64).reshape(len(embs), T, P)
+        buckets = sign_bits @ bits_w
+        return pd.DataFrame(
+            {
+                "qz": [s[i].tobytes() + Q[i].tobytes() for i in range(len(embs))],
+                "buckets": list(buckets),
+            }
+        )
+
     bk = vectors.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.explode(tables).alias("tb")
-    ).select("id", "v", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
-    margin = threshold - 1e-6
+        F.col(id_col).alias("id"), _sig(F.col(vec_col)).alias("s")
+    ).select(
+        "id",
+        F.col("s.qz").alias("qz"),
+        F.posexplode(F.col("s.buckets")).alias("tbl", "bucket"),
+    )
 
     def gen(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
         if len(pdf) < 2:
             return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")})
-        V = np.vstack([np.asarray(e, dtype=np.float64) for e in pdf["v"]])
+        A = np.frombuffer(b"".join(pdf["qz"]), dtype=np.uint8).reshape(len(pdf), -1)
+        s = A[:, :8].copy().view(np.float64).ravel()
+        V = A[:, 8:].view(np.int8).astype(np.float64) * s[:, None]
+        d = V.shape[1]
         ids = pdf["id"].to_numpy()
         n = np.linalg.norm(V, axis=1)
-        n[n == 0.0] = 1.0
+        # δ = 2·(√d·s/2)/|x̂| bounds the unit-vector perturbation from
+        # quantization; zero-norm reconstructions get the max bound (2).
+        delta = np.full(len(s), 2.0)
+        nz = n > 0.0
+        delta[nz] = np.sqrt(d) * s[nz] / n[nz]
+        n[~nz] = 1.0
         Vn = V / n[:, None]
-        ia, ib = np.nonzero(np.triu(Vn @ Vn.T >= margin, k=1))
+        keep = Vn @ Vn.T >= threshold - delta[:, None] - delta[None, :] - 1e-6
+        ia, ib = np.nonzero(np.triu(keep, k=1))
         return pd.DataFrame(
             {"id_a": np.minimum(ids[ia], ids[ib]), "id_b": np.maximum(ids[ia], ids[ib])}
         )

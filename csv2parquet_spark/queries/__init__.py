@@ -43,9 +43,13 @@ from csv2parquet_spark.queries import sketches_q  # noqa: E402,F401
 # Queries that miss this round's window stay in tier 1/2 and surface
 # automatically next round once newly-proven names drop to tier 3.
 # ---------------------------------------------------------------------------
-# Round-2 re-proofs: proven in r1 but reimplemented since (LSH re-block /
-# broadcast-centroid IVF). Clear once CORRECTNESS_r02 shows them green.
-_FORCE_FIRST: list[str] = ["embedding_near_dups", "similarity_topk_ivf_full"]
+# Round-3 re-proofs: embedding_near_dups' candidate stage-1 was
+# reimplemented this round (int8-quantized shuffle + in-kernel numpy
+# buckets) — output is provably identical (losslessness test pins the
+# superset property) but the rule is: behavior-adjacent change → re-prove.
+# Clear once CORRECTNESS_r03 shows it green. (r2 entries cleared: both
+# proven in CORRECTNESS_r02.)
+_FORCE_FIRST: list[str] = ["embedding_near_dups"]
 
 
 def _proven_from_driver_rounds() -> tuple[set[str], set[str]]:

@@ -409,3 +409,49 @@ def test_int8_topk_matches_exact(spark, sf_dir):
     got = [(r.vec_id, r.sim) for r in int8_topk(emb, query_id=0, k=10).collect()]
     want = [(r.vec_id, r.sim) for r in topk_similar(corpus, q, k=10).collect()]
     assert got == want
+
+
+def test_lsh_blas_sign_margin_and_candidate_superset(spark, sf_dir):
+    """The int8 stage-1 rewrite (similarity._lsh_blas_candidates) makes
+    two claims this test pins:
+
+    1. Bucket SIGN SAFETY: bucket bits come from a numpy pairwise-summed
+       matmul while the DuckDB oracle uses a sequential list fold; the
+       two can disagree only if some |v·plane| is within float-association
+       distance (~1e-13) of zero. Assert the fixture's minimum margin is
+       orders of magnitude above that, so the engines provably agree.
+    2. LOSSLESSNESS: the quantization-error margin keeps stage-1 a strict
+       superset of every co-bucketed pair whose EXACT cosine clears the
+       threshold (so the exact float64 verify loses nothing).
+    """
+    import numpy as np
+
+    emb = table(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    V = np.vstack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    ids = np.array([r.vec_id for r in rows])
+    planes = np.asarray(
+        [S._hyperplanes(4, 64, 42 + t) for t in range(8)], dtype=np.float64
+    ).reshape(32, 64)
+    margin = np.min(np.abs(V @ planes.T))
+    assert margin > 1e-6, f"bucket sign margin too small: {margin}"
+
+    # exact ground truth: co-bucketed pairs with cosine >= threshold
+    thr = 0.4
+    n = np.linalg.norm(V, axis=1)
+    n[n == 0.0] = 1.0
+    Cos = (V / n[:, None]) @ (V / n[:, None]).T
+    bits = (V @ planes.T >= 0).astype(np.int64).reshape(len(V), 8, 4)
+    buckets = bits @ (1 << np.arange(4))
+    same_bucket = (buckets[:, None, :] == buckets[None, :, :]).any(axis=2)
+    ia, ib = np.nonzero(np.triu((Cos >= thr) & same_bucket, k=1))
+    want = {
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j]))) for i, j in zip(ia, ib)
+    }
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in S._lsh_blas_candidates(emb, thr, 4, 8, 64, "embedding", "vec_id", 42).collect()
+    }
+    assert want, "fixture should contain co-bucketed near-dups"
+    assert want <= got, f"stage-1 lost true pairs: {sorted(want - got)[:5]}"
