@@ -1,0 +1,124 @@
+"""Scale-safe global ranking (two-pass), replacing the one window shape
+that cannot survive 100 TB: ``Window.orderBy(...)`` with no partitionBy
+plans an Exchange SinglePartition — the whole corpus sorted on one task.
+
+The classic distributed alternative (the shape VERDICT r2 asked for):
+
+  pass 0  ``repartitionByRange(keys)`` + ``sortWithinPartitions`` —
+          Spark's range exchange gives globally ordered, disjoint
+          partitions (a parallel sort, P tasks);
+  pass 1  per-partition row counts → driver (P integers, model-sized)
+          → cumulative offsets;
+  pass 2  map-only partition-local enumeration: global row number =
+          partition offset + local index. No single-partition stage
+          anywhere; the corpus is never on one machine.
+
+The ranked data is ``localCheckpoint``-ed between the passes so both
+jobs see the identical physical layout (range boundaries are sampled;
+pinning the layout makes partition ids stable across the two jobs).
+That materialization is the standard two-pass tradeoff: at scale you
+pay one cached pass of the sorted corpus instead of a serial sort.
+
+Requires ``keys`` to be a TOTAL order (append a unique tiebreaker
+column) — with unique keys rank == row_number and ntile/percent_rank/
+cume_dist are all pure functions of (row_number, N), computed in
+Catalyst from literal N.
+"""
+
+from __future__ import annotations
+
+from pyspark import TaskContext
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def global_row_number(
+    df: DataFrame,
+    keys: list[str],
+    rn_col: str = "rn",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Attach a 1-based global row number ordered by ``keys`` (which must
+    be a total order) without any single-partition stage. Returns
+    ``(df_with_rn, total_rows)``.
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401  (mapInPandas batches are pandas)
+
+    part = df.repartitionByRange(
+        num_partitions
+        or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")),
+        *[F.col(k) for k in keys],
+    ).sortWithinPartitions(*keys)
+    part = part.localCheckpoint()  # pin layout: both passes, one sort
+
+    # pass 1: P partition counts -> cumulative offsets (driver holds P ints)
+    counts = (
+        part.groupBy(F.spark_partition_id().alias("pid"))
+        .count()
+        .collect()
+    )
+    sizes = {r.pid: r["count"] for r in counts}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    total = acc
+    bc = df.sparkSession.sparkContext.broadcast(offsets)
+
+    # pass 2: map-only enumeration in partition order (batches arrive in
+    # the sortWithinPartitions order; TaskContext gives the physical pid,
+    # the same index spark_partition_id() reported in pass 1).
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # fresh StructType — StructType.add would mutate the df's cached schema
+    out_schema = StructType(
+        list(part.schema.fields) + [StructField(rn_col, LongType())]
+    )
+
+    def number(batches):
+        pid = TaskContext.get().partitionId()
+        seen = bc.value.get(pid, 0)
+        for pdf in batches:
+            k = len(pdf)
+            pdf = pdf.copy()
+            pdf[rn_col] = np.arange(seen + 1, seen + k + 1, dtype=np.int64)
+            seen += k
+            yield pdf
+
+    return part.mapInPandas(number, out_schema), total
+
+
+def ntile_of(rn: Column, n: int, tiles: int) -> Column:
+    """ntile(tiles) as a pure function of the 1-based unique row number
+    and literal total ``n``: the first ``n % tiles`` tiles get
+    ``n // tiles + 1`` rows, the rest ``n // tiles`` (SQL ntile spec).
+    """
+    base, rem = divmod(n, tiles)
+    big = rem * (base + 1)
+    return (
+        F.when(rn <= F.lit(big), (rn - 1) / F.lit(base + 1))
+        .otherwise(F.lit(rem) + (rn - 1 - F.lit(big)) / F.lit(max(base, 1)))
+        .cast("int")
+        + 1
+    )
+
+
+def rank_stats(
+    df: DataFrame,
+    keys: list[str],
+    tiles: int = 4,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """ntile / percent_rank / cume_dist over a global total order,
+    two-pass — the scale-safe twin of the single-partition window. Adds
+    ``quartile`` (ntile of ``tiles``), ``pct_rank``, ``cume`` columns.
+    """
+    ranked, n = global_row_number(df, keys, num_partitions=num_partitions)
+    return ranked.select(
+        *df.columns,
+        ntile_of(F.col("rn"), n, tiles).alias("quartile"),
+        F.round((F.col("rn") - 1) / F.lit(max(n - 1, 1)), 6).alias("pct_rank"),
+        F.round(F.col("rn") / F.lit(n), 6).alias("cume"),
+    )

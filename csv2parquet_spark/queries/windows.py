@@ -131,6 +131,33 @@ def window_ntile_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_ntile_scalable",
+    oracle="""
+    SELECT o_orderkey,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_ntile_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe twin of ``window_ntile_percentiles``: same ntile(4) /
+    percent_rank / cume_dist result, but via the two-pass plan
+    (range-partitioned parallel sort → per-partition counts → broadcast
+    offsets → map-only local enumeration; operators/ranking.py) instead
+    of a single-partition global Window — no stage ever holds the whole
+    dataset. test_plans.py asserts the plan has no Window and no
+    SinglePartition exchange."""
+    from csv2parquet_spark.operators.ranking import rank_stats
+
+    o = table(spark, sf_dir, "orders")
+    return rank_stats(o, ["o_totalprice", "o_orderkey"], tiles=4).select(
+        "o_orderkey", "quartile", "pct_rank", "cume"
+    )
+
+
+@register(
     "window_first_last_nth",
     oracle="""
     SELECT o_custkey, o_orderkey,

@@ -185,3 +185,14 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     dirs = [d for d in os.listdir(out) if d.startswith("l_returnflag=")]
     assert len(dirs) >= 2  # data actually laid out per partition
     assert df.count() == l.filter(F.col("l_returnflag") == "R").count()
+
+
+def test_ntile_scalable_has_no_single_partition_stage(spark, sf_dir):
+    """window_ntile_scalable is the two-pass global-rank twin: the plan
+    must contain neither a Window node nor an Exchange SinglePartition —
+    the properties that make the single-partition original unshippable
+    at scale. (The range exchange + sort happen before the pinned
+    localCheckpoint; what ships after is map-only.)"""
+    plan = _plan(REGISTRY["window_ntile_scalable"].fn(spark, sf_dir))
+    assert "SinglePartition" not in plan
+    assert "Window" not in plan
