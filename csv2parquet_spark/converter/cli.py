@@ -70,7 +70,10 @@ def build_parser() -> argparse.ArgumentParser:
         default="FAILFAST",
     )
     # Engine extension: input format. "auto" keys off the extension
-    # (.jsonl/.ndjson/.json → JSONL); the reference grammar is CSV-only.
+    # (.jsonl/.ndjson → JSONL; everything else CSV — a plain .json file
+    # usually means a multi-line document/array, which the line-oriented
+    # reader would misparse, so it needs an explicit --format jsonl);
+    # the reference grammar is CSV-only.
     p.add_argument("--format", choices=["auto", "csv", "jsonl"], default="auto")
     return p
 
@@ -104,7 +107,7 @@ def main(argv: list[str] | None = None) -> int:
     fmt = args.format
     if fmt == "auto":
         ext = args.csv.rsplit(".", 1)[-1].lower()
-        fmt = "jsonl" if ext in {"jsonl", "ndjson", "json"} else "csv"
+        fmt = "jsonl" if ext in {"jsonl", "ndjson"} else "csv"
     if fmt == "jsonl":
         from csv2parquet_spark.converter.jsonl import convert_jsonl
 

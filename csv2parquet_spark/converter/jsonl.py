@@ -37,6 +37,12 @@ from csv2parquet_spark.converter.schema_json import (
 )
 
 
+# Lines consulted for field NAMES when max_read_records=0 ("skip
+# inference"): enough to see every field of any sane corpus header-less
+# format, while keeping the names pass O(1) in the corpus size.
+_NAME_SAMPLE_LINES = 1000
+
+
 def _infer_jsonl_schema(
     spark: SparkSession, jsonl_path: str, opts: ConvertOptions
 ) -> T.StructType:
@@ -45,10 +51,15 @@ def _infer_jsonl_schema(
             return arrow_json_to_struct(f.read())
     if opts.max_read_records == 0:
         # CSV-parity contract: 0 sampled records → all columns string.
-        # Field NAMES still need one pass (JSON has no header line);
-        # values are left unparsed.
-        full = spark.read.json(jsonl_path).schema
-        return T.StructType([T.StructField(f.name, T.StringType()) for f in full])
+        # Field NAMES still need a look at the data (JSON has no header
+        # line) — but "0 = skip inference" must not pay a corpus scan,
+        # so names come from the first _NAME_SAMPLE_LINES lines only
+        # (limit() short-circuits each split's read). Caveat, documented:
+        # a field that first appears beyond the sample window is dropped;
+        # pass a schema file or max_read_records>0 for full coverage.
+        sample = spark.read.text(jsonl_path).limit(_NAME_SAMPLE_LINES)
+        named = spark.read.json(sample.rdd.map(lambda r: r.value)).schema
+        return T.StructType([T.StructField(f.name, T.StringType()) for f in named])
     if opts.max_read_records is not None:
         # Cap inference: parse only the first n lines. limit() before
         # the JSON parse prunes the text scan to the first file splits.

@@ -198,9 +198,16 @@ def bloom_probe(
 ) -> DataFrame:
     """queries + ``maybe`` flag: true iff ALL k probe bits are set.
     The bit table broadcasts; per query the join matches ≤ k rows and
-    the groupBy counts them — no row explosion survives the aggregate."""
-    probes = queries.select(
-        F.col(col), _bloom_positions(col, k, bits).alias("pos")
+    the groupBy counts them — no row explosion survives the aggregate.
+
+    The probe side is distinct'd on ``col`` internally: duplicate query
+    values would otherwise multiply the per-value hit count (nhit =
+    k·dups ≠ k), turning a genuinely present key into ``maybe=false`` —
+    a silent false negative, violating the Bloom invariant."""
+    probes = (
+        queries.select(col)
+        .dropDuplicates([col])
+        .select(F.col(col), _bloom_positions(col, k, bits).alias("pos"))
     )
     hits = (
         probes.join(F.broadcast(bloom), "pos")

@@ -114,9 +114,10 @@ def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 # PII scrubbing (training-data hygiene): emails, phone-ish numbers, IPv4.
 # Patterns stay in the RE2-compatible subset (no lookaround) so the
 # DuckDB oracle can run the IDENTICAL regex; both engines replace ALL
-# occurrences. Order matters: emails before phones (an email's digits
-# must not be half-eaten by the phone pass), IPs after phones with a
-# phone pattern that can't span dots.
+# occurrences. Order matters: emails first (an email's digits must not
+# be half-eaten by a later pass), then IPv4 before phones (the phone
+# pattern can't span dots, so it could otherwise eat fragments of a
+# dotted quad between the dots).
 # ---------------------------------------------------------------------------
 PII_PATTERNS = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),

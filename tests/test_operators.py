@@ -455,3 +455,24 @@ def test_lsh_blas_sign_margin_and_candidate_superset(spark, sf_dir):
     }
     assert want, "fixture should contain co-bucketed near-dups"
     assert want <= got, f"stage-1 lost true pairs: {sorted(want - got)[:5]}"
+
+
+def test_bloom_probe_duplicate_queries_no_false_negatives(spark):
+    """Duplicate probe values must not break the Bloom no-false-negative
+    invariant (pre-fix: nhit = k*dups != k marked present keys absent).
+    Output stays one row per INPUT row, duplicates included."""
+    from csv2parquet_spark.operators.sketches import bloom_build, bloom_probe
+
+    keys = spark.createDataFrame([("alpha",), ("beta",)], "s string")
+    queries = spark.createDataFrame(
+        [("alpha",), ("alpha",), ("alpha",), ("gamma",)], "s string"
+    )
+    bloom = bloom_build(keys, "s")
+    got = bloom_probe(bloom, queries, "s").collect()
+    assert len(got) == 4
+    by_val = {}
+    for r in got:
+        by_val.setdefault(r.s, set()).add(r.maybe)
+    assert by_val["alpha"] == {True}
+    # gamma may be a false positive in principle, never an error
+    assert by_val["gamma"] <= {True, False}

@@ -293,3 +293,38 @@ def test_streaming_upsert_sink(spark, tmp_path):
     q2.awaitTermination()
     snap2 = {r.k: r.v for r in read_snapshot(spark, root).collect()}
     assert snap2 == {1: "a9", 2: "b2", 3: "c"}
+
+
+def test_upsert_batch_replay_after_swap_is_noop(spark, tmp_path):
+    """Crash-after-swap replay: if the manifest already points at the
+    incoming version (the checkpoint died before committing), re-merging
+    would overwrite the very snapshot being read — the batch must be a
+    no-op instead (pre-fix: the stream wedged on every restart)."""
+    from csv2parquet_spark.streaming import read_snapshot
+    from csv2parquet_spark.streaming.sinks import upsert_batch
+
+    root = str(tmp_path / "snap")
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string")
+    upsert_batch(spark, root, b0, "k", 0)
+    b1 = spark.createDataFrame([(2, "b2")], "k bigint, v string")
+    upsert_batch(spark, root, b1, "k", 1)
+    # replay of batch 1 (same version, possibly same data) — must no-op
+    upsert_batch(spark, root, b1, "k", 1)
+    snap = {r.k: r.v for r in read_snapshot(spark, root).collect()}
+    assert snap == {1: "a", 2: "b2"}
+
+
+def test_upsert_batch_seq_tie_break(spark, tmp_path):
+    """Within a batch, the row with the highest __seq wins when the
+    column is present (documented contract, now implemented)."""
+    from csv2parquet_spark.streaming import read_snapshot
+    from csv2parquet_spark.streaming.sinks import upsert_batch
+
+    root = str(tmp_path / "snap")
+    b = spark.createDataFrame(
+        [(1, "old", 10), (1, "new", 20), (2, "only", 5)],
+        "k bigint, v string, __seq bigint",
+    )
+    upsert_batch(spark, root, b, "k", 0)
+    snap = {r.k: r.v for r in read_snapshot(spark, root).collect()}
+    assert snap == {1: "new", 2: "only"}
