@@ -637,6 +637,46 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_metadata(d)
 
 
+@register(
+    "multimodal_decode_real",
+    oracle="""
+    SELECT doc_id,
+      CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format,
+      CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 64 ELSE 0 END AS INTEGER) AS width,
+      CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + (doc_id // 7) % 48 ELSE 0 END AS INTEGER) AS height,
+      CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 + doc_id % 2 END AS INTEGER) AS channels,
+      CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+           ELSE 8000 * (1 + doc_id % 3) END AS INTEGER) AS sample_rate,
+      CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+           ELSE (1 + doc_id % 500) * 1000 // (8000 * (1 + doc_id % 3))
+           END AS INTEGER) AS duration_ms,
+      CAST(CASE WHEN doc_id % 2 = 0
+           THEN 54 + ((24 * (1 + doc_id % 64) + 31) // 32) * 4 * (1 + (doc_id // 7) % 48)
+           ELSE 44 + (1 + doc_id % 500) * (1 + doc_id % 2) * 2
+           END AS INTEGER) AS payload_bytes
+    FROM documents
+    """,
+)
+def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode, hash-checked: each doc gets a genuine BMP or
+    canonical PCM WAV file (valid headers, spec-correct row padding /
+    chunk layout, synthesized deterministically from doc_id —
+    multimodal.synth_media_payload), and Spark PARSES THE BYTES with the
+    stdlib struct decoder (multimodal.decode_media: magic-byte sniff,
+    BITMAPINFOHEADER fields, RIFF chunk walk). The oracle recomputes the
+    expected metadata from the same id arithmetic — any header-layout or
+    parsing bug breaks the hash match. Upgrades the multimodal surface
+    from rows-only stubs to a driver-provable decode."""
+    from csv2parquet_spark.operators.multimodal import (
+        decode_media,
+        with_synth_media_payload,
+    )
+
+    return decode_media(
+        with_synth_media_payload(table(spark, sf_dir, "documents"))
+    )
+
+
 def _sql_lsh_pool(pool_alias: str, planes: list[list[float]], k: int) -> str:
     """One LSH probe stage as SQL: query-bucket match → rounded-cosine
     top-k ids (ORDER BY sim, vec_id mirrors Spark's deterministic

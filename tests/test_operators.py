@@ -476,3 +476,59 @@ def test_bloom_probe_duplicate_queries_no_false_negatives(spark):
     assert by_val["alpha"] == {True}
     # gamma may be a false positive in principle, never an error
     assert by_val["gamma"] <= {True, False}
+
+
+def test_decode_media_golden_files(spark):
+    """The BMP/WAV decoders parse REAL files: golden payloads here are
+    built field-by-field (independently of synth_media_payload) with a
+    non-canonical WAV (extra LIST chunk before data) to prove the RIFF
+    chunk walk, plus an unknown payload."""
+    import struct
+
+    from csv2parquet_spark.operators.multimodal import decode_media
+
+    # 2x2 24-bpp BMP: row stride ((24*2+31)//32)*4 = 8, image 16 bytes
+    bmp = (
+        struct.pack("<2sIHHI", b"BM", 54 + 16, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, 16, 0, 0, 0, 0)
+        + b"\x11" * 16
+    )
+    # 16-bit stereo 8 kHz WAV, 4 samples, LIST chunk between fmt and data
+    wav_data = b"\x00" * (4 * 2 * 2)
+    wav = (
+        struct.pack("<4sI4s", b"RIFF", 4 + 24 + 12 + 8 + len(wav_data), b"WAVE")
+        + struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 2, 8000, 32000, 4, 16)
+        + struct.pack("<4sI", b"LIST", 4) + b"INFO"
+        + struct.pack("<4sI", b"data", len(wav_data))
+        + wav_data
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(bmp)), (2, bytearray(wav)), (3, bytearray(b"not media"))],
+        "doc_id bigint, payload binary",
+    )
+    got = {r.doc_id: r for r in decode_media(df).collect()}
+    assert (got[1].format, got[1].width, got[1].height, got[1].channels) == ("bmp", 2, 2, 3)
+    assert (got[2].format, got[2].channels, got[2].sample_rate) == ("wav", 2, 8000)
+    assert got[2].duration_ms == 4 * 1000 // 8000
+    assert got[3].format == "unknown"
+    assert got[1].payload_bytes == len(bmp)
+
+
+def test_synth_media_payloads_are_valid_files(spark):
+    """synth_media_payload outputs must decode (they are the fixture for
+    the hash-checked oracle query) and match the id arithmetic."""
+    from csv2parquet_spark.operators.multimodal import (
+        decode_media,
+        with_synth_media_payload,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(20)], "doc_id bigint")
+    got = {r.doc_id: r for r in decode_media(with_synth_media_payload(ids)).collect()}
+    for i in range(20):
+        r = got[i]
+        if i % 2 == 0:
+            assert r.format == "bmp" and r.width == 1 + i % 64
+            assert r.height == 1 + (i // 7) % 48 and r.channels == 3
+        else:
+            assert r.format == "wav" and r.channels == 1 + i % 2
+            assert r.sample_rate == 8000 * (1 + i % 3)
