@@ -125,6 +125,12 @@ def interval_join(
     executors. ``withWatermark`` is a no-op in batch, so the SAME
     function is the batch twin the tests compare against.
 
+    Late-row semantics (pinned by the micro-batch tests): dropping
+    happens at the STATE boundary — a late row never enters join state,
+    so it cannot match rows from other batches; but two late rows
+    arriving in the SAME micro-batch still pair intra-batch. The
+    guarantee is bounded state, not a hard input filter.
+
     Returns (user_id, click_id, purchase_id, gap_ms) — the gap in
     integer milliseconds (exact; no float accumulation downstream).
     """

@@ -328,3 +328,152 @@ def test_upsert_batch_seq_tie_break(spark, tmp_path):
     upsert_batch(spark, root, b, "k", 0)
     snap = {r.k: r.v for r in read_snapshot(spark, root).collect()}
     assert snap == {1: "new", 2: "only"}
+
+
+def _write_json_batches(src, batches):
+    """One JSON file per micro-batch, mtimes forcing the trigger order
+    (the file source orders by modification time)."""
+    import json
+
+    os.makedirs(src, exist_ok=True)
+    for i, rows in enumerate(batches):
+        p = os.path.join(src, f"b{i}.json")
+        with open(p, "w") as f:
+            f.write("\n".join(json.dumps(r) for r in rows) + "\n")
+        os.utime(p, (1_000_000_000 + 60 * i, 1_000_000_000 + 60 * i))
+
+
+_EV_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+)
+
+
+def test_interval_join_micro_batches_drop_late_rows(spark, tmp_path):
+    """REAL readStream micro-batches (>=3) through the stream-stream
+    interval join: a click+purchase pair arriving in batch 3 with event
+    times far below the watermark (advanced by batch 2) must be DROPPED
+    by the stream while the batch twin (withWatermark no-ops in batch)
+    still matches it — the state-bounding behavior the r2 batch-twin
+    oracle could not observe."""
+    from csv2parquet_spark.streaming import run_to_memory
+    from csv2parquet_spark.streaming.windows import interval_join
+
+    src = str(tmp_path / "ij")
+    _write_json_batches(
+        src,
+        [
+            [
+                {"event_id": 100, "ts": "2024-01-01 10:00:00", "user_id": 1, "event_type": "click", "value": 1.0},
+                {"event_id": 200, "ts": "2024-01-01 10:05:00", "user_id": 1, "event_type": "purchase", "value": 5.0},
+            ],
+            [
+                {"event_id": 101, "ts": "2024-01-01 12:00:00", "user_id": 2, "event_type": "click", "value": 1.0},
+                {"event_id": 201, "ts": "2024-01-01 12:05:00", "user_id": 2, "event_type": "purchase", "value": 5.0},
+            ],
+            # late pair, SPLIT across batches: Spark's stream-stream
+            # join drops late rows at the state boundary — a late click
+            # never enters state, so its purchase (next batch) finds
+            # nothing. (Same-batch late pairs still join intra-batch;
+            # the guarantee is about state, not intra-batch pairing.)
+            [{"event_id": 102, "ts": "2024-01-01 10:30:00", "user_id": 3, "event_type": "click", "value": 1.0}],
+            [{"event_id": 202, "ts": "2024-01-01 10:35:00", "user_id": 3, "event_type": "purchase", "value": 5.0}],
+        ],
+    )
+
+    def build(df):
+        return interval_join(
+            df.filter("event_type = 'click'"),
+            df.filter("event_type = 'purchase'"),
+            horizon="30 minutes",
+            watermark="10 minutes",
+        )
+
+    stream = (
+        spark.readStream.schema(_EV_SCHEMA).option("maxFilesPerTrigger", 1).json(src)
+    )
+    name, q = run_to_memory(build(stream), "append")
+    try:
+        q.processAllAvailable()
+        n_batches = len(q.recentProgress)
+    finally:
+        q.stop()
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    assert n_batches >= 3
+
+    batch = spark.read.schema(_EV_SCHEMA).json(src)
+    want = {(r.click_id, r.purchase_id) for r in build(batch).collect()}
+    assert (102, 202) in want  # the batch twin sees the late pair...
+    assert (102, 202) not in got  # ...the watermark drops it in-stream
+    assert got == want - {(102, 202)}
+
+
+def test_session_windows_micro_batches_drop_late_event(spark, tmp_path):
+    """Session windows over >=4 real micro-batches: a late event for an
+    already-closed session (below the watermark) is dropped — the
+    session it would have extended keeps its original n_events, and the
+    stream's emitted sessions equal the batch twin computed WITHOUT the
+    late event."""
+    from csv2parquet_spark.streaming import run_to_memory, session_counts
+
+    batches = [
+        [
+            {"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 1, "event_type": "click", "value": 1.0},
+            {"event_id": 2, "ts": "2024-01-01 10:05:00", "user_id": 1, "event_type": "click", "value": 1.0},
+        ],
+        [
+            {"event_id": 3, "ts": "2024-01-01 13:00:00", "user_id": 2, "event_type": "click", "value": 1.0},
+        ],
+        [  # second advancer: the late-input filter uses the PREVIOUS
+            # batch's watermark (two-phase propagation), so the late row
+            # needs two advancing batches before it to be filtered
+            {"event_id": 6, "ts": "2024-01-01 13:30:00", "user_id": 2, "event_type": "click", "value": 1.0},
+        ],
+        [  # late: user 1's session [10:00, 10:15) closed at watermark 12:50
+            {"event_id": 4, "ts": "2024-01-01 10:07:00", "user_id": 1, "event_type": "click", "value": 1.0},
+        ],
+        [  # closer: advances the watermark past user 2's session ends
+            {"event_id": 5, "ts": "2024-01-01 16:00:00", "user_id": 4, "event_type": "click", "value": 1.0},
+        ],
+    ]
+    src = str(tmp_path / "sess")
+    _write_json_batches(src, batches)
+    stream = (
+        spark.readStream.schema(_EV_SCHEMA).option("maxFilesPerTrigger", 1).json(src)
+    )
+    name, q = run_to_memory(
+        session_counts(stream, gap="10 minutes", watermark="10 minutes"), "append"
+    )
+    try:
+        q.processAllAvailable()
+        n_batches = len(q.recentProgress)
+    finally:
+        q.stop()
+    got = {
+        (r.user_id, r.session_start_ms, r.n_events)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    assert n_batches >= 4
+
+    # batch twin WITHOUT the late event == the stream's emitted sessions
+    # (restricted to sessions the final watermark 15:50 has closed)
+    import json
+
+    no_late = [r for b in batches for r in b if r["event_id"] != 4]
+    p = tmp_path / "nolate.json"
+    p.write_text("\n".join(json.dumps(r) for r in no_late) + "\n")
+    twin = session_counts(
+        spark.read.schema(_EV_SCHEMA).json(str(p)), gap="10 minutes", watermark="10 minutes"
+    )
+    wm_ms = 1704124200000  # 2024-01-01 15:50 UTC — final watermark
+    gap_ms = 600_000
+    want = {
+        (r.user_id, r.session_start_ms, r.n_events)
+        for r in twin.collect()
+        if r.session_end_ms + gap_ms <= wm_ms  # window end past watermark
+    }
+    assert got == want
+    assert any(u == 1 and n == 2 for (u, s, n) in got)  # late row did not bump
+    assert not any(u == 1 and n == 3 for (u, s, n) in got)
