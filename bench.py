@@ -7,11 +7,11 @@ Prints ONE JSON line:
 
 Each query executes its FULL plan via the noop sink (no driver-side
 collect — we measure engine time, not result transfer). Timings are
-STEADY-STATE: every query runs twice and the second run is recorded,
-so one-time whole-stage-codegen compilation (hundreds of ms to seconds
-for the large HOF expressions) doesn't swamp the engine time — on a
-real cluster those kernels compile once per executor lifetime, not
-once per query.
+STEADY-STATE: one warm run, then best-of-3 timed runs per query (with
+the max-min spread reported alongside), so one-time whole-stage-codegen
+compilation doesn't swamp engine time and round-over-round deltas can
+be told apart from this box's ±2× I/O variance — on a real cluster
+those kernels compile once per executor lifetime, not once per query.
 """
 
 from __future__ import annotations
@@ -52,6 +52,9 @@ HEADLINE = [
     "corpus_pipeline_end_to_end",
     "tfidf_top_terms",
     "count_min_token_counts",
+    # round-3 additions
+    "window_ntile_scalable",
+    "multimodal_decode_real",
 ]
 
 
@@ -172,17 +175,21 @@ def main() -> None:
     ).save()
 
     times: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # codegen warm
         # JIT tiers keep compiling past the first run for the large HOF
-        # kernels; record the best of two timed runs as steady state.
-        best = float("inf")
-        for _ in range(2):
+        # kernels; record best-of-3 timed runs as steady state, plus the
+        # max-min spread so round-over-round deltas can be separated
+        # from this box's I/O variance (VERDICT r2 item 7).
+        runs = []
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        times[name] = round(min(runs), 3)
+        spread[name] = round(max(runs) - min(runs), 3)
 
     total = round(sum(times.values()), 3)
     print(
@@ -192,6 +199,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "spread": spread,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "csv_to_parquet": bench_conversion(spark, sf_dir),
                 "csv_to_parquet_big": bench_conversion_big(spark, sf_dir),
