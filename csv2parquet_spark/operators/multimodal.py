@@ -85,6 +85,22 @@ def _decode_bmp(p: bytes) -> tuple | None:
     return width, abs(height), max(bpp // 8, 1)
 
 
+def _decode_png(p: bytes) -> tuple | None:
+    """(width, height, channels) from a PNG IHDR, or None. Channels per
+    the color-type spec: 0 gray, 2 RGB, 3 palette, 4 gray+alpha,
+    6 RGBA."""
+    import struct
+
+    if len(p) < 33 or p[:8] != b"\x89PNG\r\n\x1a\n" or p[12:16] != b"IHDR":
+        return None
+    width, height = struct.unpack_from(">II", p, 16)
+    ctype = p[25]
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        return None
+    return width, height, channels
+
+
 def _decode_wav(p: bytes) -> tuple | None:
     """(channels, sample_rate, duration_ms) from a RIFF/WAVE payload via
     a real chunk walk (fmt + data chunks located by id, not by fixed
@@ -136,10 +152,14 @@ def decode_media(
             }
             for p in pdf[payload_col]:
                 bmp = _decode_bmp(p)
-                wav = None if bmp else _decode_wav(p)
+                png = None if bmp else _decode_png(p)
+                wav = None if bmp or png else _decode_wav(p)
                 if bmp:
                     w, h, c = bmp
                     vals = ("bmp", w, h, c, 0, 0)
+                elif png:
+                    w, h, c = png
+                    vals = ("png", w, h, c, 0, 0)
                 elif wav:
                     c, r, ms = wav
                     vals = ("wav", 0, 0, c, r, ms)
@@ -155,18 +175,39 @@ def decode_media(
     return df.mapInPandas(decode_batches, schema=MEDIA_SCHEMA)
 
 
-def synth_media_payload(doc_id: int) -> bytes:
-    """Deterministic REAL media file for ``doc_id``: even ids get a
-    24-bpp BMP (width 1 + id%64, height 1 + (id//7)%48, zeroed pixels,
-    4-byte row padding per spec), odd ids a canonical 44-byte-header
-    16-bit PCM WAV (channels 1 + id%2, rate 8000·(1 + id%3), samples
-    1 + id%500). These are valid files — any external BMP/WAV reader
-    decodes them — which is what lets a DuckDB oracle recompute the
-    decoded metadata from id arithmetic while Spark parses real bytes.
-    """
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
     import struct
+    import zlib
 
-    if doc_id % 2 == 0:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def synth_media_payload(doc_id: int) -> bytes:
+    """Deterministic REAL media file for ``doc_id`` by ``id % 3``:
+
+    0. 24-bpp BMP — width 1 + id%64, height 1 + (id//7)%48, zeroed
+       pixels, spec-correct 4-byte row padding;
+    1. canonical 44-byte-header 16-bit PCM WAV — channels 1 + id%2,
+       rate 8000·(1 + id%3), samples 1 + id%500;
+    2. RGB8 PNG — width 1 + id%32, height 1 + (id//5)%24; the IDAT is a
+       real zlib stream using a STORED deflate block (+ adler32), so
+       the file inflates with any decoder AND its byte length is a pure
+       function of the dimensions (68 + h·(1 + 3w)) — what keeps
+       payload_bytes oracle-expressible.
+
+    All three are valid files — any external reader decodes them —
+    which is what lets a DuckDB oracle recompute the decoded metadata
+    from id arithmetic while Spark parses real bytes."""
+    import struct
+    import zlib
+
+    m = doc_id % 3
+    if m == 0:
         w = 1 + doc_id % 64
         h = 1 + (doc_id // 7) % 48
         row = ((24 * w + 31) // 32) * 4
@@ -175,17 +216,34 @@ def synth_media_payload(doc_id: int) -> bytes:
             "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img, 2835, 2835, 0, 0
         )
         return header + b"\x00" * img
-    channels = 1 + doc_id % 2
-    rate = 8000 * (1 + doc_id % 3)
-    n_samples = 1 + doc_id % 500
-    data = n_samples * channels * 2
-    return (
-        struct.pack("<4sI4s", b"RIFF", 36 + data, b"WAVE")
-        + struct.pack(
-            "<4sIHHIIHH", b"fmt ", 16, 1, channels, rate, rate * channels * 2, channels * 2, 16
+    if m == 1:
+        channels = 1 + doc_id % 2
+        rate = 8000 * (1 + doc_id % 3)
+        n_samples = 1 + doc_id % 500
+        data = n_samples * channels * 2
+        return (
+            struct.pack("<4sI4s", b"RIFF", 36 + data, b"WAVE")
+            + struct.pack(
+                "<4sIHHIIHH", b"fmt ", 16, 1, channels, rate, rate * channels * 2, channels * 2, 16
+            )
+            + struct.pack("<4sI", b"data", data)
+            + b"\x00" * data
         )
-        + struct.pack("<4sI", b"data", data)
-        + b"\x00" * data
+    w = 1 + doc_id % 32
+    h = 1 + (doc_id // 5) % 24
+    raw = (b"\x00" + b"\x00\x00\x00" * w) * h  # filter byte + RGB per row
+    idat = (
+        b"\x78\x01"  # zlib header
+        + struct.pack("<BHH", 1, len(raw), len(raw) ^ 0xFFFF)  # final stored block
+        + raw
+        + struct.pack(">I", zlib.adler32(raw))
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
     )
 
 

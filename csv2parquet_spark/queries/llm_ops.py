@@ -641,32 +641,37 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_decode_real",
     oracle="""
     SELECT doc_id,
-      CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format,
-      CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 64 ELSE 0 END AS INTEGER) AS width,
-      CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + (doc_id // 7) % 48 ELSE 0 END AS INTEGER) AS height,
-      CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 + doc_id % 2 END AS INTEGER) AS channels,
-      CAST(CASE WHEN doc_id % 2 = 0 THEN 0
-           ELSE 8000 * (1 + doc_id % 3) END AS INTEGER) AS sample_rate,
-      CAST(CASE WHEN doc_id % 2 = 0 THEN 0
-           ELSE (1 + doc_id % 500) * 1000 // (8000 * (1 + doc_id % 3))
-           END AS INTEGER) AS duration_ms,
-      CAST(CASE WHEN doc_id % 2 = 0
-           THEN 54 + ((24 * (1 + doc_id % 64) + 31) // 32) * 4 * (1 + (doc_id // 7) % 48)
-           ELSE 44 + (1 + doc_id % 500) * (1 + doc_id % 2) * 2
+      CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' ELSE 'png' END AS format,
+      CAST(CASE doc_id % 3 WHEN 0 THEN 1 + doc_id % 64
+           WHEN 1 THEN 0 ELSE 1 + doc_id % 32 END AS INTEGER) AS width,
+      CAST(CASE doc_id % 3 WHEN 0 THEN 1 + (doc_id // 7) % 48
+           WHEN 1 THEN 0 ELSE 1 + (doc_id // 5) % 24 END AS INTEGER) AS height,
+      CAST(CASE doc_id % 3 WHEN 1 THEN 1 + doc_id % 2 ELSE 3 END AS INTEGER) AS channels,
+      CAST(CASE doc_id % 3 WHEN 1 THEN 8000 * (1 + doc_id % 3)
+           ELSE 0 END AS INTEGER) AS sample_rate,
+      CAST(CASE doc_id % 3 WHEN 1
+           THEN (1 + doc_id % 500) * 1000 // (8000 * (1 + doc_id % 3))
+           ELSE 0 END AS INTEGER) AS duration_ms,
+      CAST(CASE doc_id % 3
+           WHEN 0 THEN 54 + ((24 * (1 + doc_id % 64) + 31) // 32) * 4 * (1 + (doc_id // 7) % 48)
+           WHEN 1 THEN 44 + (1 + doc_id % 500) * (1 + doc_id % 2) * 2
+           ELSE 68 + (1 + (doc_id // 5) % 24) * (1 + 3 * (1 + doc_id % 32))
            END AS INTEGER) AS payload_bytes
     FROM documents
     """,
 )
 def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL media decode, hash-checked: each doc gets a genuine BMP or
-    canonical PCM WAV file (valid headers, spec-correct row padding /
-    chunk layout, synthesized deterministically from doc_id —
-    multimodal.synth_media_payload), and Spark PARSES THE BYTES with the
-    stdlib struct decoder (multimodal.decode_media: magic-byte sniff,
-    BITMAPINFOHEADER fields, RIFF chunk walk). The oracle recomputes the
-    expected metadata from the same id arithmetic — any header-layout or
-    parsing bug breaks the hash match. Upgrades the multimodal surface
-    from rows-only stubs to a driver-provable decode."""
+    """REAL media decode, hash-checked: each doc gets a genuine BMP,
+    canonical PCM WAV, or RGB8 PNG file (valid headers, spec-correct
+    row padding / RIFF chunk layout / CRC'd PNG chunks with an
+    inflatable stored-deflate IDAT, synthesized deterministically from
+    doc_id — multimodal.synth_media_payload), and Spark PARSES THE
+    BYTES with the stdlib struct decoder (multimodal.decode_media:
+    magic-byte sniff, BITMAPINFOHEADER fields, IHDR big-endian fields +
+    color-type→channels, RIFF chunk walk). The oracle recomputes the
+    expected metadata from the same id arithmetic — any header-layout
+    or parsing bug breaks the hash match. Upgrades the multimodal
+    surface from rows-only stubs to a driver-provable decode."""
     from csv2parquet_spark.operators.multimodal import (
         decode_media,
         with_synth_media_payload,

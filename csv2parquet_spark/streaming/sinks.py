@@ -30,12 +30,32 @@ _MANIFEST = "_CURRENT"
 
 
 def read_snapshot(spark: SparkSession, root: str) -> DataFrame | None:
-    """Current snapshot DataFrame, or None before the first batch."""
+    """Current snapshot DataFrame, or None before the first batch.
+
+    Handles both layouts: flat (``root/vN``, one manifest) and
+    partitioned (``root/<col>=<val>/vN``, one manifest per partition —
+    see :func:`upsert_batch` ``partition_col``)."""
     m = os.path.join(root, _MANIFEST)
-    if not os.path.exists(m):
+    if os.path.exists(m):
+        with open(m) as f:
+            return spark.read.parquet(os.path.join(root, f.read().strip()))
+    if not os.path.isdir(root):
         return None
-    with open(m) as f:
-        return spark.read.parquet(os.path.join(root, f.read().strip()))
+    parts = [
+        d
+        for d in sorted(os.listdir(root))
+        if "=" in d and os.path.exists(os.path.join(root, d, _MANIFEST))
+    ]
+    if not parts:
+        return None
+    dfs = []
+    for d in parts:
+        with open(os.path.join(root, d, _MANIFEST)) as f:
+            dfs.append(spark.read.parquet(os.path.join(root, d, f.read().strip())))
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df)
+    return out
 
 
 def _swap_in(root: str, version: int) -> None:
@@ -59,7 +79,12 @@ def _current_version(root: str) -> int | None:
 
 
 def upsert_batch(
-    spark: SparkSession, root: str, batch: DataFrame, key: str, version: int
+    spark: SparkSession,
+    root: str,
+    batch: DataFrame,
+    key: str,
+    version: int,
+    partition_col: str | None = None,
 ) -> None:
     """Merge one batch into the snapshot: last-writer-wins on ``key``
     (within a batch, the row with the highest ``__seq`` wins if the
@@ -67,12 +92,37 @@ def upsert_batch(
     within-batch winner is arbitrary; across batches, the newer batch
     wins via anti-join).
 
-    Idempotent against crash-after-swap replays: if the manifest already
-    points at this ``version`` or newer, the batch was fully applied
-    before the streaming checkpoint committed — re-merging would read
-    the v{version} snapshot while overwriting the same directory (which
-    Spark rejects, wedging the stream on every restart), so the replay
-    is a no-op instead."""
+    ``partition_col`` is the 100 TB path: the snapshot lives as one
+    independently-versioned sub-snapshot per partition value
+    (``root/<col>=<val>/vN`` + per-partition manifest), and a batch
+    rewrites ONLY the partitions it touches — the merge cost tracks the
+    batch's partition spread (e.g. a few recent dates), not the history.
+    The touched-partition list is collected driver-side: it is
+    batch-sized metadata (distinct partition values), never corpus data.
+    Keys must not move between partitions (the usual date/tenant
+    partitioning contract — a moved key would survive in its old
+    partition).
+
+    Idempotent against crash-after-swap replays: if the (per-partition)
+    manifest already points at this ``version`` or newer, the batch was
+    fully applied before the streaming checkpoint committed — re-merging
+    would read the v{version} snapshot while overwriting the same
+    directory (which Spark rejects, wedging the stream on every
+    restart), so the replay is a no-op instead."""
+    if partition_col is not None:
+        touched = [
+            r[0] for r in batch.select(partition_col).distinct().collect()
+        ]
+        for val in sorted(touched, key=str):
+            sub = batch.filter(F.col(partition_col) == F.lit(val))
+            upsert_batch(
+                spark,
+                os.path.join(root, f"{partition_col}={val}"),
+                sub,
+                key,
+                version,
+            )
+        return
     os.makedirs(root, exist_ok=True)
     cur_v = _current_version(root)
     if cur_v is not None and cur_v >= version:
@@ -104,13 +154,16 @@ def streaming_upsert_to_parquet(
     root: str,
     key: str,
     checkpoint_dir: str,
+    partition_col: str | None = None,
 ):
     """Drive a stream into the upsert snapshot with exactly-once batches
-    (foreachBatch + checkpoint: a replayed batch overwrites the same
-    version directory, so retries are idempotent)."""
+    (foreachBatch + checkpoint; already-applied versions short-circuit,
+    so crash replays are idempotent). ``partition_col`` switches to the
+    partitioned snapshot layout — each batch rewrites only the
+    partitions it touches."""
 
     def handle(batch: DataFrame, batch_id: int) -> None:
-        upsert_batch(spark, root, batch, key, int(batch_id))
+        upsert_batch(spark, root, batch, key, int(batch_id), partition_col)
 
     return (
         stream.writeStream.foreachBatch(handle)

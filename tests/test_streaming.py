@@ -477,3 +477,44 @@ def test_session_windows_micro_batches_drop_late_event(spark, tmp_path):
     assert got == want
     assert any(u == 1 and n == 2 for (u, s, n) in got)  # late row did not bump
     assert not any(u == 1 and n == 3 for (u, s, n) in got)
+
+
+def test_partitioned_upsert_rewrites_only_touched_partitions(spark, tmp_path):
+    """partition_col snapshot layout: each batch rewrites only the
+    partitions it touches (per-partition version dirs + manifests); an
+    untouched partition keeps its original v0 directory untouched. The
+    read path unions the per-partition currents; replays no-op."""
+    from csv2parquet_spark.streaming import read_snapshot
+    from csv2parquet_spark.streaming.sinks import upsert_batch
+
+    root = str(tmp_path / "snap")
+    b0 = spark.createDataFrame(
+        [(1, "a", "2024-01-01"), (2, "b", "2024-01-02")],
+        "k bigint, v string, d string",
+    )
+    upsert_batch(spark, root, b0, "k", 0, partition_col="d")
+    # batch 1 touches only 2024-01-02
+    b1 = spark.createDataFrame(
+        [(2, "b2", "2024-01-02"), (3, "c", "2024-01-02")],
+        "k bigint, v string, d string",
+    )
+    upsert_batch(spark, root, b1, "k", 1, partition_col="d")
+
+    p1 = os.path.join(root, "d=2024-01-01")
+    p2 = os.path.join(root, "d=2024-01-02")
+    assert sorted(d for d in os.listdir(p1) if d.startswith("v")) == ["v0"]
+    assert "v1" in os.listdir(p2)
+    with open(os.path.join(p1, "_CURRENT")) as f:
+        assert f.read().strip() == "v0"  # untouched partition not repointed
+
+    snap = {r.k: (r.v, r.d) for r in read_snapshot(spark, root).collect()}
+    assert snap == {
+        1: ("a", "2024-01-01"),
+        2: ("b2", "2024-01-02"),
+        3: ("c", "2024-01-02"),
+    }
+
+    # replay of batch 1 (crash-after-swap): per-partition no-op
+    upsert_batch(spark, root, b1, "k", 1, partition_col="d")
+    snap2 = {r.k: (r.v, r.d) for r in read_snapshot(spark, root).collect()}
+    assert snap2 == snap
