@@ -150,3 +150,30 @@ def rowgroup_prune_fraction(
                     skipped += 1
                     break
     return skipped / total if total else 0.0
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    key: str,
+    n_buckets: int,
+    path: str | None = None,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` hash-bucketed (and bucket-sorted) on ``key``.
+
+    Bucketing is the co-located-join layout (SURVEY §2 scale notes):
+    both sides of a recurring equi-join written with the SAME bucket
+    count and key join with NO exchange — each task reads bucket i of
+    both tables — and with ``sort=True`` the SortMergeJoin needs no sort
+    either. At 100 TB this converts every repeat join/aggregation on the
+    bucket key from a full shuffle into a metadata lookup. (Spark's
+    bucketing lives in the session catalog: ``saveAsTable``, optionally
+    EXTERNAL at ``path``.)
+    """
+    w = df.write.format("parquet").mode("overwrite").bucketBy(n_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table_name)

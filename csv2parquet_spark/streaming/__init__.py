@@ -5,7 +5,10 @@ from csv2parquet_spark.streaming.sinks import (
     streaming_upsert_to_parquet,
     upsert_batch,
 )
-from csv2parquet_spark.streaming.stateful import user_running_totals
+from csv2parquet_spark.streaming.stateful import (
+    user_running_totals,
+    user_running_totals_tws,
+)
 from csv2parquet_spark.streaming.windows import (
     read_events_stream,
     sliding_counts,
@@ -27,6 +30,7 @@ __all__ = [
     "streaming_jsonl_to_parquet",
     "run_to_memory",
     "user_running_totals",
+    "user_running_totals_tws",
     "read_snapshot",
     "streaming_upsert_to_parquet",
     "upsert_batch",

@@ -64,3 +64,57 @@ def user_running_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def user_running_totals_tws(events: DataFrame) -> DataFrame:
+    """Spark 4 ``transformWithStateInPandas`` twin of
+    :func:`user_running_totals`: the same per-user running totals on the
+    new arbitrary-stateful-processing API (typed ValueState handles +
+    lifecycle hooks instead of the single GroupState blob). Kept
+    alongside the applyInPandasWithState version because the two APIs
+    shard and checkpoint state the same way — one small tuple per user —
+    but transformWithState additionally supports timers, multiple typed
+    state variables, and TTL, the shapes long-running 100 TB pipelines
+    need. Tests assert both operators emit identical finals."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Processor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n bigint, total double, last_ms bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd  # executor-side import
+
+            n, total, last_ms = (
+                self._state.get() if self._state.exists() else (0, 0.0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].round(6).sum())
+                if len(pdf):
+                    batch_max_ms = int(pdf["ts"].max().value // 1_000_000)
+                    last_ms = max(last_ms, batch_max_ms)
+            self._state.update((n, total, last_ms))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 6)],
+                    "last_ts_ms": [last_ms],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        Processor(),
+        outputStructType=OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -196,3 +196,41 @@ def test_ntile_scalable_has_no_single_partition_stage(spark, sf_dir):
     plan = _plan(REGISTRY["window_ntile_scalable"].fn(spark, sf_dir))
     assert "SinglePartition" not in plan
     assert "Window" not in plan
+
+
+def test_bucketed_join_has_no_shuffle_exchange(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the same key with the same bucket count
+    must SortMergeJoin with NO shuffle exchange (the co-located-join
+    contract write_bucketed_table exists for); the same join on plain
+    parquet must shuffle — proving bucketing, not table size, removed
+    the exchange. Broadcast is disabled so the comparison is honest."""
+    from csv2parquet_spark.operators.layout import write_bucketed_table
+    from csv2parquet_spark.tables import table
+
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    write_bucketed_table(
+        orders, "orders_bkt", "o_custkey", 8, path=str(tmp_path / "ob")
+    )
+    write_bucketed_table(
+        customer.withColumnRenamed("c_custkey", "o_custkey"),
+        "customer_bkt", "o_custkey", 8, path=str(tmp_path / "cb"),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bkt = _plan(
+            spark.table("orders_bkt").join(spark.table("customer_bkt"), "o_custkey")
+        )
+        plain = _plan(
+            orders.join(
+                customer.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey"
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS customer_bkt")
+    assert "SortMergeJoin" in bkt
+    assert "Exchange hashpartitioning" not in bkt
+    assert "Exchange hashpartitioning" in plain

@@ -152,3 +152,42 @@ def test_text_column_infers_utf8(spark, tmp_path_factory, texts):
     _write_csv(src, ["x"], [(t,) for t in texts])
     schema = convert(spark, src, out, ConvertOptions(dry=True))
     assert schema.fields[0].dataType.simpleString() == "string"
+
+
+# ---------------------------------------------------------------------------
+# Two-pass global rank (operators/ranking.py) vs the single-partition
+# window twin: same quartile/pct_rank/cume on arbitrary value
+# distributions (duplicates, negatives, skew — the window handles ties
+# via the unique id tiebreaker, exactly like the operator's total-order
+# contract).
+# ---------------------------------------------------------------------------
+@SETTINGS
+@given(
+    vals=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=60
+    )
+)
+def test_rank_stats_matches_window_twin(spark, vals):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from csv2parquet_spark.operators.ranking import rank_stats
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id bigint, v bigint"
+    )
+    got = {
+        r.id: (r.quartile, r.pct_rank, r.cume)
+        for r in rank_stats(df, ["v", "id"], tiles=4, num_partitions=4).collect()
+    }
+    w = Window.orderBy("v", "id")
+    want = {
+        r.id: (r.quartile, r.pct_rank, r.cume)
+        for r in df.select(
+            "id",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        ).collect()
+    }
+    assert got == want

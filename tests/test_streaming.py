@@ -518,3 +518,27 @@ def test_partitioned_upsert_rewrites_only_touched_partitions(spark, tmp_path):
     upsert_batch(spark, root, b1, "k", 1, partition_col="d")
     snap2 = {r.k: (r.v, r.d) for r in read_snapshot(spark, root).collect()}
     assert snap2 == snap
+
+
+def test_transform_with_state_matches_apply_in_pandas_with_state(spark, sf_dir):
+    """The Spark 4 transformWithStateInPandas operator must emit the
+    same finals as the applyInPandasWithState original (and therefore
+    the batch groupBy twin): same state sharding, new API."""
+    from csv2parquet_spark.streaming.stateful import user_running_totals_tws
+
+    events = read_events_stream(spark, sf_dir)
+    got = _run_stream(spark, user_running_totals_tws(events), mode="update")
+    final = got.groupBy("user_id").agg(
+        F.max_by("n_events", "n_events").alias("n_events"),
+        F.max_by("total_value", "n_events").alias("total_value"),
+        F.max_by("last_ts_ms", "n_events").alias("last_ts_ms"),
+    )
+    want = REGISTRY["stream_stateful_user_totals"].fn(spark, sf_dir)
+    f = {r.user_id: r for r in final.collect()}
+    w = {r.user_id: r for r in want.collect()}
+    assert set(f) == set(w)
+    for uid, wr in w.items():
+        fr = f[uid]
+        assert fr.n_events == wr.n_events, uid
+        assert fr.last_ts_ms == wr.last_ts_ms, uid
+        assert abs(fr.total_value - wr.total_value) < 1e-6, uid
