@@ -66,6 +66,19 @@ def user_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def transform_with_state_available() -> bool:
+    """True iff the transformWithState wire protocol can run here: its
+    state-server protocol needs ``google.protobuf``, which this
+    container does not ship (and installs are off-limits) — the same
+    gate-don't-crash policy as the multimodal codec stubs."""
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def user_running_totals_tws(events: DataFrame) -> DataFrame:
     """Spark 4 ``transformWithStateInPandas`` twin of
     :func:`user_running_totals`: the same per-user running totals on the
@@ -75,7 +88,11 @@ def user_running_totals_tws(events: DataFrame) -> DataFrame:
     shard and checkpoint state the same way — one small tuple per user —
     but transformWithState additionally supports timers, multiple typed
     state variables, and TTL, the shapes long-running 100 TB pipelines
-    need. Tests assert both operators emit identical finals."""
+    need.
+
+    Requires ``protobuf`` at runtime (gate with
+    :func:`transform_with_state_available`); the equivalence test skips
+    with an explicit reason where the container lacks it."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,

@@ -232,5 +232,5 @@ def test_bucketed_join_has_no_shuffle_exchange(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS orders_bkt")
         spark.sql("DROP TABLE IF EXISTS customer_bkt")
     assert "SortMergeJoin" in bkt
-    assert "Exchange hashpartitioning" not in bkt
-    assert "Exchange hashpartitioning" in plain
+    assert "Exchange" not in bkt
+    assert "Exchange" in plain and "hashpartitioning" in plain
