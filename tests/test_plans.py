@@ -234,3 +234,39 @@ def test_bucketed_join_has_no_shuffle_exchange(spark, sf_dir, tmp_path):
     assert "SortMergeJoin" in bkt
     assert "Exchange" not in bkt
     assert "Exchange" in plain and "hashpartitioning" in plain
+
+
+# Global windows over a single partition are allowed only with a
+# documented reason — everything else here is a scale regression.
+_GLOBAL_WINDOW_ALLOWED = {
+    "window_ntile_percentiles": "documented anti-pattern twin of window_ntile_scalable",
+    "window_moving_7day_revenue": "window over the per-day pre-aggregate (days, not rows)",
+}
+
+
+def test_registry_wide_plan_lint(spark, sf_dir):
+    """Every registered query's physical plan, linted for the two
+    patterns that cannot survive 100 TB: CartesianProduct (unkeyed
+    pair explosion) anywhere, and a Window evaluated on an Exchange
+    SinglePartition (whole-corpus single-task sort) outside the
+    explicit allow-list. Global AGGREGATES legitimately end in a
+    single-partition merge — only map-side partials cross that
+    exchange — so plain SinglePartition is not flagged.
+
+    This is the regression guard for the round-2/3 scale work: a new
+    query reintroducing either pattern fails here, with the allow-list
+    forcing a written justification."""
+    from csv2parquet_spark.queries import REGISTRY
+
+    bad = []
+    for name, q in REGISTRY.items():
+        plan = q.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            bad.append(f"{name}: CartesianProduct")
+        if (
+            "SinglePartition" in plan
+            and "Window" in plan
+            and name not in _GLOBAL_WINDOW_ALLOWED
+        ):
+            bad.append(f"{name}: global single-partition Window")
+    assert not bad, bad
