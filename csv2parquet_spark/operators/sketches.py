@@ -219,3 +219,57 @@ def bloom_probe(
         .withColumn("maybe", F.coalesce(F.col("nhit"), F.lit(0)) == k)
         .drop("nhit")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k by hash) sketch: a fixed-size, MERGEABLE uniform sample
+# — the quantile/distinct companion to the CMS/HLL/Bloom set. The
+# sketch is the k rows whose md5(key) sort lowest: deterministic,
+# engine-reproducible (same md5-hex trick as the CMS), and mergeable
+# exactly — bottom-k of a union == bottom-k of the unioned bottom-ks,
+# so shard sketches combine by union + re-limit. Construction is
+# TakeOrderedAndProject: per-partition heaps of k rows, driver merge —
+# no shuffle of the corpus, O(k) state anywhere.
+# ---------------------------------------------------------------------------
+KMV_K = 500
+
+
+def kmv_sample(
+    df: DataFrame, value_col: str, key_col: str, k: int = KMV_K
+) -> DataFrame:
+    """(v, h): the k rows with the smallest md5(key) — a deterministic
+    uniform sample (md5 is uniform over distinct keys)."""
+    return (
+        df.select(
+            F.col(value_col).alias("v"),
+            F.md5(F.col(key_col).cast("string")).alias("h"),
+        )
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_quantiles(
+    sample: DataFrame, qs: list[float], k: int = KMV_K
+) -> DataFrame:
+    """(q, value) estimated quantiles from a KMV sample: rank the k
+    sample rows by value (h as the unique tiebreaker) and index-select
+    row 1 + floor(q·(k-1)) — no interpolation, so both engines pick the
+    identical element. The Window here runs over the k-row sketch, not
+    the corpus (model-sized by construction; allow-listed in the plan
+    lint)."""
+    from pyspark.sql.window import Window
+
+    spark = sample.sparkSession
+    idx = [(float(q), 1 + int(q * (k - 1))) for q in qs]
+    picks = F.broadcast(
+        spark.createDataFrame(idx, "q double, rn int")
+    )
+    ranked = sample.withColumn(
+        "rn", F.row_number().over(Window.orderBy("v", "h"))
+    )
+    return (
+        ranked.join(picks, "rn")
+        .select("q", F.col("v").alias("value"))
+        .orderBy("q")
+    )

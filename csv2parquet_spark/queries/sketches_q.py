@@ -180,3 +180,44 @@ def bloom_decontam_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("maybe"), 1).otherwise(0)).alias("n_maybe"),
         F.lit(n_true).cast("long").alias("n_true_hits"),
     )
+
+
+_KMV_K = 500
+_KMV_QS = [0.25, 0.5, 0.75, 0.95]
+# Literal rank indexes shared by both engines — computed ONCE in Python
+# so neither engine's floor(q*(k-1)) float behavior is in the loop.
+_KMV_IDX = [(q, 1 + int(q * (_KMV_K - 1))) for q in _KMV_QS]
+
+
+def _kmv_oracle() -> str:
+    picks = ", ".join(f"({q!r}, {rn})" for q, rn in _KMV_IDX)
+    return f"""
+    WITH s AS (
+      SELECT o_totalprice AS v, md5(CAST(o_orderkey AS VARCHAR)) AS h
+      FROM orders ORDER BY h LIMIT {_KMV_K}
+    ), r AS (
+      SELECT v, h, row_number() OVER (ORDER BY v, h) AS rn FROM s
+    )
+    SELECT CAST(t.q AS DOUBLE) AS q, r.v AS value
+    FROM (VALUES {picks}) AS t(q, rn)
+    JOIN r ON r.rn = t.rn
+    ORDER BY q
+    """
+
+
+@register("kmv_quantile_sketch", oracle=_kmv_oracle())
+def kmv_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a KMV (bottom-k by md5) sketch: the
+    fixed-size mergeable uniform sample the CMS/HLL/Bloom family was
+    missing. Construction is TakeOrderedAndProject (per-partition
+    k-heaps + driver merge — no corpus shuffle, O(k) state); shard
+    sketches merge by union + re-limit (exactly, not approximately —
+    pinned by test_kmv_merge_is_exact). The index-select quantile (no
+    interpolation) makes both engines pick the identical sample
+    element, so even the ESTIMATES hash-match."""
+    from csv2parquet_spark.operators.sketches import kmv_quantiles, kmv_sample
+
+    o = table(spark, sf_dir, "orders")
+    return kmv_quantiles(
+        kmv_sample(o, "o_totalprice", "o_orderkey", _KMV_K), _KMV_QS, _KMV_K
+    )

@@ -231,3 +231,37 @@ def sample_stratified_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.sampleBy(
         "o_orderstatus", fractions={"O": 0.05, "F": 0.2, "P": 0.5}, seed=42
     ).select("o_orderkey", "o_orderstatus")
+
+
+@register(
+    "sample_stratified_exact_k",
+    oracle="""
+    SELECT o_orderstatus, o_orderkey, o_totalprice FROM (
+      SELECT o_orderstatus, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY md5(CAST(o_orderkey AS VARCHAR))
+             ) AS rn
+      FROM orders
+    ) WHERE rn <= 20
+    """,
+)
+def sample_stratified_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified EXACT-k sampling: the k rows per stratum
+    with the smallest md5(key) — a hash-ranked uniform draw that both
+    engines reproduce (upgrading the seeded sampleBy variant's
+    rows-only check to a hash match). Scale shape: the rank-limited
+    window plans WindowGroupLimit PARTIAL below the exchange, so each
+    input partition forwards at most k rows per stratum — the shuffle
+    carries O(partitions·strata·k), never the corpus."""
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.md5(F.col("o_orderkey").cast("string"))
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("o_orderstatus", "o_orderkey", "o_totalprice")
+    )

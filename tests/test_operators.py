@@ -565,3 +565,22 @@ def test_synth_png_is_fully_valid():
         raw = zlib.decompress(chunks[b"IDAT"])
         assert len(raw) == h * (1 + 3 * w)
         assert b"IEND" in chunks
+
+
+def test_kmv_merge_is_exact(spark, sf_dir):
+    """KMV mergeability is EXACT: bottom-k of the whole table equals
+    union of shard bottom-ks re-limited — the property that lets shard
+    sketches roll up without error."""
+    from csv2parquet_spark.operators.sketches import kmv_sample
+
+    o = table(spark, sf_dir, "orders")
+    k = 100
+    whole = set(
+        r.h for r in kmv_sample(o, "o_totalprice", "o_orderkey", k).collect()
+    )
+    s1 = kmv_sample(o.filter("o_orderkey % 2 = 0"), "o_totalprice", "o_orderkey", k)
+    s2 = kmv_sample(o.filter("o_orderkey % 2 = 1"), "o_totalprice", "o_orderkey", k)
+    merged = set(
+        r.h for r in s1.unionByName(s2).orderBy("h").limit(k).collect()
+    )
+    assert merged == whole and len(whole) == k

@@ -241,6 +241,7 @@ def test_bucketed_join_has_no_shuffle_exchange(spark, sf_dir, tmp_path):
 _GLOBAL_WINDOW_ALLOWED = {
     "window_ntile_percentiles": "documented anti-pattern twin of window_ntile_scalable",
     "window_moving_7day_revenue": "window over the per-day pre-aggregate (days, not rows)",
+    "kmv_quantile_sketch": "window over the k-row KMV sample, model-sized by construction",
 }
 
 
@@ -270,3 +271,12 @@ def test_registry_wide_plan_lint(spark, sf_dir):
         ):
             bad.append(f"{name}: global single-partition Window")
     assert not bad, bad
+
+
+def test_stratified_exact_k_partial_window_group_limit(spark, sf_dir):
+    """sample_stratified_exact_k: the per-stratum rank limit must plan
+    WindowGroupLimit Partial below the exchange — at most k rows per
+    stratum leave each input partition."""
+    plan = _plan(REGISTRY["sample_stratified_exact_k"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan and "Final" in plan
