@@ -132,6 +132,65 @@ def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MH_SALTS = ("a", "b")  # 2 md5 calls × 4 slices = 8 permutations
+
+
+def _minhash_md5_oracle() -> str:
+    mins = [
+        f"CAST(min(CAST(('0x' || substr(md5('{salt}:' || s), {1 + 8 * k}, 8)) AS BIGINT)) AS VARCHAR)"
+        for salt in _MH_SALTS
+        for k in range(4)
+    ]
+    sig = " || ',' || ".join(mins)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)
+    )
+    SELECT doc_id, {sig} AS sig
+    FROM sh GROUP BY doc_id
+    """
+
+
+@register("minhash_signatures_md5", oracle=_minhash_md5_oracle())
+def minhash_signatures_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures with ENGINE-REPRODUCIBLE hashes: 8
+    permutations from the 4 disjoint 32-bit md5 slices of two salted
+    hashes per shingle (the same md5-slice trick the CMS/HLL/Bloom
+    oracles use) — upgrading the MinHash surface from the xxhash64
+    variant's rows-only check to a full hash match. Scale shape is the
+    production one: shingle explode is map-side, the min-aggregation is
+    partial (each partition collapses to 8 longs per doc before the
+    shuffle), so signature construction over 100 TB shuffles 8 longs
+    per document. The xxhash64 implementation (dedup.py) stays the
+    fast path; this query pins the algorithm end-to-end against SQL."""
+    from csv2parquet_spark.operators.text import shingles, tokens
+
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(shingles(tokens("text"), 3)).alias("s")
+    )
+    hashes = [
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{salt}:"), F.col("s"))), 1 + 8 * k, 8),
+            16,
+            10,
+        ).cast("long")
+        for salt in _MH_SALTS
+        for k in range(4)
+    ]
+    return (
+        sh.groupBy("doc_id")
+        .agg(*[F.min(h).alias(f"m{i}") for i, h in enumerate(hashes)])
+        .select(
+            "doc_id",
+            F.concat_ws(",", *[f"m{i}" for i in range(8)]).alias("sig"),
+        )
+    )
+
+
 @register("minhash_near_dups", oracle=None)  # seeded LSH → rows-only check
 def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32 perms) + LSH(8 bands) candidates, verified with exact
