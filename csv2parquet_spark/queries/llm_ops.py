@@ -831,6 +831,68 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components(pairs)
 
 
+@register(
+    "embedding_semantic_dedup",
+    oracle=f"""
+    WITH RECURSIVE bk AS (
+      SELECT vec_id,
+           {_ND_BK_COLS}
+      FROM embeddings
+    ), cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bk a JOIN bk b ON a.vec_id < b.vec_id AND ({_ND_BK_MATCH})
+    ), pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN embeddings va ON va.vec_id = c.id_a
+      JOIN embeddings vb ON vb.vec_id = c.id_b
+      WHERE {_sql_cosine('va.embedding', 'vb.embedding')} >= 0.4
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), comp AS (
+      SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a
+    )
+    SELECT e.vec_id,
+           COALESCE(c.component, e.vec_id) AS keep_id,
+           (COALESCE(c.component, e.vec_id) = e.vec_id) AS is_kept
+    FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id
+    """,
+)
+def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication: embedding near-dup pairs
+    (LSH-bucketed candidates + exact cosine ≥ 0.4 verify) → connected
+    components (iterative min-label) → one representative per semantic
+    cluster; every corpus vector gets (keep_id, is_kept), singletons
+    keeping themselves. Composes the two already-proven stages, so the
+    whole keep-list — the artifact a training pipeline actually
+    consumes — is hash-checked end-to-end. Scale: pair generation is
+    the bucketed int8 stage (never all-pairs), components iterate on
+    the pair graph only (near-dups, a tiny fraction of the corpus), and
+    the final assignment is one broadcast-sized left join."""
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = S.pairwise_near_dups(
+        emb, threshold=0.4, num_planes=_ND_PLANES, num_tables=_ND_TABLES
+    ).select("id_a", "id_b")
+    comp = D.connected_components(pairs)
+    return (
+        emb.select("vec_id")
+        .join(comp.withColumnRenamed("id", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("component"), F.col("vec_id")).alias("keep_id"),
+            (
+                F.coalesce(F.col("component"), F.col("vec_id"))
+                == F.col("vec_id")
+            ).alias("is_kept"),
+        )
+    )
+
+
 _SQL_ABSMAX = "list_max(list_transform({v}, x -> abs(x)))"
 
 
