@@ -85,12 +85,15 @@ def upsert_batch(
     key: str,
     version: int,
     partition_col: str | None = None,
+    keep: str = "last",
 ) -> None:
-    """Merge one batch into the snapshot: last-writer-wins on ``key``
-    (within a batch, the row with the highest ``__seq`` wins if the
-    column is present — ties on ``__seq`` are arbitrary; without it the
-    within-batch winner is arbitrary; across batches, the newer batch
-    wins via anti-join).
+    """Merge one batch into the snapshot. ``keep="last"`` (default,
+    upsert semantics): across batches the newer batch wins via
+    anti-join; within a batch the row with the highest ``__seq`` wins
+    if the column is present (ties on ``__seq`` are arbitrary; without
+    it the within-batch winner is arbitrary). ``keep="first"`` (dedup
+    semantics — corpus ingestion): a key already in the snapshot is
+    NEVER replaced; only genuinely new keys append.
 
     ``partition_col`` is the 100 TB path: the snapshot lives as one
     independently-versioned sub-snapshot per partition value
@@ -121,6 +124,7 @@ def upsert_batch(
                 sub,
                 key,
                 version,
+                keep=keep,
             )
         return
     os.makedirs(root, exist_ok=True)
@@ -139,11 +143,14 @@ def upsert_batch(
         )
     else:
         fresh = batch.dropDuplicates([key])
-    merged = (
-        fresh
-        if current is None
-        else current.join(fresh.select(key), key, "left_anti").unionByName(fresh)
-    )
+    if current is None:
+        merged = fresh
+    elif keep == "first":
+        merged = current.unionByName(
+            fresh.join(current.select(key), key, "left_anti")
+        )
+    else:
+        merged = current.join(fresh.select(key), key, "left_anti").unionByName(fresh)
     merged.write.mode("overwrite").parquet(os.path.join(root, f"v{version}"))
     _swap_in(root, version)
 
@@ -155,19 +162,63 @@ def streaming_upsert_to_parquet(
     key: str,
     checkpoint_dir: str,
     partition_col: str | None = None,
+    keep: str = "last",
 ):
     """Drive a stream into the upsert snapshot with exactly-once batches
     (foreachBatch + checkpoint; already-applied versions short-circuit,
     so crash replays are idempotent). ``partition_col`` switches to the
     partitioned snapshot layout — each batch rewrites only the
-    partitions it touches."""
+    partitions it touches. ``keep`` selects upsert ("last") vs dedup
+    ("first") merge semantics."""
 
     def handle(batch: DataFrame, batch_id: int) -> None:
-        upsert_batch(spark, root, batch, key, int(batch_id), partition_col)
+        upsert_batch(spark, root, batch, key, int(batch_id), partition_col, keep=keep)
 
     return (
         stream.writeStream.foreachBatch(handle)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def streaming_corpus_ingest(
+    spark: SparkSession,
+    jsonl_dir: str,
+    root: str,
+    checkpoint_dir: str,
+    schema: str = "doc_id bigint, text string, lang string, source string",
+):
+    """Continuous training-corpus ingestion — the streaming composition
+    of the batch hygiene pipeline: JSONL documents stream in, the
+    C4-style quality gate (operators/pipeline.quality_columns — pure
+    Catalyst, map-only, so it applies to a stream unchanged) drops
+    failing docs in-flight, and the md5(text) content fingerprint keys
+    the upsert snapshot — EXACT cross-batch dedup without a watermark
+    horizon (the snapshot anti-join replaces unbounded dedup state;
+    state cost is the touched-partition rewrite, not a store of every
+    key ever seen). Exactly-once via the checkpoint + versioned
+    manifest; replays no-op.
+
+    At scale: gate is map-only; the only non-map work is the per-batch
+    merge, which tracks batch size. Chunking/stats run batch-side over
+    the snapshot (read_snapshot) — the lakehouse-lite split of hot
+    ingest vs cold derivation."""
+    from csv2parquet_spark.operators.pipeline import quality_columns
+
+    cols = [c.split()[0] for c in schema.split(",")]
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(jsonl_dir)
+    )
+    gated = quality_columns(stream).filter(F.col("keep")).select(*cols)
+    # fp keys the dedup; keep="first" preserves the earliest-ingested
+    # copy across batches, and __seq = -doc_id makes the within-batch
+    # winner the lowest doc_id (deterministic, not partition-order).
+    keyed = gated.withColumn("fp", F.md5(F.col("text"))).withColumn(
+        "__seq", -F.col("doc_id")
+    )
+    return streaming_upsert_to_parquet(
+        spark, keyed, root, "fp", checkpoint_dir, keep="first"
     )

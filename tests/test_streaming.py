@@ -552,3 +552,47 @@ def test_transform_with_state_matches_apply_in_pandas_with_state(spark, sf_dir):
         assert fr.n_events == wr.n_events, uid
         assert fr.last_ts_ms == wr.last_ts_ms, uid
         assert abs(fr.total_value - wr.total_value) < 1e-6, uid
+
+
+def test_streaming_corpus_ingest_gates_and_dedups(spark, tmp_path):
+    """Continuous corpus ingestion: the quality gate drops a failing doc
+    in-flight, and the content-fingerprint upsert dedups an exact
+    duplicate arriving in a LATER batch — the snapshot ends with one
+    copy of each distinct passing document."""
+    import json
+
+    from csv2parquet_spark.streaming import read_snapshot
+    from csv2parquet_spark.streaming.sinks import streaming_corpus_ingest
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away with many other small animals near the old river bank"
+    )
+    good2 = (
+        "a short story about the weather and the seasons that people "
+        "like to read when the evening comes and the house gets quiet"
+    )
+    bad = "too few words here"
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "b0.jsonl").write_text(
+        json.dumps({"doc_id": 1, "text": good, "lang": "en", "source": "s1"})
+        + "\n"
+        + json.dumps({"doc_id": 2, "text": bad, "lang": "en", "source": "s1"})
+        + "\n"
+    )
+    (src / "b1.jsonl").write_text(
+        json.dumps({"doc_id": 3, "text": good, "lang": "en", "source": "s2"})
+        + "\n"
+        + json.dumps({"doc_id": 4, "text": good2, "lang": "en", "source": "s2"})
+        + "\n"
+    )
+    root = str(tmp_path / "corpus")
+    q = streaming_corpus_ingest(
+        spark, str(src), root, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    snap = read_snapshot(spark, root)
+    rows = {r.doc_id: r.text for r in snap.collect()}
+    assert set(rows) == {1, 4}  # bad gated out; doc 3 deduped against 1
+    assert snap.select("fp").distinct().count() == 2
