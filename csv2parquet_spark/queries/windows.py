@@ -265,3 +265,70 @@ def asof_purchase_prev_click(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prev_click_ms",
         )
     )
+
+
+@register(
+    "asof_purchase_nearest_click",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, epoch_ms(ts) AS purchase_ms, ts
+      FROM events WHERE event_type = 'purchase'
+    ), x AS (
+      SELECT p.event_id, p.user_id, p.purchase_ms,
+        (SELECT epoch_ms(max(c.ts)) FROM events c
+         WHERE c.user_id = p.user_id AND c.event_type = 'click'
+           AND c.ts < p.ts) AS prev_click_ms,
+        (SELECT epoch_ms(min(c.ts)) FROM events c
+         WHERE c.user_id = p.user_id AND c.event_type = 'click'
+           AND c.ts > p.ts) AS next_click_ms
+      FROM p
+    )
+    SELECT event_id, user_id, purchase_ms, prev_click_ms, next_click_ms,
+      CASE WHEN prev_click_ms IS NULL THEN next_click_ms
+           WHEN next_click_ms IS NULL THEN prev_click_ms
+           WHEN purchase_ms - prev_click_ms <= next_click_ms - purchase_ms
+             THEN prev_click_ms
+           ELSE next_click_ms END AS nearest_click_ms
+    FROM x
+    """,
+)
+def asof_purchase_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, FORWARD and NEAREST directions (completing the
+    pandas merge_asof direction family — backward lives in
+    asof_purchase_prev_click): each purchase gets the latest earlier
+    click, the earliest later click, and the nearer of the two (ties
+    prefer the earlier click, pandas convention).
+
+    Same scale shape as backward: both directions come from one
+    union+window pass — a single user_id shuffle; the two range frames
+    share the window's partitioning and sort, so the forward direction
+    is free once the backward one is paid. No per-row subquery, no
+    pandas; state per user is O(1)."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    e = e.withColumn("ts_ms", F.unix_millis("ts"))
+    click_ms = F.when(F.col("event_type") == "click", F.col("ts_ms"))
+    base = Window.partitionBy("user_id").orderBy("ts_ms")
+    w_prev = base.rangeBetween(Window.unboundedPreceding, -1)
+    w_next = base.rangeBetween(1, Window.unboundedFollowing)
+    prev_c, next_c = F.col("prev_click_ms"), F.col("next_click_ms")
+    nearest = (
+        F.when(prev_c.isNull(), next_c)
+        .when(next_c.isNull(), prev_c)
+        .when(F.col("purchase_ms") - prev_c <= next_c - F.col("purchase_ms"), prev_c)
+        .otherwise(next_c)
+    )
+    return (
+        e.withColumn("prev_click_ms", F.max(click_ms).over(w_prev))
+        .withColumn("next_click_ms", F.min(click_ms).over(w_next))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts_ms").alias("purchase_ms"),
+            "prev_click_ms",
+            "next_click_ms",
+        )
+        .withColumn("nearest_click_ms", nearest)
+    )
