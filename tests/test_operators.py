@@ -584,3 +584,27 @@ def test_kmv_merge_is_exact(spark, sf_dir):
         r.h for r in s1.unionByName(s2).orderBy("h").limit(k).collect()
     )
     assert merged == whole and len(whole) == k
+
+
+def test_rank_stats_single_row_and_kmv_small_input(spark):
+    """Edge behavior of the round-3 operators: rank_stats on one row
+    (quartile 1, pct_rank 0 under the n>1 guard, cume 1); kmv_quantiles
+    when the table has fewer rows than k (ranks beyond the sample are
+    absent — quantile picks land on existing ranks only if the index
+    fits, so callers size k to the corpus floor; pinned here so the
+    semantics are explicit, not accidental)."""
+    from csv2parquet_spark.operators.ranking import rank_stats
+    from csv2parquet_spark.operators.sketches import kmv_quantiles, kmv_sample
+
+    one = spark.createDataFrame([(7, 1)], "id bigint, v bigint")
+    r = rank_stats(one, ["v", "id"], tiles=4).collect()
+    assert len(r) == 1
+    assert (r[0].quartile, r[0].pct_rank, r[0].cume) == (1, 0.0, 1.0)
+
+    small = spark.createDataFrame([(i, float(i)) for i in range(10)], "id bigint, v double")
+    s = kmv_sample(small, "v", "id", k=100)
+    assert s.count() == 10  # sample is the whole table when n < k
+    got = kmv_quantiles(s, [0.0], k=100).collect()
+    assert len(got) == 1 and got[0].value == 0.0  # rank 1 exists
+    # an index beyond the sample yields no row (documented contract)
+    assert kmv_quantiles(s, [0.95], k=100).count() == 0
