@@ -19,6 +19,7 @@ from csv2parquet_spark.queries import tpch_more  # noqa: E402,F401
 from csv2parquet_spark.queries import hygiene  # noqa: E402,F401
 from csv2parquet_spark.queries import linalg_q  # noqa: E402,F401
 from csv2parquet_spark.queries import sketches_q  # noqa: E402,F401
+from csv2parquet_spark.queries import timeseries  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-window rotation (automatic).

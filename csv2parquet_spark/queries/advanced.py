@@ -560,3 +560,64 @@ def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@register(
+    "robust_outliers_mad",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 6) AS med
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    dev AS (
+      SELECT l.l_returnflag, m.med,
+             abs(l.l_extendedprice - m.med) AS adev
+      FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+    ),
+    mad AS (
+      SELECT l_returnflag, med, round(quantile_cont(adev, 0.5), 6) AS mad
+      FROM dev GROUP BY l_returnflag, med
+    )
+    SELECT d.l_returnflag, m.med, m.mad,
+           CAST(sum(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           count(*) AS n
+    FROM dev d JOIN mad m ON d.l_returnflag = m.l_returnflag
+    GROUP BY d.l_returnflag, m.med, m.mad
+    """,
+)
+def robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier census: median / MAD (median absolute
+    deviation) with a 3-MAD fence.
+
+    Two exact-percentile passes with the group medians broadcast back —
+    the med/mad side is group-cardinality-sized, so both joins are
+    broadcasts and the corpus is scanned twice with no wide shuffle.
+    Percentile outputs are rounded to 6dp BEFORE feeding the deviation /
+    fence arithmetic so both engines compare against bit-identical
+    thresholds (the round-6 percentile parity is pinned by
+    ``percentiles_exact``). At 100 TB swap the exact percentiles for
+    ``approx_percentile`` (same topology, one pass each, mergeable).
+    """
+    l = table(spark, sf_dir, "lineitem")
+    med = l.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("med")
+    )
+    dev = l.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag",
+        "med",
+        F.abs(F.col("l_extendedprice") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("l_returnflag", "med").agg(
+        F.round(F.percentile("adev", F.lit(0.5)), 6).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad.select("l_returnflag", "mad")), "l_returnflag")
+        .groupBy("l_returnflag", "med", "mad")
+        .agg(
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+            F.count("*").alias("n"),
+        )
+    )

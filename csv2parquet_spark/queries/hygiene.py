@@ -452,3 +452,62 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nll"),
         )
     )
+
+
+@register(
+    "token_entropy_quality",
+    oracle="""
+    WITH counts AS (
+      SELECT doc_id, tok, count(*) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE tok <> ''
+      GROUP BY doc_id, tok
+    ),
+    stats AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             count(*) AS n_types,
+             CAST(sum(CAST(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))
+                            AS DECIMAL(38,6))) AS DOUBLE) AS sclog
+      FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_types,
+           round(log2(CAST(n_tokens AS DOUBLE)) - sclog / n_tokens, 6) AS entropy,
+           round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr
+    FROM stats
+    """,
+)
+def token_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon token entropy + type/token ratio — the
+    repetition-quality signal C4/Gopher-style filters threshold on.
+
+    H = log2(n) - sum(c*log2(c))/n from the per-(doc, token) counts, so
+    a single explode -> two-level aggregate computes it with map-side
+    partial aggregation; the per-type log terms are decimal-cast before
+    summing (association-order-proof, same discipline as dsum). Both
+    shuffles key on doc_id(+token) — high-cardinality, skew-free.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    cd = F.col("c").cast("double")
+    stats = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.sum((cd * F.log2(cd)).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sclog"),
+    )
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        F.round(
+            F.log2(F.col("n_tokens").cast("double"))
+            - F.col("sclog") / F.col("n_tokens"),
+            6,
+        ).alias("entropy"),
+        F.round(F.col("n_types").cast("double") / F.col("n_tokens"), 6).alias("ttr"),
+    )

@@ -515,3 +515,51 @@ def setop_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 def distinct_flag_status_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT projection — dedup of a two-column key space."""
     return table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "fuzzy_join_levenshtein",
+    oracle="""
+    WITH probes AS (
+      SELECT s_suppkey AS probe_key,
+             substr(s_name, 1, CAST(s_suppkey % 9 AS INTEGER))
+               || substr(s_name, CAST(s_suppkey % 9 AS INTEGER) + 2) AS probe_name
+      FROM supplier
+    )
+    SELECT p.probe_key, p.probe_name, s.s_suppkey, s.s_name,
+           CAST(levenshtein(p.probe_name, s.s_name) AS INTEGER) AS dist
+    FROM probes p JOIN supplier s
+      ON abs(length(p.probe_name) - length(s.s_name)) <= 2
+     AND levenshtein(p.probe_name, s.s_name) <= 2
+    """,
+)
+def fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dimension lookup: edit-distance <= 2 match of corrupted
+    probe names (one char deterministically dropped per key) against the
+    supplier dimension.
+
+    The canonical entity-resolution shape: the dimension is small even
+    at 100 TB fact scale, so the plan is a BroadcastNestedLoopJoin with
+    a cheap length-band prefilter ahead of the Levenshtein — probes
+    stream map-side, nothing shuffles. For corpus-x-corpus fuzzy
+    matching use the blocked n-gram/MinHash joins in operators/dedup.py
+    instead; an all-pairs edit distance has no scale path.
+    """
+    s = table(spark, sf_dir, "supplier")
+    probes = s.select(
+        F.col("s_suppkey").alias("probe_key"),
+        F.concat(
+            F.expr("substring(s_name, 1, CAST(s_suppkey % 9 AS INT))"),
+            F.expr("substring(s_name, CAST(s_suppkey % 9 AS INT) + 2)"),
+        ).alias("probe_name"),
+    )
+    cond = (
+        F.abs(F.length("probe_name") - F.length("s_name")) <= 2
+    ) & (F.levenshtein("probe_name", "s_name") <= 2)
+    return probes.join(F.broadcast(s), cond, "inner").select(
+        "probe_key",
+        "probe_name",
+        "s_suppkey",
+        "s_name",
+        F.levenshtein("probe_name", "s_name").alias("dist"),
+    )

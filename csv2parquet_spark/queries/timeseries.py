@@ -1,0 +1,246 @@
+"""Time-series operators over the ``events`` stream (engine extension;
+the reference is a batch CSV converter with no time-series surface —
+SURVEY.md §2.8 mandates the analytics engine around it).
+
+Four classic hypertable-style operators, all pure Catalyst:
+
+* gap-fill: generated calendar dimension LEFT-joined to the fact rollup;
+* gap-based sessionization: lag + conditional cumsum (the batch twin of
+  ``F.session_window`` — same islands, imperative-free);
+* gaps-and-islands streaks: row_number arithmetic;
+* OHLC bars: conditional aggregation over dual row_numbers.
+
+Scale notes: every window partitions by ``user_id`` or a (type, bucket)
+pair — high-cardinality keys, one hash exchange each, no global sort.
+The gap-fill calendar is |users| x |days| *generated* rows (dimension-
+sized, never a corpus scan), and its bounds row is a 1-row broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from csv2parquet_spark.queries.helpers import dsum
+from csv2parquet_spark.queries.registry import register
+from csv2parquet_spark.tables import table
+
+
+@register(
+    "timeseries_gapfill_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM events
+      WHERE event_type = 'purchase' AND user_id % 29 = 3
+      GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+    cal AS (
+      SELECT u.user_id, CAST(g.g AS DATE) AS d
+      FROM (SELECT DISTINCT user_id FROM daily) u
+      CROSS JOIN bounds b
+      CROSS JOIN LATERAL (SELECT unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS g) g
+    )
+    SELECT cal.user_id,
+           strftime(cal.d, '%Y-%m-%d') AS day,
+           coalesce(daily.revenue, 0.0) AS revenue,
+           daily.d IS NULL AS is_gap
+    FROM cal LEFT JOIN daily
+      ON cal.user_id = daily.user_id AND cal.d = daily.d
+    """,
+)
+def timeseries_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily revenue with gap days filled as explicit 0 rows.
+
+    The calendar is generated (``sequence`` + ``explode`` over a 1-row
+    min/max bounds), never scanned: at 100 TB the fact rollup is the only
+    corpus-sized job; the calendar-x-users frame is dimension-sized and
+    the left join shuffles on (user_id, day) — same key as the rollup,
+    so AQE coalesces into one exchange chain.
+    """
+    e = table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") % 29 == 3)
+    )
+    daily = e.groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(dsum(F.col("value"), "revenue"))
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    cal = (
+        daily.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("user_id", F.explode(F.sequence("lo", "hi")).alias("d"))
+    )
+    return (
+        cal.join(daily, ["user_id", "d"], "left")
+        .select(
+            "user_id",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+            F.col("revenue").isNull().alias("is_gap"),
+        )
+    )
+
+
+@register(
+    "sessionize_events_gap",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 3600000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+      FROM marked
+    )
+    SELECT user_id, session_idx,
+           epoch_ms(min(ts)) AS session_start_ms,
+           epoch_ms(max(ts)) AS session_end_ms,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM sess
+    GROUP BY user_id, session_idx
+    """,
+)
+def sessionize_events_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (60-min inactivity closes a session).
+
+    lag -> boundary flag -> running sum = session id: the classic
+    gaps-and-islands pass, all Catalyst. One shuffle on user_id; the
+    window and the final groupBy share that partitioning. This is the
+    batch twin of streaming ``session_window`` (streaming_batch.py) with
+    an explicitly derived session ordinal instead of a time range.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ms = F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))
+    marked = e.withColumn(
+        "is_new",
+        F.when(gap_ms.isNull() | (gap_ms > 3_600_000), 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_idx",
+        F.sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.unix_millis(F.min("ts")).alias("session_start_ms"),
+        F.unix_millis(F.max("ts")).alias("session_end_ms"),
+        F.count("*").alias("n_events"),
+        dsum(F.col("value"), "total_value"),
+    )
+
+
+@register(
+    "streaks_user_active_days",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+      FROM events WHERE event_type = 'purchase'
+    ),
+    numbered AS (
+      SELECT user_id, d,
+             row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn
+      FROM days
+    ),
+    islands AS (
+      SELECT user_id, d - CAST(rn AS INTEGER) AS grp, count(*) AS len
+      FROM numbered GROUP BY user_id, d - CAST(rn AS INTEGER)
+    )
+    SELECT user_id,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(sum(len) AS BIGINT) AS n_active_days,
+           count(*) AS n_streaks
+    FROM islands GROUP BY user_id
+    """,
+)
+def streaks_user_active_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of consecutive purchase days per user
+    (gaps-and-islands via date - row_number island keys).
+
+    distinct -> window -> two aggs, all partitioned by user_id: a single
+    hash exchange reused end-to-end, no global ordering anywhere.
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    numbered = days.withColumn("rn", F.row_number().over(w))
+    islands = (
+        numbered.withColumn("grp", F.date_sub(F.col("d"), F.col("rn")))
+        .groupBy("user_id", "grp")
+        .agg(F.count("*").alias("len"))
+    )
+    return islands.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.sum("len").alias("n_active_days"),
+        F.count("*").alias("n_streaks"),
+    )
+
+
+@register(
+    "ohlc_hourly_bars",
+    oracle="""
+    WITH ordered AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, ts, event_id, value,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type, epoch_ms(h) AS hour_ms,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           max(value) AS high, min(value) AS low,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS volume
+    FROM ordered GROUP BY event_type, h
+    """,
+)
+def ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC (open/high/low/close) bars per event type.
+
+    open/close come from dual row_numbers (ties broken by event_id, so
+    first/last are deterministic — never ``first_value`` on a non-unique
+    order) folded into conditional aggregates; high/low/volume are plain
+    min/max/decimal-sum. One shuffle on (event_type, hour); at 100 TB
+    the window state per bar stays bar-sized.
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    e = e.withColumn("h", F.date_trunc("hour", "ts"))
+    wa = Window.partitionBy("event_type", "h").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "h").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ordered = e.withColumn("rn_a", F.row_number().over(wa)).withColumn(
+        "rn_d", F.row_number().over(wd)
+    )
+    return ordered.groupBy("event_type", "h").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.count("*").alias("n_events"),
+        dsum(F.col("value"), "volume"),
+    ).select(
+        "event_type",
+        F.unix_millis("h").alias("hour_ms"),
+        "open", "close", "high", "low", "n_events", "volume",
+    )
+
+
+__all__ = [
+    "timeseries_gapfill_daily",
+    "sessionize_events_gap",
+    "streaks_user_active_days",
+    "ohlc_hourly_bars",
+]
