@@ -20,6 +20,7 @@ from csv2parquet_spark.queries import hygiene  # noqa: E402,F401
 from csv2parquet_spark.queries import linalg_q  # noqa: E402,F401
 from csv2parquet_spark.queries import sketches_q  # noqa: E402,F401
 from csv2parquet_spark.queries import timeseries  # noqa: E402,F401
+from csv2parquet_spark.queries import text_index  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-window rotation (automatic).
@@ -51,6 +52,17 @@ from csv2parquet_spark.queries import timeseries  # noqa: E402,F401
 # Clear once CORRECTNESS_r03 shows it green. (r2 entries cleared: both
 # proven in CORRECTNESS_r02.)
 _FORCE_FIRST: list[str] = ["embedding_near_dups"]
+
+# Round-3 late additions: the 50-slot window is already exactly filled
+# (1 forced re-proof + 40 tier-1 + 9 tier-2). Anything registered after
+# that fill is deferred BEHIND the tier-2 rows-only entries so it cannot
+# displace their ran-clean rows this round; the rotation automatically
+# promotes them to tier 1 next round (clear this set then).
+_DEFER_THIS_ROUND: set[str] = {
+    "bpe_pair_counts",
+    "inverted_index_postings",
+    "textrank_tokens",
+}
 
 
 def _proven_from_driver_rounds() -> tuple[set[str], set[str]]:
@@ -85,10 +97,14 @@ def _rotate() -> None:
     hash_proven, ran_clean = _proven_from_driver_rounds()
     force = [n for n in _FORCE_FIRST if n in REGISTRY]
 
-    def tier(name: str) -> int:
+    def tier(name: str) -> float:
         if REGISTRY[name].oracle is not None:
-            return 1 if name not in hash_proven else 3
-        return 2 if name not in ran_clean else 3
+            t = 1.0 if name not in hash_proven else 3.0
+        else:
+            t = 2.0 if name not in ran_clean else 3.0
+        if t < 3.0 and name in _DEFER_THIS_ROUND:
+            t = 2.5
+        return t
 
     rest = [n for n in REGISTRY if n not in set(force)]
     rest.sort(key=tier)  # stable: registration order within tiers

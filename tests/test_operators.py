@@ -608,3 +608,26 @@ def test_rank_stats_single_row_and_kmv_small_input(spark):
     assert len(got) == 1 and got[0].value == 0.0  # rank 1 exists
     # an index beyond the sample yields no row (documented contract)
     assert kmv_quantiles(s, [0.95], k=100).count() == 0
+
+
+def test_pagerank_closed_forms(spark):
+    """pagerank against hand-computable graphs: a 3-cycle is uniform at
+    every iteration (1/3 each); a 2-node graph with a dangling sink
+    still sums to ~1 (dangling mass redistributed, nothing leaks)."""
+    from csv2parquet_spark.operators.graph import pagerank
+
+    cycle = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    r = {x.id: x.rank for x in pagerank(cycle, n_iter=5).collect()}
+    assert set(r) == {"a", "b", "c"}
+    assert all(abs(v - 1 / 3) < 1e-6 for v in r.values())
+
+    dangle = spark.createDataFrame([("a", "b")], "src string, dst string")
+    got = {x.id: x.rank for x in pagerank(dangle, n_iter=10).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+    assert got["b"] > got["a"]  # the sink receives a's full contribution
+
+    # determinism across re-execution (the rows-only gate's contract)
+    again = {x.id: x.rank for x in pagerank(dangle, n_iter=10).collect()}
+    assert got == again
