@@ -55,6 +55,12 @@ HEADLINE = [
     # round-3 additions
     "window_ntile_scalable",
     "multimodal_decode_real",
+    # round-3 late additions (time-series + tokenizer/index ops);
+    # round-over-round totals compare like-for-like on shared keys
+    "sessionize_events_gap",
+    "token_entropy_quality",
+    "bpe_pair_counts",
+    "inverted_index_postings",
 ]
 
 

@@ -87,34 +87,39 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency, first-20 postings) for tokens appearing in >= 5 docs.
 
     The postings list is rank-limited BEFORE collection (row_number
-    over doc_id, rn <= 20), so per-token state is bounded even for
+    over doc_id, then ``collect_list(when(rn <= 20))`` — collect_list
+    skips the nulls), so per-token state is bounded even for
     stopword-grade tokens — a naive collect_list would gather a
-    corpus-sized array for 'the' at 100 TB. Both the stats aggregate
-    and the rank window shuffle on tok, so AQE chains them on one
-    exchange; real engines shard longer postings by (tok, block) with
-    exactly this topology.
+    corpus-sized array for 'the' at 100 TB. Single corpus scan, two
+    chained shuffles: (tok, doc_id) for the tf aggregate, then tok for
+    the rank window, whose partitioning the final groupBy reuses with
+    no further exchange; real engines shard longer postings by
+    (tok, block) with exactly this topology.
     """
     d = table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.col("tok") != "")
     per = toks.groupBy("tok", "doc_id").agg(F.count("*").alias("tf"))
-    stats = per.groupBy("tok").agg(
-        F.count("*").alias("df"), F.sum("tf").alias("cf")
-    )
     w = Window.partitionBy("tok").orderBy("doc_id")
-    top = per.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 20)
-    post = top.groupBy("tok").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list("doc_id")),
-                lambda x: x.cast("string"),
-            ),
-            ",",
-        ).alias("postings")
-    )
+    ranked = per.withColumn("rn", F.row_number().over(w))
     return (
-        stats.join(post, "tok")
+        ranked.groupBy("tok")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum("tf").alias("cf"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("rn") <= 20, F.col("doc_id"))
+                        )
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
         .filter(F.col("df") >= 5)
         .select("tok", "df", "cf", "postings")
     )
