@@ -62,6 +62,7 @@ _DEFER_THIS_ROUND: set[str] = {
     "bpe_pair_counts",
     "inverted_index_postings",
     "textrank_tokens",
+    "stream_static_enrich",
 }
 
 

@@ -219,3 +219,32 @@ def stream_interval_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_pairs"),
         F.sum("gap_ms").cast("bigint").alias("total_gap_ms"),
     )
+
+
+@register(
+    "stream_static_enrich",
+    oracle=f"""
+    SELECT epoch_ms(time_bucket(INTERVAL '10 minutes', e.ts)) AS window_start_ms,
+           n.n_name, count(*) AS n, {sql_dsum('e.value', 'total_value')}
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE e.event_type = 'purchase'
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment (batch twin): purchase events
+    joined to the customer->nation dimension, windowed revenue per
+    nation. The streaming side (streaming/windows.py
+    static_enrich_revenue) runs this SAME expression over readStream —
+    the static dim broadcasts once per executor, no join state."""
+    from csv2parquet_spark.streaming.windows import static_enrich_revenue
+
+    e = table(spark, sf_dir, "events")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    dim = c.join(n, c["c_nationkey"] == n["n_nationkey"]).select(
+        "c_custkey", "n_name"
+    )
+    return static_enrich_revenue(e, dim)

@@ -220,3 +220,38 @@ def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> tuple[
         .start()
     )
     return name, q
+
+
+def static_enrich_revenue(
+    events: DataFrame,
+    customer_nation: DataFrame,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-static enrichment: purchases joined to a STATIC dimension
+    (customer -> nation), then 10-minute tumbling revenue per nation.
+
+    A stream-static join keeps NO join state — the static side is
+    broadcast to every executor and each micro-batch probes it map-side
+    (unlike stream-stream joins, nothing buffers, no watermark needed on
+    the static side). This is the canonical "enrich the firehose with
+    reference data" topology; at 100 TB/day the dimension still ships
+    once per executor. ``withWatermark`` is a no-op in batch, so the
+    SAME function is the batch twin the tests compare against.
+    """
+    purchases = events.withWatermark("ts", watermark).filter(
+        F.col("event_type") == "purchase"
+    )
+    enriched = purchases.join(
+        F.broadcast(customer_nation),
+        purchases["user_id"] == customer_nation["c_custkey"],
+    )
+    return (
+        enriched.groupBy(F.window("ts", "10 minutes").alias("w"), "n_name")
+        .agg(F.count("*").alias("n"), dsum(F.col("value"), "total_value"))
+        .select(
+            F.unix_millis("w.start").alias("window_start_ms"),
+            "n_name",
+            "n",
+            "total_value",
+        )
+    )

@@ -596,3 +596,33 @@ def test_streaming_corpus_ingest_gates_and_dedups(spark, tmp_path):
     rows = {r.doc_id: r.text for r in snap.collect()}
     assert set(rows) == {1, 4}  # bad gated out; doc 3 deduped against 1
     assert snap.select("fp").distinct().count() == 2
+
+
+def test_static_enrich_stream_equals_batch(spark, sf_dir):
+    """Stream-static broadcast join: replaying events through readStream
+    with the static customer->nation dim must equal the batch twin
+    (no join state, so stream == batch exactly, late data aside)."""
+    from csv2parquet_spark.queries import REGISTRY
+    from csv2parquet_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+        static_enrich_revenue,
+    )
+    from csv2parquet_spark.tables import table
+
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    dim = c.join(n, c["c_nationkey"] == n["n_nationkey"]).select(
+        "c_custkey", "n_name"
+    )
+    stream = read_events_stream(spark, sf_dir)
+    name, q = run_to_memory(static_enrich_revenue(stream, dim), "complete")
+    try:
+        q.processAllAvailable()
+        got = sorted(map(str, spark.sql(f"SELECT * FROM {name}").collect()))
+    finally:
+        q.stop()
+    want = sorted(
+        map(str, REGISTRY["stream_static_enrich"].fn(spark, sf_dir).collect())
+    )
+    assert got == want and len(got) > 0
