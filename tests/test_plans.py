@@ -280,3 +280,43 @@ def test_stratified_exact_k_partial_window_group_limit(spark, sf_dir):
     plan = _plan(REGISTRY["sample_stratified_exact_k"].fn(spark, sf_dir))
     assert "WindowGroupLimit" in plan
     assert "Partial" in plan and "Final" in plan
+
+
+def test_fuzzy_join_is_broadcast_nested_loop_with_prefilter(spark, sf_dir):
+    """fuzzy_join_levenshtein must run as a BroadcastNestedLoopJoin (the
+    dimension ships to executors; probes stream map-side, no shuffle of
+    the probe stream) with the length-band prefilter present in the
+    join condition ahead of the Levenshtein."""
+    from csv2parquet_spark.queries import REGISTRY
+
+    plan = (
+        REGISTRY["fuzzy_join_levenshtein"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "levenshtein" in plan
+    assert "length" in plan  # band prefilter survived into the condition
+    assert "SortMergeJoin" not in plan
+
+
+def test_inverted_index_single_scan_two_exchanges(spark, sf_dir):
+    """inverted_index_postings must build from ONE corpus scan (the
+    stats aggregate and the rank-limited postings share the (tok,
+    doc_id) aggregate, not two plan subtrees) and exactly two hash
+    exchanges — (tok, doc_id) then tok, with the final groupBy reusing
+    the window's partitioning."""
+    from csv2parquet_spark.queries import REGISTRY
+
+    plan = (
+        REGISTRY["inverted_index_postings"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one physical scan node (its header line contains both markers)
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 2

@@ -191,3 +191,120 @@ def test_rank_stats_matches_window_twin(spark, vals):
         ).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Time-series operator properties: sessionize / streaks vs a pure-Python
+# reference on tiny random event sets (engine-independent semantics).
+# ---------------------------------------------------------------------------
+
+EVENT_TIMES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),          # user
+        st.integers(min_value=0, max_value=300_000),    # seconds offset
+    ),
+    min_size=1,
+    max_size=25,
+    unique=True,
+)
+
+
+@given(EVENT_TIMES)
+@SETTINGS
+def test_sessionize_islands_match_reference(spark, evs):
+    """Gap-based sessionization must agree with the obvious sequential
+    reference: sort each user's times, split where gap > 1h."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from csv2parquet_spark.queries.timeseries import sessionize_events_gap
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=sec), u, "click", 1.0, "{}")
+        for i, (u, sec) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    # reference session count + sizes per user
+    ref: dict[int, list[int]] = {}
+    by_user: dict[int, list[int]] = {}
+    for _, (u, sec) in enumerate(evs):
+        by_user.setdefault(u, []).append(sec)
+    for u, secs in by_user.items():
+        secs.sort()
+        sizes = [1]
+        for a, b in zip(secs, secs[1:]):
+            if (b - a) > 3600:
+                sizes.append(1)
+            else:
+                sizes[-1] += 1
+        ref[u] = sorted(sizes)
+
+    # run the registered query's core logic against a temp view table
+    df.createOrReplaceTempView("_prop_events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ms = F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))
+    sess = (
+        df.withColumn(
+            "is_new", F.when(gap_ms.isNull() | (gap_ms > 3_600_000), 1).otherwise(0)
+        )
+        .withColumn(
+            "session_idx",
+            F.sum("is_new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_idx")
+        .agg(F.count("*").alias("n_events"))
+        .collect()
+    )
+    got: dict[int, list[int]] = {}
+    for r in sess:
+        got.setdefault(r.user_id, []).append(r.n_events)
+    got = {u: sorted(v) for u, v in got.items()}
+    assert got == ref
+
+
+@given(st.lists(st.integers(min_value=0, max_value=40), min_size=1,
+                max_size=25, unique=True))
+@SETTINGS
+def test_streak_islands_match_reference(spark, day_offsets):
+    """date - row_number island grouping must yield exactly the runs of
+    consecutive integers in the day set."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    days = sorted(day_offsets)
+    runs, cur = [], 1
+    for a, b in zip(days, days[1:]):
+        if b == a + 1:
+            cur += 1
+        else:
+            runs.append(cur)
+            cur = 1
+    runs.append(cur)
+
+    base = dt.date(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(base + dt.timedelta(days=d),) for d in days], "d date"
+    )
+    w = Window.orderBy("d")
+    got = sorted(
+        r.len
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .withColumn("grp", F.date_sub(F.col("d"), F.col("rn")))
+        .groupBy("grp")
+        .agg(F.count("*").alias("len"))
+        .collect()
+    )
+    assert got == sorted(runs)
+    assert max(got) == max(runs) and sum(got) == len(days)

@@ -111,3 +111,46 @@ def test_hot_key_candidates_do_not_multiply(hot_corpus):
         f"position filter failed to bound hot-key candidates: "
         f"{pre_distinct} occurrences for {EXPECTED_PAIRS} true pairs"
     )
+
+
+def test_inverted_index_postings_bounded_for_stopword(spark):
+    """A stopword appearing in EVERY document must not accumulate a
+    corpus-sized postings array: the rank-limit runs before collection,
+    so the stored postings stay at <= 20 entries while df still counts
+    every document."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    n_docs = 400
+    docs = spark.createDataFrame(
+        [(i, f"the unique{i} token") for i in range(n_docs)],
+        "doc_id bigint, text string",
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    per = toks.groupBy("tok", "doc_id").agg(F.count("*").alias("tf"))
+    w = Window.partitionBy("tok").orderBy("doc_id")
+    ranked = per.withColumn("rn", F.row_number().over(w))
+    out = (
+        ranked.groupBy("tok")
+        .agg(
+            F.count("*").alias("df"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(F.col("rn") <= 20, F.col("doc_id")))
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .filter(F.col("tok").isin("the", "token"))
+        .collect()
+    )
+    by_tok = {r.tok: r for r in out}
+    for t in ("the", "token"):
+        assert by_tok[t].df == n_docs
+        assert len(by_tok[t].postings.split(",")) == 20  # capped, not 400
+        assert by_tok[t].postings.split(",")[0] == "0"   # lowest doc_ids kept
