@@ -113,3 +113,40 @@ def to_orc(
     else:
         writer.save(orc_path)
     return df
+
+
+def convert_columnar(
+    spark: SparkSession,
+    in_path: str,
+    parquet_path: str,
+    opts=None,
+    fmt: str = "orc",
+    out=None,
+    err=None,
+) -> None:
+    """Self-describing columnar input (ORC, or Parquet itself) through
+    the FULL converter surface — W1-W9 writer knobs, --dry /
+    --print-schema banner contract, single-file output.
+
+    No inference pass is needed (the footer carries the schema), so
+    --max-read-records is ignored. Parquet→Parquet is the classic
+    recompress/re-encode maintenance rewrite (e.g. snappy→zstd
+    migration): a narrow scan→write plan, embarrassingly parallel —
+    at 100 TB it runs file-parallel with zero shuffles, and column
+    pruning/predicate pushdown don't apply (full fidelity rewrite).
+    """
+    import sys
+
+    from csv2parquet_spark.converter.convert import ConvertOptions, write_parquet
+    from csv2parquet_spark.converter.schema_json import struct_to_arrow_json
+
+    opts = opts or ConvertOptions()
+    out = out if out is not None else sys.stdout
+    err = err if err is not None else sys.stderr
+    df = spark.read.orc(in_path) if fmt == "orc" else spark.read.parquet(in_path)
+    if opts.print_schema or opts.dry:
+        print("Schema:", file=err)
+        print(struct_to_arrow_json(df.schema), file=out)
+        if opts.dry:
+            return
+    write_parquet(spark, df, in_path, parquet_path, opts)

@@ -414,3 +414,39 @@ def test_cli_format_auto_leaves_plain_json_to_csv(tmp_path):
     for ext, want in [("jsonl", "jsonl"), ("ndjson", "jsonl"), ("json", "csv"), ("csv", "csv")]:
         fmt = "jsonl" if ext in {"jsonl", "ndjson"} else "csv"
         assert fmt == want
+
+
+def test_orc_and_parquet_inputs_roundtrip(spark, tmp_path, sf_dir):
+    """Engine-extension input formats: ORC → Parquet and the
+    Parquet → Parquet recompress rewrite both preserve values exactly
+    and honor the writer knobs (zstd codec lands in the footer)."""
+    import duckdb
+
+    from csv2parquet_spark.converter.cli import main as cli_main
+    from csv2parquet_spark.converter.formats import to_orc
+
+    src = f"{sf_dir}/nation.parquet"
+    orc = str(tmp_path / "nation.orc")
+    out1 = str(tmp_path / "from_orc.parquet")
+    out2 = str(tmp_path / "recompressed.parquet")
+    to_orc(spark, src, orc, single_file=True)
+
+    assert cli_main([orc, out1]) == 0                      # auto → orc
+    assert cli_main(["-c", "zstd", src, out2]) == 0        # auto → parquet
+
+    con = duckdb.connect()
+    base = con.execute(
+        f"SELECT * FROM read_parquet('{src}') ORDER BY n_nationkey"
+    ).fetchall()
+    for out in (out1, out2):
+        got = con.execute(
+            f"SELECT * FROM read_parquet('{out}') ORDER BY n_nationkey"
+        ).fetchall()
+        assert got == base
+    codecs = {
+        r[0]
+        for r in con.execute(
+            f"SELECT DISTINCT compression FROM parquet_metadata('{out2}')"
+        ).fetchall()
+    }
+    assert codecs <= {"ZSTD", "UNCOMPRESSED"} and "ZSTD" in codecs
