@@ -21,6 +21,7 @@ from csv2parquet_spark.queries import linalg_q  # noqa: E402,F401
 from csv2parquet_spark.queries import sketches_q  # noqa: E402,F401
 from csv2parquet_spark.queries import timeseries  # noqa: E402,F401
 from csv2parquet_spark.queries import text_index  # noqa: E402,F401
+from csv2parquet_spark.queries import operational  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-window rotation (automatic).
@@ -63,6 +64,8 @@ _DEFER_THIS_ROUND: set[str] = {
     "inverted_index_postings",
     "textrank_tokens",
     "stream_static_enrich",
+    "interval_bucket_join",
+    "table_diff_digest",
 }
 
 

@@ -1,0 +1,166 @@
+"""Operational / large-scale-join patterns (engine extension,
+SURVEY.md §2.8): the bucketed interval join (turn a large×large theta
+join into an equi join + residual filter) and a Merkle-style checksum
+table diff (find WHERE two snapshots differ without moving either).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from csv2parquet_spark.queries.registry import register
+from csv2parquet_spark.tables import table
+
+
+@register(
+    "interval_bucket_join",
+    oracle="""
+    SELECT o.o_orderkey AS iv_id,
+           count(*) AS n_items,
+           count(DISTINCT l.l_partkey) AS n_parts
+    FROM orders o JOIN lineitem l
+      ON CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE)
+     AND CAST(l.l_shipdate AS DATE)
+         <= CAST(o.o_orderdate AS DATE) + CAST(o.o_orderkey % 20 + 1 AS INTEGER)
+    WHERE o.o_orderkey % 997 = 0
+    GROUP BY o.o_orderkey
+    """,
+)
+def interval_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Points-in-interval join via BUCKET EXPANSION: campaign intervals
+    (a deterministic slice of orders, 1-20 days each) matched to every
+    lineitem shipped inside them.
+
+    The scale pattern Spark lacks natively: a naive interval join is a
+    theta join (BroadcastNestedLoop if one side is small, quadratic if
+    neither is). Here each interval explodes into the <= 4 week buckets
+    it covers, points key on their own week bucket, and the join is a
+    plain shuffled EQUI join on the bucket + an exact residual filter —
+    both sides stream at corpus scale, skewed weeks split by AQE. Any
+    monotone bucketing is correct (a contained point's bucket always
+    lies within the interval's bucket range); bucket width trades
+    duplication (intervals/width) against candidate precision.
+    The oracle is the direct theta join — same rows, different plan.
+    """
+    o = table(spark, sf_dir, "orders")
+    iv = (
+        o.filter(F.col("o_orderkey") % 997 == 0)
+        .select(
+            F.col("o_orderkey").alias("iv_id"),
+            F.to_date("o_orderdate").alias("d0"),
+            F.date_add(
+                F.to_date("o_orderdate"),
+                (F.col("o_orderkey") % 20 + 1).cast("int"),
+            ).alias("d1"),
+        )
+    )
+    ivb = iv.withColumn(
+        "wk",
+        F.explode(
+            F.sequence(
+                F.date_trunc("week", "d0").cast("date"),
+                F.date_trunc("week", "d1").cast("date"),
+                F.expr("INTERVAL 7 DAYS"),
+            )
+        ),
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        F.to_date("l_shipdate").alias("p"),
+        "l_partkey",
+        F.date_trunc("week", F.to_date("l_shipdate")).cast("date").alias("wk"),
+    )
+    return (
+        li.join(ivb, "wk")
+        .filter((F.col("p") >= F.col("d0")) & (F.col("p") <= F.col("d1")))
+        .select("iv_id", "p", "l_partkey")
+        .groupBy("iv_id")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        )
+    )
+
+
+@register(
+    "table_diff_digest",
+    oracle="""
+    WITH a AS (
+      SELECT CAST(o_orderkey % 64 AS INTEGER) AS bucket,
+             CAST(sum(CAST(('0x' || substr(md5(
+                   CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|'
+                   || o_orderpriority), 1, 8)) AS BIGINT)) AS BIGINT) AS digest,
+             count(*) AS n
+      FROM orders GROUP BY 1
+    ),
+    b AS (
+      SELECT CAST(o_orderkey % 64 AS INTEGER) AS bucket,
+             CAST(sum(CAST(('0x' || substr(md5(
+                   CAST(o_orderkey AS VARCHAR) || '|' ||
+                   CASE WHEN o_orderkey % 7771 = 0 THEN 'X' ELSE o_orderstatus END
+                   || '|' || o_orderpriority), 1, 8)) AS BIGINT)) AS BIGINT) AS digest,
+             count(*) AS n
+      FROM orders WHERE o_orderkey % 9973 <> 0 GROUP BY 1
+    )
+    SELECT a.bucket,
+           a.digest AS digest_a, b.digest AS digest_b,
+           a.n AS n_a, b.n AS n_b
+    FROM a JOIN b ON a.bucket = b.bucket
+    WHERE a.digest <> b.digest OR a.n <> b.n
+    """,
+)
+def table_diff_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style anti-entropy diff: which of 64 key buckets differ
+    between two snapshots, comparing ORDER-INDEPENDENT per-bucket
+    digests (sum of a 32-bit md5 slice per row — exact integer
+    addition, so partial aggregation order is irrelevant) instead of
+    rows.
+
+    The second snapshot is a deterministic mutation of orders (one key
+    in ~9973 deleted, one in ~7771 modified), so some buckets MUST
+    differ. At 100 TB each side reduces map-side to 64 (digest, count)
+    cells — the comparison shuffles kilobytes, and only flagged buckets
+    ever need row-level reconciliation (recurse with a finer modulus).
+    """
+    o = table(spark, sf_dir, "orders")
+
+    def digest(df: DataFrame, row_repr) -> DataFrame:
+        return df.groupBy(
+            (F.col("o_orderkey") % 64).cast("int").alias("bucket")
+        ).agg(
+            F.sum(
+                F.conv(F.substring(F.md5(row_repr), 1, 8), 16, 10).cast("long")
+            ).alias("digest"),
+            F.count("*").alias("n"),
+        )
+
+    repr_a = F.concat_ws(
+        "|", F.col("o_orderkey").cast("string"), "o_orderstatus", "o_orderpriority"
+    )
+    repr_b = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.when(F.col("o_orderkey") % 7771 == 0, "X").otherwise(
+            F.col("o_orderstatus")
+        ),
+        F.col("o_orderpriority"),
+    )
+    a = digest(o, repr_a)
+    b = digest(o.filter(F.col("o_orderkey") % 9973 != 0), repr_b)
+    return (
+        a.alias("a")
+        .join(b.alias("b"), "bucket")
+        .filter(
+            (F.col("a.digest") != F.col("b.digest")) | (F.col("a.n") != F.col("b.n"))
+        )
+        .select(
+            "bucket",
+            F.col("a.digest").alias("digest_a"),
+            F.col("b.digest").alias("digest_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+    )
+
+
+__all__ = ["interval_bucket_join", "table_diff_digest"]
