@@ -66,6 +66,8 @@ _DEFER_THIS_ROUND: set[str] = {
     "stream_static_enrich",
     "interval_bucket_join",
     "table_diff_digest",
+    "ols_per_group",
+    "lang_similarity_matrix",
 }
 
 

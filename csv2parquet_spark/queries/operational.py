@@ -164,3 +164,139 @@ def table_diff_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 __all__ = ["interval_bucket_join", "table_diff_digest"]
+
+
+@register(
+    "ols_per_group",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+             AS intercept
+    FROM m
+    """,
+)
+def ols_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form OLS (price ~ quantity): slope/intercept
+    from the five sufficient moments, each an exact decimal sum.
+
+    The distributed-regression shape: one map-side-combining aggregate
+    per group (five partials), then driver-free closed-form algebra in
+    the projection — no iteration, no collect. Association order can't
+    perturb the result (decimal sums; per-row products are IEEE-exact
+    doubles), so the engines agree bit-for-bit before the 6dp round —
+    the same discipline the built-in regr_/corr aggregates cannot
+    promise under partial aggregation.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    DEC38 = "decimal(38,6)"
+    m = l.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("l_quantity").cast(DEC38)).cast("double").alias("sx"),
+        F.sum(F.col("l_extendedprice").cast(DEC38)).cast("double").alias("sy"),
+        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast(DEC38))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("l_quantity") * F.col("l_extendedprice")).cast(DEC38))
+        .cast("double")
+        .alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )
+
+
+@register(
+    "lang_similarity_matrix",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, tok, count(*) AS c
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE tok <> ''
+      GROUP BY lang, tok
+    ),
+    norms AS (
+      SELECT lang, sqrt(CAST(sum(c * c) AS DOUBLE)) AS nrm FROM counts GROUP BY lang
+    ),
+    dots AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b,
+             CAST(sum(CAST(a.c * b.c AS DECIMAL(38,6))) AS DOUBLE) AS dot
+      FROM counts a JOIN counts b ON a.tok = b.tok AND a.lang < b.lang
+      GROUP BY a.lang, b.lang
+    )
+    SELECT d.lang_a, d.lang_b,
+           round(d.dot / (na.nrm * nb.nrm), 6) AS cos_sim
+    FROM dots d
+    JOIN norms na ON d.lang_a = na.lang
+    JOIN norms nb ON d.lang_b = nb.lang
+    """,
+)
+def lang_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-language token
+    distributions — corpus-composition drift detection in one job.
+
+    Token-count vectors never materialize: the dot products come from a
+    self-join of the (lang, tok, c) aggregate ON TOK (the join key is
+    the shared dimension, pairs generated only where mass overlaps),
+    norms are an exact integer sum per language (sqrt is correctly
+    rounded IEEE — engine-identical), and the |langs|^2-sized result
+    joins against the broadcast norm table. All products are integer-
+    exact; the only float ops are the final sqrt/divide, identical on
+    both engines before the 6dp round.
+    """
+    d = table(spark, sf_dir, "documents")
+    counts = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    norms = counts.groupBy("lang").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c")).cast("double")).alias("nrm")
+    )
+    a = counts.select(
+        F.col("lang").alias("lang_a"), "tok", F.col("c").alias("ca")
+    )
+    b = counts.select(
+        F.col("lang").alias("lang_b"), "tok", F.col("c").alias("cb")
+    )
+    dots = (
+        a.join(b, "tok")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(
+            F.sum((F.col("ca") * F.col("cb")).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    na = norms.select(F.col("lang").alias("lang_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("lang").alias("lang_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "lang_a")
+        .join(F.broadcast(nb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
