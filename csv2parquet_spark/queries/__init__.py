@@ -22,6 +22,7 @@ from csv2parquet_spark.queries import sketches_q  # noqa: E402,F401
 from csv2parquet_spark.queries import timeseries  # noqa: E402,F401
 from csv2parquet_spark.queries import text_index  # noqa: E402,F401
 from csv2parquet_spark.queries import operational  # noqa: E402,F401
+from csv2parquet_spark.queries import corpus_extra  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-window rotation (automatic).
@@ -68,6 +69,10 @@ _DEFER_THIS_ROUND: set[str] = {
     "table_diff_digest",
     "ols_per_group",
     "lang_similarity_matrix",
+    "exact_substr_dup_spans",
+    "bpe_train_merges",
+    "pack_sequences_greedy",
+    "scd2_user_tier_history",
 }
 
 
