@@ -90,6 +90,63 @@ def global_row_number(
     return part.mapInPandas(number, out_schema), total
 
 
+def global_cumsum(
+    df: DataFrame,
+    keys: list[str],
+    weight_col: str,
+    cum_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Attach the INCLUSIVE global running sum of ``weight_col`` in
+    ``keys`` order (a total order) — same two-pass shape as
+    ``global_row_number``: range-partitioned parallel sort, P
+    per-partition weight sums to the driver, broadcast offsets, map-only
+    local cumsum. No single-partition stage; this is the scalable twin
+    of ``sum(w) OVER (ORDER BY keys)``.
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    part = df.repartitionByRange(
+        num_partitions
+        or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")),
+        *[F.col(k) for k in keys],
+    ).sortWithinPartitions(*keys)
+    part = part.localCheckpoint()
+
+    sums = (
+        part.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.sum(weight_col).alias("s"))
+        .collect()
+    )
+    per = {r.pid: int(r["s"]) for r in sums}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(per):
+        offsets[pid] = acc
+        acc += per[pid]
+    bc = df.sparkSession.sparkContext.broadcast(offsets)
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(part.schema.fields) + [StructField(cum_col, LongType())]
+    )
+
+    def accumulate(batches):
+        pid = TaskContext.get().partitionId()
+        seen = bc.value.get(pid, 0)
+        for pdf in batches:
+            w = pdf[weight_col].to_numpy(dtype=np.int64)
+            c = np.cumsum(w) + seen
+            seen = int(c[-1]) if len(c) else seen
+            pdf = pdf.copy()
+            pdf[cum_col] = c
+            yield pdf
+
+    return part.mapInPandas(accumulate, out_schema)
+
+
 def ntile_of(rn: Column, n: int, tiles: int) -> Column:
     """ntile(tiles) as a pure function of the 1-based unique row number
     and literal total ``n``: the first ``n % tiles`` tiles get

@@ -631,3 +631,25 @@ def test_pagerank_closed_forms(spark):
     # determinism across re-execution (the rows-only gate's contract)
     again = {x.id: x.rank for x in pagerank(dangle, n_iter=10).collect()}
     assert got == again
+
+
+def test_global_cumsum_matches_window(spark):
+    """global_cumsum (two-pass, no single-partition stage) must equal
+    the naive global-window running sum on a shuffled fixture."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from csv2parquet_spark.operators.ranking import global_cumsum
+
+    rows = [(i, (i * 7919) % 23 + 1) for i in range(997)]
+    df = spark.createDataFrame(rows, ["k", "w"]).repartition(13)
+    got = {
+        r.k: r.cum
+        for r in global_cumsum(df, ["k"], "w", cum_col="cum").collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r.k: r.cum
+        for r in df.withColumn("cum", F.sum("w").over(w)).collect()
+    }
+    assert got == want

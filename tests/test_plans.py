@@ -320,3 +320,13 @@ def test_inverted_index_single_scan_two_exchanges(spark, sf_dir):
     # one physical scan node (its header line contains both markers)
     assert plan.count("Scan parquet") == 1
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_pack_sequences_no_single_partition_stage(spark, sf_dir):
+    """pack_sequences_greedy computes its global token offsets through
+    the two-pass global_cumsum — the plan must contain neither a Window
+    node nor an Exchange SinglePartition (the naive ``sum OVER (ORDER
+    BY doc_id)`` formulation would plan both)."""
+    plan = _plan(REGISTRY["pack_sequences_greedy"].fn(spark, sf_dir))
+    assert "SinglePartition" not in plan
+    assert "Window" not in plan
