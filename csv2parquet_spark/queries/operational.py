@@ -6,7 +6,7 @@ table diff (find WHERE two snapshots differ without moving either).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from csv2parquet_spark.queries.registry import register
@@ -299,4 +299,94 @@ def lang_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cos_sim"
             ),
         )
+    )
+
+
+@register(
+    "scd2_user_tier_history",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN value < 50 THEN 'low'
+                  WHEN value < 150 THEN 'mid'
+                  ELSE 'high' END AS tier
+      FROM events WHERE event_type = 'purchase'
+    ), o AS (
+      SELECT user_id, ts, event_id, tier,
+             CASE WHEN lag(tier) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) IS NULL
+                    OR tier <> lag(tier) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)
+                  THEN 1 ELSE 0 END AS chg
+      FROM p
+    ), v AS (
+      SELECT user_id, ts, tier,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS ver
+      FROM o
+    ), seg AS (
+      SELECT user_id, CAST(ver AS BIGINT) AS version, min(tier) AS tier,
+             min(ts) AS vfrom
+      FROM v GROUP BY user_id, ver
+    )
+    SELECT user_id, version, tier,
+           CAST(floor(epoch(vfrom)) AS BIGINT) AS valid_from_s,
+           CAST(floor(epoch(lead(vfrom) OVER (PARTITION BY user_id
+                                              ORDER BY version))) AS BIGINT)
+             AS valid_to_s,
+           lead(vfrom) OVER (PARTITION BY user_id ORDER BY version) IS NULL
+             AS is_current
+    FROM seg
+    """,
+)
+def scd2_user_tier_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build (the warehouse dimension-versioning
+    pattern): per user, the purchase-value tier over time collapsed
+    into validity intervals — consecutive equal tiers merge
+    (gaps-and-islands), each segment gets [valid_from, valid_to) epoch
+    bounds and an is_current flag; valid_to of the open segment is NULL.
+
+    Scale shape: every window is PARTITION BY user_id — per-key bounded
+    state, hash-partitioned across the cluster, no global stage. The
+    segment rollup reuses the same (user_id) partitioning, so the whole
+    plan is one keyed shuffle + narrow windows; this is exactly how
+    MERGE-style SCD2 engines (Delta/Hudi) sequence change capture.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(F.col("value") < 50, "low")
+            .when(F.col("value") < 150, "mid")
+            .otherwise("high")
+            .alias("tier"),
+        )
+    )
+    prev = F.lag("tier").over(w)
+    o = p.withColumn(
+        "chg",
+        F.when(prev.isNull() | (F.col("tier") != prev), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    v = o.withColumn(
+        "ver",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    seg = v.groupBy("user_id", F.col("ver").alias("version")).agg(
+        F.min("tier").alias("tier"), F.min("ts").alias("vfrom")
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    nxt = F.lead("vfrom").over(wv)
+    return seg.select(
+        "user_id",
+        "version",
+        "tier",
+        F.col("vfrom").cast("long").alias("valid_from_s"),
+        nxt.cast("long").alias("valid_to_s"),
+        nxt.isNull().alias("is_current"),
     )
