@@ -73,6 +73,7 @@ _DEFER_THIS_ROUND: set[str] = {
     "bpe_train_merges",
     "pack_sequences_greedy",
     "scd2_user_tier_history",
+    "skew_join_salted",
 }
 
 

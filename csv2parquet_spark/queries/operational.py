@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from csv2parquet_spark.queries.helpers import sql_dsum
 from csv2parquet_spark.queries.registry import register
 from csv2parquet_spark.tables import table
 
@@ -389,4 +390,40 @@ def scd2_user_tier_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vfrom").cast("long").alias("valid_from_s"),
         nxt.cast("long").alias("valid_to_s"),
         nxt.isNull().alias("is_current"),
+    )
+
+
+@register(
+    "skew_join_salted",
+    oracle=f"""
+    SELECT o.o_orderpriority AS priority,
+           count(*) AS n_lines,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dimension revenue rollup through the SALTED join
+    (operators/skewjoin.py): lineitem rows spread over 8 sub-keys per
+    orderkey, orders replicated 8-fold, joined on (key, salt) — the
+    skew remedy for heavy-hitter keys that AQE cannot split below
+    partition granularity. The salt never reaches the output, so the
+    oracle is the plain equi join; tests/test_skew.py pins the actual
+    splitting bound on a 30%-hot-key fixture, and tests/test_plans.py
+    pins that the physical join condition carries the salt.
+    """
+    from csv2parquet_spark.operators.skewjoin import salted_join
+    from csv2parquet_spark.queries.helpers import dsum
+
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    j = salted_join(
+        l.withColumnRenamed("l_orderkey", "o_orderkey"), o, "o_orderkey", r=8
+    )
+    return j.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").alias("n_lines"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
     )

@@ -330,3 +330,17 @@ def test_pack_sequences_no_single_partition_stage(spark, sf_dir):
     plan = _plan(REGISTRY["pack_sequences_greedy"].fn(spark, sf_dir))
     assert "SinglePartition" not in plan
     assert "Window" not in plan
+
+
+def test_salted_join_condition_carries_salt(spark, sf_dir):
+    """With broadcast disabled, skew_join_salted must plan a shuffled
+    join whose key set includes the salt column — the property that
+    spreads one hot key over r reducers."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(REGISTRY["skew_join_salted"].fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "__salt" in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan

@@ -154,3 +154,36 @@ def test_inverted_index_postings_bounded_for_stopword(spark):
         assert by_tok[t].df == n_docs
         assert len(by_tok[t].postings.split(",")) == 20  # capped, not 400
         assert by_tok[t].postings.split(",")[0] == "0"   # lowest doc_ids kept
+
+
+def test_salted_join_splits_hot_key_and_matches_plain_join(spark):
+    """salted_join on a 30%-hot-key fixture: (a) result identical to
+    the plain join, (b) the hot key's rows really are spread across the
+    r sub-keys — max (key, salt) group is ~hot/r, never the whole hot
+    key on one reducer key."""
+    from pyspark.sql import functions as F
+
+    from csv2parquet_spark.operators.skewjoin import salted_join, _SALT
+
+    r = 8
+    hot = [(0, f"p{i}") for i in range(4000)]
+    cold = [(1 + i % 100, f"q{i}") for i in range(8000)]
+    big = spark.createDataFrame(hot + cold, "k bigint, payload string")
+    small = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(101)], "k bigint, name string"
+    )
+
+    got = sorted(
+        map(tuple, salted_join(big, small, "k", r=r).collect())
+    )
+    want = sorted(map(tuple, big.join(small, "k").collect()))
+    assert got == want
+
+    salted = big.withColumn(
+        _SALT, F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(r))
+    )
+    sizes = (
+        salted.groupBy("k", _SALT).count().filter(F.col("k") == 0).collect()
+    )
+    assert len(sizes) == r, "hot key must occupy every salt sub-key"
+    assert max(x["count"] for x in sizes) < 4000 / r * 1.5
