@@ -74,6 +74,7 @@ _DEFER_THIS_ROUND: set[str] = {
     "pack_sequences_greedy",
     "scd2_user_tier_history",
     "skew_join_salted",
+    "logreg_gd_weights",
 }
 
 
