@@ -61,6 +61,12 @@ HEADLINE = [
     "token_entropy_quality",
     "bpe_pair_counts",
     "inverted_index_postings",
+    # round-3 continuation (corpus second wave + skew join + training)
+    "exact_substr_dup_spans",
+    "pack_sequences_greedy",
+    "skew_join_salted",
+    "bpe_train_merges",
+    "logreg_gd_weights",
 ]
 
 

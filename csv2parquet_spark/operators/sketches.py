@@ -273,3 +273,69 @@ def kmv_quantiles(
         .select("q", F.col("v").alias("value"))
         .orderBy("q")
     )
+
+
+def mg_partials(tokens: DataFrame, col: str = "token", k: int = 64) -> DataFrame:
+    """Misra-Gries heavy-hitter summaries, one per partition:
+    ``(tok, est, dec)`` where ``est`` is the surviving counter and
+    ``dec`` the partition's total decrement mass (repeated on each of
+    its rows for merge-side recovery).
+
+    Per-partition state is ≤ k counters; each Arrow batch is first
+    reduced with a vectorized value_counts, then merged into the
+    counter set with the summary-merge rule (add counts; if over k,
+    subtract the (k+1)-th largest and drop non-positives — Agarwal et
+    al. 2012, mergeable summaries). Deterministic for a fixed input
+    layout; the estimate guarantee ``est <= true <= est + total_dec``
+    holds regardless of merge order.
+    """
+    import pandas as pd
+
+    out_schema = "tok string, est long, dec long"
+
+    def summarize(batches):
+        counters: dict[str, int] = {}
+        dec = 0
+        for pdf in batches:
+            for tok, cnt in pdf[col].value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(cnt)
+            if len(counters) > k:
+                cut = sorted(counters.values(), reverse=True)[k]
+                dec += cut
+                counters = {
+                    t: c - cut for t, c in counters.items() if c - cut > 0
+                }
+        # sentinel row (tok=None) so the partition's decrement mass
+        # survives even if every counter died in the final prune
+        yield pd.DataFrame(
+            {
+                "tok": list(counters) + [None],
+                "est": list(counters.values()) + [0],
+                "dec": [dec] * (len(counters) + 1),
+            }
+        )
+
+    return tokens.select(F.col(col).alias(col)).mapInPandas(
+        summarize, out_schema
+    )
+
+
+def mg_merge(partials: DataFrame, k: int = 64) -> DataFrame:
+    """Merge per-partition MG summaries into one global summary with
+    error bounds: ``est`` (lower bound) and ``ub = est + total_dec``
+    (upper bound on the true count). The merge is a narrow-key groupBy
+    over ≤ k·P rows — kilobytes at any corpus size."""
+    total_dec = (
+        partials.select("dec", F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .agg(F.max("dec").alias("d"))
+        .agg(F.sum("d").alias("total_dec"))
+    )
+    merged = (
+        partials.filter(F.col("tok").isNotNull())
+        .groupBy("tok")
+        .agg(F.sum("est").alias("est"))
+    )
+    return merged.crossJoin(F.broadcast(total_dec)).select(
+        "tok", "est", (F.col("est") + F.col("total_dec")).alias("ub")
+    )

@@ -75,6 +75,7 @@ _DEFER_THIS_ROUND: set[str] = {
     "scd2_user_tier_history",
     "skew_join_salted",
     "logreg_gd_weights",
+    "heavy_hitters_mg",
 }
 
 

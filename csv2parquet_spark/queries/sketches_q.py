@@ -221,3 +221,26 @@ def kmv_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_quantiles(
         kmv_sample(o, "o_totalprice", "o_orderkey", _KMV_K), _KMV_QS, _KMV_K
     )
+
+
+@register("heavy_hitters_mg", oracle=None)
+def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters over the corpus token stream (k=64
+    counters/partition): top-20 surviving tokens with their guaranteed
+    bounds [est, ub] on the true count (operators/sketches.py
+    mg_partials/mg_merge — mergeable summaries, Agarwal et al. 2012).
+
+    Rows-only: the surviving counter VALUES depend on the partition
+    layout (decrement order), so no SQL oracle — the hard guarantees
+    (est <= true <= ub; any token above the N/(k+1) frequency bar
+    survives) are pinned by tests/test_operators.py against exact
+    counts, and re-execution is deterministic for a fixed layout.
+    """
+    from csv2parquet_spark.operators.sketches import mg_merge, mg_partials
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    summary = mg_merge(mg_partials(toks, "token", k=64), k=64)
+    return summary.orderBy(F.desc("est"), "tok").limit(20)

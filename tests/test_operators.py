@@ -653,3 +653,35 @@ def test_global_cumsum_matches_window(spark):
         for r in df.withColumn("cum", F.sum("w").over(w)).collect()
     }
     assert got == want
+
+
+def test_mg_heavy_hitters_guarantees(spark):
+    """Misra-Gries bounds against exact counts on a skewed fixture:
+    (a) est <= true <= ub for every surviving token, (b) every token
+    with true count > N/(k+1) survives the sketch (the MG frequent-item
+    guarantee), (c) deterministic re-execution."""
+    from pyspark.sql import functions as F
+
+    from csv2parquet_spark.operators.sketches import mg_merge, mg_partials
+
+    k = 8
+    rows = (
+        [("hot",)] * 500
+        + [("warm",)] * 200
+        + [(f"t{i % 97}",) for i in range(1300)]
+    )
+    df = spark.createDataFrame(rows, "token string").repartition(7)
+    summary = mg_merge(mg_partials(df, "token", k=k), k=k)
+    got = {r.tok: (r.est, r.ub) for r in summary.collect()}
+    exact = {
+        r.token: r["count"]
+        for r in df.groupBy("token").count().collect()
+    }
+    n = sum(exact.values())
+    for tok, (est, ub) in got.items():
+        assert est <= exact[tok] <= ub, (tok, est, exact[tok], ub)
+    for tok, true in exact.items():
+        if true > n / (k + 1):
+            assert tok in got, f"frequent token {tok} lost ({true} > N/(k+1))"
+    again = {r.tok: (r.est, r.ub) for r in mg_merge(mg_partials(df, "token", k=k), k=k).collect()}
+    assert got == again
