@@ -76,6 +76,7 @@ _DEFER_THIS_ROUND: set[str] = {
     "skew_join_salted",
     "logreg_gd_weights",
     "heavy_hitters_mg",
+    "tfidf_cosine_pairs",
 }
 
 
