@@ -77,6 +77,7 @@ _DEFER_THIS_ROUND: set[str] = {
     "logreg_gd_weights",
     "heavy_hitters_mg",
     "tfidf_cosine_pairs",
+    "asof_cogroup_merge",
 }
 
 

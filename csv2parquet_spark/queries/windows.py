@@ -332,3 +332,72 @@ def asof_purchase_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("nearest_click_ms", nearest)
     )
+
+
+@register(
+    "asof_cogroup_merge",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           epoch_ms(p.ts) AS purchase_ms,
+           (SELECT epoch_ms(max(c.ts)) FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click'
+              AND c.ts < p.ts) AS prev_click_ms
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def asof_cogroup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME as-of join as ``asof_purchase_prev_click``, through the
+    one pandas-UDF shape the engine hadn't exercised: cogrouped
+    ``applyInPandas`` — purchases and clicks grouped by user on both
+    sides, each pair of per-user frames merged with pandas
+    ``merge_asof`` (backward, strict) inside the task.
+
+    Same shuffle topology as the union+window original (one user_id
+    exchange per side), but state is the user's whole click frame in
+    pandas rather than the window's O(1) running max — the Catalyst
+    original remains the production path; this twin exists to pin the
+    cogroup API and to hash-prove UDF/engine agreement on identical
+    semantics (both share one oracle).
+    """
+    import pandas as pd
+
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.unix_millis("ts").alias("purchase_ms")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.unix_millis("ts").alias("click_ms")
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0:
+            return pd.DataFrame(
+                columns=["event_id", "user_id", "purchase_ms", "prev_click_ms"]
+            )
+        left = left.sort_values("purchase_ms", kind="mergesort")
+        out = left.rename(columns={"purchase_ms": "ts"})
+        right = right.sort_values("click_ms", kind="mergesort")
+        lookup = pd.DataFrame(
+            {"ts": right["click_ms"], "prev_click_ms": right["click_ms"]}
+        )
+        m = pd.merge_asof(
+            out, lookup, on="ts", direction="backward", allow_exact_matches=False
+        )
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"],
+                "user_id": m["user_id"],
+                "purchase_ms": m["ts"],
+                "prev_click_ms": m["prev_click_ms"].astype("Int64"),
+            }
+        )
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "event_id long, user_id long, purchase_ms long, prev_click_ms long",
+        )
+    )
