@@ -78,6 +78,7 @@ _DEFER_THIS_ROUND: set[str] = {
     "heavy_hitters_mg",
     "tfidf_cosine_pairs",
     "asof_cogroup_merge",
+    "mixture_temperature_sample",
 }
 
 

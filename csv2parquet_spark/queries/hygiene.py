@@ -511,3 +511,79 @@ def token_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("entropy"),
         F.round(F.col("n_types").cast("double") / F.col("n_tokens"), 6).alias("ttr"),
     )
+
+
+@register(
+    "mixture_temperature_sample",
+    oracle="""
+    WITH s AS (
+      SELECT source, count(*) AS ns FROM documents GROUP BY source
+    ), t AS (
+      SELECT sum(sqrt(CAST(ns AS DOUBLE))) AS tot,
+             CAST(sum(ns) AS DOUBLE) AS n
+      FROM s
+    ), r AS (
+      SELECT source, ns,
+             least(1000, CAST(floor(
+               CAST(0.5 AS DOUBLE) * (SELECT n FROM t)
+               * sqrt(CAST(ns AS DOUBLE)) / (SELECT tot FROM t)
+               / CAST(ns AS DOUBLE) * 1000) AS INT)) AS thr
+      FROM s
+    )
+    SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+           r.thr AS thr_permille,
+           CAST(sum(CASE WHEN (d.doc_id * 2654435761) % 1000 < r.thr
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM documents d JOIN r ON d.source = r.source
+    GROUP BY d.source, r.thr
+    """,
+)
+def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture (the multilingual alpha-
+    sampling recipe, alpha = 0.5): target share of source s is
+    sqrt(n_s)/sum(sqrt(n_t)) — flattening the natural distribution —
+    realized as a per-source keep rate against a total budget of N/2
+    docs, capped at 1, through the same deterministic multiplicative-
+    hash per-mille gate as ``mixture_weighted_sample``.
+
+    Scale shape: source stats are a model-sized aggregate (one row per
+    source) broadcast back onto the corpus; the gate is a map-side
+    expression — the corpus is scanned once, never shuffled. Rates are
+    derived with IEEE-exact ops (sqrt/mul/div in a fixed association
+    order) so both engines compute bit-identical thresholds.
+    """
+    docs = table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(F.count("*").alias("ns"))
+    t = s.agg(
+        F.sum(F.sqrt(F.col("ns").cast("double"))).alias("tot"),
+        F.sum("ns").cast("double").alias("n"),
+    )
+    r = (
+        s.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            F.least(
+                F.lit(1000),
+                F.floor(
+                    F.lit(0.5)
+                    * F.col("n")
+                    * F.sqrt(F.col("ns").cast("double"))
+                    / F.col("tot")
+                    / F.col("ns").cast("double")
+                    * F.lit(1000)
+                ).cast("int"),
+            ).alias("thr"),
+        )
+    )
+    gate = (F.col("doc_id") * 2654435761) % 1000
+    return (
+        docs.join(F.broadcast(r), "source")
+        .groupBy("source", "thr")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(gate < F.col("thr"), 1).otherwise(0)).alias("n_kept"),
+        )
+        .select(
+            "source", "n_docs", F.col("thr").alias("thr_permille"), "n_kept"
+        )
+    )
