@@ -79,6 +79,7 @@ _DEFER_THIS_ROUND: set[str] = {
     "tfidf_cosine_pairs",
     "asof_cogroup_merge",
     "mixture_temperature_sample",
+    "similarity_graph_triangles",
 }
 
 
