@@ -80,6 +80,7 @@ _DEFER_THIS_ROUND: set[str] = {
     "asof_cogroup_merge",
     "mixture_temperature_sample",
     "similarity_graph_triangles",
+    "stream_interval_join_outer_agg",
 }
 
 

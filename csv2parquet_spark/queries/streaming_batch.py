@@ -248,3 +248,50 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "n_name"
     )
     return static_enrich_revenue(e, dim)
+
+
+@register(
+    "stream_interval_join_outer_agg",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+    ), j AS (
+      SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+      FROM c LEFT JOIN events p
+        ON p.user_id = c.user_id AND p.event_type = 'purchase'
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    )
+    SELECT user_id,
+           count(DISTINCT click_id) AS n_clicks,
+           count(DISTINCT CASE WHEN purchase_id IS NOT NULL
+                               THEN click_id END) AS n_matched_clicks,
+           CAST(sum(CASE WHEN purchase_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pairs
+    FROM j GROUP BY user_id
+    """,
+)
+def stream_interval_join_outer_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the LEFT-OUTER stream-stream interval join
+    (streaming/windows.py interval_join_outer): per user, how many
+    clicks existed, how many found a purchase within 30 minutes, and
+    the matched pair count — unmatched clicks survive as null-purchase
+    rows (the outer semantics the inner-join twin cannot observe).
+    The micro-batch test pins the streaming-only behavior: null rows
+    emit only after the watermark passes click_ts + horizon.
+    """
+    from csv2parquet_spark.streaming.windows import interval_join_outer
+
+    e = table(spark, sf_dir, "events")
+    j = interval_join_outer(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "purchase"),
+    )
+    return j.groupBy("user_id").agg(
+        F.count_distinct("click_id").alias("n_clicks"),
+        F.count_distinct(
+            F.when(F.col("purchase_id").isNotNull(), F.col("click_id"))
+        ).alias("n_matched_clicks"),
+        F.sum(
+            F.when(F.col("purchase_id").isNotNull(), 1).otherwise(0)
+        ).alias("n_pairs"),
+    )

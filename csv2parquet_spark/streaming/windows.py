@@ -255,3 +255,49 @@ def static_enrich_revenue(
             "total_value",
         )
     )
+
+
+def interval_join_outer(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join: like ``interval_join``
+    but clicks with NO purchase in the horizon are preserved with null
+    purchase columns.
+
+    The streaming semantics this adds over the inner join: an unmatched
+    click cannot emit when it arrives — a matching purchase might still
+    come — so Spark holds it in state and emits the null row only once
+    the watermark passes ``click_ts + horizon`` (proof no match can
+    arrive). Outer emission is therefore WATERMARK-DRIVEN and needs a
+    later batch to advance event time before the null rows appear —
+    pinned by tests/test_streaming.py. In batch mode withWatermark
+    no-ops and this is a plain left join (the oracle twin).
+
+    Returns (user_id, click_id, purchase_id?, gap_ms?).
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    ).withWatermark("purchase_ts", watermark)
+    return c.join(
+        p,
+        F.expr(
+            f"c_user = user_id AND purchase_ts >= click_ts "
+            f"AND purchase_ts <= click_ts + interval {horizon}"
+        ),
+        "leftOuter",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_millis("purchase_ts") - F.unix_millis("click_ts")).alias("gap_ms"),
+    )

@@ -626,3 +626,79 @@ def test_static_enrich_stream_equals_batch(spark, sf_dir):
         map(str, REGISTRY["stream_static_enrich"].fn(spark, sf_dir).collect())
     )
     assert got == want and len(got) > 0
+
+
+def test_interval_join_outer_emits_null_rows_on_watermark(spark, tmp_path):
+    """LEFT-OUTER stream-stream interval join over real micro-batches:
+    (a) an unmatched click emits a null-purchase row only after the
+    watermark passes click_ts + horizon — outer emission is
+    watermark-driven and requires BOTH sides' watermark nodes to
+    advance (the global watermark is their MIN); (b) discovered
+    semantics, pinned here: a LATE click on the OUTER side is NOT
+    input-filtered — it enters state and still emits its null row on
+    eviction (what the watermark prevents is cross-batch MATCHING, see
+    test_interval_join_micro_batches_drop_late_rows) — so the stream's
+    final output equals the batch twin exactly, nulls included."""
+    from csv2parquet_spark.streaming import run_to_memory
+    from csv2parquet_spark.streaming.windows import interval_join_outer
+
+    src = str(tmp_path / "ijo")
+    _write_json_batches(
+        src,
+        [
+            [  # matched pair + an unmatched click (user 4)
+                {"event_id": 100, "ts": "2024-01-01 10:00:00", "user_id": 1, "event_type": "click", "value": 1.0},
+                {"event_id": 200, "ts": "2024-01-01 10:05:00", "user_id": 1, "event_type": "purchase", "value": 5.0},
+                {"event_id": 400, "ts": "2024-01-01 10:00:00", "user_id": 4, "event_type": "click", "value": 1.0},
+            ],
+            # advancers must move BOTH sides: the global watermark is
+            # the MIN over the click and purchase watermark nodes, and
+            # each node only tracks event times it has seen — a
+            # click-only advancer leaves the purchase watermark (and so
+            # state eviction) frozen.
+            [
+                {"event_id": 101, "ts": "2024-01-01 13:00:00", "user_id": 2, "event_type": "click", "value": 1.0},
+                {"event_id": 201, "ts": "2024-01-01 13:05:00", "user_id": 2, "event_type": "purchase", "value": 5.0},
+            ],
+            [  # LATE unmatched click, far below the watermark
+                {"event_id": 500, "ts": "2024-01-01 10:20:00", "user_id": 5, "event_type": "click", "value": 1.0},
+                # second advancer (watermark propagates two-phase)
+                {"event_id": 102, "ts": "2024-01-01 14:00:00", "user_id": 2, "event_type": "click", "value": 1.0},
+                {"event_id": 202, "ts": "2024-01-01 14:05:00", "user_id": 2, "event_type": "purchase", "value": 5.0},
+            ],
+            [  # third advancer batch so earlier state fully expires
+                {"event_id": 103, "ts": "2024-01-01 16:00:00", "user_id": 2, "event_type": "click", "value": 1.0},
+                {"event_id": 203, "ts": "2024-01-01 16:00:00", "user_id": 2, "event_type": "purchase", "value": 5.0},
+            ],
+        ],
+    )
+
+    def build(df):
+        return interval_join_outer(
+            df.filter("event_type = 'click'"),
+            df.filter("event_type = 'purchase'"),
+            horizon="30 minutes",
+            watermark="10 minutes",
+        )
+
+    stream = (
+        spark.readStream.schema(_EV_SCHEMA).option("maxFilesPerTrigger", 1).json(src)
+    )
+    name, q = run_to_memory(build(stream), "append")
+    try:
+        q.processAllAvailable()
+        n_batches = len(q.recentProgress)
+    finally:
+        q.stop()
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    assert n_batches >= 4
+    assert (100, 200) in got  # the matched pair
+    assert (400, None) in got  # unmatched click emitted as a null row
+    assert (500, None) in got  # late OUTER-side click: null row anyway
+
+    batch = spark.read.schema(_EV_SCHEMA).json(src)
+    want = {(r.click_id, r.purchase_id) for r in build(batch).collect()}
+    assert got == want
