@@ -82,13 +82,18 @@ def exact_substr_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", (F.col("pos") + 1).alias("i"), F.md5("sh").alias("h"))
     )
-    dup = (
-        win.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("h")
+    # "appears in >= 2 distinct docs" as min != max over the hash
+    # partition: ONE shuffle of the window set (the agg+join-back
+    # formulation shuffles it twice and computes the 3M-window md5
+    # build twice); a hot duplicated window still lands on one task
+    # either way (bounded by that window's corpus frequency).
+    wh = Window.partitionBy("h")
+    dd = (
+        win.withColumn("mn", F.min("doc_id").over(wh))
+        .withColumn("mx", F.max("doc_id").over(wh))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("doc_id", "i")
     )
-    dd = win.join(dup, "h").select("doc_id", "i")
     w = Window.partitionBy("doc_id").orderBy("i")
     prev = F.lag("i").over(w)
     brks = dd.withColumn(
@@ -291,7 +296,7 @@ def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GD_ITERS = 5
 _GD_LR = "CAST(0.5 AS DOUBLE)"
-_GD_DEC = "DECIMAL(28, 14)"
+_GD_DEC = "DECIMAL(18, 10)"
 
 
 def _logreg_oracle(iters: int) -> str:
@@ -355,8 +360,11 @@ def logreg_gd_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     step, never data).
 
     Cross-engine determinism discipline: per-row contributions are cast
-    to DECIMAL(28,14) before summing (association-order-proof — double
-    sums would differ run to run under parallelism), and the weights
+    to DECIMAL(18,10) before summing (association-order-proof — double
+    sums would differ run to run under parallelism; 18 digits keeps the
+    decimal 64-bit-backed, ~2x faster than a Decimal128 accumulator,
+    and the 1e-10 quantization is still 4 orders below the 6-dp weight
+    rounding), and the weights
     are rounded to 6 dp at EVERY iteration boundary on both engines, so
     sub-ulp exp() differences between JVM and C libm cannot compound
     across iterations.
@@ -367,6 +375,11 @@ def logreg_gd_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y"),
         (F.col("l_quantity") / F.lit(50.0)).alias("x1"),
         (F.col("l_discount") * F.lit(10.0)).alias("x2"),
+    )
+    # single-file fixtures scan as ONE task; spread the checkpointed
+    # training set so every gradient pass runs on all cores
+    f = f.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     ).localCheckpoint()
     lr = 0.5
     w = (0.0, 0.0, 0.0)
@@ -374,7 +387,7 @@ def logreg_gd_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     for it in range(1, _GD_ITERS + 1):
         z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
         e = (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))) - F.col("y")
-        dec = "decimal(28,14)"
+        dec = "decimal(18,10)"
         row = f.agg(
             F.round(
                 F.lit(w[0])
@@ -493,7 +506,7 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("w"),
         )
     )
-    dec = "decimal(28,14)"
+    dec = "decimal(18,10)"
     nrm = w.groupBy("doc_id").agg(
         F.sqrt(F.sum((F.col("w") * F.col("w")).cast(dec)).cast("double")).alias(
             "nrm"
