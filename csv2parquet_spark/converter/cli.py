@@ -60,6 +60,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dictionary", action="store_true", default=False)
     p.add_argument("--statistics", choices=["none", "chunk", "page"], default=None)
     p.add_argument("--max-statistics-size", type=int, default=None)
+    p.add_argument(
+        "--bloom-filter-columns", default=None, metavar="COL[,COL...]",
+        help="engine extension: write parquet bloom filters for these "
+        "columns (point-lookup data skipping; no reference counterpart)",
+    )
     p.add_argument("-p", "--print-schema", action="store_true")
     p.add_argument("-n", "--dry", action="store_true")
     # Engine extension (not in the reference grammar): malformed-row
@@ -100,6 +105,11 @@ def main(argv: list[str] | None = None) -> int:
         write_batch_size=args.write_batch_size,
         max_row_group_size=args.max_row_group_size,
         max_statistics_size=args.max_statistics_size,
+        bloom_filter_columns=(
+            args.bloom_filter_columns.split(",")
+            if args.bloom_filter_columns
+            else None
+        ),
         encoding=args.encoding,
         created_by=args.created_by,
         print_schema=args.print_schema,

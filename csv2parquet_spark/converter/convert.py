@@ -65,6 +65,11 @@ class ConvertOptions:
     # chooses itself — accepted and ignored, the residual gap.
     encoding: str | None = None
     created_by: str | None = None           # W10 — documented gap (not settable)
+    # Engine extension (no reference counterpart): write a parquet
+    # BLOOM FILTER for each named column (parquet-mr
+    # parquet.bloom.filter.enabled#col) — the point-lookup data-skipping
+    # lever for high-cardinality keys that min/max stats can't prune.
+    bloom_filter_columns: list[str] | None = None
     print_schema: bool = False              # O4
     dry: bool = False                       # O4
     single_file: bool = True                # CLI parity: one output file
@@ -256,6 +261,8 @@ def write_parquet(
         # BYTES (SURVEY §2.1 W9 "semantic mismatch") — approximate via
         # the row-count limit parquet-mr also honors per page/group.
         writer = writer.option("parquet.block.size", str(opts.max_row_group_size * 128))
+    for col in opts.bloom_filter_columns or []:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{col}", "true")
 
     prior = _apply_writer_conf(spark, opts)
     try:

@@ -450,3 +450,39 @@ def test_orc_and_parquet_inputs_roundtrip(spark, tmp_path, sf_dir):
         ).fetchall()
     }
     assert codecs <= {"ZSTD", "UNCOMPRESSED"} and "ZSTD" in codecs
+
+
+def test_bloom_filter_columns_written(spark, tmp_path):
+    """--bloom-filter-columns (engine extension): the parquet output
+    must carry a bloom filter for the named column. Neither pyarrow nor
+    this DuckDB exposes bloom offsets, so the observable is the bloom's
+    FOOTPRINT: the file grows by roughly the expected filter size (~100
+    KB for 100k distinct at the default 1% fpp) while values roundtrip
+    identically."""
+    import csv
+
+    import duckdb
+
+    from csv2parquet_spark.converter import ConvertOptions, convert
+
+    src = tmp_path / "keys.csv"
+    with open(src, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["k", "v"])
+        for i in range(100_000):
+            w.writerow([i * 2654435761 % (1 << 40), i])
+
+    plain = str(tmp_path / "plain.parquet")
+    bloom = str(tmp_path / "bloom.parquet")
+    convert(spark, str(src), plain, ConvertOptions())
+    convert(
+        spark, str(src), bloom,
+        ConvertOptions(bloom_filter_columns=["k"]),
+    )
+    import os
+
+    grew = os.path.getsize(bloom) - os.path.getsize(plain)
+    assert grew > 50_000, f"bloom footprint missing (delta={grew} bytes)"
+    a = duckdb.sql(f"SELECT sum(k), count(*) FROM read_parquet('{plain}')").fetchone()
+    b = duckdb.sql(f"SELECT sum(k), count(*) FROM read_parquet('{bloom}')").fetchone()
+    assert a == b
