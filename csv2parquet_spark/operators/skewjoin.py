@@ -2,18 +2,28 @@
 one join key is a heavy hitter and a shuffled join would funnel that
 key's every row through a single reducer.
 
-``salted_join(big, small, key, r)``: the big side deterministically
-salts each row into one of ``r`` sub-keys (xxhash64 of the whole row —
-stable across task retries, unlike rand()/monotonic ids); the small
-side replicates ``r``-fold with every salt value; the join runs on
-``(key, salt)``, spreading a hot key over ``r`` reducers. The salt is
-dropped from the output, so results are identical to the unsalted join.
+Two forms:
 
-Cost model: small side grows ×r (it must stay the *smaller* side —
-replication is the price of splitting the hot key); the big side is
-untouched. This composes with AQE skew-join splitting (which only
-splits at partition granularity and cannot split ONE key's rows across
-reducers in a sort-merge join the way salting can).
+``salted_join(big, small, key, r)`` — blanket salting: every big-side
+row gets a deterministic salt in [0, r) (xxhash64 of the whole row —
+stable across task retries, unlike rand()/monotonic ids); the small
+side replicates r-fold; the join runs on ``(key, salt)``. Simple, but
+pays ×r replication for every key.
+
+``salted_join_hot(big, small, key, r, hot_threshold)`` — the
+production pattern: ONE cheap pre-aggregation finds the actual heavy
+hitters (count per key > threshold — narrow-key shuffle, partial-agg
+reduced); only rows bearing a hot key take the salted path, everything
+else takes the plain shuffled join, and the two halves union. The
+small side replicates ×r only for the (few) hot keys, so the blanket
+tax disappears while the hot keys still spread across r reducers. The
+hot-key set is broadcast (heavy hitters are few by definition — at
+most n/threshold keys exist above the bar).
+
+Both are result-identical to the plain join (the salt never reaches
+the output). They compose with AQE skew-join splitting, which only
+splits at partition granularity and cannot split ONE key's rows
+across reducers in a sort-merge join the way salting can.
 
 The reference (`/root/reference/src/main.rs`) has no join surface;
 this is engine-extension scale machinery (SURVEY.md §2.2 joins).
@@ -27,6 +37,14 @@ from pyspark.sql import functions as F
 _SALT = "__salt"
 
 
+def _check(big: DataFrame, small: DataFrame, key: str | list[str], how: str) -> list[str]:
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if _SALT in big.columns or _SALT in small.columns:
+        raise ValueError(f"column {_SALT!r} already present")
+    return [key] if isinstance(key, str) else list(key)
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -34,15 +52,11 @@ def salted_join(
     r: int = 16,
     how: str = "inner",
 ) -> DataFrame:
-    """Equi join of ``big`` ⋈ ``small`` on ``key`` with ``r``-way
-    salting of the big side. Supported ``how``: inner / left (the
-    directions where the replicated side is the lookup side).
+    """Blanket ``r``-way salted equi join of ``big`` ⋈ ``small`` on
+    ``key``. Supported ``how``: inner / left (the directions where the
+    replicated side is the lookup side).
     """
-    if how not in ("inner", "left"):
-        raise ValueError(f"salted_join supports inner/left, got {how!r}")
-    keys = [key] if isinstance(key, str) else list(key)
-    if _SALT in big.columns or _SALT in small.columns:
-        raise ValueError(f"column {_SALT!r} already present")
+    keys = _check(big, small, key, how)
     b = big.withColumn(
         _SALT,
         F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(r)).cast("int"),
@@ -51,3 +65,36 @@ def salted_join(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(r - 1)))
     ).withColumn(_SALT, F.col(_SALT).cast("int"))
     return b.join(s, [*keys, _SALT], how).drop(_SALT)
+
+
+def salted_join_hot(
+    big: DataFrame,
+    small: DataFrame,
+    key: str | list[str],
+    r: int = 16,
+    hot_threshold: int = 100_000,
+    how: str = "inner",
+) -> DataFrame:
+    """Hot-key-only salted join: detect keys with more than
+    ``hot_threshold`` big-side rows, salt ONLY those, plain-join the
+    rest, union. Result-identical to ``big.join(small, key, how)``.
+
+    Cost: one partial-aggregated count over the big side's key columns
+    (the detection scan), a broadcast of the hot-key set (bounded by
+    |big| / hot_threshold keys), and ×r small-side replication only
+    for hot keys. With no hot keys the salted branch is empty and the
+    plan degenerates to the plain join plus a cheap empty leg.
+    """
+    keys = _check(big, small, key, how)
+    hot = (
+        big.groupBy(*keys)
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > hot_threshold)
+        .select(*keys)
+    )
+    bh = big.join(F.broadcast(hot), keys, "left_semi")
+    bc = big.join(F.broadcast(hot), keys, "left_anti")
+    sh = small.join(F.broadcast(hot), keys, "left_semi")
+    hot_part = salted_join(bh, sh, keys, r=r, how=how)
+    cold_part = bc.join(small, keys, how)
+    return hot_part.unionByName(cold_part)

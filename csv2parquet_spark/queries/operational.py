@@ -404,24 +404,29 @@ def scd2_user_tier_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact-to-dimension revenue rollup through the SALTED join
-    (operators/skewjoin.py): lineitem rows spread over 8 sub-keys per
-    orderkey, orders replicated 8-fold, joined on (key, salt) — the
-    skew remedy for heavy-hitter keys that AQE cannot split below
-    partition granularity. The salt never reaches the output, so the
-    oracle is the plain equi join; tests/test_skew.py pins the actual
-    splitting bound on a 30%-hot-key fixture, and tests/test_plans.py
-    pins that the physical join condition carries the salt.
+    """Fact-to-dimension revenue rollup through the HOT-KEY salted join
+    (operators/skewjoin.py salted_join_hot): one partial-aggregated
+    detection pass finds orderkeys with > 1000 lineitem rows; only
+    those take the (key, salt)-joined path (8 sub-keys each, orders
+    replicated 8-fold for hot keys only), the rest join plain, and the
+    halves union — the skew remedy for heavy hitters that AQE cannot
+    split below partition granularity, without the blanket replication
+    tax. The salt never reaches the output, so the oracle is the plain
+    equi join; tests/test_skew.py pins both the splitting bound and
+    hot/cold result identity on a 30%-hot-key fixture, and
+    tests/test_plans.py pins that the physical plan carries the salted
+    branch.
     """
-    from csv2parquet_spark.operators.skewjoin import salted_join
+    from csv2parquet_spark.operators.skewjoin import salted_join_hot
     from csv2parquet_spark.queries.helpers import dsum
 
     l = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    j = salted_join(
-        l.withColumnRenamed("l_orderkey", "o_orderkey"), o, "o_orderkey", r=8
+    j = salted_join_hot(
+        l.withColumnRenamed("l_orderkey", "o_orderkey"), o, "o_orderkey",
+        r=8, hot_threshold=1000,
     )
     return j.groupBy(F.col("o_orderpriority").alias("priority")).agg(
         F.count("*").alias("n_lines"),

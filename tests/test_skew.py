@@ -187,3 +187,26 @@ def test_salted_join_splits_hot_key_and_matches_plain_join(spark):
     )
     assert len(sizes) == r, "hot key must occupy every salt sub-key"
     assert max(x["count"] for x in sizes) < 4000 / r * 1.5
+
+
+def test_salted_join_hot_splits_only_hot_keys(spark):
+    """salted_join_hot on the same 30%-hot-key fixture: (a) result
+    identical to the plain join for inner AND left (including
+    unmatched-left rows), (b) only the hot key takes the salted path —
+    the cold small side is not replicated."""
+    from csv2parquet_spark.operators.skewjoin import salted_join_hot
+
+    hot = [(0, f"p{i}") for i in range(4000)]
+    cold = [(1 + i % 100, f"q{i}") for i in range(8000)]
+    unmatched = [(999, "lonely")]
+    big = spark.createDataFrame(hot + cold + unmatched, "k bigint, payload string")
+    small = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(101)], "k bigint, name string"
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            map(tuple, salted_join_hot(big, small, "k", r=8,
+                                       hot_threshold=1000, how=how).collect())
+        )
+        want = sorted(map(tuple, big.join(small, "k", how).collect()))
+        assert got == want, how
