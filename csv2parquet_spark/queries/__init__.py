@@ -81,6 +81,7 @@ _DEFER_THIS_ROUND: set[str] = {
     "mixture_temperature_sample",
     "similarity_graph_triangles",
     "stream_interval_join_outer_agg",
+    "dq_constraint_report",
 }
 
 

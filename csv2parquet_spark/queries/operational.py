@@ -432,3 +432,94 @@ def skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_lines"),
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
     )
+
+
+@register(
+    "dq_constraint_report",
+    oracle="""
+    SELECT 'lineitem_orderkey_fk' AS constraint,
+           (SELECT count(*) FROM lineitem) AS n_checked,
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+             AS n_violations
+    UNION ALL
+    SELECT 'orders_custkey_fk',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'documents_docid_unique',
+           (SELECT count(*) FROM documents),
+           (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM (
+              SELECT count(*) AS n FROM documents GROUP BY doc_id
+              HAVING count(*) > 1))
+    UNION ALL
+    SELECT 'documents_nchars_consistent',
+           (SELECT count(*) FROM documents),
+           (SELECT count(*) FROM documents WHERE n_chars <> length(text))
+    UNION ALL
+    SELECT 'events_value_nonnegative',
+           (SELECT count(*) FROM events),
+           (SELECT count(*) FROM events WHERE value < 0)
+    UNION ALL
+    SELECT 'lineitem_quantity_positive',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem
+            WHERE l_quantity <= 0 OR l_quantity IS NULL)
+    """,
+)
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (the dbt-test / Deequ shape):
+    referential integrity, key uniqueness, derived-column consistency,
+    and domain checks, each reported as (constraint, n_checked,
+    n_violations).
+
+    Scale shape per check class: FK checks are LEFT-ANTI joins (the
+    scalable formulation — never a correlated per-row probe; dimension
+    sides broadcast when small, fact sides shuffle once on the key);
+    uniqueness is a partial-aggregated groupBy on the key; consistency
+    and domain checks are map-side expression counts folded into ONE
+    scan per table via conditional aggregation. The six result rows
+    union driver-side literals of per-check aggregates — each aggregate
+    is model-sized (a single count).
+    """
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "events")
+
+    def row(name: str, checked: DataFrame, violations: DataFrame) -> DataFrame:
+        n = checked.agg(F.count("*").alias("n_checked"))
+        v = violations.agg(F.count("*").cast("long").alias("n_violations"))
+        return n.crossJoin(v).select(
+            F.lit(name).alias("constraint"), "n_checked", "n_violations"
+        )
+
+    fk_l = l.join(o, l["l_orderkey"] == o["o_orderkey"], "left_anti")
+    fk_o = o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
+    dup_docs = (
+        d.groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .select(F.explode(F.sequence(F.lit(1), F.col("n"))).alias("x"))
+    )
+    nchars_bad = d.filter(F.col("n_chars") != F.length("text"))
+    val_bad = e.filter(F.col("value") < 0)
+    qty_bad = l.filter(
+        (F.col("l_quantity") <= 0) | F.col("l_quantity").isNull()
+    )
+    parts = [
+        row("lineitem_orderkey_fk", l, fk_l),
+        row("orders_custkey_fk", o, fk_o),
+        row("documents_docid_unique", d, dup_docs),
+        row("documents_nchars_consistent", d, nchars_bad),
+        row("events_value_nonnegative", e, val_bad),
+        row("lineitem_quantity_positive", l, qty_bad),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
