@@ -82,6 +82,7 @@ _DEFER_THIS_ROUND: set[str] = {
     "similarity_graph_triangles",
     "stream_interval_join_outer_agg",
     "dq_constraint_report",
+    "chi_square_lang_source",
 }
 
 

@@ -613,3 +613,67 @@ def similarity_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_wedges).cast("long").alias("n_wedges"),
         F.count("*").alias("n_triangles"),
     )
+
+
+@register(
+    "chi_square_lang_source",
+    oracle="""
+    WITH obs AS MATERIALIZED (
+      SELECT lang, source, CAST(count(*) AS DOUBLE) AS o
+      FROM documents GROUP BY lang, source
+    ), rt AS (
+      SELECT lang, sum(o) AS r FROM obs GROUP BY lang
+    ), ct AS (
+      SELECT source, sum(o) AS c FROM obs GROUP BY source
+    ), tot AS (
+      SELECT sum(o) AS n FROM obs
+    ), cells AS (
+      SELECT obs.o, rt.r * ct.c / (SELECT n FROM tot) AS e
+      FROM obs JOIN rt USING (lang) JOIN ct USING (source)
+    )
+    SELECT round(CAST(sum(CAST((o - e) * (o - e) / e AS DECIMAL(28, 12)))
+                 AS DOUBLE), 6) AS chi2,
+           CAST(((SELECT count(*) FROM rt) - 1)
+                * ((SELECT count(*) FROM ct) - 1) AS BIGINT) AS dof,
+           CAST((SELECT n FROM tot) AS BIGINT) AS n
+    FROM cells
+    """,
+)
+def chi_square_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence for the (lang x source)
+    contingency table — the categorical drift/association check a
+    corpus QA pipeline runs over shards.
+
+    Scale shape: the contingency table is ONE partial-aggregated
+    groupBy (cells = |langs| x |sources|, model-sized); marginals and
+    the statistic are algebra over that tiny table — the corpus is
+    scanned once and never shuffled beyond narrow (lang, source) keys.
+    Per-cell terms are IEEE-exact from integer counts; the final sum is
+    decimal-cast so the 50-cell addition order cannot perturb the 6-dp
+    statistic across engines.
+    """
+    d = table(spark, sf_dir, "documents")
+    obs = d.groupBy("lang", "source").agg(
+        F.count("*").cast("double").alias("o")
+    )
+    rt = obs.groupBy("lang").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("source").agg(F.sum("o").alias("c"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        obs.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "o", (F.col("r") * F.col("c") / F.col("n")).alias("e"), "n"
+        )
+    )
+    n_r = rt.count()
+    n_c = ct.count()
+    term = (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
+    return cells.agg(
+        F.round(
+            F.sum(term.cast("decimal(28,12)")).cast("double"), 6
+        ).alias("chi2"),
+        F.lit((n_r - 1) * (n_c - 1)).cast("long").alias("dof"),
+        F.max("n").cast("long").alias("n"),
+    )
