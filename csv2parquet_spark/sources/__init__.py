@@ -1,0 +1,6 @@
+"""Custom Spark 4 Python DataSources (engine extension; the reference
+reads only local CSV files — SURVEY.md §2.1 O1)."""
+
+from csv2parquet_spark.sources.pysource import SyntheticDocsDataSource
+
+__all__ = ["SyntheticDocsDataSource"]

@@ -685,3 +685,30 @@ def test_mg_heavy_hitters_guarantees(spark):
             assert tok in got, f"frequent token {tok} lost ({true} > N/(k+1))"
     again = {r.tok: (r.est, r.ub) for r in mg_merge(mg_partials(df, "token", k=k), k=k).collect()}
     assert got == again
+
+
+def test_python_datasource_partitioned_and_deterministic(spark):
+    """The custom Spark 4 Python DataSource: (a) the planner creates
+    one task per declared partition (parallel generator scan, no
+    driver funnel), (b) content is partitioning-independent — 3-way and
+    8-way reads yield the identical corpus, the replayability contract
+    for generator sources."""
+    from csv2parquet_spark.sources import SyntheticDocsDataSource
+
+    spark.dataSource.register(SyntheticDocsDataSource)
+
+    def load(parts):
+        return (
+            spark.read.format("synthetic_docs")
+            .option("n_docs", 500)
+            .option("partitions", parts)
+            .load()
+        )
+
+    df8 = load(8)
+    assert df8.rdd.getNumPartitions() == 8
+    rows8 = sorted(map(tuple, df8.collect()))
+    rows3 = sorted(map(tuple, load(3).collect()))
+    assert len(rows8) == 500
+    assert rows8 == rows3
+    assert all(r[2] == len(r[1]) for r in rows8)
