@@ -83,6 +83,7 @@ _DEFER_THIS_ROUND: set[str] = {
     "stream_interval_join_outer_agg",
     "dq_constraint_report",
     "chi_square_lang_source",
+    "seq_pattern_cvp",
 }
 
 

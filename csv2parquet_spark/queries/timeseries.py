@@ -244,3 +244,59 @@ __all__ = [
     "streaks_user_active_days",
     "ohlc_hourly_bars",
 ]
+
+
+@register(
+    "seq_pattern_cvp",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             list_aggr(list(substr(event_type, 1, 1)
+                            ORDER BY ts, event_id), 'string_agg', '')
+               AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, length(seq) AS n_events,
+           CAST((length(seq) - length(replace(seq, 'cvp', 'xx'))) AS BIGINT)
+             AS n_cvp
+    FROM s
+    """,
+)
+def seq_pattern_cvp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite sequential pattern counting: per user, how
+    many CONTIGUOUS click -> view -> purchase triples occur in the
+    event-time order (ties broken by event_id — a total order, so both
+    engines build the identical sequence).
+
+    Scale shape: one (user_id) shuffle builds the per-user first-letter
+    sequence (sort_array of (ts, event_id, letter) structs — per-key
+    state bounded by a user's history, the same contract as every
+    sessionization op); the pattern count is then a map-side string
+    fold: each non-overlapping 'cvp' occurrence shrinks the string by
+    exactly one when replaced with 'xx'. Longer patterns / gaps
+    generalize by widening the alphabet or shingling the letter array.
+    """
+    e = table(spark, sf_dir, "events")
+    s = (
+        e.select(
+            "user_id",
+            F.struct(
+                F.col("ts"), F.col("event_id"),
+                F.substring("event_type", 1, 1).alias("c"),
+            ).alias("rec"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "", F.transform(F.array_sort(F.collect_list("rec")), lambda r: r["c"])
+            ).alias("seq")
+        )
+    )
+    return s.select(
+        "user_id",
+        F.length("seq").cast("long").alias("n_events"),
+        (
+            F.length("seq")
+            - F.length(F.call_function("replace", F.col("seq"), F.lit("cvp"), F.lit("xx")))
+        ).cast("long").alias("n_cvp"),
+    )
