@@ -84,6 +84,7 @@ _DEFER_THIS_ROUND: set[str] = {
     "dq_constraint_report",
     "chi_square_lang_source",
     "seq_pattern_cvp",
+    "ivm_incremental_agg",
 }
 
 

@@ -523,3 +523,79 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@register(
+    "ivm_incremental_agg",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           count(*) AS n,
+           CAST(sum(CAST(CASE WHEN o_orderkey % 7771 = 0
+                              THEN o_totalprice * 2
+                              ELSE o_totalprice END
+                         AS DECIMAL(18, 6))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderkey % 9973 <> 0
+    GROUP BY o_orderpriority
+    """,
+)
+def ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a per-priority (count, total)
+    aggregate over the orders snapshot is MAINTAINED under a change
+    batch — deletions (every key % 9973 == 0) and updates (every key %
+    7771 == 0 doubles its price) — by merging the OLD aggregate with a
+    multiplicity-signed delta aggregate (-1 old row, +1 new row), never
+    rescanning the base.
+
+    The oracle recomputes the same result FROM SCRATCH on the mutated
+    snapshot, so the hash match proves maintenance == recomputation —
+    the distributive-aggregate IVM property warehouses rely on. Scale
+    shape: the base aggregate and the delta aggregate are both
+    partial-aggregated groupBys (delta cost ∝ |changes|, not |base|);
+    the merge is a model-sized full-outer join on the group key, with
+    decimal totals kept decimal until the final projection so the
+    merge addition is exact. Groups whose maintained count reaches 0
+    are dropped (the deletion-collapse case).
+    """
+    dec = "decimal(18,6)"
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    agg_a = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").alias("n"), F.sum(F.col("o_totalprice").cast(dec)).alias("t")
+    )
+    deleted = o.filter(F.col("o_orderkey") % 9973 == 0)
+    updated = o.filter(
+        (F.col("o_orderkey") % 7771 == 0) & (F.col("o_orderkey") % 9973 != 0)
+    )
+    delta = (
+        deleted.select(
+            "o_orderpriority", F.lit(-1).alias("m"), F.col("o_totalprice").alias("v")
+        )
+        .unionByName(
+            updated.select(
+                "o_orderpriority", F.lit(-1).alias("m"),
+                F.col("o_totalprice").alias("v"),
+            )
+        )
+        .unionByName(
+            updated.select(
+                "o_orderpriority", F.lit(1).alias("m"),
+                (F.col("o_totalprice") * 2).alias("v"),
+            )
+        )
+    )
+    agg_d = delta.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.sum("m").alias("dn"), F.sum((F.col("m") * F.col("v")).cast(dec)).alias("dt")
+    )
+    merged = agg_a.join(agg_d, "priority", "full_outer").select(
+        "priority",
+        (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n"),
+        (
+            F.coalesce(F.col("t"), F.lit(0).cast(dec))
+            + F.coalesce(F.col("dt"), F.lit(0).cast(dec))
+        ).alias("t"),
+    )
+    return merged.filter(F.col("n") > 0).select(
+        "priority", "n", F.col("t").cast("double").alias("total")
+    )
