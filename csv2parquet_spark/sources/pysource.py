@@ -20,7 +20,12 @@ replayable/resumable at scale.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import StructType
 
 _WORDS = (
@@ -71,3 +76,63 @@ class SyntheticDocsDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return _Reader(schema, self.options)
+
+
+class _StreamRange(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class _StreamReader(DataSourceStreamReader):
+    """Offset-based micro-batch reader: offset = how many events have
+    ever been emitted. Each ``latestOffset`` call advances by
+    ``rows_per_batch`` up to ``max_rows`` — a deterministic replayable
+    event stream (content is a pure function of the row index, exactly
+    like the batch reader), so checkpoint recovery replays identical
+    batches. ``partitions(start, end)`` splits the batch range across
+    ``partitions`` tasks — the planner runs them in parallel just like
+    a file source's splits."""
+
+    def __init__(self, options: dict):
+        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+        self.max_rows = int(options.get("max_rows", 1000))
+        self.n_parts = int(options.get("partitions", 4))
+        self._latest = 0
+
+    def initialOffset(self):
+        return {"offset": 0}
+
+    def latestOffset(self):
+        self._latest = min(self._latest + self.rows_per_batch, self.max_rows)
+        return {"offset": self._latest}
+
+    def partitions(self, start: dict, end: dict):
+        s, e = start["offset"], end["offset"]
+        if s >= e:
+            return [_StreamRange(s, s)]
+        per = -(-(e - s) // self.n_parts)
+        return [_StreamRange(i, min(i + per, e)) for i in range(s, e, per)]
+
+    def read(self, part: _StreamRange):
+        for i in range(part.start, part.end):
+            h = (i * 2654435761) & 0xFFFFFFFF
+            yield (i, h % 100, float(h % 1000) / 10.0)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are pure functions of the index: nothing to GC
+
+
+class SyntheticEventsStreamDataSource(DataSource):
+    """format name: ``synthetic_events_stream`` — register with
+    ``spark.dataSource.register`` then ``spark.readStream.format(...)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events_stream"
+
+    def schema(self) -> str:
+        return "seq bigint, user_id int, value double"
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return _StreamReader(self.options)

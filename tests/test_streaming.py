@@ -702,3 +702,32 @@ def test_interval_join_outer_emits_null_rows_on_watermark(spark, tmp_path):
     batch = spark.read.schema(_EV_SCHEMA).json(src)
     want = {(r.click_id, r.purchase_id) for r in build(batch).collect()}
     assert got == want
+
+
+def test_python_stream_datasource_exactly_once(spark, tmp_path):
+    """The Spark 4 Python STREAMING DataSource: micro-batches advance
+    by declared offsets; over a bounded run every sequence number
+    arrives EXACTLY once (no dups, no gaps — the offset/commit
+    contract), across multiple micro-batches and parallel partitions
+    per batch."""
+    from csv2parquet_spark.sources import SyntheticEventsStreamDataSource
+    from csv2parquet_spark.streaming import run_to_memory
+
+    spark.dataSource.register(SyntheticEventsStreamDataSource)
+    stream = (
+        spark.readStream.format("synthetic_events_stream")
+        .option("rows_per_batch", 100)
+        .option("max_rows", 350)
+        .option("partitions", 4)
+        .load()
+    )
+    name, q = run_to_memory(stream, "append")
+    try:
+        q.processAllAvailable()
+        n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    finally:
+        q.stop()
+    rows = spark.sql(f"SELECT seq FROM {name}").collect()
+    seqs = sorted(r.seq for r in rows)
+    assert seqs == list(range(350)), "dup/gap in streamed sequence"
+    assert n_batches >= 3
