@@ -85,6 +85,7 @@ _DEFER_THIS_ROUND: set[str] = {
     "chi_square_lang_source",
     "seq_pattern_cvp",
     "ivm_incremental_agg",
+    "ncm_confusion_matrix",
 }
 
 
