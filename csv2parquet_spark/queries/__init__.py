@@ -86,6 +86,7 @@ _DEFER_THIS_ROUND: set[str] = {
     "seq_pattern_cvp",
     "ivm_incremental_agg",
     "ncm_confusion_matrix",
+    "weighted_sample_es",
 }
 
 

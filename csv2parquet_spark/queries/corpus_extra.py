@@ -677,3 +677,63 @@ def chi_square_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit((n_r - 1) * (n_c - 1)).cast("long").alias("dof"),
         F.max("n").cast("long").alias("n"),
     )
+
+
+@register(
+    "weighted_sample_es",
+    oracle="""
+    WITH keyed AS (
+      SELECT lang, doc_id,
+             pow(
+               (CAST(('0x' || substr(md5('es:' || CAST(doc_id AS VARCHAR)),
+                                     1, 8)) AS BIGINT) + 0.5) / 4294967296.0,
+               1.0 / n_chars) AS k
+      FROM documents
+    ), ranked AS (
+      SELECT lang, doc_id, k,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY k DESC, doc_id) AS rn
+      FROM keyed
+    )
+    SELECT lang, doc_id, round(k, 6) AS sample_key
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k=5 per language
+    (Efraimidis-Spirakis 2006): each doc draws a deterministic
+    pseudo-uniform u from an md5 slice of its id and competes with key
+    u^(1/weight) (weight = n_chars) — the top-k keys per stratum are an
+    exact weighted sample, longer docs proportionally likelier.
+
+    Scale shape: the key is a map-side expression (no RNG state, fully
+    replayable — the property that makes distributed weighted sampling
+    restartable); top-k per stratum is a rank-limited window, planned
+    as WindowGroupLimit partial top-k below the exchange, so at most k
+    rows per stratum per partition ever shuffle. The u derivation is
+    integer-exact in both engines; pow is the one libm call — sub-ulp
+    divergence cannot reorder keys unless two keys collide to ~1 ulp,
+    which the id tie-break and 32-bit-distinct u values preclude.
+    """
+    d = table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("es:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    keyed = d.select(
+        "lang", "doc_id", F.pow(u, 1.0 / F.col("n_chars")).alias("k")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("k"), "doc_id")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "doc_id", F.round("k", 6).alias("sample_key"))
+    )
