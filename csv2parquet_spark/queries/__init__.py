@@ -87,6 +87,7 @@ _DEFER_THIS_ROUND: set[str] = {
     "ivm_incremental_agg",
     "ncm_confusion_matrix",
     "weighted_sample_es",
+    "part_pair_cooccurrence",
 }
 
 

@@ -737,3 +737,51 @@ def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("lang", "doc_id", F.round("k", 6).alias("sample_key"))
     )
+
+
+@register(
+    "part_pair_cooccurrence",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           count(*) AS n_orders
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def part_pair_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: the 20 part pairs most often bought
+    in the same order (support counting — the candidate-generation
+    step of Apriori/FP-growth).
+
+    Scale shape: the self-join is keyed on the BASKET id, so fan-out
+    per order is C(lines, 2) with lines bounded by the order schema
+    (~7) — never corpus x corpus; the distinct-first projection keeps
+    multi-line duplicates of the same part from inflating pairs. The
+    pair rollup partial-aggregates before one narrow (part, part)
+    shuffle, and top-20 is TakeOrderedAndProject — no global sort.
+    """
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(
+        "l_orderkey", F.col("l_partkey").alias("part_a")
+    )
+    b = li.select(
+        "l_orderkey", F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )
