@@ -88,6 +88,7 @@ _DEFER_THIS_ROUND: set[str] = {
     "ncm_confusion_matrix",
     "weighted_sample_es",
     "part_pair_cooccurrence",
+    "hll_intersection_estimate",
 }
 
 

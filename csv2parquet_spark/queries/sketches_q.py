@@ -244,3 +244,108 @@ def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     summary = mg_merge(mg_partials(toks, "token", k=64), k=64)
     return summary.orderBy(F.desc("est"), "tok").limit(20)
+
+
+def _hll_intersection_oracle() -> str:
+    from csv2parquet_spark.operators.sketches import _HLL_ALPHA, _HLL_WBITS, HLL_M
+
+    mask = (1 << _HLL_WBITS) - 1
+    rmax = _HLL_WBITS + 1
+    m = f"CAST({float(HLL_M)!r} AS DOUBLE)"
+    alpha = f"CAST({_HLL_ALPHA!r} AS DOUBLE)"
+
+    def regs(name: str, year: str | None) -> str:
+        src = (
+            f"SELECT CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))"
+            f" AS BIGINT) AS v FROM lineitem"
+            + (f" WHERE year(l_shipdate) = {year}" if year else
+               " WHERE year(l_shipdate) IN (1996, 1997)")
+        )
+        return f"""{name} AS MATERIALIZED (
+      SELECT v >> {_HLL_WBITS} AS bucket,
+             max(CASE WHEN (v & {mask}) = 0 THEN {rmax}
+                      ELSE {rmax} - length(bin(v & {mask})) END) AS r
+      FROM ({src}) GROUP BY 1
+    )"""
+
+    def est(name: str, reg: str) -> str:
+        return f"""{name} AS (
+      SELECT round(CASE WHEN {alpha} * {m} * {m} / (s + ({m} - nz)) <= 2.5 * {m}
+                         AND ({m} - nz) > 0
+                        THEN {m} * ln({m} / ({m} - nz))
+                        ELSE {alpha} * {m} * {m} / (s + ({m} - nz)) END, 3) AS e
+      FROM (SELECT sum(pow(2.0, -r)) AS s, count(*) AS nz FROM {reg})
+    )"""
+
+    return f"""
+    WITH {regs('ra', '1996')}, {regs('rb', '1997')}, {regs('ru', None)},
+    {est('ea', 'ra')}, {est('eb', 'rb')}, {est('eu', 'ru')}
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM (
+              SELECT l_partkey FROM lineitem WHERE year(l_shipdate) = 1996
+              INTERSECT
+              SELECT l_partkey FROM lineitem WHERE year(l_shipdate) = 1997))
+             AS exact_intersection,
+           (SELECT e FROM ea) AS hll_a,
+           (SELECT e FROM eb) AS hll_b,
+           (SELECT e FROM eu) AS hll_union,
+           round((SELECT e FROM ea) + (SELECT e FROM eb)
+                 - (SELECT e FROM eu), 3) AS hll_intersection
+    """
+
+
+@register("hll_intersection_estimate", oracle=_hll_intersection_oracle())
+def hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-INTERSECTION cardinality from HLL sketches by
+    inclusion-exclusion: parts shipped in 1996 ∩ 1997 estimated as
+    |A| + |B| - |A ∪ B|, where the union sketch is the register-wise
+    max merge — the op HLLs support exactly (intersection has no
+    native sketch; I-E over the mergeable union is the standard
+    derivation, with error growing as the Jaccard shrinks).
+
+    Each register build is a partial-agg groupBy to <= m cells; the
+    merge is union + re-max; everything downstream is model-sized
+    arithmetic. The estimates and the derived intersection are
+    hash-checked against DuckDB (same md5-slice hashes), alongside the
+    exact intersection for the error to be read off.
+    """
+    from csv2parquet_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.year("l_shipdate").alias("yr")
+    )
+    a = li.filter(F.col("yr") == 1996).select(
+        F.col("l_partkey").cast("string").alias("pk")
+    )
+    b = li.filter(F.col("yr") == 1997).select(
+        F.col("l_partkey").cast("string").alias("pk")
+    )
+    ra, rb = hll_registers(a, "pk"), hll_registers(b, "pk")
+    ea = hll_estimate(ra).withColumnRenamed("hll_estimate", "hll_a")
+    eb = hll_estimate(rb).withColumnRenamed("hll_estimate", "hll_b")
+    eu = hll_estimate(hll_merge(ra, rb)).withColumnRenamed(
+        "hll_estimate", "hll_union"
+    )
+    exact = (
+        li.filter(F.col("yr") == 1996)
+        .select("l_partkey")
+        .intersect(li.filter(F.col("yr") == 1997).select("l_partkey"))
+        .agg(F.count("*").alias("exact_intersection"))
+    )
+    return (
+        exact.crossJoin(ea)
+        .crossJoin(eb)
+        .crossJoin(eu)
+        .select(
+            "exact_intersection",
+            "hll_a",
+            "hll_b",
+            "hll_union",
+            F.round(
+                F.col("hll_a") + F.col("hll_b") - F.col("hll_union"), 3
+            ).alias("hll_intersection"),
+        )
+    )
