@@ -89,6 +89,8 @@ _DEFER_THIS_ROUND: set[str] = {
     "weighted_sample_es",
     "part_pair_cooccurrence",
     "hll_intersection_estimate",
+    "cohort_retention_matrix",
+    "twap_user_value",
 }
 
 

@@ -300,3 +300,102 @@ def seq_pattern_cvp(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.length(F.call_function("replace", F.col("seq"), F.lit("cvp"), F.lit("xx")))
         ).cast("long").alias("n_cvp"),
     )
+
+
+@register(
+    "cohort_retention_matrix",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events WHERE event_type = 'purchase'
+    ), first AS (
+      SELECT user_id, min(wk) AS cohort_wk FROM p GROUP BY user_id
+    )
+    SELECT strftime(f.cohort_wk, '%Y-%m-%d') AS cohort_week,
+           CAST((p.wk - f.cohort_wk) / 7 AS BIGINT) AS week_offset,
+           count(DISTINCT p.user_id) AS active_users
+    FROM p JOIN first f USING (user_id)
+    GROUP BY f.cohort_wk, week_offset
+    """,
+)
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (the product-analytics staple): users cohorted
+    by their FIRST purchase week; for every later week, how many of
+    that cohort purchased again — the (cohort_week, week_offset)
+    retention matrix.
+
+    Scale shape: the first-touch table is one partial-aggregated
+    min() per user; joining it back is keyed on user_id (broadcast if
+    the user dimension is small, shuffle otherwise); the matrix rollup
+    is a narrow (date, int) key. Weeks are date-truncated so both
+    engines bucket identically; the output week is a formatted string
+    (timestamps stay out of hashed outputs, the registry convention).
+    """
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+    )
+    first = p.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        p.join(first, "user_id")
+        .groupBy(
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("wk", "cohort_wk") / 7).cast("long").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+@register(
+    "twap_user_value",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, value, epoch_ms(ts) AS t,
+             lead(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS t_next
+      FROM events
+    ), seg AS (
+      SELECT user_id, value, t_next - t AS dur_ms
+      FROM o WHERE t_next IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(sum(dur_ms) AS BIGINT) AS total_ms,
+           round(CAST(sum(CAST(value AS DECIMAL(18, 6)) * dur_ms) AS DOUBLE)
+                 / sum(dur_ms), 6) AS twap
+    FROM seg GROUP BY user_id
+    """,
+)
+def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (the TWAP/step-function
+    integral): each observation holds until the next one, so the mean
+    weights every value by its holding duration — the correct
+    aggregate for irregularly-sampled series, where a plain avg
+    overweights bursts.
+
+    Scale shape: one (user_id) window pairs each event with its
+    successor (per-key bounded state, ties broken by event_id for a
+    total order); the integral is a decimal-weighted sum over integer
+    millisecond durations — exact under any association order, so the
+    engines agree bit-for-bit before the 6-dp round.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select(
+        "user_id",
+        "value",
+        F.unix_millis("ts").alias("t"),
+        F.lead(F.unix_millis("ts")).over(w).alias("t_next"),
+    )
+    seg = o.filter(F.col("t_next").isNotNull()).select(
+        "user_id", "value", (F.col("t_next") - F.col("t")).alias("dur_ms")
+    )
+    return seg.groupBy("user_id").agg(
+        F.sum("dur_ms").alias("total_ms"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)") * F.col("dur_ms")).cast(
+                "double"
+            )
+            / F.sum("dur_ms"),
+            6,
+        ).alias("twap"),
+    )
