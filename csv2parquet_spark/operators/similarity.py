@@ -690,3 +690,174 @@ def int8_topk(
         .limit(k)
         .select(F.col("vid").alias(id_col), "sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search") — the memory-side of the ANN family: vectors
+# compress to m sub-codes (here 8 × 4 bits), queries scan the compressed
+# corpus with an asymmetric-distance (ADC) table lookup, and a small
+# pool re-ranks exactly. Complements the recall-side structures above
+# (LSH buckets, IVF lists) — production indexes compose IVF+PQ.
+# ---------------------------------------------------------------------------
+
+
+def _pq_subvectors(vectors: DataFrame, m: int, vec_col: str, id_col: str) -> DataFrame:
+    """(id, sub, subvec): the vector split into ``m`` contiguous
+    subspaces — a map-only slice projection."""
+    dim_sub = F.size(F.col(vec_col)) / m
+    return vectors.select(
+        F.col(id_col).alias("pq_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+    ).join(
+        vectors.select(F.col(id_col).alias("pq_id"), F.col(vec_col).alias("v")),
+        "pq_id",
+    ).select(
+        "pq_id",
+        "sub",
+        F.expr(f"slice(v, sub * (size(v) div {m}) + 1, size(v) div {m})").alias(
+            "subvec"
+        ),
+    )
+
+
+def _pq_assign(sv: DataFrame, codebooks) -> DataFrame:
+    """Add the nearest-codeword ``code`` per (id, sub) row — one
+    Arrow-batched kernel over a BROADCAST (m × k × dsub) codebook
+    tensor; euclidean argmin, ties to the lowest code id."""
+    import numpy as np
+
+    sc = sv.sparkSession.sparkContext
+    bc = sc.broadcast(np.asarray(codebooks, dtype=np.float64))
+
+    def kernel(batches):
+        for pdf in batches:
+            C = bc.value  # (m, k, dsub)
+            subs = pdf["sub"].to_numpy()
+            M = np.vstack([np.asarray(x, dtype=np.float64) for x in pdf["subvec"]])
+            codes = np.empty(len(pdf), dtype=np.int32)
+            for s in np.unique(subs):
+                rows = subs == s
+                X = M[rows]  # (n, dsub)
+                d = ((X[:, None, :] - C[s][None, :, :]) ** 2).sum(axis=2)
+                codes[rows] = np.argmin(d, axis=1)
+            out = pdf[["pq_id", "sub"]].copy()
+            out["code"] = codes
+            yield out
+
+    return sv.mapInPandas(kernel, "pq_id bigint, sub int, code int")
+
+
+def pq_train_codebooks(
+    vectors: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Per-subspace Lloyd k-means; returns the (m × k × dim/m) codebook
+    tensor as nested Python lists (model-sized — the vectors never
+    reach the driver). ALL subspaces train in the same jobs: one
+    map-only assignment + one (sub, code, pos) partial-agg mean per
+    iteration. Init = the subvector slices of the ``k`` vectors with
+    the smallest ``xxhash64(id)`` (deterministic, seed-free)."""
+    import numpy as np
+
+    init = (
+        vectors.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(k)
+        .collect()
+    )
+    V = np.asarray([[float(x) for x in r.v] for r in init])
+    dim = V.shape[1]
+    dsub = dim // m
+    codebooks = [
+        [[float(x) for x in V[j, s * dsub : (s + 1) * dsub]] for j in range(k)]
+        for s in range(m)
+    ]
+    sv = _pq_subvectors(vectors, m, vec_col, id_col).localCheckpoint()
+    for _ in range(n_iter):
+        assigned = _pq_assign(sv, codebooks).join(sv, ["pq_id", "sub"])
+        new = (
+            assigned.select(
+                "sub", "code", F.posexplode("subvec").alias("pos", "x")
+            )
+            .groupBy("sub", "code", "pos")
+            .agg(F.avg("x").alias("mu"))
+            .groupBy("sub", "code")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "mu"))).alias("pm")
+            )
+            .select("sub", "code", F.col("pm.mu").alias("cw"))
+            .collect()
+        )
+        for r in new:
+            codebooks[r.sub][r.code] = [float(x) for x in r.cw]
+    return codebooks, sv
+
+
+def pq_encode(sv: DataFrame, codebooks) -> DataFrame:
+    """(id, codes array<int>) — the compressed corpus: m small ints per
+    vector (here 8 codes = 8 bytes vs 256 bytes of float32), the whole
+    point of PQ at 100 TB."""
+    return (
+        _pq_assign(sv, codebooks)
+        .groupBy("pq_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("sub", "code"))).alias("sc")
+        )
+        .select("pq_id", F.col("sc.code").alias("codes"))
+    )
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    vectors: DataFrame,
+    query: list[float],
+    codebooks,
+    k: int = 10,
+    pool: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k: the driver builds the (m × K)
+    query-to-codeword distance table (model-sized numpy), ships it as a
+    LITERAL array, and the compressed corpus is scanned map-side — each
+    vector's approximate distance is m table lookups folded in Catalyst
+    (zip_with + aggregate, no UDF, no shuffle); the ``pool`` best enter
+    an exact float re-rank keyed on id. Returns (vec_id, cos)."""
+    import numpy as np
+
+    C = np.asarray(codebooks, dtype=np.float64)  # (m, K, dsub)
+    q = np.asarray(query, dtype=np.float64)
+    m, K, dsub = C.shape
+    qs = q.reshape(m, dsub)
+    table = ((C - qs[:, None, :]) ** 2).sum(axis=2)  # (m, K)
+    T = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in table]
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.sequence(F.lit(1), F.lit(m)),
+            F.col("codes"),
+            lambda s, c: F.element_at(F.element_at(T, s.cast("int")), c.cast("int") + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        encoded.select("pq_id", dist.alias("adc"))
+        .orderBy("adc", "pq_id")
+        .limit(pool)
+    )
+    qcol = F.array(*[F.lit(float(x)) for x in query])
+    exact = cand.join(
+        vectors.select(F.col(id_col).alias("pq_id"), F.col(vec_col).alias("v")),
+        "pq_id",
+    ).select(
+        F.col("pq_id").alias(id_col),
+        F.round(cosine(F.col("v"), qcol), 6).alias("cos"),
+    )
+    return exact.orderBy(F.desc("cos"), id_col).limit(k)

@@ -91,6 +91,7 @@ _DEFER_THIS_ROUND: set[str] = {
     "hll_intersection_estimate",
     "cohort_retention_matrix",
     "twap_user_value",
+    "similarity_topk_pq",
 }
 
 

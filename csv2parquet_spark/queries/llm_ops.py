@@ -1022,3 +1022,30 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("hit") / 10.0, 6).alias("recall_at_10"),
         )
     )
+
+
+@register("similarity_topk_pq", oracle=None)
+def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-10 for query vec_id=0 (8 subspaces
+    x 16 codewords, 3 Lloyd rounds, pool-50 exact re-rank) —
+    completing the ANN quantization family next to LSH / IVF / int8
+    (operators/similarity.py pq_*; Jégou et al. 2011).
+
+    Rows-only: the codebooks come from seeded-but-iterative k-means
+    (not SQL-expressible); determinism is pinned by the registry's
+    re-execution check and recall vs the exact oracle is pinned by
+    tests/test_operators.py (recall@10 >= 0.5 at fixture scale —
+    PQ trades recall for a 32x memory cut; production composes
+    IVF+PQ and re-ranks a larger pool).
+    """
+    from csv2parquet_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    codebooks, sv = pq_train_codebooks(emb, m=8, k=16, n_iter=3)
+    encoded = pq_encode(sv, codebooks)
+    return pq_adc_topk(encoded, emb, query, codebooks, k=10, pool=50)

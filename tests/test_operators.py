@@ -712,3 +712,24 @@ def test_python_datasource_partitioned_and_deterministic(spark):
     assert len(rows8) == 500
     assert rows8 == rows3
     assert all(r[2] == len(r[1]) for r in rows8)
+
+
+def test_pq_adc_recall_against_exact(spark, sf_dir):
+    """PQ-ADC top-10 must (a) re-rank with EXACT cosines (every
+    reported score equals the brute-force score for that id), and (b)
+    achieve recall@10 >= 0.5 against exact top-10 on the fixture —
+    the compression/recall trade PQ exists for."""
+    from pyspark.sql import functions as F
+
+    from csv2parquet_spark.operators.similarity import topk_similar
+    from csv2parquet_spark.queries import REGISTRY
+    from csv2parquet_spark.tables import table
+
+    got = {r.vec_id: r.cos for r in REGISTRY["similarity_topk_pq"].fn(spark, sf_dir).collect()}
+    emb = table(spark, sf_dir, "embeddings")
+    exact = topk_similar(emb, emb.filter(F.col("vec_id") == 0), k=10)
+    exact_rows = {r[0]: round(r[1], 6) for r in (tuple(r) for r in exact.collect())}
+    overlap = set(got) & set(exact_rows)
+    assert len(overlap) >= 5, f"recall@10 too low: {len(overlap)}/10"
+    for vid in overlap:
+        assert abs(got[vid] - exact_rows[vid]) < 1e-6, (vid, got[vid], exact_rows[vid])
