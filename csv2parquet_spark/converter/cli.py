@@ -106,7 +106,7 @@ def main(argv: list[str] | None = None) -> int:
         max_row_group_size=args.max_row_group_size,
         max_statistics_size=args.max_statistics_size,
         bloom_filter_columns=(
-            args.bloom_filter_columns.split(",")
+            [c.strip() for c in args.bloom_filter_columns.split(",") if c.strip()]
             if args.bloom_filter_columns
             else None
         ),

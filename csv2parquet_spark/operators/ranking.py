@@ -107,6 +107,13 @@ def global_cumsum(
     import numpy as np
     import pandas as pd  # noqa: F401
 
+    wtype = df.schema[weight_col].dataType.simpleString()
+    if wtype not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"global_cumsum needs an integral weight column, got "
+            f"{weight_col!r}: {wtype} (fractional weights would be "
+            "silently truncated by the int64 batch kernel)"
+        )
     part = df.repartitionByRange(
         num_partitions
         or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")),
@@ -119,6 +126,11 @@ def global_cumsum(
         .agg(F.sum(weight_col).alias("s"))
         .collect()
     )
+    if any(r["s"] is None for r in sums):
+        raise ValueError(
+            f"global_cumsum: NULL weights in {weight_col!r} "
+            "(a partition summed to NULL) — fill or filter first"
+        )
     per = {r.pid: int(r["s"]) for r in sums}
     offsets: dict[int, int] = {}
     acc = 0

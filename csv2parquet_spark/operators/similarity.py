@@ -704,20 +704,23 @@ def int8_topk(
 
 def _pq_subvectors(vectors: DataFrame, m: int, vec_col: str, id_col: str) -> DataFrame:
     """(id, sub, subvec): the vector split into ``m`` contiguous
-    subspaces — a map-only slice projection."""
-    dim_sub = F.size(F.col(vec_col)) / m
-    return vectors.select(
-        F.col(id_col).alias("pq_id"),
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
-    ).join(
-        vectors.select(F.col(id_col).alias("pq_id"), F.col(vec_col).alias("v")),
-        "pq_id",
-    ).select(
-        "pq_id",
-        "sub",
-        F.expr(f"slice(v, sub * (size(v) div {m}) + 1, size(v) div {m})").alias(
-            "subvec"
-        ),
+    subspaces — a map-only explode + slice, no join."""
+    return (
+        vectors.select(
+            F.col(id_col).alias("pq_id"), F.col(vec_col).alias("v")
+        )
+        .select(
+            "pq_id",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+            "v",
+        )
+        .select(
+            "pq_id",
+            "sub",
+            F.expr(
+                f"slice(v, sub * (size(v) div {m}) + 1, size(v) div {m})"
+            ).alias("subvec"),
+        )
     )
 
 

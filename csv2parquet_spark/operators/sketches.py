@@ -290,8 +290,9 @@ def mg_partials(tokens: DataFrame, col: str = "token", k: int = 64) -> DataFrame
     holds regardless of merge order.
     """
     import pandas as pd
+    from pyspark import TaskContext
 
-    out_schema = "tok string, est long, dec long"
+    out_schema = "tok string, est long, dec long, pid int"
 
     def summarize(batches):
         counters: dict[str, int] = {}
@@ -306,12 +307,16 @@ def mg_partials(tokens: DataFrame, col: str = "token", k: int = 64) -> DataFrame
                     t: c - cut for t, c in counters.items() if c - cut > 0
                 }
         # sentinel row (tok=None) so the partition's decrement mass
-        # survives even if every counter died in the final prune
+        # survives even if every counter died in the final prune; the
+        # pid is EMBEDDED here (not derived at merge time) so the merge
+        # stays correct if the partials are repartitioned or cached
+        pid = TaskContext.get().partitionId()
         yield pd.DataFrame(
             {
                 "tok": list(counters) + [None],
                 "est": list(counters.values()) + [0],
                 "dec": [dec] * (len(counters) + 1),
+                "pid": [pid] * (len(counters) + 1),
             }
         )
 
@@ -320,14 +325,16 @@ def mg_partials(tokens: DataFrame, col: str = "token", k: int = 64) -> DataFrame
     )
 
 
-def mg_merge(partials: DataFrame, k: int = 64) -> DataFrame:
+def mg_merge(partials: DataFrame) -> DataFrame:
     """Merge per-partition MG summaries into one global summary with
     error bounds: ``est`` (lower bound) and ``ub = est + total_dec``
     (upper bound on the true count). The merge is a narrow-key groupBy
-    over ≤ k·P rows — kilobytes at any corpus size."""
+    over ≤ k·P rows — kilobytes at any corpus size. Uses the pid column
+    ``mg_partials`` embedded, so the partials frame may be cached or
+    repartitioned freely; summaries of DISTINCT datasets must not be
+    unioned into one merge (their pids would collide)."""
     total_dec = (
-        partials.select("dec", F.spark_partition_id().alias("pid"))
-        .groupBy("pid")
+        partials.groupBy("pid")
         .agg(F.max("dec").alias("d"))
         .agg(F.sum("d").alias("total_dec"))
     )

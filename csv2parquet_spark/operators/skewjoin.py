@@ -51,15 +51,29 @@ def salted_join(
     key: str | list[str],
     r: int = 16,
     how: str = "inner",
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Blanket ``r``-way salted equi join of ``big`` ⋈ ``small`` on
     ``key``. Supported ``how``: inner / left (the directions where the
     replicated side is the lookup side).
+
+    The salt hashes ``salt_cols`` (default: every big-side column), so
+    it is stable across task retries (any salt value is CORRECT — the
+    small side carries all r salts — but a nondeterministic salt such
+    as rand() can lose/duplicate rows under partial shuffle-retry).
+    Caveat: rows BYTE-IDENTICAL on ``salt_cols`` co-locate on one salt
+    — a hot key whose rows are full duplicates does not split. Pass a
+    unique row id in ``salt_cols`` when the data has one; otherwise
+    dedup/count-collapse duplicates upstream (their join results are
+    identical anyway).
     """
     keys = _check(big, small, key, how)
     b = big.withColumn(
         _SALT,
-        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(r)).cast("int"),
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in (salt_cols or big.columns)]),
+            F.lit(r),
+        ).cast("int"),
     )
     s = small.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(r - 1)))
@@ -74,6 +88,7 @@ def salted_join_hot(
     r: int = 16,
     hot_threshold: int = 100_000,
     how: str = "inner",
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Hot-key-only salted join: detect keys with more than
     ``hot_threshold`` big-side rows, salt ONLY those, plain-join the
@@ -95,6 +110,6 @@ def salted_join_hot(
     bh = big.join(F.broadcast(hot), keys, "left_semi")
     bc = big.join(F.broadcast(hot), keys, "left_anti")
     sh = small.join(F.broadcast(hot), keys, "left_semi")
-    hot_part = salted_join(bh, sh, keys, r=r, how=how)
+    hot_part = salted_join(bh, sh, keys, r=r, how=how, salt_cols=salt_cols)
     cold_part = bc.join(small, keys, how)
     return hot_part.unionByName(cold_part)

@@ -114,7 +114,7 @@ def exact_substr_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = spans.groupBy("doc_id").agg(
         F.sum("span_len").alias("dup_tokens"), F.count("*").alias("n_spans")
     )
-    ntok = toks.select("doc_id", F.size("t").alias("n_tokens"))
+    ntok = toks.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
     return agg.join(ntok, "doc_id").select(
         "doc_id",
         "n_tokens",
@@ -506,7 +506,7 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("w"),
         )
     )
-    dec = "decimal(18,10)"
+    dec = "decimal(28,14)"  # MUST match the oracle CTEs above
     nrm = w.groupBy("doc_id").agg(
         F.sqrt(F.sum((F.col("w") * F.col("w")).cast(dec)).cast("double")).alias(
             "nrm"

@@ -242,7 +242,7 @@ def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(F.explode(F.split("text", " ")).alias("token")).filter(
         F.col("token") != ""
     )
-    summary = mg_merge(mg_partials(toks, "token", k=64), k=64)
+    summary = mg_merge(mg_partials(toks, "token", k=64))
     return summary.orderBy(F.desc("est"), "tok").limit(20)
 
 

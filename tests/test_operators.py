@@ -671,7 +671,7 @@ def test_mg_heavy_hitters_guarantees(spark):
         + [(f"t{i % 97}",) for i in range(1300)]
     )
     df = spark.createDataFrame(rows, "token string").repartition(7)
-    summary = mg_merge(mg_partials(df, "token", k=k), k=k)
+    summary = mg_merge(mg_partials(df, "token", k=k))
     got = {r.tok: (r.est, r.ub) for r in summary.collect()}
     exact = {
         r.token: r["count"]
@@ -683,7 +683,7 @@ def test_mg_heavy_hitters_guarantees(spark):
     for tok, true in exact.items():
         if true > n / (k + 1):
             assert tok in got, f"frequent token {tok} lost ({true} > N/(k+1))"
-    again = {r.tok: (r.est, r.ub) for r in mg_merge(mg_partials(df, "token", k=k), k=k).collect()}
+    again = {r.tok: (r.est, r.ub) for r in mg_merge(mg_partials(df, "token", k=k)).collect()}
     assert got == again
 
 
