@@ -92,6 +92,7 @@ _DEFER_THIS_ROUND: set[str] = {
     "cohort_retention_matrix",
     "twap_user_value",
     "similarity_topk_pq",
+    "trimmed_mean_grouped_agg",
 }
 
 

@@ -11,6 +11,7 @@ engine-identical.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401  (resolves pandas-UDF type hints)
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -784,4 +785,75 @@ def part_pair_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"))
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(20)
+    )
+
+
+@register(
+    "trimmed_mean_grouped_agg",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ), kept AS (
+      SELECT event_type, value, n FROM r
+      WHERE rn > CAST(floor(n / 10) AS BIGINT)
+        AND rn <= n - CAST(floor(n / 10) AS BIGINT)
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_total,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           round(CAST(sum(CAST(value AS DECIMAL(18, 6))) AS DOUBLE)
+                 / count(*), 6) AS trimmed_mean
+    FROM kept GROUP BY event_type
+    """,
+)
+def trimmed_mean_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean of event values per type, computed through the
+    one pandas-UDF shape the engine hadn't exercised: a GROUPED-AGG
+    pandas UDF (a vectorized UDAF — the whole group arrives as one
+    Series, one scalar returns). This completes the Python-extension
+    matrix: scalar / grouped-map / grouped-AGG / mapInPandas / cogroup
+    / UDTF / applyInPandasWithState.
+
+    Determinism discipline inside the kernel: the group is sorted and
+    trimmed positionally (ties interchangeable — the trimmed MULTISET
+    is order-independent), then summed with math.fsum (correctly
+    rounded regardless of arrival order — the UDAF analog of the
+    decimal-sum rule). Per-type state is one value array — bounded by
+    the group, the same contract as every grouped kernel here; the
+    oracle selects the identical multiset via rank arithmetic.
+    """
+    import math
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def trimmed_mean(v: pd.Series) -> float:
+        import numpy as np
+
+        x = np.sort(v.to_numpy(dtype=np.float64))
+        cut = int(len(x) // 10)
+        kept = x[cut : len(x) - cut]
+        return round(math.fsum(kept) / len(kept), 6)
+
+    @pandas_udf("long")
+    def n_total(v: pd.Series) -> int:
+        return len(v)
+
+    @pandas_udf("long")
+    def n_kept(v: pd.Series) -> int:
+        n = len(v)
+        return n - 2 * int(n // 10)
+
+    # grouped-agg pandas UDFs cannot mix with built-in aggregates in
+    # one agg() (INVALID_PANDAS_UDF_PLACEMENT) — so even the count is a
+    # (trivial) pandas UDAF here
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        n_total(F.col("value")).alias("n_total"),
+        n_kept(F.col("value")).alias("n_kept"),
+        trimmed_mean(F.col("value")).alias("trimmed_mean"),
     )
