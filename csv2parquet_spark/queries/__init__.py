@@ -93,6 +93,7 @@ _DEFER_THIS_ROUND: set[str] = {
     "twap_user_value",
     "similarity_topk_pq",
     "trimmed_mean_grouped_agg",
+    "binary_stats_arrow",
 }
 
 

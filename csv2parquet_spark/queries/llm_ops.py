@@ -1049,3 +1049,56 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks, sv = pq_train_codebooks(emb, m=8, k=16, n_iter=3)
     encoded = pq_encode(sv, codebooks)
     return pq_adc_topk(encoded, emb, query, codebooks, k=10, pool=50)
+
+
+@register(
+    "binary_stats_arrow",
+    oracle="""
+    SELECT doc_id,
+           sha256(text) AS payload_sha,
+           CAST(octet_length(encode(text)) AS INTEGER) AS payload_bytes,
+           substring(md5(text), 1, 8) AS shard_key
+    FROM documents
+    """,
+)
+def binary_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal_binary_stats contract through ``mapInArrow`` —
+    the LOWEST-overhead Python extension point (raw Arrow RecordBatches
+    cross the boundary; no pandas conversion), the shape to reach for
+    when a kernel consumes Arrow buffers directly (zero-copy decoders,
+    GPU handoff). Shares the Catalyst twin's oracle, so the API's
+    round-trip fidelity is hash-proven, completing the Python
+    execution matrix (pandas scalar/grouped/agg/map/cogroup/UDTF/
+    withState + Arrow map + Python DataSource).
+    """
+    import hashlib
+
+    import pyarrow as pa
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def kernel(batches):
+        for batch in batches:
+            payloads = [p.as_py() for p in batch.column("payload")]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pa.array(
+                        [hashlib.sha256(p).hexdigest() for p in payloads],
+                        pa.string(),
+                    ),
+                    pa.array([len(p) for p in payloads], pa.int32()),
+                    pa.array(
+                        [hashlib.md5(p).hexdigest()[:8] for p in payloads],
+                        pa.string(),
+                    ),
+                ],
+                names=["doc_id", "payload_sha", "payload_bytes", "shard_key"],
+            )
+
+    return d.mapInArrow(
+        kernel,
+        "doc_id bigint, payload_sha string, payload_bytes int, shard_key string",
+    )
