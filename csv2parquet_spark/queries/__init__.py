@@ -94,6 +94,8 @@ _DEFER_THIS_ROUND: set[str] = {
     "similarity_topk_pq",
     "trimmed_mean_grouped_agg",
     "binary_stats_arrow",
+    "bpe_encode_corpus",
+    "top_event_trigrams",
 }
 
 

@@ -857,3 +857,95 @@ def trimmed_mean_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_kept(F.col("value")).alias("n_kept"),
         trimmed_mean(F.col("value")).alias("trimmed_mean"),
     )
+
+
+def _bpe_encode_oracle(rounds: int) -> str:
+    """Extends the training CTE chain with the final merge application
+    and a corpus-level tokenization census: tokens per word after all
+    merges, weighted by word frequency."""
+    train = _bpe_oracle(rounds)
+    ctes = train.split("\n    SELECT CAST(1 AS INT)")[0]  # keep WITH ... p5
+    return (
+        ctes
+        + f""",
+    rfinal AS MATERIALIZED (
+      SELECT trim(replace(' ' || r || ' ',
+                          ' ' || (SELECT replace(pair, ' ', '  ') FROM p{rounds}) || ' ',
+                          ' ' || (SELECT replace(pair, ' ', '') FROM p{rounds}) || ' ')) AS r,
+             cnt
+      FROM r{rounds - 1}
+    )
+    SELECT CAST(sum(cnt * len(string_split(r, '  '))) AS BIGINT)
+             AS total_symbols,
+           CAST(sum(cnt * length(replace(r, ' ', ''))) AS BIGINT)
+             AS total_chars,
+           CAST(sum(cnt) AS BIGINT) AS total_words,
+           round(CAST(sum(cnt * len(string_split(r, '  '))) AS DOUBLE)
+                 / sum(cnt * length(replace(r, ' ', ''))), 6)
+             AS symbols_per_char
+    FROM rfinal
+    """
+    )
+
+
+@register("bpe_encode_corpus", oracle=_bpe_encode_oracle(_BPE_ROUNDS))
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENCODE side of BPE: apply the 5 learned merges to the whole
+    vocabulary and report the corpus tokenization census — total
+    symbols, characters, words, and the compression ratio
+    (symbols/char falls as merges land; 1.0 = character-level). With
+    ``bpe_train_merges`` this closes the tokenizer loop:
+    train -> merge table -> segmenter.
+
+    Same scale shape as training (the census is over the vocab-sized
+    word table, weighted by frequency — corpus scanned once); encoding
+    real text at scale is the same literal `replace` chain applied
+    map-side per document.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("r", F.trim(F.regexp_replace("w", "(.)", "$1  ")))
+        .select("r", "cnt")
+        .localCheckpoint()
+    )
+    cur = words
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        pairs = cur.select(
+            "cnt", F.explode(shingles(F.split("r", "  "), k=2)).alias("pair")
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), "pair")
+            .limit(1)
+            .collect()[0]
+        )
+        needle = F.lit(" " + top["pair"].replace(" ", "  ") + " ")
+        fused = F.lit(" " + top["pair"].replace(" ", "") + " ")
+        cur = cur.withColumn(
+            "r",
+            F.trim(
+                F.call_function(
+                    "replace",
+                    F.concat(F.lit(" "), F.col("r"), F.lit(" ")),
+                    needle,
+                    fused,
+                )
+            ),
+        )
+    syms = F.size(F.split("r", "  "))
+    chars = F.length(F.call_function("replace", F.col("r"), F.lit(" "), F.lit("")))
+    return cur.agg(
+        F.sum(F.col("cnt") * syms).alias("total_symbols"),
+        F.sum(F.col("cnt") * chars).alias("total_chars"),
+        F.sum("cnt").alias("total_words"),
+        F.round(
+            F.sum(F.col("cnt") * syms).cast("double")
+            / F.sum(F.col("cnt") * chars),
+            6,
+        ).alias("symbols_per_char"),
+    )

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from csv2parquet_spark.operators.text import shingles as _shingles
 from csv2parquet_spark.queries.helpers import dsum
 from csv2parquet_spark.queries.registry import register
 from csv2parquet_spark.tables import table
@@ -398,4 +399,56 @@ def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("dur_ms"),
             6,
         ).alias("twap"),
+    )
+
+
+@register(
+    "top_event_trigrams",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             string_split(list_aggr(list(substr(event_type, 1, 1)
+                                         ORDER BY ts, event_id),
+                                    'string_agg', '~'), '~') AS t
+      FROM events GROUP BY user_id
+    )
+    SELECT t[i] || '>' || t[i+1] || '>' || t[i+2] AS path, count(*) AS n
+    FROM s, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)
+    GROUP BY path ORDER BY n DESC, path LIMIT 10
+    """,
+)
+def top_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path mining: the 10 most common 3-step behavioral paths (event
+    trigrams over each user's time-ordered stream) — the clickstream
+    analysis behind 'users who did X then Y then Z'.
+
+    One (user_id) shuffle builds the ordered per-user sequence
+    (bounded per-key state, event_id tie-break); trigrams come from
+    the O(n) zip_with shingle builder map-side; the census is a
+    partial-aggregated count + TakeOrderedAndProject top-10.
+    """
+    e = table(spark, sf_dir, "events")
+    seqs = (
+        e.select(
+            "user_id",
+            F.struct(
+                F.col("ts"), F.col("event_id"),
+                F.substring("event_type", 1, 1).alias("c"),
+            ).alias("rec"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("rec")), lambda r: r["c"]
+            ).alias("t")
+        )
+    )
+    tri = seqs.select(
+        F.explode(_shingles(F.col("t"), k=3, sep=">")).alias("path")
+    )
+    return (
+        tri.groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(10)
     )
