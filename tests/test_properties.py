@@ -308,3 +308,37 @@ def test_streak_islands_match_reference(spark, day_offsets):
     )
     assert got == sorted(runs)
     assert max(got) == max(runs) and sum(got) == len(days)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**31), max_value=2**31),
+            st.integers(min_value=0, max_value=10**6),
+        ),
+        min_size=1,
+        max_size=200,
+        unique_by=lambda t: t[0],
+    ),
+    parts=st.integers(min_value=1, max_value=9),
+)
+@SETTINGS
+def test_global_cumsum_property(spark, rows, parts):
+    """For ANY unique-keyed integer-weighted table and ANY input
+    partitioning, the two-pass global_cumsum equals the naive global
+    window running sum."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from csv2parquet_spark.operators.ranking import global_cumsum
+
+    df = spark.createDataFrame(rows, "k long, w long").repartition(parts)
+    got = {
+        r.k: r.cum
+        for r in global_cumsum(df, ["k"], "w", num_partitions=5).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r.k: r.cum for r in df.withColumn("cum", F.sum("w").over(w)).collect()
+    }
+    assert got == want
