@@ -96,6 +96,9 @@ _DEFER_THIS_ROUND: set[str] = {
     "binary_stats_arrow",
     "bpe_encode_corpus",
     "top_event_trigrams",
+    "pareto_abc_parts",
+    "join_key_skew_report",
+    "mom_revenue_growth",
 }
 
 

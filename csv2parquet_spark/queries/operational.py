@@ -599,3 +599,130 @@ def ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.filter(F.col("n") > 0).select(
         "priority", "n", F.col("t").cast("double").alias("total")
     )
+
+
+@register(
+    "pareto_abc_parts",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                      * 10000) AS BIGINT) AS cents4
+      FROM lineitem GROUP BY l_partkey
+    ), c AS (
+      SELECT l_partkey, cents4,
+             sum(cents4) OVER (ORDER BY cents4 DESC, l_partkey
+                               ROWS UNBOUNDED PRECEDING) AS cum,
+             (SELECT sum(cents4) FROM rev) AS tot
+      FROM rev
+    ), cls AS (
+      SELECT CASE WHEN cum <= tot * 0.8 THEN 'A'
+                  WHEN cum <= tot * 0.95 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             cents4
+      FROM c
+    )
+    SELECT abc_class, count(*) AS n_parts,
+           round(CAST(sum(cents4) AS DOUBLE)
+                 / (SELECT CAST(sum(cents4) AS DOUBLE) FROM rev), 6)
+             AS revenue_share
+    FROM cls GROUP BY abc_class
+    """,
+)
+def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC inventory classification: parts ranked by revenue,
+    class A = the head covering 80% of cumulative revenue, B to 95%,
+    C the tail — the classic skewed-dimension analysis.
+
+    The cumulative share is the scalability crux (a naive
+    ``sum OVER (ORDER BY revenue DESC)`` is a single-partition sort),
+    so this is the second production use of the two-pass
+    ``global_cumsum`` (operators/ranking.py), ordered by
+    (-revenue, part): range-partitioned parallel sort, broadcast
+    offsets, map-only accumulation. Revenue is exact integer
+    ten-thousandths-of-a-cent (2dp price × 2dp discount factor —
+    decimal-exact, then integral for the cumsum kernel), so both
+    engines classify identically with no float boundary.
+    """
+    from csv2parquet_spark.operators.ranking import global_cumsum
+
+    l = table(spark, sf_dir, "lineitem")
+    rev = l.groupBy("l_partkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (1 - F.col("l_discount").cast("decimal(18,2)"))
+            * 10000
+        )
+        .cast("long")
+        .alias("cents4")
+    )
+    c = global_cumsum(
+        rev.withColumn("neg", -F.col("cents4")),
+        ["neg", "l_partkey"],
+        "cents4",
+        cum_col="cum",
+    )
+    tot = rev.agg(F.sum("cents4").alias("tot"))
+    cls = c.crossJoin(F.broadcast(tot)).select(
+        F.when(F.col("cum") <= F.col("tot") * 0.8, "A")
+        .when(F.col("cum") <= F.col("tot") * 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "cents4",
+        "tot",
+    )
+    return cls.groupBy("abc_class").agg(
+        F.count("*").alias("n_parts"),
+        F.round(
+            F.sum("cents4").cast("double") / F.max("tot").cast("double"), 6
+        ).alias("revenue_share"),
+    )
+
+
+@register(
+    "join_key_skew_report",
+    oracle="""
+    WITH g AS (
+      SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT count(*) AS n_keys,
+           CAST(max(n) AS BIGINT) AS max_rows,
+           CAST(sum(n) AS BIGINT) AS total_rows,
+           round(CAST(sum(n) AS DOUBLE) / count(*), 6) AS mean_rows,
+           CAST(floor(quantile_cont(n, 0.5)) AS BIGINT) AS p50,
+           CAST(floor(quantile_cont(n, 0.99)) AS BIGINT) AS p99,
+           round(CAST(max(n) AS DOUBLE) * count(*)
+                 / CAST(sum(n) AS DOUBLE), 6) AS skew_factor
+    FROM g
+    """,
+)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics for lineitem.l_orderkey — the
+    detection pass you run BEFORE choosing between a plain join, AQE
+    skew splitting, and ``salted_join_hot``: key cardinality, max and
+    mean rows per key, p50/p99 of the group-size distribution, and the
+    skew factor (max / mean; ~1 = uniform, large = a hot key).
+
+    One partial-aggregated count per key (narrow shuffle), then a
+    model-sized summary over the per-key counts; the percentile is
+    exact-interpolated then floored (both engines interpolate
+    identically on integer counts, floor removes the last float
+    boundary).
+    """
+    l = table(spark, sf_dir, "lineitem")
+    g = l.groupBy("l_orderkey").agg(F.count("*").alias("n"))
+    return g.agg(
+        F.count("*").alias("n_keys"),
+        F.max("n").alias("max_rows"),
+        F.sum("n").alias("total_rows"),
+        F.round(F.sum("n").cast("double") / F.count("*"), 6).alias("mean_rows"),
+        F.floor(F.expr("percentile(n, 0.5)")).cast("long").alias("p50"),
+        F.floor(F.expr("percentile(n, 0.99)")).cast("long").alias("p99"),
+        F.round(
+            F.max("n").cast("double")
+            * F.count("*")
+            / F.sum("n").cast("double"),
+            6,
+        ).alias("skew_factor"),
+    )

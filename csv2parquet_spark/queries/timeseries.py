@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from csv2parquet_spark.operators.text import shingles as _shingles
-from csv2parquet_spark.queries.helpers import dsum
+from csv2parquet_spark.queries.helpers import dsum, sql_dsum
 from csv2parquet_spark.queries.registry import register
 from csv2parquet_spark.tables import table
 
@@ -451,4 +451,49 @@ def top_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), "path")
         .limit(10)
+    )
+
+
+@register(
+    "mom_revenue_growth",
+    oracle=f"""
+    WITH m AS (
+      SELECT o_orderpriority AS priority,
+             strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             {sql_dsum('o_totalprice', 'revenue')}
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT priority, month, revenue,
+           round(CASE WHEN lag(revenue) OVER w IS NULL THEN NULL
+                      ELSE (revenue - lag(revenue) OVER w)
+                           / lag(revenue) OVER w END, 6) AS mom_growth
+    FROM m WINDOW w AS (PARTITION BY priority ORDER BY month)
+    """,
+)
+def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth per order priority — the
+    period-over-period reporting staple: monthly rollup, then a lag
+    ratio within each series.
+
+    Scale shape: the rollup partial-aggregates to (priority, month)
+    cells (model-sized — the window that follows runs over the
+    AGGREGATE, the same safe pattern as window_moving_7day_revenue,
+    never over raw rows); revenue is the registry's decimal-sum
+    discipline, so the growth ratio divides two engine-identical
+    doubles before the 6-dp round.
+    """
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "month"
+        ),
+    ).agg(dsum(F.col("o_totalprice"), "revenue"))
+    w = Window.partitionBy("priority").orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "priority",
+        "month",
+        "revenue",
+        F.round((F.col("revenue") - prev) / prev, 6).alias("mom_growth"),
     )
