@@ -125,11 +125,24 @@ def exact_substr_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle(rounds: int) -> str:
-    """Chained-CTE DuckDB twin of the Spark BPE training loop: r{i} is
-    the vocabulary representation after i merges, p{i+1} selects the
-    next merge. Generated by a Python loop at registration time — the
-    SQL itself is static."""
+def _bpe_apply_cte(name: str, src: str, pair_cte: str) -> str:
+    """CTE applying merge ``pair_cte`` to representation ``src``."""
+    return f"""{name} AS MATERIALIZED (
+      SELECT trim(replace(' ' || r || ' ',
+                          ' ' || (SELECT replace(pair, ' ', '  ') FROM {pair_cte}) || ' ',
+                          ' ' || (SELECT replace(pair, ' ', '') FROM {pair_cte}) || ' ')) AS r,
+             cnt
+      FROM {src}
+    )"""
+
+
+def _bpe_ctes(rounds: int, final_apply: bool) -> str:
+    """The shared WITH-chain of the BPE oracles: words → r0 → (p{i},
+    r{i})* — p{i} selects merge i, r{i} applies it. ``final_apply``
+    additionally applies the LAST merge (rfinal), which training
+    doesn't need but encoding does. All MATERIALIZED: DuckDB inlines
+    CTEs and the recursive scalar-subquery references are exponential
+    otherwise."""
     ctes = [
         """words AS MATERIALIZED (
       SELECT tok AS w, count(*) AS cnt
@@ -150,20 +163,75 @@ def _bpe_oracle(rounds: int) -> str:
     )"""
         )
         if i < rounds:
-            ctes.append(
-                f"""r{i} AS MATERIALIZED (
-      SELECT trim(replace(' ' || r || ' ',
-                          ' ' || (SELECT replace(pair, ' ', '  ') FROM p{i}) || ' ',
-                          ' ' || (SELECT replace(pair, ' ', '') FROM p{i}) || ' ')) AS r,
-             cnt
-      FROM r{i - 1}
-    )"""
-            )
+            ctes.append(_bpe_apply_cte(f"r{i}", f"r{i - 1}", f"p{i}"))
+    if final_apply:
+        ctes.append(_bpe_apply_cte("rfinal", f"r{rounds - 1}", f"p{rounds}"))
+    return "WITH " + ",\n    ".join(ctes)
+
+
+def _bpe_oracle(rounds: int) -> str:
+    """Chained-CTE DuckDB twin of the Spark BPE training loop."""
     selects = " UNION ALL ".join(
         f"SELECT CAST({i} AS INT) AS rank, pair, n FROM p{i}"
         for i in range(1, rounds + 1)
     )
-    return "WITH " + ",\n    ".join(ctes) + "\n    " + selects
+    return _bpe_ctes(rounds, final_apply=False) + "\n    " + selects
+
+
+def _bpe_apply_merge(cur: DataFrame, pair: str) -> DataFrame:
+    """Apply one learned merge to the double-space representation
+    (map-only literal replace — see the training docstring for the
+    no-aliasing argument)."""
+    needle = F.lit(" " + pair.replace(" ", "  ") + " ")
+    fused = F.lit(" " + pair.replace(" ", "") + " ")
+    return cur.withColumn(
+        "r",
+        F.trim(
+            F.call_function(
+                "replace",
+                F.concat(F.lit(" "), F.col("r"), F.lit(" ")),
+                needle,
+                fused,
+            )
+        ),
+    )
+
+
+def _bpe_train(
+    spark: SparkSession, sf_dir: str, rounds: int, apply_last: bool
+) -> tuple[list[tuple[int, str, int]], DataFrame]:
+    """The shared BPE training loop (used by BOTH the train and encode
+    queries so the two cannot drift): corpus → vocab with counts
+    (localCheckpoint-pinned), then per round one pair-count top-1 +
+    one literal replace. Returns (merge table, final representation);
+    ``apply_last`` also applies the last merge (encoding needs it,
+    training doesn't)."""
+    d = table(spark, sf_dir, "documents")
+    cur = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("r", F.trim(F.regexp_replace("w", "(.)", "$1  ")))
+        .select("r", "cnt")
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, int]] = []
+    for rnd in range(1, rounds + 1):
+        pairs = cur.select(
+            "cnt", F.explode(shingles(F.split("r", "  "), k=2)).alias("pair")
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), "pair")
+            .limit(1)
+            .collect()[0]
+        )
+        merges.append((rnd, top["pair"], int(top["n"])))
+        if rnd < rounds or apply_last:
+            cur = _bpe_apply_merge(cur, top["pair"])
+    return merges, cur
 
 
 @register("bpe_train_merges", oracle=_bpe_oracle(_BPE_ROUNDS))
@@ -184,44 +252,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges every occurrence in both engines identically (true BPE greedy
     semantics, no overlap aliasing).
     """
-    d = table(spark, sf_dir, "documents")
-    words = (
-        d.select(F.explode(F.split("text", " ")).alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn("r", F.trim(F.regexp_replace("w", "(.)", "$1  ")))
-        .select("r", "cnt")
-        .localCheckpoint()
-    )
-    merges: list[tuple[int, str, int]] = []
-    cur = words
-    for rnd in range(1, _BPE_ROUNDS + 1):
-        pairs = cur.select(
-            "cnt", F.explode(shingles(F.split("r", "  "), k=2)).alias("pair")
-        )
-        top = (
-            pairs.groupBy("pair")
-            .agg(F.sum("cnt").alias("n"))
-            .orderBy(F.desc("n"), "pair")
-            .limit(1)
-            .collect()[0]
-        )
-        merges.append((rnd, top["pair"], int(top["n"])))
-        if rnd < _BPE_ROUNDS:
-            needle = F.lit(" " + top["pair"].replace(" ", "  ") + " ")
-            fused = F.lit(" " + top["pair"].replace(" ", "") + " ")
-            cur = cur.withColumn(
-                "r",
-                F.trim(
-                    F.call_function(
-                        "replace",
-                        F.concat(F.lit(" "), F.col("r"), F.lit(" ")),
-                        needle,
-                        fused,
-                    )
-                ),
-            )
+    merges, _ = _bpe_train(spark, sf_dir, _BPE_ROUNDS, apply_last=False)
     from pyspark.sql.types import (
         IntegerType,
         LongType,
@@ -826,18 +857,25 @@ def trimmed_mean_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the group, the same contract as every grouped kernel here; the
     oracle selects the identical multiset via rank arithmetic.
     """
-    import math
-
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
     def trimmed_mean(v: pd.Series) -> float:
+        from decimal import ROUND_HALF_UP, Decimal
+
         import numpy as np
 
         x = np.sort(v.to_numpy(dtype=np.float64))
         cut = int(len(x) // 10)
         kept = x[cut : len(x) - cut]
-        return round(math.fsum(kept) / len(kept), 6)
+        # mirror the oracle exactly: quantize each value to 6 dp
+        # (DuckDB's CAST(value AS DECIMAL(18,6))), sum exactly, divide
+        # as double, round HALF-AWAY (SQL round — Python's built-in
+        # round() is half-to-even and diverges on half boundaries)
+        q = Decimal("0.000001")
+        total = sum(Decimal(float(t)).quantize(q, ROUND_HALF_UP) for t in kept)
+        mean = float(total) / len(kept)
+        return float(Decimal(mean).quantize(q, ROUND_HALF_UP))
 
     @pandas_udf("long")
     def n_total(v: pd.Series) -> int:
@@ -860,21 +898,12 @@ def trimmed_mean_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_encode_oracle(rounds: int) -> str:
-    """Extends the training CTE chain with the final merge application
-    and a corpus-level tokenization census: tokens per word after all
-    merges, weighted by word frequency."""
-    train = _bpe_oracle(rounds)
-    ctes = train.split("\n    SELECT CAST(1 AS INT)")[0]  # keep WITH ... p5
+    """The shared training CTE chain with the final merge applied
+    (rfinal), plus the corpus tokenization census: tokens per word
+    after all merges, weighted by word frequency."""
     return (
-        ctes
-        + f""",
-    rfinal AS MATERIALIZED (
-      SELECT trim(replace(' ' || r || ' ',
-                          ' ' || (SELECT replace(pair, ' ', '  ') FROM p{rounds}) || ' ',
-                          ' ' || (SELECT replace(pair, ' ', '') FROM p{rounds}) || ' ')) AS r,
-             cnt
-      FROM r{rounds - 1}
-    )
+        _bpe_ctes(rounds, final_apply=True)
+        + """
     SELECT CAST(sum(cnt * len(string_split(r, '  '))) AS BIGINT)
              AS total_symbols,
            CAST(sum(cnt * length(replace(r, ' ', ''))) AS BIGINT)
@@ -902,41 +931,7 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     real text at scale is the same literal `replace` chain applied
     map-side per document.
     """
-    d = table(spark, sf_dir, "documents")
-    words = (
-        d.select(F.explode(F.split("text", " ")).alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn("r", F.trim(F.regexp_replace("w", "(.)", "$1  ")))
-        .select("r", "cnt")
-        .localCheckpoint()
-    )
-    cur = words
-    for rnd in range(1, _BPE_ROUNDS + 1):
-        pairs = cur.select(
-            "cnt", F.explode(shingles(F.split("r", "  "), k=2)).alias("pair")
-        )
-        top = (
-            pairs.groupBy("pair")
-            .agg(F.sum("cnt").alias("n"))
-            .orderBy(F.desc("n"), "pair")
-            .limit(1)
-            .collect()[0]
-        )
-        needle = F.lit(" " + top["pair"].replace(" ", "  ") + " ")
-        fused = F.lit(" " + top["pair"].replace(" ", "") + " ")
-        cur = cur.withColumn(
-            "r",
-            F.trim(
-                F.call_function(
-                    "replace",
-                    F.concat(F.lit(" "), F.col("r"), F.lit(" ")),
-                    needle,
-                    fused,
-                )
-            ),
-        )
+    _, cur = _bpe_train(spark, sf_dir, _BPE_ROUNDS, apply_last=True)
     syms = F.size(F.split("r", "  "))
     chars = F.length(F.call_function("replace", F.col("r"), F.lit(" "), F.lit("")))
     return cur.agg(

@@ -663,7 +663,10 @@ def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents4",
         cum_col="cum",
     )
-    tot = rev.agg(F.sum("cents4").alias("tot"))
+    # grand total = max of the INCLUSIVE cumsum — derived from the
+    # already-materialized two-pass output instead of re-running the
+    # lineitem scan + decimal aggregation a second time
+    tot = c.agg(F.max("cum").alias("tot"))
     cls = c.crossJoin(F.broadcast(tot)).select(
         F.when(F.col("cum") <= F.col("tot") * 0.8, "A")
         .when(F.col("cum") <= F.col("tot") * 0.95, "B")
@@ -705,10 +708,13 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew factor (max / mean; ~1 = uniform, large = a hot key).
 
     One partial-aggregated count per key (narrow shuffle), then a
-    model-sized summary over the per-key counts; the percentile is
-    exact-interpolated then floored (both engines interpolate
-    identically on integer counts, floor removes the last float
-    boundary).
+    summary over the per-key counts. Honest caveat: the EXACT
+    percentile gathers the per-key counts into one aggregation buffer
+    (array-probed once for both quantiles) — n_keys-proportional, not
+    model-sized; at 100 TB swap in approx_percentile (mergeable GK
+    sketch, same plan shape, rows-only check). Both engines
+    interpolate identically on integer counts; floor removes the last
+    float boundary.
     """
     l = table(spark, sf_dir, "lineitem")
     g = l.groupBy("l_orderkey").agg(F.count("*").alias("n"))
@@ -717,8 +723,12 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("max_rows"),
         F.sum("n").alias("total_rows"),
         F.round(F.sum("n").cast("double") / F.count("*"), 6).alias("mean_rows"),
-        F.floor(F.expr("percentile(n, 0.5)")).cast("long").alias("p50"),
-        F.floor(F.expr("percentile(n, 0.99)")).cast("long").alias("p99"),
+        F.floor(F.expr("percentile(n, array(0.5, 0.99))[0]"))
+        .cast("long")
+        .alias("p50"),
+        F.floor(F.expr("percentile(n, array(0.5, 0.99))[1]"))
+        .cast("long")
+        .alias("p99"),
         F.round(
             F.max("n").cast("double")
             * F.count("*")
