@@ -99,6 +99,8 @@ _DEFER_THIS_ROUND: set[str] = {
     "pareto_abc_parts",
     "join_key_skew_report",
     "mom_revenue_growth",
+    "vocab_coverage_curve",
+    "error_burst_windows",
 }
 
 

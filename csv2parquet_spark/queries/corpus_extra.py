@@ -944,3 +944,66 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("symbols_per_char"),
     )
+
+
+@register(
+    "vocab_coverage_curve",
+    oracle="""
+    WITH v AS (
+      SELECT tok, count(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE tok <> '' GROUP BY tok
+    ), r AS (
+      SELECT tok, freq,
+             row_number() OVER (ORDER BY freq DESC, tok) AS rn,
+             sum(freq) OVER (ORDER BY freq DESC, tok
+                             ROWS UNBOUNDED PRECEDING) AS cum,
+             (SELECT sum(freq) FROM v) AS tot
+      FROM v
+    )
+    SELECT CAST(rn AS BIGINT) AS vocab_size,
+           CAST(cum AS BIGINT) AS tokens_covered,
+           round(CAST(cum AS DOUBLE) / tot, 6) AS coverage
+    FROM r WHERE rn IN (1, 10, 25)
+    """,
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve (the tokenizer-sizing question): what
+    fraction of all corpus tokens do the top-1 / top-10 / top-25 most
+    frequent types cover? The Zipf head drives tokenizer vocab-size
+    and stopword decisions.
+
+    At 100 TB the vocabulary itself is large, so the rank AND the
+    running coverage both come from the two-pass machinery
+    (operators/ranking.py) over (-freq, tok) order — global_row_number
+    for the rank, global_cumsum for the running token mass, joined on
+    the type — never a single-partition window over the vocab. The
+    probe ranks are a tiny IN filter; the oracle states the same
+    semantics as the naive global window.
+    """
+    from csv2parquet_spark.operators.ranking import global_cumsum, global_row_number
+
+    d = table(spark, sf_dir, "documents")
+    v = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .withColumn("neg", -F.col("freq"))
+    )
+    ranked, _ = global_row_number(v, ["neg", "tok"])
+    cum = global_cumsum(v, ["neg", "tok"], "freq", cum_col="cum")
+    tot = v.agg(F.sum("freq").alias("tot"))
+    return (
+        ranked.select("tok", "rn")
+        .join(cum.select("tok", "cum"), "tok")
+        .filter(F.col("rn").isin(1, 10, 25))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("rn").alias("vocab_size"),
+            F.col("cum").alias("tokens_covered"),
+            F.round(F.col("cum").cast("double") / F.col("tot"), 6).alias(
+                "coverage"
+            ),
+        )
+    )

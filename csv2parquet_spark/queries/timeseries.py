@@ -497,3 +497,58 @@ def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round((F.col("revenue") - prev) / prev, 6).alias("mom_growth"),
     )
+
+
+@register(
+    "error_burst_windows",
+    oracle="""
+    WITH w AS (
+      SELECT epoch_ms(time_bucket(INTERVAL '5 minutes', ts)) AS win_ms,
+             count(*) AS n
+      FROM events WHERE event_type = 'error'
+      GROUP BY 1
+    ), s AS (
+      SELECT CAST(avg(n) AS DOUBLE) AS mu,
+             CAST(stddev_samp(n) AS DOUBLE) AS sd
+      FROM w
+    )
+    SELECT w.win_ms, CAST(w.n AS BIGINT) AS n_errors,
+           round((w.n - s.mu) / s.sd, 6) AS zscore
+    FROM w, s
+    WHERE w.n > s.mu + 2 * s.sd
+    """,
+)
+def error_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst / anomaly detection over the error stream: 5-minute error
+    counts, windows more than 2 sigma above the mean flagged with
+    their z-score — the alerting query every operational pipeline
+    runs.
+
+    Scale shape: the windowed count partial-aggregates to one row per
+    5-minute bucket (time-bounded — model-sized for any corpus); the
+    mean/stddev summary is one more tiny aggregate broadcast back.
+    Counts are integers, so mu/sd are identical doubles in both
+    engines (stddev over <=N integer counts — same sums, same
+    variance formula) before the 6-dp round; the 2-sigma cut compares
+    engine-identical doubles.
+    """
+    e = table(spark, sf_dir, "events")
+    w = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy(
+            F.unix_millis(F.window("ts", "5 minutes")["start"]).alias("win_ms")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    s = w.agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sd")
+    )
+    return (
+        w.crossJoin(F.broadcast(s))
+        .filter(F.col("n") > F.col("mu") + 2 * F.col("sd"))
+        .select(
+            "win_ms",
+            F.col("n").alias("n_errors"),
+            F.round((F.col("n") - F.col("mu")) / F.col("sd"), 6).alias("zscore"),
+        )
+    )
