@@ -101,6 +101,8 @@ _DEFER_THIS_ROUND: set[str] = {
     "mom_revenue_growth",
     "vocab_coverage_curve",
     "error_burst_windows",
+    "join_right_outer_part_usage",
+    "grouping_sets_dataframe",
 }
 
 

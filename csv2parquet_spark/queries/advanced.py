@@ -621,3 +621,42 @@ def robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+@register(
+    "grouping_sets_dataframe",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+             AS gid,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+    """,
+)
+def grouping_sets_dataframe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS through the Spark 4 DataFrame API
+    (``DataFrame.groupingSets``) rather than SQL text (the SQL twin is
+    ``grouping_sets_sql``): (flag, status) detail, per-status
+    subtotals, and the grand total in ONE pass — Catalyst expands the
+    sets into a single Expand + aggregate, so the fact table is
+    scanned once however many sets are requested. ``grouping_id``
+    disambiguates real NULLs from subtotal rows.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "qty")
+    )

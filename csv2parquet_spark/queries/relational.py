@@ -563,3 +563,39 @@ def fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_name",
         F.levenshtein("probe_name", "s_name").alias("dist"),
     )
+
+
+@register(
+    "join_right_outer_part_usage",
+    oracle="""
+    SELECT p.p_size,
+           count(DISTINCT p.p_partkey) AS n_parts,
+           count(DISTINCT CASE WHEN l.l_orderkey IS NULL
+                               THEN p.p_partkey END) AS n_unsold_parts,
+           CAST(sum(CASE WHEN l.l_orderkey IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_lines
+    FROM lineitem l RIGHT JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_size
+    """,
+)
+def join_right_outer_part_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT-outer join (completing the join-direction matrix next to
+    inner/left/full/semi/anti): every part preserved even with zero
+    lineitem sales; per size band, how many parts exist, how many never
+    sold, and the matched line count. Physically Spark flips it to a
+    left join with sides swapped — the point is the API/semantics
+    coverage; the fact side still shuffles once on the key and the dim
+    side broadcasts when small.
+    """
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_size")
+    j = l.join(p, l["l_partkey"] == p["p_partkey"], "right")
+    return j.groupBy("p_size").agg(
+        F.count_distinct("p_partkey").alias("n_parts"),
+        F.count_distinct(
+            F.when(F.col("l_orderkey").isNull(), F.col("p_partkey"))
+        ).alias("n_unsold_parts"),
+        F.sum(F.when(F.col("l_orderkey").isNotNull(), 1).otherwise(0)).alias(
+            "n_lines"
+        ),
+    )
