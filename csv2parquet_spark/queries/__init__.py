@@ -103,6 +103,7 @@ _DEFER_THIS_ROUND: set[str] = {
     "error_burst_windows",
     "join_right_outer_part_usage",
     "grouping_sets_dataframe",
+    "sql_udf_scalar",
 }
 
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from csv2parquet_spark.queries.helpers import sql_dsum
 from csv2parquet_spark.queries.registry import register
 from csv2parquet_spark.tables import table
 
@@ -416,4 +417,50 @@ def semi_structured_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.from_xml(xml, "name string")["name"].alias("xml_name"),
         F.from_csv(csvs, F.lit("a string, b bigint"))["a"].alias("csv_name"),
         F.from_csv(csvs, F.lit("a string, b bigint"))["b"].alias("csv_region"),
+    )
+
+
+@register(
+    "sql_udf_scalar",
+    oracle=f"""
+    SELECT l_returnflag,
+           count(*) AS n,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 'net_revenue')},
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)',
+                     'gross_revenue')}
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def sql_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar functions (Spark 4 ``CREATE TEMPORARY
+    FUNCTION ... RETURNS ... RETURN expr`` — SQL UDFs): net and gross
+    price as named reusable functions, used in an aggregate. Unlike
+    Python UDFs these INLINE into Catalyst (the plan shows the
+    expanded expression — whole-stage codegen, pushdown, no
+    serialization boundary), which is why they are the first choice
+    for shared business logic; the oracle states the expanded
+    arithmetic directly.
+    """
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION net_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION gross_price("
+        "p DOUBLE, d DOUBLE, t DOUBLE) "
+        "RETURNS DOUBLE RETURN net_price(p, d) * (1 + t)"
+    )
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_sqludf")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count(*) AS n,
+               CAST(sum(CAST(net_price(l_extendedprice, l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS net_revenue,
+               CAST(sum(CAST(gross_price(l_extendedprice, l_discount, l_tax)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS gross_revenue
+        FROM li_sqludf
+        GROUP BY l_returnflag
+        """
     )

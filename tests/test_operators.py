@@ -733,3 +733,35 @@ def test_pq_adc_recall_against_exact(spark, sf_dir):
     assert len(overlap) >= 5, f"recall@10 too low: {len(overlap)}/10"
     for vid in overlap:
         assert abs(got[vid] - exact_rows[vid]) < 1e-6, (vid, got[vid], exact_rows[vid])
+
+
+def test_observe_metrics_during_query(spark, sf_dir):
+    """df.observe + Observation: pipeline health metrics (row counts,
+    null counts, sums) collected DURING a real query execution — no
+    second scan, no collect of data — the built-in hook a production
+    pipeline uses instead of re-running counts. Metrics must match
+    independently computed values."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from csv2parquet_spark.tables import table
+
+    e = table(spark, sf_dir, "events")
+    obs = Observation("ingest_health")
+    observed = e.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("n_null_value"),
+        # DISTINCT aggregates are rejected in observed metrics
+        # (INVALID_OBSERVED_METRICS) — approx_count_distinct is the
+        # sanctioned cardinality metric here
+        F.approx_count_distinct("user_id", 0.005).alias("n_users_approx"),
+    )
+    out = observed.filter(F.col("event_type") == "purchase").groupBy("user_id").count()
+    out.write.format("noop").mode("overwrite").save()
+
+    got = obs.get
+    assert got["n_rows"] == e.count()
+    assert got["n_null_value"] == e.filter(F.col("value").isNull()).count()
+    exact_users = e.select("user_id").distinct().count()
+    assert abs(got["n_users_approx"] - exact_users) <= max(1, exact_users // 20)
