@@ -104,6 +104,8 @@ _DEFER_THIS_ROUND: set[str] = {
     "join_right_outer_part_usage",
     "grouping_sets_dataframe",
     "sql_udf_scalar",
+    "recursive_cte_ancestry",
+    "sql_pipe_syntax",
 }
 
 

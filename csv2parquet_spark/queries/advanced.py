@@ -660,3 +660,80 @@ def grouping_sets_dataframe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_returnflag", "l_linestatus", "gid", "n", "qty")
     )
+
+
+@register(
+    "recursive_cte_ancestry",
+    oracle="""
+    WITH RECURSIVE walk(doc_id, node, depth) AS (
+      SELECT doc_id, doc_id AS node, 0 AS depth FROM documents
+      UNION ALL
+      SELECT doc_id, node // 2 AS node, depth + 1 FROM walk WHERE node > 0
+    )
+    SELECT depth, count(*) AS n_docs
+    FROM (SELECT doc_id, CAST(max(depth) AS INT) AS depth
+          FROM walk GROUP BY doc_id)
+    GROUP BY depth
+    """,
+)
+def recursive_cte_ancestry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE (Spark 4 ``WITH RECURSIVE``): every document walks
+    the implicit binary ancestry chain node -> node div 2 until the
+    root, and the result is the depth histogram — the
+    hierarchy-traversal shape (org charts, bill-of-materials, category
+    trees) SQL engines express recursively, now runnable natively in
+    Spark instead of a driver-side loop.
+
+    Each recursion step is one self-referencing join pass — Spark
+    unions per-iteration frames like the hand-rolled iterative
+    operators here (graph.py PageRank, dedup.py components), but plans
+    it from declarative SQL; depth is log2(max id), so the chain is
+    ~13 passes at fixture scale and growth is logarithmic in id space.
+    DuckDB runs the IDENTICAL recursive SQL as the oracle.
+    """
+    table(spark, sf_dir, "documents").createOrReplaceTempView("docs_rec")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(doc_id, node, depth) AS (
+          SELECT doc_id, doc_id AS node, 0 AS depth FROM docs_rec
+          UNION ALL
+          SELECT doc_id, node DIV 2 AS node, depth + 1 FROM walk WHERE node > 0
+        )
+        SELECT depth, count(*) AS n_docs
+        FROM (SELECT doc_id, CAST(max(depth) AS INT) AS depth
+              FROM walk GROUP BY doc_id)
+        GROUP BY depth
+        """
+    )
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIPE syntax (Spark 4 ``|>`` operators — SPARK-49555): the
+    linear FROM -> WHERE -> AGGREGATE dataflow written in evaluation
+    order instead of inside-out SQL. Same Catalyst plan as the classic
+    formulation (the oracle — DuckDB has no pipe syntax, so it states
+    the equivalent classic SQL); coverage pins that the engine accepts
+    the modern surface users migrate to.
+    """
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_pipe")
+    return spark.sql(
+        """
+        FROM li_pipe
+        |> WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |> AGGREGATE count(*) AS n,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                       AS qty
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n, qty
+        """
+    )
