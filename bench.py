@@ -1,9 +1,14 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+The FINAL stdout line is ONE compact JSON object:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>}
+Per-query spreads and the conversion-benchmark blocks go to a sidecar
+file (BENCH_DETAIL.json next to this script) and an EARLIER stdout
+line — the round-3 all-in-one line outgrew the driver's tail capture
+(BENCH_r03 "parsed": null), so the parseable summary now comes last
+and stays small.
 
 Each query executes its FULL plan via the noop sink (no driver-side
 collect — we measure engine time, not result transfer). Timings are
@@ -179,7 +184,10 @@ def bench_conversion_big(spark, sf_dir: str) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    spark = get_spark("bench")
+    # Progress bars write \r-frames to stdout; under the driver's capture
+    # they flood the tail and can push the JSON summary line out of the
+    # window — disable them for a clean machine-readable stream.
+    spark = get_spark("bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
 
     # Warm the JVM/codegen once with the flagship query.
     REGISTRY["q1_pricing_summary"].fn(spark, sf_dir).write.format("noop").mode(
@@ -204,6 +212,34 @@ def main() -> None:
         spread[name] = round(max(runs) - min(runs), 3)
 
     total = round(sum(times.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Conversion benches are long and I/O-bound; a failure there must not
+    # cost the round its query numbers.
+    try:
+        conv = bench_conversion(spark, sf_dir)
+        conv_big = bench_conversion_big(spark, sf_dir)
+    except Exception as exc:  # pragma: no cover - defensive
+        conv = {"error": repr(exc)}
+        conv_big = {}
+    detail = {
+        "metric": "headline_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "spread": spread,
+        "sf": sf_val,
+        "csv_to_parquet": conv,
+        "csv_to_parquet_big": conv_big,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    # Earlier line: full detail for humans/archaeology. Final line: the
+    # compact driver contract (metric/value/unit/queries/sf only).
+    print(json.dumps(detail))
+    sys.stdout.flush()
     print(
         json.dumps(
             {
@@ -211,10 +247,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
-                "spread": spread,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "csv_to_parquet": bench_conversion(spark, sf_dir),
-                "csv_to_parquet_big": bench_conversion_big(spark, sf_dir),
+                "sf": sf_val,
             }
         )
     )

@@ -126,6 +126,7 @@ def _lsh_blas_candidates(
     vec_col: str,
     id_col: str,
     seed: int,
+    bucket_cap: int = 8192,
 ) -> DataFrame:
     """LSH-bucketed candidate pairs via per-bucket BLAS over
     INT8-QUANTIZED vectors: group each (table, bucket) with
@@ -156,9 +157,18 @@ def _lsh_blas_candidates(
     (which re-joins the true vectors by id) loses nothing and the final
     output is identical to the float64 stage it replaces.
 
-    Caveat (same contract as FAISS-style bucketing): a bucket must fit
-    in one worker's memory — size the plane count so 2^planes tracks the
-    corpus (buckets of ~thousands, matmul-cheap).
+    Bucket-size bound (ENFORCED, not advisory): a skewed (table, bucket)
+    group larger than ``bucket_cap`` rows is split into r =
+    ⌈2n/bucket_cap⌉ deterministic salt blocks (salt = xxhash64(id) mod
+    r) and processed as the C(r+1, 2) pair-blocks of the triangle
+    decomposition: group (i, i) scores its own block's upper triangle,
+    group (i, j), i<j scores only the i×j cross rectangle, so every
+    candidate pair is examined in EXACTLY one group and the superset
+    guarantee is preserved while no group holds more than ~bucket_cap
+    rows (2n/r ≤ bucket_cap). Replication cost is r copies of the
+    bucket's narrow (8+dim)-byte cells — the price of not OOMing an
+    executor on an adversarial bucket. The bucket-size census is a
+    partial-agg over the bucket space (≤ T·2^planes rows — broadcast).
 
     Bucket ids are computed in the SAME numpy kernel as the quantizer
     (one matmul against all T·P hyperplanes) rather than as Catalyst
@@ -204,14 +214,41 @@ def _lsh_blas_candidates(
         F.posexplode(F.col("s.buckets")).alias("tbl", "bucket"),
     )
 
-    def gen(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")})
+    # Bucket census over the ≤ T·2^planes bucket space; r=1 (no salting)
+    # for every bucket within the cap, so the common path is unchanged.
+    sizes = bk.groupBy("tbl", "bucket").agg(F.count(F.lit(1)).alias("__bn"))
+    r_col = F.when(
+        F.col("__bn") > bucket_cap,
+        F.ceil(F.lit(2) * F.col("__bn") / F.lit(bucket_cap)).cast("int"),
+    ).otherwise(F.lit(1))
+    salted = (
+        bk.join(F.broadcast(sizes), ["tbl", "bucket"])
+        .withColumn("__r", r_col)
+        .withColumn("__salt", F.pmod(F.xxhash64("id"), F.col("__r")).cast("int"))
+        .select(
+            "id",
+            "qz",
+            "tbl",
+            "bucket",
+            "__salt",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("__r") - 1),
+                    lambda t: F.struct(
+                        F.least(F.col("__salt"), t).alias("gi"),
+                        F.greatest(F.col("__salt"), t).alias("gj"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("id", "qz", "tbl", "bucket", "__salt", "g.gi", "g.gj")
+    )
+
+    def _unpack(pdf: pd.DataFrame):
         A = np.frombuffer(b"".join(pdf["qz"]), dtype=np.uint8).reshape(len(pdf), -1)
         s = A[:, :8].copy().view(np.float64).ravel()
         V = A[:, 8:].view(np.int8).astype(np.float64) * s[:, None]
         d = V.shape[1]
-        ids = pdf["id"].to_numpy()
         n = np.linalg.norm(V, axis=1)
         # δ = 2·(√d·s/2)/|x̂| bounds the unit-vector perturbation from
         # quantization; zero-norm reconstructions get the max bound (2).
@@ -219,15 +256,43 @@ def _lsh_blas_candidates(
         nz = n > 0.0
         delta[nz] = np.sqrt(d) * s[nz] / n[nz]
         n[~nz] = 1.0
-        Vn = V / n[:, None]
-        keep = Vn @ Vn.T >= threshold - delta[:, None] - delta[None, :] - 1e-6
-        ia, ib = np.nonzero(np.triu(keep, k=1))
+        return V / n[:, None], delta, pdf["id"].to_numpy()
+
+    empty = pd.DataFrame(
+        {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
+    )
+
+    def gen(key, pdf):
+        gi, gj = key[2], key[3]
+        if gi == gj:
+            # Own-block triangle: every pair within this salt block.
+            if len(pdf) < 2:
+                return empty
+            Vn, delta, ids = _unpack(pdf)
+            keep = Vn @ Vn.T >= threshold - delta[:, None] - delta[None, :] - 1e-6
+            ia, ib = np.nonzero(np.triu(keep, k=1))
+        else:
+            # Cross rectangle: only gi-block × gj-block pairs — the
+            # (gi,gi)/(gj,gj) sub-blocks belong to their own groups, so
+            # no pair is scored twice across the decomposition.
+            la = pdf["__salt"].to_numpy() == gi
+            if not la.any() or la.all():
+                return empty
+            Vn, delta, ids = _unpack(pdf)
+            ka, kb = np.nonzero(
+                Vn[la] @ Vn[~la].T
+                >= threshold - delta[la][:, None] - delta[~la][None, :] - 1e-6
+            )
+            idx = np.arange(len(ids))
+            ia, ib = idx[la][ka], idx[~la][kb]
+        if len(ia) == 0:
+            return empty
         return pd.DataFrame(
             {"id_a": np.minimum(ids[ia], ids[ib]), "id_b": np.maximum(ids[ia], ids[ib])}
         )
 
     return (
-        bk.groupBy("tbl", "bucket")
+        salted.groupBy("tbl", "bucket", "gi", "gj")
         .applyInPandas(gen, "id_a bigint, id_b bigint")
         .distinct()
     )
@@ -243,6 +308,7 @@ def pairwise_near_dups(
     num_tables: int = 8,
     dim: int = 64,
     seed: int = 42,
+    bucket_cap: int = 8192,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: (id_a, id_b, sim ≥ threshold).
 
@@ -263,7 +329,15 @@ def pairwise_near_dups(
     )
     if block_col is None:
         cand = _lsh_blas_candidates(
-            vectors, threshold, num_planes, num_tables, dim, vec_col, id_col, seed
+            vectors,
+            threshold,
+            num_planes,
+            num_tables,
+            dim,
+            vec_col,
+            id_col,
+            seed,
+            bucket_cap=bucket_cap,
         )
     else:
         blocks = vectors.select(

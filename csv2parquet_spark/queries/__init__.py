@@ -47,66 +47,18 @@ from csv2parquet_spark.queries import corpus_extra  # noqa: E402,F401
 # Queries that miss this round's window stay in tier 1/2 and surface
 # automatically next round once newly-proven names drop to tier 3.
 # ---------------------------------------------------------------------------
-# Round-3 re-proofs: embedding_near_dups' candidate stage-1 was
-# reimplemented this round (int8-quantized shuffle + in-kernel numpy
-# buckets) — output is provably identical (losslessness test pins the
-# superset property) but the rule is: behavior-adjacent change → re-prove.
-# Clear once CORRECTNESS_r03 shows it green. (r2 entries cleared: both
-# proven in CORRECTNESS_r02.)
-_FORCE_FIRST: list[str] = ["embedding_near_dups"]
+# Round-4 re-proofs: _lsh_blas_candidates grew an ENFORCED bucket-size
+# cap (census + salted pair-block decomposition — VERDICT r3 item 4);
+# the default path is logically unchanged (r=1 for every in-cap bucket)
+# but the plan changed, so the two proven consumers re-prove.
+_FORCE_FIRST: list[str] = ["embedding_near_dups", "embedding_semantic_dedup"]
 
-# Round-3 late additions: the 50-slot window is already exactly filled
-# (1 forced re-proof + 40 tier-1 + 9 tier-2). Anything registered after
-# that fill is deferred BEHIND the tier-2 rows-only entries so it cannot
-# displace their ran-clean rows this round; the rotation automatically
-# promotes them to tier 1 next round (clear this set then).
-_DEFER_THIS_ROUND: set[str] = {
-    "bpe_pair_counts",
-    "inverted_index_postings",
-    "textrank_tokens",
-    "stream_static_enrich",
-    "interval_bucket_join",
-    "table_diff_digest",
-    "ols_per_group",
-    "lang_similarity_matrix",
-    "exact_substr_dup_spans",
-    "bpe_train_merges",
-    "pack_sequences_greedy",
-    "scd2_user_tier_history",
-    "skew_join_salted",
-    "logreg_gd_weights",
-    "heavy_hitters_mg",
-    "tfidf_cosine_pairs",
-    "asof_cogroup_merge",
-    "mixture_temperature_sample",
-    "similarity_graph_triangles",
-    "stream_interval_join_outer_agg",
-    "dq_constraint_report",
-    "chi_square_lang_source",
-    "seq_pattern_cvp",
-    "ivm_incremental_agg",
-    "ncm_confusion_matrix",
-    "weighted_sample_es",
-    "part_pair_cooccurrence",
-    "hll_intersection_estimate",
-    "cohort_retention_matrix",
-    "twap_user_value",
-    "similarity_topk_pq",
-    "trimmed_mean_grouped_agg",
-    "binary_stats_arrow",
-    "bpe_encode_corpus",
-    "top_event_trigrams",
-    "pareto_abc_parts",
-    "join_key_skew_report",
-    "mom_revenue_growth",
-    "vocab_coverage_curve",
-    "error_burst_windows",
-    "join_right_outer_part_usage",
-    "grouping_sets_dataframe",
-    "sql_udf_scalar",
-    "recursive_cte_ancestry",
-    "sql_pipe_syntax",
-}
+# Round-4: cleared at round start per the rotation protocol — the ~45
+# round-3 continuation queries auto-promote to tier 1 and fill this
+# round's 50-slot window. New round-4 registrations that would overflow
+# the window go here (they sort at 2.5, behind pending tier-2 rows-only
+# proofs, and auto-promote next round).
+_DEFER_THIS_ROUND: set[str] = set()
 
 
 def _proven_from_driver_rounds() -> tuple[set[str], set[str]]:

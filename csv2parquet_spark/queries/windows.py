@@ -106,20 +106,14 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "window_ntile_percentiles",
-    oracle="""
-    SELECT o_orderkey,
-           ntile(4) OVER w AS quartile,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist() OVER w, 6) AS cume
-    FROM orders
-    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
-    """,
-)
 def window_ntile_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global-order window: fine at test scale; at 100 TB this is the one
-    window shape to avoid (single-partition sort) — documented tradeoff."""
+    window shape to avoid (single-partition sort) — documented tradeoff.
+
+    DELIBERATELY UNREGISTERED (round 4): the driver contract should hold
+    only plans that survive 100× — this is the teaching twin of
+    ``window_ntile_scalable`` (identical output, registered, scale-safe);
+    tests/test_operators.py pins their equivalence."""
     o = table(spark, sf_dir, "orders")
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return o.select(

@@ -456,6 +456,22 @@ def test_lsh_blas_sign_margin_and_candidate_superset(spark, sf_dir):
     assert want, "fixture should contain co-bucketed near-dups"
     assert want <= got, f"stage-1 lost true pairs: {sorted(want - got)[:5]}"
 
+    # 3. BUCKET-CAP ENFORCEMENT: a bucket_cap far below every bucket's
+    #    size forces the salted pair-block decomposition (r > 1 for all
+    #    buckets) — the candidate set must be IDENTICAL, because the
+    #    triangle decomposition scores every pair exactly once (own-block
+    #    triangles + cross rectangles partition the pair space).
+    got_salted = {
+        (r.id_a, r.id_b)
+        for r in S._lsh_blas_candidates(
+            emb, thr, 4, 8, 64, "embedding", "vec_id", 42, bucket_cap=8
+        ).collect()
+    }
+    assert got_salted == got, (
+        f"salted decomposition changed the candidate set: "
+        f"lost={sorted(got - got_salted)[:5]} gained={sorted(got_salted - got)[:5]}"
+    )
+
 
 def test_bloom_probe_duplicate_queries_no_false_negatives(spark):
     """Duplicate probe values must not break the Bloom no-false-negative
@@ -765,3 +781,18 @@ def test_observe_metrics_during_query(spark, sf_dir):
     assert got["n_null_value"] == e.filter(F.col("value").isNull()).count()
     exact_users = e.select("user_id").distinct().count()
     assert abs(got["n_users_approx"] - exact_users) <= max(1, exact_users // 20)
+
+
+def test_ntile_percentiles_twin_equivalence(spark, sf_dir):
+    """The UNREGISTERED single-partition-Window twin (demoted from the
+    driver contract in round 4 — the registry should contain only plans
+    that survive 100×) must stay result-identical to the registered
+    scale-safe two-pass implementation."""
+    from csv2parquet_spark.queries.windows import (
+        window_ntile_percentiles,
+        window_ntile_scalable,
+    )
+
+    naive = sorted(map(tuple, window_ntile_percentiles(spark, sf_dir).collect()))
+    scalable = sorted(map(tuple, window_ntile_scalable(spark, sf_dir).collect()))
+    assert naive == scalable

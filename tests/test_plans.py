@@ -239,7 +239,6 @@ def test_bucketed_join_has_no_shuffle_exchange(spark, sf_dir, tmp_path):
 # Global windows over a single partition are allowed only with a
 # documented reason — everything else here is a scale regression.
 _GLOBAL_WINDOW_ALLOWED = {
-    "window_ntile_percentiles": "documented anti-pattern twin of window_ntile_scalable",
     "window_moving_7day_revenue": "window over the per-day pre-aggregate (days, not rows)",
     "kmv_quantile_sketch": "window over the k-row KMV sample, model-sized by construction",
 }
