@@ -8,7 +8,7 @@ lifecycle").
 """
 
 from csv2parquet_spark.converter.convert import convert, ConvertOptions, write_parquet
-from csv2parquet_spark.converter.jsonl import convert_jsonl, read_jsonl
+from csv2parquet_spark.converter.jsonl import convert_json, convert_jsonl, read_jsonl
 from csv2parquet_spark.converter.schema_json import (
     arrow_json_to_struct,
     struct_to_arrow_json,
@@ -17,6 +17,7 @@ from csv2parquet_spark.converter.inference import infer_schema
 
 __all__ = [
     "convert",
+    "convert_json",
     "convert_jsonl",
     "read_jsonl",
     "write_parquet",

@@ -75,14 +75,12 @@ def build_parser() -> argparse.ArgumentParser:
         default="FAILFAST",
     )
     # Engine extension: input format. "auto" keys off the extension
-    # (.jsonl/.ndjson → JSONL; .orc → ORC; .parquet → Parquet
-    # recompress/re-encode rewrite; everything else CSV — a plain .json
-    # file usually means a multi-line document/array, which the
-    # line-oriented reader would misparse, so it needs an explicit
-    # --format jsonl); the reference grammar is CSV-only.
+    # (.jsonl/.ndjson → JSONL; .json → multi-line JSON documents/arrays;
+    # .orc → ORC; .parquet → Parquet recompress/re-encode rewrite;
+    # everything else CSV); the reference grammar is CSV-only.
     p.add_argument(
         "--format",
-        choices=["auto", "csv", "jsonl", "orc", "parquet"],
+        choices=["auto", "csv", "jsonl", "json", "orc", "parquet"],
         default="auto",
     )
     return p
@@ -122,12 +120,16 @@ def main(argv: list[str] | None = None) -> int:
     fmt = args.format
     if fmt == "auto":
         ext = args.csv.rsplit(".", 1)[-1].lower()
-        fmt = {"jsonl": "jsonl", "ndjson": "jsonl", "orc": "orc",
-               "parquet": "parquet"}.get(ext, "csv")
+        fmt = {"jsonl": "jsonl", "ndjson": "jsonl", "json": "json",
+               "orc": "orc", "parquet": "parquet"}.get(ext, "csv")
     if fmt == "jsonl":
         from csv2parquet_spark.converter.jsonl import convert_jsonl
 
         convert_jsonl(spark, args.csv, args.parquet, opts)
+    elif fmt == "json":
+        from csv2parquet_spark.converter.jsonl import convert_json
+
+        convert_json(spark, args.csv, args.parquet, opts)
     elif fmt in ("orc", "parquet"):
         from csv2parquet_spark.converter.formats import convert_columnar
 

@@ -101,3 +101,61 @@ def convert_jsonl(
     df = spark.read.options(mode=opts.parse_mode).schema(schema).json(jsonl_path)
     write_parquet(spark, df, jsonl_path, parquet_path, opts)
     return schema
+
+
+def _infer_json_schema(
+    spark: SparkSession, json_path: str, opts: ConvertOptions
+) -> T.StructType:
+    if opts.schema_file:
+        with open(opts.schema_file) as f:
+            return arrow_json_to_struct(f.read())
+    inferred = spark.read.option("multiLine", "true").json(json_path).schema
+    if opts.max_read_records == 0:
+        # CSV-parity contract: 0 sampled records → all columns string.
+        # Unlike JSONL there is no line-sampled names pass: a multi-line
+        # document is not line-splittable, so field names come from the
+        # same document parse inference does (no extra corpus cost — the
+        # reader must parse whole documents either way).
+        return T.StructType(
+            [T.StructField(f.name, T.StringType()) for f in inferred]
+        )
+    return inferred
+
+
+def convert_json(
+    spark: SparkSession,
+    json_path: str,
+    parquet_path: str,
+    opts: ConvertOptions | None = None,
+    out=sys.stdout,
+    err=sys.stderr,
+) -> T.StructType | None:
+    """Multi-line ``.json`` → Parquet (``--format json``): a file holding
+    ONE pretty-printed object, a top-level ARRAY of objects, or
+    concatenated multi-line objects — the shapes the line-oriented JSONL
+    reader misparses. Same converter surface (schema files, W1-W9
+    writer knobs, --dry/--print-schema banner, parse-mode ladder).
+
+    Scale note, by design: multiLine JSON is a DOCUMENT format — each
+    file parses as one unsplittable task, so parallelism comes from the
+    file count, not splits. ``max_read_records`` caps are line-based
+    and don't apply here (documents must parse whole); inference is a
+    full pass, as the reference's default inference is for CSV. For
+    100 TB corpora use JSONL, which fans out per split.
+    """
+    opts = opts or ConvertOptions()
+    schema = _infer_json_schema(spark, json_path, opts)
+
+    if opts.print_schema or opts.dry:
+        print("Schema:", file=err)
+        print(struct_to_arrow_json(schema), file=out)
+        if opts.dry:
+            return schema
+
+    df = (
+        spark.read.options(mode=opts.parse_mode, multiLine="true")
+        .schema(schema)
+        .json(json_path)
+    )
+    write_parquet(spark, df, json_path, parquet_path, opts)
+    return schema

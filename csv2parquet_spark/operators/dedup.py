@@ -469,19 +469,30 @@ def minhash_near_dups(
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 20
+    edges: DataFrame, max_iter: int = 20, algorithm: str = "propagation"
 ) -> DataFrame:
     """Connected components of an undirected pair graph — the step that
     turns near-dup PAIRS into dedup CLUSTERS (keep min-id per cluster).
 
-    Iterative min-label propagation: every vertex takes the minimum
-    component id among itself and its neighbors until fixpoint — the
-    standard large-graph CC shape (hash-join + groupBy per round,
-    converges in O(graph diameter) rounds; near-dup graphs are shallow).
+    ``algorithm="propagation"`` (default): iterative min-label
+    propagation — every vertex takes the minimum component id among
+    itself and its neighbors until fixpoint (hash-join + groupBy per
+    round, O(graph diameter) rounds; near-dup graphs are shallow).
+    ``algorithm="star"``: alternating large-star/small-star (Kiveris et
+    al. 2014, "Connected Components in MapReduce and Beyond") — same
+    output, O(log n) rounds regardless of diameter; pick it when the
+    pair graph may contain long chains (adversarial near-dup chains,
+    transitive fuzzy matches). Property-tested equivalent to the
+    propagation fixpoint on random graphs (tests/test_properties.py).
+
     ``localCheckpoint`` truncates the lineage each round so the plan
     doesn't grow with iterations. Input: (id_a, id_b); output:
     (id, component) for every vertex that appears in an edge.
     """
+    if algorithm == "star":
+        return _connected_components_star(edges, max_iter)
+    if algorithm != "propagation":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     sym = edges.select("id_a", "id_b").union(
         edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )
@@ -532,6 +543,84 @@ def connected_components(
             stacklevel=2,
         )
     return labels
+
+
+def _connected_components_star(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Alternating large-star / small-star rounds until the edge set is
+    a fixed star forest (child → component-min), then read the labels
+    off the edges.
+
+    Per round both operations are one groupBy(min) + one join over the
+    EDGE relation only (never the corpus): large-star hangs every
+    neighbor larger than u onto min(Γ(u) ∪ {u}); small-star re-hangs the
+    smaller-or-equal neighborhood onto its min. Kiveris et al. 2014
+    prove convergence in O(log n) alternations with monotone edge-value
+    decrease — the deep-chain cure the propagation variant lacks."""
+    sym = (
+        edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .union(
+            edges.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")).filter(
+                F.col("u") != F.col("v")
+            )
+        )
+        .distinct()
+    )
+    # Every vertex appearing in ANY edge (self-loops included — a
+    # vertex whose only edge is (x, x) is its own singleton component).
+    vertices = (
+        edges.select(F.col("id_a").alias("id"))
+        .union(edges.select(F.col("id_b").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # Oriented invariant between rounds: E holds (u, v) with u > v.
+    E = sym.filter(F.col("u") > F.col("v")).distinct().localCheckpoint()
+
+    for _ in range(max_iter):
+        # Large-star over the symmetric view of E: for every center u,
+        # attach each neighbor v > u to m = min(neighbors(u) ∪ {u}).
+        symE = E.union(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = symE.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            symE.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # Small-star: edges already oriented (u > v); re-hang u and its
+        # smaller neighborhood onto the neighborhood min.
+        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smins.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        changed = (
+            small.exceptAll(E).limit(1).count() + E.exceptAll(small).limit(1).count()
+        )
+        E = small
+        if changed == 0:
+            break
+    else:
+        import warnings
+
+        warnings.warn(
+            f"connected_components(star) hit max_iter={max_iter} before the "
+            "star forest stabilized — components may be over-split",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    # At the star fixpoint every child has exactly one out-edge (to its
+    # root); the min-agg is defensive for the max_iter-exceeded path.
+    labels = E.groupBy(F.col("u").alias("id")).agg(F.min("v").alias("component"))
+    return vertices.join(labels, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )
 
 
 def simhash_signatures(

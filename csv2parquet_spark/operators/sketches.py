@@ -281,13 +281,19 @@ def mg_partials(tokens: DataFrame, col: str = "token", k: int = 64) -> DataFrame
     ``dec`` the partition's total decrement mass (repeated on each of
     its rows for merge-side recovery).
 
-    Per-partition state is ≤ k counters; each Arrow batch is first
-    reduced with a vectorized value_counts, then merged into the
-    counter set with the summary-merge rule (add counts; if over k,
-    subtract the (k+1)-th largest and drop non-positives — Agarwal et
-    al. 2012, mergeable summaries). Deterministic for a fixed input
-    layout; the estimate guarantee ``est <= true <= est + total_dec``
-    holds regardless of merge order.
+    Memory contract: the PERSISTENT per-partition state is ≤ k counters
+    (pruned after every batch merge), but the TRANSIENT state while a
+    batch merges is k + that batch's distinct count — bounded by the
+    Arrow batch size (``spark.sql.execution.arrow.maxRecordsPerBatch``,
+    default 10k rows), not by k. Each Arrow batch is first reduced with
+    a vectorized value_counts, then merged into the counter set with
+    the summary-merge rule (add counts; if over k, subtract the
+    (k+1)-th largest and drop non-positives — Agarwal et al. 2012,
+    mergeable summaries). Pruning inside the value_counts loop would
+    keep transients at k but do per-token Python work; the batch-sized
+    transient is the better trade and is already executor-bounded.
+    Deterministic for a fixed input layout; the estimate guarantee
+    ``est <= true <= est + total_dec`` holds regardless of merge order.
     """
     import pandas as pd
     from pyspark import TaskContext

@@ -92,7 +92,15 @@ class _StreamReader(DataSourceStreamReader):
     like the batch reader), so checkpoint recovery replays identical
     batches. ``partitions(start, end)`` splits the batch range across
     ``partitions`` tasks — the planner runs them in parallel just like
-    a file source's splits."""
+    a file source's splits.
+
+    Restart safety: ``_latest`` starts at 0 in a fresh reader instance,
+    but after checkpoint recovery Spark replays the committed range by
+    calling ``partitions(start, end)`` / ``commit(end)`` with offsets
+    from the WAL — both bump ``_latest`` to at least that end, so the
+    next ``latestOffset`` resumes monotonically from the recovered
+    position instead of re-announcing offsets below the committed start
+    (which would invert the batch range and later re-emit rows)."""
 
     def __init__(self, options: dict):
         self.rows_per_batch = int(options.get("rows_per_batch", 100))
@@ -109,6 +117,9 @@ class _StreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         s, e = start["offset"], end["offset"]
+        # Recovery path: never let announced offsets regress below a
+        # range the engine already planned (see class docstring).
+        self._latest = max(self._latest, e)
         if s >= e:
             return [_StreamRange(s, s)]
         per = -(-(e - s) // self.n_parts)
@@ -120,7 +131,9 @@ class _StreamReader(DataSourceStreamReader):
             yield (i, h % 100, float(h % 1000) / 10.0)
 
     def commit(self, end: dict) -> None:
-        pass  # offsets are pure functions of the index: nothing to GC
+        # Offsets are pure functions of the index: nothing to GC. Track
+        # the committed high-water mark for restart monotonicity.
+        self._latest = max(self._latest, end["offset"])
 
 
 class SyntheticEventsStreamDataSource(DataSource):

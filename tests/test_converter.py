@@ -486,3 +486,57 @@ def test_bloom_filter_columns_written(spark, tmp_path):
     a = duckdb.sql(f"SELECT sum(k), count(*) FROM read_parquet('{plain}')").fetchone()
     b = duckdb.sql(f"SELECT sum(k), count(*) FROM read_parquet('{bloom}')").fetchone()
     assert a == b
+
+
+def test_convert_json_multiline_shapes(spark, tmp_path):
+    """--format json (round 4): the three multi-line shapes the JSONL
+    reader misparses — a top-level ARRAY of objects, ONE pretty-printed
+    object — convert correctly; --format auto routes .json here; --dry
+    prints the banner contract; max_read_records=0 stays CSV-parity
+    (all columns string)."""
+    import io
+
+    import duckdb
+
+    from csv2parquet_spark.converter import ConvertOptions, convert_json
+    from csv2parquet_spark.converter.cli import main as cli_main
+
+    arr = tmp_path / "arr.json"
+    arr.write_text(
+        '[\n  {"id": 1, "text": "hello",\n   "meta": {"lang": "en"}},\n'
+        '  {"id": 2, "text": "welt",\n   "meta": {"lang": "de"}}\n]\n'
+    )
+    out = str(tmp_path / "arr.parquet")
+
+    # --dry: banner on stderr, schema on stdout, nothing written
+    o, e = io.StringIO(), io.StringIO()
+    schema = convert_json(spark, str(arr), out, ConvertOptions(dry=True), out=o, err=e)
+    assert e.getvalue().strip() == "Schema:"
+    assert not os.path.exists(out)
+    assert arrow_json_to_struct(o.getvalue()) == schema
+
+    # auto-routing through the CLI: .json → multiLine reader
+    assert cli_main([str(arr), out]) == 0
+    rows = duckdb.sql(
+        f"SELECT id, text, meta.lang FROM read_parquet('{out}') ORDER BY id"
+    ).fetchall()
+    assert rows == [(1, "hello", "en"), (2, "welt", "de")]
+
+    # one pretty-printed object per file
+    single = tmp_path / "single.json"
+    single.write_text('{\n  "id": 7,\n  "text": "solo"\n}\n')
+    out2 = str(tmp_path / "single.parquet")
+    convert_json(spark, str(single), out2)
+    assert duckdb.sql(
+        f"SELECT id, text FROM read_parquet('{out2}')"
+    ).fetchall() == [(7, "solo")]
+
+    # max_read_records=0 → every column lands as string (CSV parity)
+    out3 = str(tmp_path / "arr0.parquet")
+    schema0 = convert_json(
+        spark, str(arr), out3, ConvertOptions(max_read_records=0)
+    )
+    assert all(f.dataType.typeName() == "string" for f in schema0.fields)
+    assert duckdb.sql(
+        f"SELECT id FROM read_parquet('{out3}') ORDER BY id"
+    ).fetchall() == [("1",), ("2",)]

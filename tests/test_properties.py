@@ -342,3 +342,62 @@ def test_global_cumsum_property(spark, rows, parts):
         r.k: r.cum for r in df.withColumn("cum", F.sum("w").over(w)).collect()
     }
     assert got == want
+
+
+@SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=25),
+            st.integers(min_value=0, max_value=25),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_star_matches_propagation(spark, edges):
+    """The O(log n)-round alternating-star variant must label arbitrary
+    random graphs (self-loops, duplicates, multi-component, chains)
+    identically to the O(diameter) propagation fixpoint — and both must
+    match a driver-side union-find ground truth."""
+    from csv2parquet_spark.operators.dedup import connected_components
+
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "id_a bigint, id_b bigint"
+    )
+    prop = {
+        r.id: r.component
+        for r in connected_components(df, algorithm="propagation").collect()
+    }
+    star = {
+        r.id: r.component
+        for r in connected_components(df, max_iter=12, algorithm="star").collect()
+    }
+
+    # ground truth: union-find with min-id representative
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    verts = set()
+    for a, b in edges:
+        verts.update((a, b))
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    # union-find parent chains may not point at the min directly; the
+    # min-id representative is the min over each root's member set
+    by_root: dict[int, list[int]] = {}
+    for v in verts:
+        by_root.setdefault(find(v), []).append(v)
+    want = {v: min(members) for r, members in by_root.items() for v in members}
+
+    # both variants label every vertex appearing in any edge,
+    # self-loop-only vertices included
+    assert star == want
+    assert prop == want

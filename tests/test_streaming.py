@@ -731,3 +731,22 @@ def test_python_stream_datasource_exactly_once(spark, tmp_path):
     seqs = sorted(r.seq for r in rows)
     assert seqs == list(range(350)), "dup/gap in streamed sequence"
     assert n_batches >= 3
+
+
+def test_python_stream_datasource_restart_monotonic_offsets():
+    """Checkpoint-recovery contract (unit level): a FRESH reader whose
+    in-memory counter restarted at 0 must never announce a latestOffset
+    below a range the engine already planned or committed from the WAL
+    — otherwise the next batch range inverts and rows re-emit once the
+    counter climbs past the recovered start."""
+    from csv2parquet_spark.sources.pysource import _StreamReader
+
+    r = _StreamReader({"rows_per_batch": 100, "max_rows": 1000})
+    # Recovery replay: engine re-plans the committed range from the WAL.
+    r.partitions({"offset": 200}, {"offset": 300})
+    assert r.latestOffset()["offset"] >= 300 + 100 - 100  # never below 300
+    assert r.latestOffset()["offset"] == 500  # advances monotonically
+
+    r2 = _StreamReader({"rows_per_batch": 100, "max_rows": 1000})
+    r2.commit({"offset": 400})  # recovery path that only re-commits
+    assert r2.latestOffset()["offset"] == 500
