@@ -696,3 +696,57 @@ def simhash_near_dups(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def chunk_level_dedup(
+    df: DataFrame,
+    size: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Paragraph/chunk-level exact dedup with document REASSEMBLY — the
+    CCNet shape: documents are split into non-overlapping ``size``-token
+    chunks, a chunk survives only at its FIRST occurrence corpus-wide
+    (min (doc_id, chunk_idx) per md5, a deterministic total order), and
+    every document is rebuilt from its surviving chunks in order.
+
+    Returns (doc_id, n_chunks, n_kept, dedup_fp) where ``dedup_fp`` is
+    the md5 of the rebuilt text (narrow output; the rebuilt string never
+    leaves the executor). Scale shape: chunking is map-only explode;
+    the keep decision is ONE hash-partitioned window over the chunk
+    relation (the md5 key spreads uniformly — boilerplate-heavy corpora
+    concentrate per md5 VALUE, and a single window partition holds one
+    chunk's occurrence list, bounded by its duplication count); the
+    rebuild is one groupBy(doc_id) with an ordered conditional
+    collect_list. Two shuffles total, both on synthetic keys.
+    """
+    from csv2parquet_spark.operators.chunking import chunk_documents
+    from pyspark.sql.window import Window
+
+    ch = chunk_documents(df, size=size, stride=size, text_col=text_col, id_col=id_col)
+    # Arithmetic occurrence key (doc_id·100000 + idx): same total order
+    # as the (doc_id, chunk_idx) struct, and expressible identically in
+    # the DuckDB oracle (chunk_idx < 100000 by construction at any doc
+    # length the chunker accepts).
+    occ = F.col("doc_id") * 100000 + F.col("chunk_idx")
+    w = Window.partitionBy(F.md5("chunk_text"))
+    k = ch.withColumn("keep", F.min(occ).over(w) == occ)
+    kept_struct = F.when(
+        F.col("keep"), F.struct(F.col("chunk_idx"), F.col("chunk_text"))
+    )
+    return (
+        k.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda s: s.chunk_text,
+                    ),
+                    " ",
+                )
+            ).alias("dedup_fp"),
+        )
+    )

@@ -16,6 +16,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 DECODE_SCHEMA = (
     "doc_id bigint, payload_bytes int, width int, height int, channels int, format string"
@@ -363,3 +364,159 @@ def sample_frames(
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_sha": shas})
 
     return df.mapInPandas(frame_batches, schema=FRAME_SCHEMA)
+
+
+def _mix64(x: int) -> int:
+    """splitmix64 finalizer — a public-domain 64-bit mixer; gives each
+    pattern base an effectively random 64-bit target hash."""
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return x ^ (x >> 31)
+
+
+def synth_patterned_image(doc_id: int) -> bytes:
+    """Deterministic 24-bpp BMP whose CONTENT is an 8×8-cell black/white
+    pattern — the near-dup fixture for perceptual hashing.
+
+    base = doc_id // 4 picks the 64-bit cell pattern (splitmix64(base));
+    variant = doc_id % 4 > 0 inverts ONE cell ((variant·17) % 64), so the
+    four ids of a base are pairwise ≤ 2 aHash bits apart while distinct
+    bases are ~32 bits apart. Dimensions VARY per id (16..72 px per
+    axis) — the pattern is defined on the 8×8 cell grid, so the same
+    base renders near-identically at any size: resize invariance is the
+    property perceptual hashes exist for, and tests pin it."""
+    import struct
+
+    base, variant = doc_id // 4, doc_id % 4
+    bits = _mix64(base)
+    if variant:
+        bits ^= 1 << ((variant * 17) % 64)
+    w = 16 + (doc_id % 8) * 7
+    h = 16 + ((doc_id // 8) % 8) * 7
+    row_sz = ((24 * w + 31) // 32) * 4
+    img = bytearray(row_sz * h)
+    for ry in range(h):  # BMP rows are stored bottom-up
+        y = h - 1 - ry
+        cy = y * 8 // h
+        off = ry * row_sz
+        for x in range(w):
+            v = 255 if (bits >> (cy * 8 + x * 8 // w)) & 1 else 0
+            p = off + 3 * x
+            img[p : p + 3] = bytes((v, v, v))
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(img), 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(img), 2835, 2835, 0, 0
+    )
+    return bytes(header) + bytes(img)
+
+
+AHASH_SCHEMA = "doc_id bigint, ahash bigint, bands array<int>"
+
+
+def image_ahash(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """64-bit average-hash (aHash) per image, decoded from REAL BMP
+    bytes — the image-dedup analogue of SimHash for text: map-only
+    mapInPandas (no shuffle), numpy per batch.
+
+    Kernel: parse the BITMAPINFOHEADER, rebuild the pixel grid
+    (bottom-up rows, 4-byte row padding), grayscale by channel mean,
+    NEAREST-sample an 8×8 grid (resize invariance), threshold each cell
+    against the 64-cell mean → one bit each → a signed int64. ``bands``
+    carries the four 16-bit slices for pigeonhole blocking: two hashes
+    within Hamming 3 must agree on ≥1 band, so the candidate join keys
+    on (band_idx, band_value) — synthetic keys, never pixel data, and
+    only (id, hash) rows ever shuffle. Non-BMP payloads are dropped
+    (codec gate, same policy as decode_media)."""
+    import struct
+
+    import numpy as np
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes, bands = [], [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                p = bytes(p)
+                if len(p) < 54 or p[:2] != b"BM":
+                    continue
+                w, hh = struct.unpack_from("<ii", p, 18)
+                bpp = struct.unpack_from("<H", p, 28)[0]
+                if w <= 0 or hh == 0 or bpp != 24:
+                    continue
+                h = abs(hh)
+                row_sz = ((24 * w + 31) // 32) * 4
+                raw = np.frombuffer(p, dtype=np.uint8, count=row_sz * h, offset=54)
+                rows = raw.reshape(h, row_sz)[:, : 3 * w].reshape(h, w, 3)
+                if hh > 0:
+                    rows = rows[::-1]  # bottom-up storage → top-down grid
+                gray = rows.astype(np.float64).mean(axis=2)
+                # sample CELL CENTERS: for any dimension ≥ 16 the center
+                # pixel of grid cell k maps back to cell k under the
+                # x*8//w cell function (corner sampling does not — e.g.
+                # w=30: floor(floor(30/8)*8/30) = 0, cell 1 missed)
+                ys = (2 * np.arange(8) + 1) * h // 16
+                xs = (2 * np.arange(8) + 1) * w // 16
+                cells = gray[np.ix_(ys, xs)].ravel()
+                bits = cells > cells.mean()
+                hv = 0
+                for b in range(64):
+                    if bits[b]:
+                        hv |= 1 << b
+                hv = hv - (1 << 64) if hv >= 1 << 63 else hv
+                ids.append(int(i))
+                hashes.append(hv)
+                bands.append(
+                    [int((hv >> (16 * k)) & 0xFFFF) for k in range(4)]
+                )
+            yield pd.DataFrame({"doc_id": ids, "ahash": hashes, "bands": bands})
+
+    return df.select(id_col, payload_col).mapInPandas(hash_batches, AHASH_SCHEMA)
+
+
+def image_near_dups(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(id_a, id_b, hamming) image near-dup pairs by aHash: band-blocked
+    candidate self-join (pigeonhole-complete at radius 3 with 4×16-bit
+    bands) + exact bit_count(xor) verify in Catalyst. The self-join keys
+    on (band_idx, band_value) — the image-dedup shape that survives a
+    corpus: candidates are per-band buckets, never all-pairs."""
+    sig = image_ahash(df, id_col, payload_col).localCheckpoint()
+    bk = sig.select(
+        "doc_id", "ahash", F.posexplode("bands").alias("band_idx", "band_val")
+    )
+    a = bk.select(
+        F.col("doc_id").alias("id_a"), F.col("ahash").alias("ha"),
+        "band_idx", "band_val",
+    )
+    b = bk.select(
+        F.col("doc_id").alias("id_b"), F.col("ahash").alias("hb"),
+        "band_idx", "band_val",
+    )
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def with_patterned_image(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, payload) with :func:`synth_patterned_image` bytes per id —
+    the content-bearing image fixture for perceptual-hash tests and the
+    hash-checked near-dup query."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _synth(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_patterned_image(int(i)))
+
+    return df.select(F.col(id_col), _synth(F.col(id_col)).alias("payload"))

@@ -55,10 +55,18 @@ _FORCE_FIRST: list[str] = ["embedding_near_dups", "embedding_semantic_dedup"]
 
 # Round-4: cleared at round start per the rotation protocol — the ~45
 # round-3 continuation queries auto-promote to tier 1 and fill this
-# round's 50-slot window. New round-4 registrations that would overflow
-# the window go here (they sort at 2.5, behind pending tier-2 rows-only
-# proofs, and auto-promote next round).
-_DEFER_THIS_ROUND: set[str] = set()
+# round's 50-slot window (2 force-first + 42 tier-1 + 3 tier-2 = 47).
+# New round-4 registrations go here: they sort at 2.5 — behind the
+# pending tier-2 rows-only proofs — so the first ~3 (registration
+# order) still land in window slots 48-50 and the rest auto-promote
+# next round.
+_DEFER_THIS_ROUND: set[str] = {
+    "funnel_signup_view_purchase",
+    "bigram_lm_scores",
+    "paragraph_dedup_rebuild",
+    "length_bucket_packing_report",
+    "image_ahash_near_dups",
+}
 
 
 def _proven_from_driver_rounds() -> tuple[set[str], set[str]]:

@@ -1007,3 +1007,54 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "length_bucket_packing_report",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ), b AS (
+      SELECT doc_id, n_tokens,
+             ntile(8) OVER (ORDER BY n_tokens, doc_id) AS bucket
+      FROM d
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT) AS pad_waste,
+           round(1.0 - sum(n_tokens) * 1.0 / (count(*) * max(n_tokens)), 6)
+             AS waste_frac
+    FROM b GROUP BY bucket
+    """,
+)
+def length_bucket_packing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching report (the padding-efficiency lever in
+    LLM training dataloaders): docs are split into 8 equal-count buckets
+    by token length (batching within a bucket pads every sequence to the
+    bucket max), and the report quantifies the padding waste each bucket
+    would incur. The global length order comes from the two-pass
+    rank_stats machinery (operators/ranking.py — its 5th production
+    use), NOT a single-partition window; the rollup is an 8-key agg."""
+    from csv2parquet_spark.operators.ranking import rank_stats
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    b = rank_stats(d, ["n_tokens", "doc_id"], tiles=8).select(
+        "doc_id", "n_tokens", F.col("quartile").alias("bucket")
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        (F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens"))
+        .cast("long")
+        .alias("pad_waste"),
+        F.round(
+            1.0
+            - F.sum("n_tokens") * 1.0 / (F.count(F.lit(1)) * F.max("n_tokens")),
+            6,
+        ).alias("waste_frac"),
+    )

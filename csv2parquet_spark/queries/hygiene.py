@@ -587,3 +587,81 @@ def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", "n_docs", F.col("thr").alias("thr_permille"), "n_kept"
         )
     )
+
+
+@register(
+    "bigram_lm_scores",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+    ), bg AS (
+      SELECT doc_id, arr[i] AS w1, arr[i + 1] AS w2
+      FROM tok, LATERAL (SELECT unnest(range(1, len(arr))) AS i) _l
+      WHERE len(arr) > 1
+    ), c2 AS (
+      SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1
+    ), v AS (
+      SELECT count(DISTINCT t) AS v
+      FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+    )
+    SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(-sum(ln(CAST(c2.c2 + 1 AS DOUBLE)
+                         / CAST(c1.c1 + v.v AS DOUBLE))) / count(*), 6)
+             AS nll2
+    FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+    GROUP BY bg.doc_id
+    """,
+)
+def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter, one order up from the unigram
+    twin: per-document mean negative log-likelihood under an add-one-
+    smoothed BIGRAM model trained on the corpus itself —
+    p(w2|w1) = (c(w1,w2) + 1) / (c(w1) + |V|). Documents whose token
+    TRANSITIONS are unusual (not just their token mix) score high; this
+    is the signal CCNet/Gopher pipelines threshold on (they use KenLM;
+    the distributed shape is identical).
+
+    Scale shape: bigram pairs are built MAP-SIDE (split once, zip the
+    array against its own tail, explode) — no join builds them; the
+    model is two partial-agg groupBys (pair counts, then context counts
+    derived from the pair table, never a second corpus pass); scoring
+    re-joins bigrams to the model on the pair key and reduces per doc.
+    Three narrow shuffles total, everything integer until one division;
+    both engines divide the identical rational, so ln() agrees to well
+    under the 6 dp round."""
+    docs = table(spark, sf_dir, "documents")
+    arr = F.split("text", " ")
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))).alias("w1"),
+                F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))).alias("w2"),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    v = docs.select(F.explode(arr).alias("t")).agg(
+        F.count_distinct("t")
+    ).collect()[0][0]  # vocab size: one scalar to the driver (model-sized)
+    return (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                -F.sum(
+                    F.log(
+                        (F.col("c2") + 1).cast("double")
+                        / (F.col("c1") + F.lit(v)).cast("double")
+                    )
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("nll2"),
+        )
+    )

@@ -1102,3 +1102,72 @@ def binary_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         kernel,
         "doc_id bigint, payload_sha string, payload_bytes int, shard_key string",
     )
+
+
+@register(
+    "paragraph_dedup_rebuild",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+    ch AS (
+      SELECT doc_id, CAST((s - 1) // 16 AS INTEGER) AS chunk_idx,
+             array_to_string(tok[s:s + 15], ' ') AS chunk_text
+      FROM t, LATERAL (SELECT unnest(range(1, greatest(len(tok), 1) + 1, 16)) AS s)
+    ), k AS (
+      SELECT doc_id, chunk_idx, chunk_text,
+             (min(doc_id * 100000 + chunk_idx)
+                OVER (PARTITION BY md5(chunk_text))
+              = doc_id * 100000 + chunk_idx) AS keep
+      FROM ch
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(coalesce(string_agg(CASE WHEN keep THEN chunk_text END,
+                                   ' ' ORDER BY chunk_idx), '')) AS dedup_fp
+    FROM k GROUP BY doc_id
+    """,
+)
+def paragraph_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph-level dedup WITH document reassembly:
+    16-token chunks, a chunk survives only at its first corpus-wide
+    occurrence, and each doc is rebuilt from its surviving chunks in
+    order (output carries the rebuilt text's md5 so the hashed result
+    stays narrow). See operators/dedup.py:chunk_level_dedup for the
+    two-shuffle scale shape."""
+    return D.chunk_level_dedup(table(spark, sf_dir, "documents"), size=16)
+
+
+@register(
+    "image_ahash_near_dups",
+    oracle="""
+    WITH d AS (SELECT doc_id FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST((CASE WHEN a.doc_id % 4 > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN b.doc_id % 4 > 0 THEN 1 ELSE 0 END) AS INTEGER)
+             AS hamming
+    FROM d a JOIN d b
+      ON a.doc_id < b.doc_id AND a.doc_id // 4 = b.doc_id // 4
+    """,
+)
+def image_ahash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash IMAGE near-dup pairs over real BMP bytes: decode
+    → 64-bit average-hash (8×8 nearest-grid, mean threshold) → 16-bit
+    band blocking → exact bit_count(xor) verify, Hamming ≤ 3. The
+    fixture images (operators/multimodal.py:synth_patterned_image)
+    render an 8×8-cell pattern at per-id-VARYING dimensions, with the
+    four ids of a base differing by one inverted cell — so the oracle
+    can derive the expected pairs and Hamming distances from id
+    arithmetic alone while Spark earns them by parsing pixels: same-base
+    pairs at distance (a%4>0)+(b%4>0), cross-base patterns ~32 bits
+    apart (tests pin the aHash equals the generating pattern bits and
+    that hashes are resize-invariant)."""
+    from csv2parquet_spark.operators.multimodal import (
+        image_near_dups,
+        with_patterned_image,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    imgs = with_patterned_image(docs)
+    return image_near_dups(imgs, max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )

@@ -552,3 +552,86 @@ def error_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("n") - F.col("mu")) / F.col("sd"), 6).alias("zscore"),
         )
     )
+
+
+@register(
+    "funnel_signup_view_purchase",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_type, epoch_ms(ts) AS t,
+             min(CASE WHEN event_type = 'signup' THEN epoch_ms(ts) END)
+               OVER (PARTITION BY user_id) AS s0
+      FROM events
+    ), w2 AS (
+      SELECT user_id, event_type, t, s0,
+             min(CASE WHEN event_type = 'view' AND t >= s0
+                       AND t <= s0 + 259200000 THEN t END)
+               OVER (PARTITION BY user_id) AS v0
+      FROM w
+    ), steps AS (
+      SELECT user_id, max(s0) AS s0, max(v0) AS v0,
+             min(CASE WHEN event_type = 'purchase' AND t >= v0
+                       AND t <= s0 + 259200000 THEN t END) AS p0
+      FROM w2 GROUP BY user_id
+    )
+    SELECT CAST(count(s0) AS BIGINT) AS n_signup,
+           CAST(count(v0) AS BIGINT) AS n_view,
+           CAST(count(p0) AS BIGINT) AS n_purchase,
+           round(count(v0) * 1.0 / count(s0), 6) AS conv_view,
+           round(count(p0) * 1.0 / count(s0), 6) AS conv_purchase
+    FROM steps
+    """,
+)
+def funnel_signup_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (product analytics): of users who
+    signed up, how many then VIEWED, then PURCHASED — each step strictly
+    after the previous one and inside a 72 h window from signup.
+
+    Step times resolve as conditional-min windows partitioned by
+    user_id: s0 (first signup), v0 (first view ≥ s0), p0 (first
+    purchase ≥ v0) — the sequential dependency rides ONE hash exchange
+    (both Window nodes and the final groupBy share the user_id
+    partitioning, so Spark reuses the exchange; no self-joins, no
+    per-user loops). The final rollup is a 1-row global aggregate of
+    per-user booleans. Times compare as epoch millis (integer parity
+    across engines); rates round at 6 dp."""
+    e = table(spark, sf_dir, "events")
+    win = 259_200_000  # 72 h in ms
+    uw = Window.partitionBy("user_id")
+    t = F.unix_millis("ts")
+    w = e.select(
+        "user_id",
+        "event_type",
+        t.alias("t"),
+        F.min(F.when(F.col("event_type") == "signup", t)).over(uw).alias("s0"),
+    )
+    w2 = w.withColumn(
+        "v0",
+        F.min(
+            F.when(
+                (F.col("event_type") == "view")
+                & (F.col("t") >= F.col("s0"))
+                & (F.col("t") <= F.col("s0") + win),
+                F.col("t"),
+            )
+        ).over(uw),
+    )
+    steps = w2.groupBy("user_id").agg(
+        F.max("s0").alias("s0"),
+        F.max("v0").alias("v0"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("t") >= F.col("v0"))
+                & (F.col("t") <= F.col("s0") + win),
+                F.col("t"),
+            )
+        ).alias("p0"),
+    )
+    return steps.agg(
+        F.count("s0").alias("n_signup"),
+        F.count("v0").alias("n_view"),
+        F.count("p0").alias("n_purchase"),
+        F.round(F.count("v0") * 1.0 / F.count("s0"), 6).alias("conv_view"),
+        F.round(F.count("p0") * 1.0 / F.count("s0"), 6).alias("conv_purchase"),
+    )

@@ -796,3 +796,45 @@ def test_ntile_percentiles_twin_equivalence(spark, sf_dir):
     naive = sorted(map(tuple, window_ntile_percentiles(spark, sf_dir).collect()))
     scalable = sorted(map(tuple, window_ntile_scalable(spark, sf_dir).collect()))
     assert naive == scalable
+
+
+def test_image_ahash_equals_pattern_bits_and_resize_invariance(spark):
+    """The aHash earned from REAL BMP pixel parsing must equal the
+    64-bit pattern that generated the image (bits = cells > mean, cells
+    exactly 0/255) — for every variant and at every rendered dimension,
+    which IS the resize-invariance property perceptual hashes exist
+    for. Also pins the band-blocked near-dup join on a planted set."""
+    from csv2parquet_spark.operators.multimodal import (
+        _mix64,
+        image_ahash,
+        image_near_dups,
+        synth_patterned_image,
+        with_patterned_image,
+    )
+
+    # ids 0..15 = 4 bases × 4 variants, dims vary per id (16..72 px)
+    ids = spark.range(16).withColumnRenamed("id", "doc_id")
+    imgs = with_patterned_image(ids)
+    got = {r.doc_id: r.ahash for r in image_ahash(imgs).collect()}
+    assert set(got) == set(range(16))
+    for i in range(16):
+        bits = _mix64(i // 4)
+        if i % 4:
+            bits ^= 1 << ((i % 4 * 17) % 64)
+        want = bits - (1 << 64) if bits >= 1 << 63 else bits
+        assert got[i] == want, f"id {i}: ahash != generating pattern"
+
+    # independent byte check: a non-trivial payload really is a BMP
+    p = synth_patterned_image(5)
+    assert p[:2] == b"BM" and len(p) > 54
+
+    pairs = {
+        (r.id_a, r.id_b): r.hamming for r in image_near_dups(imgs).collect()
+    }
+    import itertools
+
+    want_pairs = {}
+    for base in range(4):
+        for a, b in itertools.combinations(range(base * 4, base * 4 + 4), 2):
+            want_pairs[(a, b)] = (a % 4 > 0) + (b % 4 > 0)
+    assert pairs == want_pairs  # all same-base pairs, no cross-base pair
