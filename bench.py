@@ -72,6 +72,13 @@ HEADLINE = [
     "skew_join_salted",
     "bpe_train_merges",
     "logreg_gd_weights",
+    # round-4 additions (funnel / LM filter / paragraph dedup /
+    # length bucketing / image perceptual hash)
+    "funnel_signup_view_purchase",
+    "bigram_lm_scores",
+    "paragraph_dedup_rebuild",
+    "length_bucket_packing_report",
+    "image_ahash_near_dups",
 ]
 
 

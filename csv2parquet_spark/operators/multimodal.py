@@ -388,6 +388,8 @@ def synth_patterned_image(doc_id: int) -> bytes:
     property perceptual hashes exist for, and tests pin it."""
     import struct
 
+    import numpy as np
+
     base, variant = doc_id // 4, doc_id % 4
     bits = _mix64(base)
     if variant:
@@ -395,19 +397,19 @@ def synth_patterned_image(doc_id: int) -> bytes:
     w = 16 + (doc_id % 8) * 7
     h = 16 + ((doc_id // 8) % 8) * 7
     row_sz = ((24 * w + 31) // 32) * 4
-    img = bytearray(row_sz * h)
-    for ry in range(h):  # BMP rows are stored bottom-up
-        y = h - 1 - ry
-        cy = y * 8 // h
-        off = ry * row_sz
-        for x in range(w):
-            v = 255 if (bits >> (cy * 8 + x * 8 // w)) & 1 else 0
-            p = off + 3 * x
-            img[p : p + 3] = bytes((v, v, v))
-    header = struct.pack("<2sIHHI", b"BM", 54 + len(img), 0, 0, 54) + struct.pack(
-        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(img), 2835, 2835, 0, 0
+    # vectorized render (~30× the per-pixel loop, byte-identical):
+    # cell value lookup per pixel column/row, RGB repeat, bottom-up
+    # row order per the BMP spec, zero-padded rows to 4-byte alignment
+    bitarr = np.array([(bits >> i) & 1 for i in range(64)], dtype=np.uint8)
+    cx = (np.arange(w) * 8) // w
+    cy = (np.arange(h) * 8) // h
+    vals = bitarr[cy[:, None] * 8 + cx[None, :]] * np.uint8(255)  # top-down grid
+    img = np.zeros((h, row_sz), dtype=np.uint8)
+    img[:, : 3 * w] = np.repeat(vals[::-1], 3, axis=1)
+    header = struct.pack("<2sIHHI", b"BM", 54 + img.size, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img.size, 2835, 2835, 0, 0
     )
-    return bytes(header) + bytes(img)
+    return header + img.tobytes()
 
 
 AHASH_SCHEMA = "doc_id bigint, ahash bigint, bands array<int>"
