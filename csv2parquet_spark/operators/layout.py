@@ -177,3 +177,60 @@ def write_bucketed_table(
     if path is not None:
         w = w.option("path", path)
     w.saveAsTable(table_name)
+
+
+def shard_key(id_col: Column, n_shards: int) -> Column:
+    """Deterministic, engine-portable shard id in [0, n_shards):
+    the first 8 hex chars of md5(id) as an integer, mod n_shards —
+    uniform, stable across runs/engines (DuckDB twin:
+    ``CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8)) AS BIGINT)
+    % n``), and independent of partitioning."""
+    return (
+        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        )
+        % n_shards
+    ).cast("int")
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    order_col: str | None = None,
+) -> list[dict]:
+    """Write a training corpus as ``n_shards`` deterministic shards —
+    the dataloader-facing layout step: every worker maps shard → file
+    set with no coordination, re-runs produce identical shard
+    membership (md5 of the id, not Spark partitioning), and shards are
+    directory-addressable (``shard=K/``) so a loader reading shards
+    [a, b) lists only those directories (partition pruning, same
+    mechanism the IVF index uses).
+
+    Returns the manifest: one {shard, n_rows, n_bytes} per shard
+    (n_shards dicts — driver-sized). Scale shape: one shuffle
+    (repartition on the shard id so each shard is one writer task →
+    one file per shard), then a footer-stats pass over n_shards files.
+    ``order_col`` optionally sort-within-shards for reproducible
+    within-shard order (OFF by default: training loaders shuffle
+    anyway).
+    """
+    import glob as _glob
+    import os as _os
+
+    out = df.withColumn("shard", shard_key(F.col(id_col), n_shards))
+    out = out.repartition(n_shards, "shard")
+    if order_col:
+        out = out.sortWithinPartitions("shard", order_col)
+    out.write.mode("overwrite").partitionBy("shard").parquet(path)
+
+    import pyarrow.parquet as pq
+
+    manifest = []
+    for shard in range(n_shards):
+        files = sorted(_glob.glob(_os.path.join(path, f"shard={shard}", "*.parquet")))
+        n_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        n_bytes = sum(_os.path.getsize(f) for f in files)
+        manifest.append({"shard": shard, "n_rows": n_rows, "n_bytes": n_bytes})
+    return manifest

@@ -66,6 +66,9 @@ _DEFER_THIS_ROUND: set[str] = {
     "paragraph_dedup_rebuild",
     "length_bucket_packing_report",
     "image_ahash_near_dups",
+    "exact_percentiles_global",
+    "cdc_merge_apply",
+    "shard_assignment_stats",
 }
 
 

@@ -1058,3 +1058,29 @@ def length_bucket_packing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("waste_frac"),
     )
+
+
+@register(
+    "shard_assignment_stats",
+    oracle="""
+    SELECT CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 32 AS INTEGER) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def shard_assignment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment audit: the md5-derived
+    shard id every engine/run agrees on (operators/layout.py:shard_key,
+    the key write_training_shards lays files out by), rolled up to
+    per-shard doc counts and char volume — the balance check a pipeline
+    runs before committing to a shard count. Map-side key, one
+    32-group partial agg."""
+    from csv2parquet_spark.operators.layout import shard_key
+
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy(shard_key(F.col("doc_id"), 32).alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )

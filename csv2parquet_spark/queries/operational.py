@@ -736,3 +736,129 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("skew_factor"),
     )
+
+
+@register(
+    "exact_percentiles_global",
+    oracle="""
+    WITH r AS (
+      SELECT l_extendedprice AS v,
+             row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
+                                         l_linenumber) AS rn,
+             count(*) OVER () AS n
+      FROM lineitem
+    )
+    SELECT p.q, r.v AS value
+    FROM r JOIN (VALUES (0.5), (0.9), (0.99), (0.999)) p(q)
+      ON r.rn = 1 + CAST(floor(p.q * (r.n - 1)) AS BIGINT)
+    """,
+)
+def exact_percentiles_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global percentiles (p50/p90/p99/p999, disc method) of
+    l_extendedprice — the exact twin of the approximate sketches
+    (percentiles_approx / KMV): rank indices come from the two-pass
+    global row numbering (operators/ranking.py, 6th production use),
+    never a single-partition window, and only the 4 picked rows leave
+    the rank join.
+
+    Index arithmetic is done driver-side with EXACT rationals
+    (Fraction), because 1 + floor(q·(n-1)) computed in doubles misses
+    the boundary when q·(n-1) is integral (0.999·1000 = 998.999… in
+    IEEE) — the DuckDB oracle's DECIMAL literals are exact, so the
+    engines would disagree exactly at those cliffs."""
+    from fractions import Fraction
+
+    from csv2parquet_spark.operators.ranking import global_row_number
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    ranked, n = global_row_number(
+        li, ["l_extendedprice", "l_orderkey", "l_linenumber"]
+    )
+    picks = [
+        (float(q), 1 + int(Fraction(str(q)) * (n - 1)))
+        for q in (0.5, 0.9, 0.99, 0.999)
+    ]
+    pick_df = F.broadcast(
+        spark.createDataFrame(picks, "q double, rn bigint")
+    )
+    return ranked.join(pick_df, "rn").select(
+        "q", F.col("l_extendedprice").alias("value")
+    )
+
+
+@register(
+    "cdc_merge_apply",
+    oracle="""
+    WITH delta AS (
+      SELECT o_orderkey AS k, 'delete' AS op,
+             CAST(NULL AS DOUBLE) AS new_price
+      FROM orders WHERE o_orderkey % 17 = 0
+      UNION ALL
+      SELECT o_orderkey, 'update', round(o_totalprice + 100.0, 2)
+      FROM orders WHERE o_orderkey % 17 <> 0 AND o_orderkey % 10 = 3
+      UNION ALL
+      SELECT o_orderkey + 10000000, 'insert', 42.0
+      FROM orders WHERE o_orderkey % 25 = 0
+    )
+    SELECT COALESCE(b.o_orderkey, d.k) AS o_orderkey,
+           round(CASE WHEN d.op = 'update' THEN d.new_price
+                      WHEN d.op = 'insert' THEN d.new_price
+                      ELSE b.o_totalprice END, 2) AS o_totalprice,
+           COALESCE(d.op, 'keep') AS op
+    FROM orders b FULL OUTER JOIN delta d ON b.o_orderkey = d.k
+    WHERE d.op IS NULL OR d.op <> 'delete'
+    """,
+)
+def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics as one key-partitioned full-outer join (the
+    warehouse CDC-apply shape: WHEN MATCHED AND op='delete' DELETE,
+    WHEN MATCHED AND op='update' UPDATE, WHEN NOT MATCHED INSERT): a
+    deterministic delta derived from the base itself (deletes for
+    key%17=0, +100 price updates for key%10=3, inserts above key+10M
+    for key%25=0) applies onto orders, emitting the post-merge state
+    with each row's provenance.
+
+    Scale shape: ONE shuffle on the merge key for each side of the
+    full-outer hash join — delta cost is ∝ |delta| on the build side at
+    real CDC volumes (AQE broadcasts a small delta); no window, no
+    driver loop. The delete filter runs post-join so the anti-join is
+    not a second shuffle."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    delta = (
+        o.filter(F.col("o_orderkey") % 17 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.lit("delete").alias("op"),
+            F.lit(None).cast("double").alias("new_price"),
+        )
+        .unionAll(
+            o.filter((F.col("o_orderkey") % 17 != 0) & (F.col("o_orderkey") % 10 == 3))
+            .select(
+                F.col("o_orderkey").alias("k"),
+                F.lit("update").alias("op"),
+                F.round(F.col("o_totalprice") + 100.0, 2).alias("new_price"),
+            )
+        )
+        .unionAll(
+            o.filter(F.col("o_orderkey") % 25 == 0).select(
+                (F.col("o_orderkey") + 10_000_000).alias("k"),
+                F.lit("insert").alias("op"),
+                F.lit(42.0).alias("new_price"),
+            )
+        )
+    )
+    merged = o.join(delta, o.o_orderkey == delta.k, "full_outer")
+    return merged.filter(
+        F.col("op").isNull() | (F.col("op") != "delete")
+    ).select(
+        F.coalesce("o_orderkey", "k").alias("o_orderkey"),
+        F.round(
+            F.when(F.col("op").isin("update", "insert"), F.col("new_price")).otherwise(
+                F.col("o_totalprice")
+            ),
+            2,
+        ).alias("o_totalprice"),
+        F.coalesce("op", F.lit("keep")).alias("op"),
+    )

@@ -540,3 +540,46 @@ def test_convert_json_multiline_shapes(spark, tmp_path):
     assert duckdb.sql(
         f"SELECT id FROM read_parquet('{out3}') ORDER BY id"
     ).fetchall() == [("1",), ("2",)]
+
+
+def test_convert_xml_roundtrip_and_dry(spark, tmp_path):
+    """--format xml (round 4, Spark 4 native XML source): row-tag
+    records convert with typed inference; --dry honors the banner
+    contract; nested elements survive; auto-routing keys off .xml."""
+    import io
+
+    import duckdb
+
+    from csv2parquet_spark.converter import ConvertOptions
+    from csv2parquet_spark.converter.cli import main as cli_main
+    from csv2parquet_spark.converter.xmlsrc import convert_xml
+
+    src = tmp_path / "recs.xml"
+    src.write_text(
+        "<rows>\n"
+        "  <row><id>1</id><text>hello</text><meta><lang>en</lang></meta></row>\n"
+        "  <row><id>2</id><text>welt</text><meta><lang>de</lang></meta></row>\n"
+        "</rows>\n"
+    )
+    out = str(tmp_path / "recs.parquet")
+
+    o, e = io.StringIO(), io.StringIO()
+    schema = convert_xml(
+        spark, str(src), out, ConvertOptions(dry=True), out=o, err=e
+    )
+    assert e.getvalue().strip() == "Schema:"
+    assert not os.path.exists(out)
+    assert arrow_json_to_struct(o.getvalue()) == schema
+
+    assert cli_main([str(src), out]) == 0  # auto-routed .xml
+    rows = duckdb.sql(
+        f"SELECT id, text, meta.lang FROM read_parquet('{out}') ORDER BY id"
+    ).fetchall()
+    assert rows == [(1, "hello", "en"), (2, "welt", "de")]
+
+    # string mode (max_read_records=0): scalar leaves land as strings
+    out0 = str(tmp_path / "recs0.parquet")
+    schema0 = convert_xml(
+        spark, str(src), out0, ConvertOptions(max_read_records=0)
+    )
+    assert schema0["id"].dataType.typeName() == "string"

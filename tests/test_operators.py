@@ -838,3 +838,45 @@ def test_image_ahash_equals_pattern_bits_and_resize_invariance(spark):
         for a, b in itertools.combinations(range(base * 4, base * 4 + 4), 2):
             want_pairs[(a, b)] = (a % 4 > 0) + (b % 4 > 0)
     assert pairs == want_pairs  # all same-base pairs, no cross-base pair
+
+
+def test_write_training_shards_deterministic_balanced(spark, tmp_path, sf_dir):
+    """write_training_shards: one file per shard directory, shard
+    membership identical across two runs (md5-keyed, not partitioning-
+    dependent), manifest row counts sum to the corpus, and a shard
+    subset read prunes to the selected directories."""
+    from csv2parquet_spark.operators.layout import shard_key, write_training_shards
+    from csv2parquet_spark.tables import table as load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    # membership determinism is layout-independent; byte sizes are only
+    # pinned under order_col (parquet encoding sees row order)
+    m1 = write_training_shards(docs, p1, n_shards=8, order_col="doc_id")
+    m2 = write_training_shards(
+        docs.repartition(13), p2, n_shards=8, order_col="doc_id"
+    )
+    assert m1 == m2  # identical shards incl. byte-identical files
+    assert sum(m["n_rows"] for m in m1) == docs.count()
+    import os as _os
+
+    for m in m1:
+        files = _os.listdir(_os.path.join(p1, f"shard={m['shard']}"))
+        assert len([f for f in files if f.endswith(".parquet")]) == 1
+
+    # loader-side pruning: the shard predicate must land in
+    # PartitionFilters (directory-level pruning — the FileIndex never
+    # lists non-selected shard=K dirs; same mechanism as the IVF index)
+    sub = spark.read.parquet(p1).filter("shard in (0, 1)")
+    plan = sub._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "shard" in pf[0], plan
+    # membership matches shard_key recomputation
+    got = {r.doc_id for r in sub.collect()}
+    want = {
+        r.doc_id
+        for r in docs.withColumn("s", shard_key(F.col("doc_id"), 8))
+        .filter("s in (0, 1)")
+        .collect()
+    }
+    assert got == want
