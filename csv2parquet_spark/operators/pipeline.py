@@ -202,3 +202,48 @@ def split_assign(id_col: str = "doc_id", val_permille: int = 50, test_permille: 
         .when(gate < val_permille + test_permille, "test")
         .otherwise("train")
     )
+
+
+def profile_columns(df, specs):
+    """One-pass column profiler (the warehouse data-profiling staple):
+    one output row per column — (column, n_rows, n_null, n_distinct,
+    min_repr, max_repr), with min/max pre-cast by the caller to a
+    string-stable type (``specs`` maps column name → Column expression).
+
+    Single scan: all per-column aggregates run in ONE agg. The exact
+    multi-column count_distinct plans as an Expand (×k rows into the
+    partial agg) — the one-pass cost of k exact distincts; for wide
+    tables at corpus scale either profile in column batches or swap
+    approx_count_distinct in. k is caller-bounded here, so exactness
+    wins (and the DuckDB oracle is exact too).
+    """
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for name, col in specs.items():
+        aggs += [
+            F.count(F.lit(1)).alias(f"__rows_{name}"),
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"__null_{name}"),
+            F.count_distinct(col).alias(f"__dist_{name}"),
+            F.min(col).cast("string").alias(f"__min_{name}"),
+            F.max(col).cast("string").alias(f"__max_{name}"),
+        ]
+    row = df.agg(*aggs)
+    stacked = row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("column"),
+                        F.col(f"__rows_{name}").alias("n_rows"),
+                        F.col(f"__null_{name}").cast("long").alias("n_null"),
+                        F.col(f"__dist_{name}").alias("n_distinct"),
+                        F.col(f"__min_{name}").alias("min_repr"),
+                        F.col(f"__max_{name}").alias("max_repr"),
+                    )
+                    for name in specs
+                ]
+            )
+        ).alias("p")
+    )
+    return stacked.select("p.*")

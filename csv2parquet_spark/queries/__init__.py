@@ -69,6 +69,7 @@ _DEFER_THIS_ROUND: set[str] = {
     "exact_percentiles_global",
     "cdc_merge_apply",
     "shard_assignment_stats",
+    "table_profile_orders",
 }
 
 

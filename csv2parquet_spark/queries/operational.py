@@ -862,3 +862,64 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("o_totalprice"),
         F.coalesce("op", F.lit("keep")).alias("op"),
     )
+
+
+@register(
+    "table_profile_orders",
+    oracle="""
+    SELECT 'o_orderkey' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_repr,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_repr
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT o_totalprice) AS BIGINT),
+           CAST(CAST(min(o_totalprice) AS DECIMAL(14,2)) AS VARCHAR),
+           CAST(CAST(max(o_totalprice) AS DECIMAL(14,2)) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT o_orderdate) AS BIGINT),
+           strftime(min(o_orderdate), '%Y-%m-%d'),
+           strftime(max(o_orderdate), '%Y-%m-%d')
+    FROM orders
+    """,
+)
+def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of the orders table (rows / nulls / exact distinct
+    / min / max per column) in ONE scan — the data-profiling report
+    every warehouse onboarding runs. The multi-column exact distinct
+    plans as a single Expand-backed agg (×k partial rows, k=5 here);
+    min/max are cast to string-stable representations (decimal for the
+    double column, yyyy-MM-dd for the date) so both engines print the
+    same value. See operators/pipeline.py:profile_columns."""
+    from csv2parquet_spark.operators.pipeline import profile_columns
+
+    o = table(spark, sf_dir, "orders")
+    return profile_columns(
+        o,
+        {
+            "o_orderkey": F.col("o_orderkey"),
+            "o_orderstatus": F.col("o_orderstatus"),
+            "o_orderpriority": F.col("o_orderpriority"),
+            "o_totalprice": F.col("o_totalprice").cast("decimal(14,2)"),
+            "o_orderdate": F.date_format("o_orderdate", "yyyy-MM-dd"),
+        },
+    )

@@ -90,6 +90,31 @@ SHOWCASE = [
      "All-pairs cosine with the df-cap prefilter: the inverted-index "
      "self-join is keyed on the token AFTER stopword-grade tokens are "
      "dropped, bounding every join group to 64 docs."),
+    # round 4
+    ("funnel_signup_view_purchase",
+     "Ordered funnel: both conditional-min Windows and the per-user "
+     "rollup share ONE user_id hash exchange; the final rollup is a "
+     "1-row global aggregate with map-side partials."),
+    ("paragraph_dedup_rebuild",
+     "Paragraph dedup + reassembly: map-only chunk explode, ONE "
+     "md5-keyed window for first-occurrence, one doc-keyed rebuild "
+     "aggregate — two shuffles, both on synthetic keys."),
+    ("bigram_lm_scores",
+     "Bigram LM scoring: pairs built map-side (array zip, no join); "
+     "the model is two partial aggs off the pair relation; scoring "
+     "joins on the (w1,w2) key and reduces per doc."),
+    ("image_ahash_near_dups",
+     "Image perceptual-hash dedup: map-only synth+decode+hash "
+     "(mapInPandas), band explode, candidate self-join keyed on "
+     "(band_idx, band_value) — never on pixels; bit_count verify in "
+     "Catalyst."),
+    ("exact_percentiles_global",
+     "Exact global percentiles: two-pass range-partitioned row "
+     "numbering (no Window, no SinglePartition sort) + a 4-row "
+     "broadcast rank join."),
+    ("cdc_merge_apply",
+     "MERGE/CDC apply: one key-partitioned full-outer hash join; "
+     "delete filter post-join, no second exchange."),
 ]
 
 
