@@ -70,6 +70,8 @@ _DEFER_THIS_ROUND: set[str] = {
     "cdc_merge_apply",
     "shard_assignment_stats",
     "table_profile_orders",
+    "attribution_last_click",
+    "dau_wau_stickiness",
 }
 
 

@@ -635,3 +635,120 @@ def funnel_signup_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.count("v0") * 1.0 / F.count("s0"), 6).alias("conv_view"),
         F.round(F.count("p0") * 1.0 / F.count("s0"), 6).alias("conv_purchase"),
     )
+
+
+@register(
+    "attribution_last_click",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, value, epoch_ms(ts) AS t,
+             CASE WHEN event_type = 'click'
+                  THEN epoch_ms(ts) * 100
+                       + CAST(json_extract_string(props, '$.k') AS BIGINT) % 100
+             END AS enc
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), x AS (
+      SELECT user_id, event_type, value,
+             max(enc) OVER (PARTITION BY user_id ORDER BY t
+                            RANGE BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS last_enc
+      FROM e
+    )
+    SELECT COALESCE(CAST(last_enc % 100 AS INTEGER), -1) AS campaign_k,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM x WHERE event_type = 'purchase' GROUP BY 1
+    """,
+)
+def attribution_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase's revenue is
+    attributed to the campaign key (``props.k``) of the user's LAST
+    click strictly before it (-1 = organic, no prior click), rolled up
+    per campaign.
+
+    The as-of lookup carries the PAYLOAD, not just the timestamp, by
+    encoding (epoch_ms·100 + k) into one bigint and taking the window
+    max — one user_id exchange, O(1) state per user, payload decoded
+    with % 100 after the fact (same-millisecond click ties break to the
+    larger k on BOTH engines by the same arithmetic). Revenue sums in
+    decimal (helpers.py convention)."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    k = F.pmod(F.get_json_object("props", "$.k").cast("long"), F.lit(100))
+    enc = F.when(
+        F.col("event_type") == "click", F.unix_millis("ts") * 100 + k
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_millis("ts"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        e.withColumn("last_enc", F.max(enc).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce((F.col("last_enc") % 100).cast("int"), F.lit(-1)).alias(
+                "campaign_k"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            dsum(F.col("value"), "revenue"),
+        )
+    )
+
+
+@register(
+    "dau_wau_stickiness",
+    oracle="""
+    WITH a AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ), dau AS (
+      SELECT d, count(*) AS dau FROM a GROUP BY d
+    ), w AS (
+      SELECT DISTINCT user_id, d + CAST(i AS INTEGER) AS wd
+      FROM a, LATERAL (SELECT unnest(range(0, 7)) AS i) _l
+    ), wau AS (
+      SELECT wd AS d, count(*) AS wau FROM w GROUP BY wd
+    )
+    SELECT strftime(dau.d, '%Y-%m-%d') AS day,
+           CAST(dau.dau AS BIGINT) AS dau,
+           CAST(wau.wau AS BIGINT) AS wau,
+           round(dau.dau * 1.0 / wau.wau, 6) AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.d
+    """,
+)
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day — the product-
+    analytics north-star ratio, computed EXACTLY (not sketched) with
+    the forward-explode trick: each (user, active-day) row contributes
+    itself to the 7 WAU days it falls inside (map-only ×7 explode of
+    the already-deduplicated user-day relation — corpus-sized events
+    collapse to user-days FIRST), then two distinct aggregates and a
+    day join. No per-day distinct-over-window, no re-scan per day."""
+    e = table(spark, sf_dir, "events")
+    a = e.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct()
+    dau = a.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    wau = (
+        a.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(6))
+            ).alias("i"),
+            "d",
+        )
+        .select("user_id", F.date_add("d", F.col("i")).alias("d"))
+        .distinct()
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
+    return dau.join(wau, "d").select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "dau",
+        "wau",
+        F.round(F.col("dau") * 1.0 / F.col("wau"), 6).alias("stickiness"),
+    )
