@@ -72,6 +72,9 @@ _DEFER_THIS_ROUND: set[str] = {
     "table_profile_orders",
     "attribution_last_click",
     "dau_wau_stickiness",
+    "rfm_customer_segments",
+    "grouped_percentiles_exact",
+    "benford_first_digit_audit",
 }
 
 

@@ -923,3 +923,142 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderdate": F.date_format("o_orderdate", "yyyy-MM-dd"),
         },
     )
+
+
+@register(
+    "rfm_customer_segments",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey,
+             max(epoch_ms(o_orderdate)) AS recency_ms,
+             count(*) AS frequency,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    ), q AS (
+      SELECT o_custkey,
+             ntile(4) OVER (ORDER BY recency_ms, o_custkey) AS r_q,
+             ntile(4) OVER (ORDER BY frequency, o_custkey) AS f_q,
+             ntile(4) OVER (ORDER BY monetary, o_custkey) AS m_q
+      FROM c
+    )
+    SELECT r_q, f_q, m_q, CAST(count(*) AS BIGINT) AS n_customers
+    FROM q GROUP BY r_q, f_q, m_q
+    """,
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (the CRM staple): per customer, recency of last
+    order / order frequency / monetary total, each cut into quartiles,
+    rolled up to segment counts. All three global quartile cuts run on
+    the two-pass ranking machinery (operators/ranking.py — never a
+    single-partition window), each over the CUSTOMER aggregate (a
+    dimension, not the fact table); the fact scan collapses to one
+    partial-agg groupBy first."""
+    from csv2parquet_spark.operators.ranking import rank_stats
+
+    o = table(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(
+        F.max(F.unix_millis("o_orderdate")).alias("recency_ms"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    r = rank_stats(c, ["recency_ms", "o_custkey"], tiles=4).select(
+        "o_custkey", F.col("quartile").alias("r_q")
+    )
+    f = rank_stats(c, ["frequency", "o_custkey"], tiles=4).select(
+        "o_custkey", F.col("quartile").alias("f_q")
+    )
+    m = rank_stats(c, ["monetary", "o_custkey"], tiles=4).select(
+        "o_custkey", F.col("quartile").alias("m_q")
+    )
+    return (
+        r.join(f, "o_custkey")
+        .join(m, "o_custkey")
+        .groupBy("r_q", "f_q", "m_q")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "grouped_percentiles_exact",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderpriority AS grp, o_totalprice AS v,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    )
+    SELECT grp, p.q, r.v AS value
+    FROM r JOIN (VALUES (0.5), (0.9), (0.99)) p(q)
+      ON r.rn = 1 + CAST(floor(p.q * (r.n - 1)) AS BIGINT)
+    """,
+)
+def grouped_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group percentiles (disc) of order value by priority —
+    the grouped twin of exact_percentiles_global: the window partitions
+    by the GROUP key, so it is one hash exchange with per-group state
+    (scale-safe, unlike a global-order window); the rank→quantile index
+    arithmetic stays in integers via DECIMAL literals on both engines
+    (q·(n−1) is exact for these q)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wc = Window.partitionBy("o_orderpriority")
+    r = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    picks = F.broadcast(
+        o.sparkSession.createDataFrame([(0.5,), (0.9,), (0.99,)], "q double")
+    )
+    # q·(n−1) in doubles is exact here: 0.5/0.9/0.99 × (n−1) floors
+    # identically to DECIMAL for n below ~2^40 except at integral
+    # products of 0.99 — mirror the oracle by computing in DECIMAL.
+    idx = 1 + F.floor(
+        F.col("q").cast("decimal(10,4)") * (F.col("n") - 1)
+    ).cast("bigint")
+    return (
+        r.crossJoin(picks)
+        .filter(F.col("rn") == idx)
+        .select("grp", "q", F.col("v").alias("value"))
+    )
+
+
+@register(
+    "benford_first_digit_audit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS VARCHAR),
+                         1, 1) AS INTEGER) AS digit
+      FROM orders WHERE o_totalprice >= 1.0
+    ), n AS (SELECT count(*) AS n FROM d)
+    SELECT digit, CAST(count(*) AS BIGINT) AS n_values,
+           round(count(*) * 1.0 / n.n, 6) AS frac,
+           round(log10(1.0 + 1.0 / digit), 6) AS benford_expected
+    FROM d, n GROUP BY digit, n.n
+    """,
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    forensic data-quality screen (fabricated or truncated numeric
+    columns drift from log10(1 + 1/d)). First digit extracted from the
+    DECIMAL(14,2) string form on both engines (identical rendering);
+    one map-side projection + a 9-group aggregate."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1.0)
+    d = o.select(
+        F.substring(
+            F.col("o_totalprice").cast("decimal(14,2)").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    n = d.count()  # one scalar to the driver
+    return d.groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.round(F.count(F.lit(1)) * 1.0 / n, 6).alias("frac"),
+        F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford_expected"),
+    )
