@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from csv2parquet_spark.queries import REGISTRY  # noqa: E402
 
-_SHIPPED_SESSIONS: set[int] = set()
+_SHIPPED_SESSIONS: set[str] = set()  # applicationIds already shipped to
 
 
 def _ship_package(spark: SparkSession) -> None:
@@ -30,7 +30,10 @@ def _ship_package(spark: SparkSession) -> None:
     module-level helpers (pickled by reference) only resolve when the
     worker's sys.path happens to contain the repo — true when launched
     from /root/repo, not from elsewhere."""
-    if id(spark) in _SHIPPED_SESSIONS:
+    # Key by applicationId, not id(spark): CPython reuses freed object
+    # addresses, so id() could mark a NEW session as already shipped.
+    app_id = spark.sparkContext.applicationId
+    if app_id in _SHIPPED_SESSIONS:
         return
     import hashlib
     import zipfile
@@ -51,12 +54,16 @@ def _ship_package(spark: SparkSession) -> None:
         sig.update(f"{os.path.relpath(full, root)}:{st.st_mtime_ns}:{st.st_size}".encode())
     zpath = f"/tmp/csv2parquet_spark_pkg_{sig.hexdigest()[:16]}.zip"
     if not os.path.exists(zpath):
-        with zipfile.ZipFile(zpath + ".part", "w") as z:
+        # per-process temp name: concurrent writers (pytest workers)
+        # each build their own file; os.replace is atomic, so whichever
+        # rename lands last is a complete archive of the same content
+        part = f"{zpath}.{os.getpid()}.part"
+        with zipfile.ZipFile(part, "w") as z:
             for full in sources:
                 z.write(full, os.path.relpath(full, root))
-        os.replace(zpath + ".part", zpath)
+        os.replace(part, zpath)
     spark.sparkContext.addPyFile(zpath)
-    _SHIPPED_SESSIONS.add(id(spark))
+    _SHIPPED_SESSIONS.add(app_id)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -131,10 +131,17 @@ def convert_json(
     err=sys.stderr,
 ) -> T.StructType | None:
     """Multi-line ``.json`` → Parquet (``--format json``): a file holding
-    ONE pretty-printed object, a top-level ARRAY of objects, or
-    concatenated multi-line objects — the shapes the line-oriented JSONL
-    reader misparses. Same converter surface (schema files, W1-W9
-    writer knobs, --dry/--print-schema banner, parse-mode ladder).
+    ONE pretty-printed object or a top-level ARRAY of objects — the
+    shapes the line-oriented JSONL reader misparses. Same converter
+    surface (schema files, W1-W9 writer knobs, --dry/--print-schema
+    banner, parse-mode ladder).
+
+    NOT supported: CONCATENATED multi-line objects in one file — Spark's
+    wholeFile parser stops after the first top-level value and raises
+    nothing (even FAILFAST), so such input converts to ONE row; the
+    limitation is pinned in tests. Concatenated objects that are
+    one-per-line are JSONL (use ``--format jsonl``); otherwise
+    pre-split into one document per file.
 
     Scale note, by design: multiLine JSON is a DOCUMENT format — each
     file parses as one unsplittable task, so parallelism comes from the

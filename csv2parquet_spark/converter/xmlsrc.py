@@ -32,11 +32,16 @@ def _infer_xml_schema(
             return arrow_json_to_struct(f.read())
     reader = spark.read.option("rowTag", row_tag)
     if opts.max_read_records is not None and opts.max_read_records > 0:
-        # Cap inference cost: samplingRatio is the native knob; a record
-        # cap maps to a ratio only with a known total, so approximate by
-        # inferring over the sampled fraction the option implies is
-        # acceptable — here we honor the CONTRACT (inference reads a
-        # bounded subset) with the source's own sampling mechanism.
+        # For XML the record cap is EFFECTIVELY BINARY, documented as
+        # such: the native inference knob is samplingRatio (a fraction,
+        # not a record count), and mapping count→ratio needs a total
+        # the engine doesn't have pre-parse. Any positive cap therefore
+        # means "sampled inference at ratio 0.1" — PROPORTIONAL cost,
+        # not an absolute bound, and (as with Spark's own sampled
+        # JSON/CSV inference) a field that appears only in unsampled
+        # records is absent from the schema and silently dropped from
+        # the converted output; pass a schema file for full coverage.
+        # None = full-pass inference; 0 = all-strings parity mode.
         reader = reader.option("samplingRatio", "0.1")
     inferred = reader.xml(xml_path).schema
     if opts.max_read_records == 0:

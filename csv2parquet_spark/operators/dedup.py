@@ -726,9 +726,21 @@ def chunk_level_dedup(
     ch = chunk_documents(df, size=size, stride=size, text_col=text_col, id_col=id_col)
     # Arithmetic occurrence key (doc_id·100000 + idx): same total order
     # as the (doc_id, chunk_idx) struct, and expressible identically in
-    # the DuckDB oracle (chunk_idx < 100000 by construction at any doc
-    # length the chunker accepts).
-    occ = F.col("doc_id") * 100000 + F.col("chunk_idx")
+    # the DuckDB oracle. The encoding aliases across documents if a doc
+    # ever reaches 100000 chunks (≥1.6M tokens at size 16), which would
+    # SILENTLY mark duplicate chunks as first occurrences — so the cap
+    # is enforced in-plan: assert_true fails the job loudly instead.
+    occ = F.when(
+        F.col("chunk_idx") < 100000,
+        F.col("doc_id") * 100000 + F.col("chunk_idx"),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "chunk_level_dedup: doc exceeds 100000 chunks; the "
+                "occurrence-key encoding would alias across documents"
+            )
+        ).cast("long")
+    )
     w = Window.partitionBy(F.md5("chunk_text"))
     k = ch.withColumn("keep", F.min(occ).over(w) == occ)
     kept_struct = F.when(

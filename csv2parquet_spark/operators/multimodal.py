@@ -442,13 +442,19 @@ def image_ahash(
                 p = bytes(p)
                 if len(p) < 54 or p[:2] != b"BM":
                     continue
+                # bfOffBits (bytes 10-13) is where pixel data starts —
+                # hardcoding 54 would hash garbage for V4/V5-header or
+                # palette-gap BMPs
+                off = struct.unpack_from("<I", p, 10)[0]
                 w, hh = struct.unpack_from("<ii", p, 18)
                 bpp = struct.unpack_from("<H", p, 28)[0]
                 if w <= 0 or hh == 0 or bpp != 24:
                     continue
                 h = abs(hh)
                 row_sz = ((24 * w + 31) // 32) * 4
-                raw = np.frombuffer(p, dtype=np.uint8, count=row_sz * h, offset=54)
+                if off < 54 or len(p) < off + row_sz * h:
+                    continue  # truncated/corrupt payload: drop, don't crash
+                raw = np.frombuffer(p, dtype=np.uint8, count=row_sz * h, offset=off)
                 rows = raw.reshape(h, row_sz)[:, : 3 * w].reshape(h, w, 3)
                 if hh > 0:
                     rows = rows[::-1]  # bottom-up storage → top-down grid
@@ -471,7 +477,11 @@ def image_ahash(
                 bands.append(
                     [int((hv >> (16 * k)) & 0xFFFF) for k in range(4)]
                 )
-            yield pd.DataFrame({"doc_id": ids, "ahash": hashes, "bands": bands})
+            if ids:  # an all-dropped batch must yield nothing: an empty
+                # object-dtype frame can't coerce to list<int> in Arrow
+                yield pd.DataFrame(
+                    {"doc_id": ids, "ahash": hashes, "bands": bands}
+                )
 
     return df.select(id_col, payload_col).mapInPandas(hash_batches, AHASH_SCHEMA)
 

@@ -217,12 +217,9 @@ def profile_columns(df, specs):
     approx_count_distinct in. k is caller-bounded here, so exactness
     wins (and the DuckDB oracle is exact too).
     """
-    from pyspark.sql import functions as F
-
-    aggs = []
+    aggs = [F.count(F.lit(1)).alias("__rows")]
     for name, col in specs.items():
         aggs += [
-            F.count(F.lit(1)).alias(f"__rows_{name}"),
             F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"__null_{name}"),
             F.count_distinct(col).alias(f"__dist_{name}"),
             F.min(col).cast("string").alias(f"__min_{name}"),
@@ -235,7 +232,7 @@ def profile_columns(df, specs):
                 *[
                     F.struct(
                         F.lit(name).alias("column"),
-                        F.col(f"__rows_{name}").alias("n_rows"),
+                        F.col("__rows").alias("n_rows"),
                         F.col(f"__null_{name}").cast("long").alias("n_null"),
                         F.col(f"__dist_{name}").alias("n_distinct"),
                         F.col(f"__min_{name}").alias("min_repr"),

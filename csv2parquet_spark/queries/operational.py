@@ -1047,7 +1047,9 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     forensic data-quality screen (fabricated or truncated numeric
     columns drift from log10(1 + 1/d)). First digit extracted from the
     DECIMAL(14,2) string form on both engines (identical rendering);
-    one map-side projection + a 9-group aggregate."""
+    one map-side projection + a 9-group aggregate; the denominator is
+    derived from the (≤9-row, localCheckpoint-pinned) grouped result —
+    ONE scan of the fact table, not a count() pre-pass."""
     o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1.0)
     d = o.select(
         F.substring(
@@ -1056,9 +1058,11 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("digit")
     )
-    n = d.count()  # one scalar to the driver
-    return d.groupBy("digit").agg(
-        F.count(F.lit(1)).alias("n_values"),
-        F.round(F.count(F.lit(1)) * 1.0 / n, 6).alias("frac"),
+    g = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n_values")).localCheckpoint()
+    total = F.broadcast(g.agg(F.sum("n_values").alias("__n")))
+    return g.crossJoin(total).select(
+        "digit",
+        "n_values",
+        F.round(F.col("n_values") * 1.0 / F.col("__n"), 6).alias("frac"),
         F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford_expected"),
     )

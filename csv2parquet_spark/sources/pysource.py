@@ -118,8 +118,14 @@ class _StreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         s, e = start["offset"], end["offset"]
         # Recovery path: never let announced offsets regress below a
-        # range the engine already planned (see class docstring).
-        self._latest = max(self._latest, e)
+        # range the engine already planned (see class docstring). The
+        # START offset counts too: after a fully-committed restart the
+        # engine may call latestOffset() first (counter still 0) and
+        # then plan (committed_start, small_latest) — s > e yields an
+        # empty range below, and bumping to s makes the NEXT
+        # latestOffset resume from the committed position instead of
+        # burning ticks climbing back.
+        self._latest = max(self._latest, s, e)
         if s >= e:
             return [_StreamRange(s, s)]
         per = -(-(e - s) // self.n_parts)

@@ -583,3 +583,21 @@ def test_convert_xml_roundtrip_and_dry(spark, tmp_path):
         spark, str(src), out0, ConvertOptions(max_read_records=0)
     )
     assert schema0["id"].dataType.typeName() == "string"
+
+
+def test_convert_json_concatenated_objects_limitation(spark, tmp_path):
+    """Pinned LIMITATION (documented in convert_json): Spark's wholeFile
+    JSON parser stops after the FIRST top-level value, silently — a
+    file with concatenated multi-line objects converts to one row even
+    in FAILFAST. Users needing that shape use JSONL (one per line) or
+    one document per file. If a Spark upgrade starts parsing all
+    values, this test will flag the semantics change."""
+    import duckdb
+
+    from csv2parquet_spark.converter import convert_json
+
+    src = tmp_path / "concat.json"
+    src.write_text('{\n "id": 1\n}\n{\n "id": 2\n}\n')
+    out = str(tmp_path / "concat.parquet")
+    convert_json(spark, str(src), out)
+    assert duckdb.sql(f"SELECT id FROM read_parquet('{out}')").fetchall() == [(1,)]

@@ -880,3 +880,30 @@ def test_write_training_shards_deterministic_balanced(spark, tmp_path, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_image_ahash_robustness_truncated_and_offset(spark):
+    """image_ahash must DROP (not crash on) a payload with a valid BMP
+    header but truncated pixel data, and must honor bfOffBits when the
+    pixel array does not start at byte 54."""
+    import struct
+
+    from csv2parquet_spark.operators.multimodal import (
+        image_ahash,
+        synth_patterned_image,
+    )
+
+    good = synth_patterned_image(3)
+    truncated = good[: 54 + 10]  # header intact, pixels cut short
+    # same image with a 16-byte gap between header and pixels
+    off = struct.unpack_from("<I", good, 10)[0]
+    assert off == 54
+    gapped = bytearray(good[:54] + b"\x00" * 16 + good[54:])
+    struct.pack_into("<I", gapped, 10, 70)  # bfOffBits -> 70
+    df = spark.createDataFrame(
+        [(3, bytearray(good)), (99, bytearray(truncated)), (4, gapped)],
+        "doc_id bigint, payload binary",
+    )
+    got = {r.doc_id: r.ahash for r in image_ahash(df).collect()}
+    assert 99 not in got          # truncated: dropped, no crash
+    assert got[4] == got[3]       # offset honored: same pixels, same hash
