@@ -412,6 +412,108 @@ def synth_patterned_image(doc_id: int) -> bytes:
     return header + img.tobytes()
 
 
+def _parse_bmp24(p: bytes):
+    """(top-down h×w×3 uint8 array, w, h) from a 24-bpp BMP, or None if
+    the payload is not a well-formed 24-bpp BMP (wrong magic, non-24
+    bpp, or pixel array truncated). Honors bfOffBits (bytes 10-13) —
+    pixel data need not start at byte 54 (V4/V5 headers, palette gaps)
+    — and the bottom-up row order the spec mandates for positive
+    heights."""
+    import struct
+
+    import numpy as np
+
+    if len(p) < 54 or p[:2] != b"BM":
+        return None
+    off = struct.unpack_from("<I", p, 10)[0]
+    w, hh = struct.unpack_from("<ii", p, 18)
+    bpp = struct.unpack_from("<H", p, 28)[0]
+    if w <= 0 or hh == 0 or bpp != 24:
+        return None
+    h = abs(hh)
+    row_sz = ((24 * w + 31) // 32) * 4
+    if off < 54 or len(p) < off + row_sz * h:
+        return None
+    raw = np.frombuffer(p, dtype=np.uint8, count=row_sz * h, offset=off)
+    rows = raw.reshape(h, row_sz)[:, : 3 * w].reshape(h, w, 3)
+    if hh > 0:
+        rows = rows[::-1]  # bottom-up storage → top-down grid
+    return rows, w, h
+
+
+def _encode_bmp24(rows) -> bytes:
+    """Top-down h×w×3 uint8 array → a spec-correct 24-bpp BMP
+    (BITMAPINFOHEADER, 4-byte-aligned bottom-up rows)."""
+    import struct
+
+    import numpy as np
+
+    h, w = rows.shape[0], rows.shape[1]
+    row_sz = ((24 * w + 31) // 32) * 4
+    img = np.zeros((h, row_sz), dtype=np.uint8)
+    img[:, : 3 * w] = rows[::-1].reshape(h, 3 * w)
+    header = struct.pack("<2sIHHI", b"BM", 54 + img.size, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img.size, 2835, 2835, 0, 0
+    )
+    return header + img.tobytes()
+
+
+RESIZE_SCHEMA = "doc_id bigint, payload binary, out_w int, out_h int, out_bytes int"
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL image resize for 24-bpp BMP payloads (nearest-neighbor,
+    pixel-center sampling): decode the actual pixel grid, resample to
+    (target_w, target_h), re-encode a valid BMP. This replaces the
+    resize STUB for the one format this container can decode without
+    external codecs — the mapInPandas shape (Arrow batches, map-only,
+    no shuffle) is exactly what a PIL/ffmpeg-backed kernel drops into.
+    Non-BMP / corrupt payloads are dropped (codec gate)."""
+    import numpy as np
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        xs_cache: dict[int, object] = {}
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                parsed = _parse_bmp24(bytes(p))
+                if parsed is None:
+                    continue
+                rows, w, h = parsed
+                # pixel-center nearest sampling (the aHash convention)
+                ys = xs_cache.get(h)
+                if ys is None:
+                    ys = xs_cache[h] = (2 * np.arange(target_h) + 1) * h // (
+                        2 * target_h
+                    )
+                xs = xs_cache.get(-w - 1)
+                if xs is None:
+                    xs = xs_cache[-w - 1] = (2 * np.arange(target_w) + 1) * w // (
+                        2 * target_w
+                    )
+                out = rows[np.ix_(ys, xs)]
+                ids.append(int(i))
+                payloads.append(_encode_bmp24(out))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "payload": payloads,
+                        "out_w": target_w,
+                        "out_h": target_h,
+                        "out_bytes": [len(b) for b in payloads],
+                    }
+                )
+
+    return df.select(id_col, payload_col).mapInPandas(resize_batches, RESIZE_SCHEMA)
+
+
 AHASH_SCHEMA = "doc_id bigint, ahash bigint, bands array<int>"
 
 
@@ -431,33 +533,16 @@ def image_ahash(
     on (band_idx, band_value) — synthetic keys, never pixel data, and
     only (id, hash) rows ever shuffle. Non-BMP payloads are dropped
     (codec gate, same policy as decode_media)."""
-    import struct
-
     import numpy as np
 
     def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, hashes, bands = [], [], []
             for i, p in zip(pdf[id_col], pdf[payload_col]):
-                p = bytes(p)
-                if len(p) < 54 or p[:2] != b"BM":
-                    continue
-                # bfOffBits (bytes 10-13) is where pixel data starts —
-                # hardcoding 54 would hash garbage for V4/V5-header or
-                # palette-gap BMPs
-                off = struct.unpack_from("<I", p, 10)[0]
-                w, hh = struct.unpack_from("<ii", p, 18)
-                bpp = struct.unpack_from("<H", p, 28)[0]
-                if w <= 0 or hh == 0 or bpp != 24:
-                    continue
-                h = abs(hh)
-                row_sz = ((24 * w + 31) // 32) * 4
-                if off < 54 or len(p) < off + row_sz * h:
-                    continue  # truncated/corrupt payload: drop, don't crash
-                raw = np.frombuffer(p, dtype=np.uint8, count=row_sz * h, offset=off)
-                rows = raw.reshape(h, row_sz)[:, : 3 * w].reshape(h, w, 3)
-                if hh > 0:
-                    rows = rows[::-1]  # bottom-up storage → top-down grid
+                parsed = _parse_bmp24(bytes(p))
+                if parsed is None:
+                    continue  # non-BMP / truncated payload: drop, don't crash
+                rows, w, h = parsed
                 gray = rows.astype(np.float64).mean(axis=2)
                 # sample CELL CENTERS: for any dimension ≥ 16 the center
                 # pixel of grid cell k maps back to cell k under the

@@ -75,6 +75,8 @@ _DEFER_THIS_ROUND: set[str] = {
     "rfm_customer_segments",
     "grouped_percentiles_exact",
     "benford_first_digit_audit",
+    "bm25_topk_docs",
+    "multimodal_resize_real",
 }
 
 

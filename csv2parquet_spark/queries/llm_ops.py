@@ -1171,3 +1171,52 @@ def image_ahash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_near_dups(imgs, max_hamming=3).select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
     )
+
+
+@register(
+    "multimodal_resize_real",
+    oracle="""
+    SELECT doc_id,
+           CAST(40 AS INTEGER) AS out_w,
+           CAST(24 AS INTEGER) AS out_h,
+           CAST(2934 AS INTEGER) AS out_bytes,
+           true AS ahash_preserved
+    FROM documents
+    """,
+)
+def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize, end-to-end checked: patterned BMPs decode →
+    nearest-neighbor resample to 40×24 → re-encode as valid BMPs →
+    re-decode → perceptual hash, asserting the aHash survives the
+    resize for every document (the property perceptual hashing is FOR;
+    the fixture patterns are 8×8-cell-aligned so it must hold exactly).
+    The oracle derives the invariants from arithmetic — out_bytes =
+    54 + row_size(40)·24 = 2934 for every row — while Spark earns them
+    through two full decode/encode round-trips. All three stages are
+    map-only mapInPandas; the only shuffle is the doc_id hash-join of
+    the two hash relations."""
+    from csv2parquet_spark.operators.multimodal import (
+        image_ahash,
+        resize_images,
+        with_patterned_image,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    imgs = with_patterned_image(docs).localCheckpoint()
+    resized = resize_images(imgs, 40, 24)
+    ha = image_ahash(imgs).select("doc_id", F.col("ahash").alias("h_orig"))
+    hb = image_ahash(resized).select(
+        "doc_id", F.col("ahash").alias("h_res")
+    )
+    return (
+        resized.select("doc_id", "out_w", "out_h", "out_bytes")
+        .join(ha, "doc_id")
+        .join(hb, "doc_id")
+        .select(
+            "doc_id",
+            "out_w",
+            "out_h",
+            "out_bytes",
+            (F.col("h_orig") == F.col("h_res")).alias("ahash_preserved"),
+        )
+    )

@@ -154,3 +154,74 @@ def textrank_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 __all__ = ["bpe_pair_counts", "inverted_index_postings", "textrank_tokens"]
+
+
+@register(
+    "bm25_topk_docs",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+    ), stats AS (
+      SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ), tf AS (
+      SELECT doc_id, t, count(*) AS tf FROM tok
+      WHERE t IN ('spark', 'shuffle', 'broadcast') GROUP BY doc_id, t
+    ), df AS (
+      SELECT t, count(*) AS df FROM tf GROUP BY t
+    ), scored AS (
+      SELECT tf.doc_id,
+             CAST(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                  * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+                  AS DECIMAL(18,10)) AS term_score
+      FROM tf JOIN df USING (t) JOIN dl USING (doc_id), stats
+    )
+    SELECT doc_id, round(CAST(sum(term_score) AS DOUBLE), 6) AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY sum(term_score) DESC, doc_id LIMIT 20
+    """,
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (Robertson/Okapi, k1=1.2, b=0.75) for a fixed
+    3-term query over the corpus — the lexical-retrieval half of a
+    two-stage RAG pipeline (the ANN queries are the dense half). Model
+    stats (df per term, N, avgdl) are partial-agg scalars; scoring
+    touches only docs containing a query term (the tf relation, not the
+    corpus); top-20 is TakeOrderedAndProject.
+
+    Parity: every per-term score is a deterministic double expression
+    of integer (tf, dl, df, N) and one shared double (avgdl — the same
+    division on both engines), decimal-cast BEFORE the per-doc sum so
+    association order can't drift, rounded at 6 dp; ORDER BY the exact
+    decimal sum with a doc_id tiebreak."""
+    terms = ["spark", "shuffle", "broadcast"]
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n, sum_dl = dl.agg(F.count(F.lit(1)), F.sum("dl")).collect()[0]
+    avgdl = float(sum_dl) / n  # same IEEE division as the oracle
+    tf = (
+        tok.filter(F.col("t").isin(terms))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    term_score = (
+        idf
+        * F.col("tf")
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.lit(avgdl)))
+    ).cast("decimal(18,10)")
+    scored = (
+        tf.join(F.broadcast(df), "t")
+        .join(dl, "doc_id")
+        .select("doc_id", term_score.alias("term_score"))
+    )
+    agg = scored.groupBy("doc_id").agg(F.sum("term_score").alias("s"))
+    return (
+        agg.orderBy(F.desc("s"), "doc_id")
+        .limit(20)
+        .select("doc_id", F.round(F.col("s").cast("double"), 6).alias("bm25"))
+    )

@@ -907,3 +907,33 @@ def test_image_ahash_robustness_truncated_and_offset(spark):
     got = {r.doc_id: r.ahash for r in image_ahash(df).collect()}
     assert 99 not in got          # truncated: dropped, no crash
     assert got[4] == got[3]       # offset honored: same pixels, same hash
+
+
+def test_resize_images_real_roundtrip(spark):
+    """resize_images must emit VALID BMPs of the target dimensions whose
+    pixel content is the nearest-neighbor resample of the source — and
+    a non-BMP payload is dropped, not crashed on."""
+    import numpy as np
+
+    from csv2parquet_spark.operators.multimodal import (
+        _parse_bmp24,
+        resize_images,
+        synth_patterned_image,
+    )
+
+    df = spark.createDataFrame(
+        [(7, bytearray(synth_patterned_image(7))), (99, bytearray(b"not a bmp"))],
+        "doc_id bigint, payload binary",
+    )
+    rows = resize_images(df, 20, 12).collect()
+    assert [r.doc_id for r in rows] == [7]
+    out = bytes(rows[0].payload)
+    parsed = _parse_bmp24(out)
+    assert parsed is not None
+    arr, w, h = parsed
+    assert (w, h) == (20, 12) and rows[0].out_bytes == len(out)
+    # independent resample of the source agrees pixel-for-pixel
+    src, sw, sh = _parse_bmp24(synth_patterned_image(7))
+    ys = (2 * np.arange(12) + 1) * sh // 24
+    xs = (2 * np.arange(20) + 1) * sw // 40
+    assert (arr == src[np.ix_(ys, xs)]).all()
