@@ -79,6 +79,8 @@ HEADLINE = [
     "paragraph_dedup_rebuild",
     "length_bucket_packing_report",
     "image_ahash_near_dups",
+    "bm25_topk_docs",
+    "multimodal_resize_real",
 ]
 
 

@@ -458,7 +458,9 @@ def _encode_bmp24(rows) -> bytes:
     return header + img.tobytes()
 
 
-RESIZE_SCHEMA = "doc_id bigint, payload binary, out_w int, out_h int, out_bytes int"
+RESIZE_REAL_SCHEMA = (
+    "doc_id bigint, payload binary, out_w int, out_h int, out_bytes int"
+)
 
 
 def resize_images(
@@ -511,7 +513,9 @@ def resize_images(
                     }
                 )
 
-    return df.select(id_col, payload_col).mapInPandas(resize_batches, RESIZE_SCHEMA)
+    return df.select(id_col, payload_col).mapInPandas(
+        resize_batches, RESIZE_REAL_SCHEMA
+    )
 
 
 AHASH_SCHEMA = "doc_id bigint, ahash bigint, bands array<int>"
