@@ -621,3 +621,121 @@ def with_patterned_image(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         return ids.map(lambda i: synth_patterned_image(int(i)))
 
     return df.select(F.col(id_col), _synth(F.col(id_col)).alias("payload"))
+
+
+def _parse_wav_pcm16(p: bytes):
+    """(int16 sample array, channels, sample_rate) from a RIFF/WAVE
+    16-bit PCM payload via a real chunk walk, or None. Same traversal
+    contract as _decode_wav, but returns the DATA, not just metadata."""
+    import struct
+
+    import numpy as np
+
+    if len(p) < 44 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        return None
+    channels = rate = bits = None
+    data_off = data_size = None
+    pos = 12
+    while pos + 8 <= len(p):
+        cid = p[pos : pos + 4]
+        sz = struct.unpack_from("<I", p, pos + 4)[0]
+        if cid == b"fmt " and pos + 24 <= len(p):
+            channels = struct.unpack_from("<H", p, pos + 10)[0]
+            rate = struct.unpack_from("<I", p, pos + 12)[0]
+            bits = struct.unpack_from("<H", p, pos + 22)[0]
+        elif cid == b"data":
+            data_off, data_size = pos + 8, sz
+        pos += 8 + sz + (sz & 1)
+    if not channels or not rate or bits != 16 or data_off is None:
+        return None
+    if len(p) < data_off + data_size:
+        return None  # truncated payload: drop, don't crash
+    samples = np.frombuffer(p, dtype="<i2", count=data_size // 2, offset=data_off)
+    return samples, channels, rate
+
+
+def synth_patterned_wav(doc_id: int) -> bytes:
+    """Deterministic mono 16-bit PCM WAV whose CONTENT is a square wave
+    — the fixture for REAL audio feature extraction: amplitude
+    A = 1000 + (id % 7)·100, half-period h = 2 + id % 6 samples,
+    n = 800 + (id % 50)·16 samples at rate 8000·(1 + id % 3). Every
+    feature a DSP kernel computes from these bytes (RMS = A exactly —
+    square wave; zero crossings = ⌊(n−1)/h⌋; peak = A; duration) is
+    derivable from id arithmetic, so a DuckDB oracle can check the
+    kernel end-to-end."""
+    import struct
+
+    import numpy as np
+
+    amp = 1000 + (doc_id % 7) * 100
+    half = 2 + doc_id % 6
+    n = 800 + (doc_id % 50) * 16
+    rate = 8000 * (1 + doc_id % 3)
+    i = np.arange(n)
+    samples = np.where((i // half) % 2 == 0, amp, -amp).astype("<i2")
+    data = samples.tobytes()
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+        + struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16)
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+def with_patterned_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, payload) with :func:`synth_patterned_wav` bytes per id."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _synth(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_patterned_wav(int(i)))
+
+    return df.select(F.col(id_col), _synth(F.col(id_col)).alias("payload"))
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id bigint, n_samples int, sample_rate int, duration_ms int, "
+    "rms int, peak int, zero_crossings int"
+)
+
+
+def audio_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL audio feature extraction from PCM bytes (the DSP analogue of
+    the real BMP decode): RIFF chunk walk → int16 samples → RMS energy,
+    peak amplitude, zero-crossing count, duration — numpy per Arrow
+    batch, map-only, no shuffle. RMS is rounded to the nearest int (an
+    exact integer for the square-wave fixture, so it hash-checks);
+    non-WAV / non-PCM16 / truncated payloads are dropped (codec gate)."""
+    import numpy as np
+
+    def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "n_samples", "sample_rate", "duration_ms",
+                "rms", "peak", "zero_crossings",
+            )}
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                parsed = _parse_wav_pcm16(bytes(p))
+                if parsed is None:
+                    continue
+                samples, channels, rate = parsed
+                if len(samples) == 0:
+                    continue
+                x = samples.astype(np.float64)
+                out["doc_id"].append(int(i))
+                out["n_samples"].append(len(samples) // channels)
+                out["sample_rate"].append(rate)
+                out["duration_ms"].append(len(samples) // channels * 1000 // rate)
+                out["rms"].append(int(np.sqrt(np.mean(x * x)) + 0.5))
+                out["peak"].append(int(np.max(np.abs(x))))
+                out["zero_crossings"].append(
+                    int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                )
+            if out["doc_id"]:
+                yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        feature_batches, AUDIO_FEATURES_SCHEMA
+    )

@@ -77,6 +77,7 @@ _DEFER_THIS_ROUND: set[str] = {
     "benford_first_digit_audit",
     "bm25_topk_docs",
     "multimodal_resize_real",
+    "audio_features_real",
 }
 
 

@@ -1220,3 +1220,36 @@ def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("h_orig") == F.col("h_res")).alias("ahash_preserved"),
         )
     )
+
+
+@register(
+    "audio_features_real",
+    oracle="""
+    SELECT doc_id,
+           CAST(800 + (doc_id % 50) * 16 AS INTEGER) AS n_samples,
+           CAST(8000 * (1 + doc_id % 3) AS INTEGER) AS sample_rate,
+           CAST((800 + (doc_id % 50) * 16) * 1000
+                // (8000 * (1 + doc_id % 3)) AS INTEGER) AS duration_ms,
+           CAST(1000 + (doc_id % 7) * 100 AS INTEGER) AS rms,
+           CAST(1000 + (doc_id % 7) * 100 AS INTEGER) AS peak,
+           CAST((800 + (doc_id % 50) * 16 - 1)
+                // (2 + doc_id % 6) AS INTEGER) AS zero_crossings
+    FROM documents
+    """,
+)
+def audio_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio feature extraction, end-to-end checked: square-wave
+    PCM WAVs (synth_patterned_wav) parse through a true RIFF chunk walk
+    into int16 samples, and the numpy DSP kernel computes RMS energy /
+    peak / zero-crossing count / duration from the actual waveform —
+    while the DuckDB oracle derives each value from id arithmetic (a
+    square wave's RMS is exactly its amplitude; crossings are
+    ⌊(n−1)/half_period⌋). Map-only mapInPandas: synth + parse + DSP,
+    no shuffle anywhere."""
+    from csv2parquet_spark.operators.multimodal import (
+        audio_features,
+        with_patterned_wav,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return audio_features(with_patterned_wav(docs))

@@ -937,3 +937,37 @@ def test_resize_images_real_roundtrip(spark):
     ys = (2 * np.arange(12) + 1) * sh // 24
     xs = (2 * np.arange(20) + 1) * sw // 40
     assert (arr == src[np.ix_(ys, xs)]).all()
+
+
+def test_audio_features_real_dsp(spark):
+    """audio_features must compute RMS/peak/crossings from the ACTUAL
+    PCM samples: a handcrafted non-square waveform (so id arithmetic
+    can't fake it) checks the kernel against numpy ground truth; a
+    truncated WAV and a non-WAV are dropped, not crashed on."""
+    import struct
+
+    import numpy as np
+
+    from csv2parquet_spark.operators.multimodal import audio_features
+
+    samples = np.array([100, -200, 300, -400, 0, 500], dtype="<i2")
+    data = samples.tobytes()
+    wav = (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+        + struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 8000, 16000, 2, 16)
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(wav[:50])), (3, bytearray(b"nope"))],
+        "doc_id bigint, payload binary",
+    )
+    rows = audio_features(df).collect()
+    assert [r.doc_id for r in rows] == [1]
+    r = rows[0]
+    x = samples.astype(np.float64)
+    assert r.n_samples == 6 and r.sample_rate == 8000
+    assert r.rms == int(np.sqrt(np.mean(x * x)) + 0.5)
+    assert r.peak == 500
+    # signbit flips: 100/-200, -200/300, 300/-400, -400/0(+), none at 0/500
+    assert r.zero_crossings == 4
