@@ -739,3 +739,157 @@ def audio_features(
     return df.select(id_col, payload_col).mapInPandas(
         feature_batches, AUDIO_FEATURES_SCHEMA
     )
+
+
+def _frame_pattern_bits(doc_id: int, frame: int) -> int:
+    """63-bit cell pattern for (doc, frame): bit c set iff
+    (c + doc_id + frame) % 3 == 0 and c < 63 — simple enough for a SQL
+    oracle to rebuild, non-trivial enough that only a kernel reading the
+    actual frame pixels reproduces it (bit 63 stays 0 so the hash is
+    always a positive int64)."""
+    bits = 0
+    for c in range(63):
+        if (c + doc_id + frame) % 3 == 0:
+            bits |= 1 << c
+    return bits
+
+
+def synth_patterned_avi(doc_id: int) -> bytes:
+    """Deterministic UNCOMPRESSED AVI (RIFF 'AVI ': hdrl with avih +
+    strl(strh,strf), movi with one '00db' DIB chunk per frame) —
+    4 + id%5 frames of 16×16 24-bpp video, frame f rendering the
+    _frame_pattern_bits(id, f) cell pattern. A spec-correct container:
+    any AVI reader walks the same chunks the frame sampler does."""
+    import struct
+
+    import numpy as np
+
+    w = h = 16
+    n_frames = 4 + doc_id % 5
+    row_sz = ((24 * w + 31) // 32) * 4
+    frame_sz = row_sz * h
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        return cid + struct.pack("<I", len(data)) + data + (b"\x00" * (len(data) & 1))
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    frames = []
+    for f in range(n_frames):
+        bits = _frame_pattern_bits(doc_id, f)
+        bitarr = np.array([(bits >> i) & 1 for i in range(64)], dtype=np.uint8)
+        cx = (np.arange(w) * 8) // w
+        cy = (np.arange(h) * 8) // h
+        vals = bitarr[cy[:, None] * 8 + cx[None, :]] * np.uint8(255)
+        img = np.zeros((h, row_sz), dtype=np.uint8)
+        img[:, : 3 * w] = np.repeat(vals[::-1], 3, axis=1)  # bottom-up DIB
+        frames.append(chunk(b"00db", img.tobytes()))
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        66666, frame_sz, 0, 0, n_frames, 0, 1, frame_sz, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, 15,
+                                        0, n_frames, frame_sz, 0, 0, 0)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_sz, 2835, 2835, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def with_patterned_avi(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, payload) with :func:`synth_patterned_avi` bytes per id."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _synth(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_patterned_avi(int(i)))
+
+    return df.select(F.col(id_col), _synth(F.col(id_col)).alias("payload"))
+
+
+FRAME_SAMPLE_REAL_SCHEMA = (
+    "doc_id bigint, frame_idx int, n_frames int, frame_bytes int, ahash bigint"
+)
+
+
+def sample_frames_real(
+    df: DataFrame,
+    every: int = 2,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL video frame sampling from uncompressed AVI payloads: a true
+    RIFF walk (hdrl → strf for dimensions, movi → '00db'/'00dc' DIB
+    chunks for frames), keep every ``every``-th frame, and compute each
+    kept frame's 64-bit aHash from its ACTUAL pixels (same cell-center
+    kernel as image_ahash). Map-only mapInPandas — the shape a real
+    ffmpeg-backed sampler drops into; non-AVI / truncated payloads are
+    dropped (codec gate)."""
+    import struct
+
+    import numpy as np
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "frame_idx", "n_frames", "frame_bytes", "ahash",
+            )}
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                p = bytes(p)
+                if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"AVI ":
+                    continue
+                w = h = None
+                frames: list[bytes] = []
+
+                def scan(start: int, end: int) -> None:
+                    nonlocal w, h
+                    pos = start
+                    while pos + 8 <= end:
+                        cid = p[pos : pos + 4]
+                        sz = struct.unpack_from("<I", p, pos + 4)[0]
+                        body_end = min(pos + 8 + sz, end)
+                        if cid == b"LIST" and pos + 12 <= end:
+                            scan(pos + 12, body_end)  # recurse into list body
+                        elif cid == b"strf" and sz >= 40:
+                            w, h = struct.unpack_from("<ii", p, pos + 8 + 4)
+                        elif cid in (b"00db", b"00dc"):
+                            frames.append(p[pos + 8 : body_end])
+                        pos += 8 + sz + (sz & 1)
+
+                scan(12, min(12 + struct.unpack_from("<I", p, 4)[0] - 4, len(p)))
+                if not w or not h or not frames:
+                    continue
+                h = abs(h)
+                row_sz = ((24 * w + 31) // 32) * 4
+                for fi in range(0, len(frames), every):
+                    fb = frames[fi]
+                    if len(fb) < row_sz * h:
+                        continue
+                    raw = np.frombuffer(fb, dtype=np.uint8, count=row_sz * h)
+                    rows = raw.reshape(h, row_sz)[:, : 3 * w].reshape(h, w, 3)[::-1]
+                    gray = rows.astype(np.float64).mean(axis=2)
+                    ys = (2 * np.arange(8) + 1) * h // 16
+                    xs = (2 * np.arange(8) + 1) * w // 16
+                    cells = gray[np.ix_(ys, xs)].ravel()
+                    bits = cells > cells.mean()
+                    hv = 0
+                    for b in range(64):
+                        if bits[b]:
+                            hv |= 1 << b
+                    hv = hv - (1 << 64) if hv >= 1 << 63 else hv
+                    out["doc_id"].append(int(i))
+                    out["frame_idx"].append(fi)
+                    out["n_frames"].append(len(frames))
+                    out["frame_bytes"].append(len(fb))
+                    out["ahash"].append(hv)
+            if out["doc_id"]:
+                yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        walk, FRAME_SAMPLE_REAL_SCHEMA
+    )

@@ -78,6 +78,7 @@ _DEFER_THIS_ROUND: set[str] = {
     "bm25_topk_docs",
     "multimodal_resize_real",
     "audio_features_real",
+    "video_frame_sample_real",
 }
 
 

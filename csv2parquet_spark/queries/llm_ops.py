@@ -1253,3 +1253,36 @@ def audio_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents").select("doc_id")
     return audio_features(with_patterned_wav(docs))
+
+
+@register(
+    "video_frame_sample_real",
+    oracle="""
+    SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+           CAST(4 + doc_id % 5 AS INTEGER) AS n_frames,
+           CAST(768 AS INTEGER) AS frame_bytes,
+           CAST(CASE (3 - (doc_id + fi) % 3) % 3
+                WHEN 0 THEN 1317624576693539401
+                WHEN 1 THEN 2635249153387078802
+                ELSE 5270498306774157604 END AS BIGINT) AS ahash
+    FROM documents,
+         LATERAL (SELECT unnest(range(0, 4 + doc_id % 5, 2)) AS fi) _f
+    """,
+)
+def video_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling, end-to-end checked: spec-correct
+    uncompressed AVIs (RIFF hdrl/strl/movi with one '00db' DIB chunk
+    per frame) parse through a recursive chunk walk; every 2nd frame's
+    pixels hash through the aHash kernel. The per-(doc, frame) pattern
+    bit c is set iff (c + doc + frame) % 3 == 0 (c < 63), whose bit-sum
+    collapses to one of THREE closed-form constants by residue — so the
+    DuckDB oracle rebuilds every sampled frame's hash from arithmetic
+    while Spark earns it by decoding actual frame bytes. Map-only
+    mapInPandas; no shuffle."""
+    from csv2parquet_spark.operators.multimodal import (
+        sample_frames_real,
+        with_patterned_avi,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return sample_frames_real(with_patterned_avi(docs), every=2)

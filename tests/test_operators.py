@@ -971,3 +971,39 @@ def test_audio_features_real_dsp(spark):
     assert r.peak == 500
     # signbit flips: 100/-200, -200/300, 300/-400, -400/0(+), none at 0/500
     assert r.zero_crossings == 4
+
+
+def test_avi_frame_sampler_real_walk(spark):
+    """sample_frames_real must walk the RIFF tree (not fixed offsets):
+    an AVI with an extra JUNK chunk before movi still parses; frame
+    count/stride are honored; truncated and non-AVI payloads drop."""
+    import struct
+
+    from csv2parquet_spark.operators.multimodal import (
+        _frame_pattern_bits,
+        sample_frames_real,
+        synth_patterned_avi,
+    )
+
+    good = synth_patterned_avi(11)  # 4 + 11%5 = 5 frames
+    # splice a JUNK chunk right after 'AVI ' (offset 12), fixing the
+    # RIFF size field — a structure-agnostic parser must skip it
+    junk = b"JUNK" + struct.pack("<I", 6) + b"abcdef"
+    padded = bytearray(good[:12] + junk + good[12:])
+    struct.pack_into("<I", padded, 4, struct.unpack_from("<I", good, 4)[0] + len(junk))
+    df = spark.createDataFrame(
+        [(11, bytearray(good)), (12, padded), (13, bytearray(good[:40])),
+         (14, bytearray(b"RIFFxxxxWAVE"))],
+        "doc_id bigint, payload binary",
+    )
+    rows = sample_frames_real(df, every=2).collect()
+    got = {(r.doc_id, r.frame_idx): r for r in rows}
+    # doc 11 and the JUNK-padded doc 12 both yield frames 0, 2, 4 of 5
+    for doc in (11, 12):
+        idxs = sorted(fi for d, fi in got if d == doc)
+        assert idxs == [0, 2, 4]
+        for fi in idxs:
+            r = got[(doc, fi)]
+            assert r.n_frames == 5 and r.frame_bytes == 768
+            assert r.ahash == _frame_pattern_bits(11, fi)
+    assert not [d for d, _ in got if d in (13, 14)]
