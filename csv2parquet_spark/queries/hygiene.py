@@ -604,7 +604,7 @@ def mixture_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1
     ), v AS (
       SELECT count(DISTINCT t) AS v
-      FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+      FROM (SELECT w1 AS t FROM c2 UNION SELECT w2 FROM c2)
     )
     SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
            round(-sum(ln(CAST(c2.c2 + 1 AS DOUBLE)
@@ -625,12 +625,14 @@ def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: bigram pairs are built MAP-SIDE (split once, zip the
     array against its own tail, explode) — no join builds them; the
-    model is two partial-agg groupBys (pair counts, then context counts
-    derived from the pair table, never a second corpus pass); scoring
-    re-joins bigrams to the model on the pair key and reduces per doc.
-    Three narrow shuffles total, everything integer until one division;
-    both engines divide the identical rational, so ln() agrees to well
-    under the 6 dp round."""
+    model is two partial-agg groupBys over the pair relation, pinned
+    with localCheckpoint so context counts, the vocabulary size AND the
+    scoring join all read the model-sized pair table instead of
+    re-deriving it from the corpus (|V| is defined over bigram-member
+    tokens — self-contained in the model, zero extra corpus passes,
+    identical on both engines by the same definition). TWO corpus scans
+    total (model build + scoring side); everything integer until one
+    division, so ln() agrees to well under the 6 dp round."""
     docs = table(spark, sf_dir, "documents")
     arr = F.split("text", " ")
     bg = docs.select(
@@ -642,11 +644,14 @@ def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2")).localCheckpoint()
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
-    v = docs.select(F.explode(arr).alias("t")).agg(
-        F.count_distinct("t")
-    ).collect()[0][0]  # vocab size: one scalar to the driver (model-sized)
+    v = (
+        c2.select("w1")
+        .union(c2.select(F.col("w2").alias("w1")))
+        .distinct()
+        .count()
+    )  # |V| from the checkpointed model relation — no corpus re-scan
     return (
         bg.join(c2, ["w1", "w2"])
         .join(c1, "w1")

@@ -199,7 +199,10 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = ["spark", "shuffle", "broadcast"]
     docs = table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # checkpointed: consumed three times (N/avgdl scalars, the scoring
+    # join) — per-doc sized, and pinning it avoids re-exploding the
+    # corpus for each consumer
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")).localCheckpoint()
     n, sum_dl = dl.agg(F.count(F.lit(1)), F.sum("dl")).collect()[0]
     avgdl = float(sum_dl) / n  # same IEEE division as the oracle
     tf = (
