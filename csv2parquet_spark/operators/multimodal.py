@@ -893,3 +893,77 @@ def sample_frames_real(
     return df.select(id_col, payload_col).mapInPandas(
         walk, FRAME_SAMPLE_REAL_SCHEMA
     )
+
+
+def synth_counting_image(doc_id: int) -> bytes:
+    """16×16 24-bpp BMP rendering the ``(c + doc_id) % 3 == 0`` cell
+    pattern (the same rule the AVI frames use at frame 0) — the fixture
+    for REAL image feature extraction, whose per-quadrant cell counts
+    collapse to closed-form constants by doc_id % 3."""
+    import numpy as np
+
+    bits = _frame_pattern_bits(doc_id, 0)
+    bitarr = np.array([(bits >> i) & 1 for i in range(64)], dtype=np.uint8)
+    w = h = 16
+    cx = (np.arange(w) * 8) // w
+    cy = (np.arange(h) * 8) // h
+    vals = bitarr[cy[:, None] * 8 + cx[None, :]] * np.uint8(255)
+    rows = np.repeat(vals[:, :, None], 3, axis=2)
+    return _encode_bmp24(rows)
+
+
+def with_counting_image(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, payload) with :func:`synth_counting_image` bytes per id."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _synth(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_counting_image(int(i)))
+
+    return df.select(F.col(id_col), _synth(F.col(id_col)).alias("payload"))
+
+
+IMAGE_FEATURES_SCHEMA = (
+    "doc_id bigint, q0 int, q1 int, q2 int, q3 int, bright_cells int"
+)
+
+
+def image_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL image feature extraction from BMP pixels: decode the grid,
+    cell-center sample 8×8, threshold against the cell mean, and emit
+    the per-QUADRANT bright-cell histogram (4 spatial bins + total) —
+    the quadrant-histogram shape classic CBIR/near-dup features use,
+    computed from actual bytes, map-only, no shuffle. Non-BMP /
+    truncated payloads are dropped (codec gate)."""
+    import numpy as np
+
+    def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "q0", "q1", "q2", "q3", "bright_cells")}
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                parsed = _parse_bmp24(bytes(p))
+                if parsed is None:
+                    continue
+                rows, w, h = parsed
+                gray = rows.astype(np.float64).mean(axis=2)
+                ys = (2 * np.arange(8) + 1) * h // 16
+                xs = (2 * np.arange(8) + 1) * w // 16
+                cells = gray[np.ix_(ys, xs)]
+                bright = cells > cells.mean()
+                out["doc_id"].append(int(i))
+                qs = [
+                    int(bright[4 * (q // 2) : 4 * (q // 2) + 4,
+                               4 * (q % 2) : 4 * (q % 2) + 4].sum())
+                    for q in range(4)
+                ]
+                for q in range(4):
+                    out[f"q{q}"].append(qs[q])
+                out["bright_cells"].append(sum(qs))
+            if out["doc_id"]:
+                yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        feature_batches, IMAGE_FEATURES_SCHEMA
+    )

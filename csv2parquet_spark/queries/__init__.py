@@ -79,6 +79,7 @@ _DEFER_THIS_ROUND: set[str] = {
     "multimodal_resize_real",
     "audio_features_real",
     "video_frame_sample_real",
+    "image_features_real",
 }
 
 

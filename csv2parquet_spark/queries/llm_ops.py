@@ -1286,3 +1286,34 @@ def video_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents").select("doc_id")
     return sample_frames_real(with_patterned_avi(docs), every=2)
+
+
+@register(
+    "image_features_real",
+    oracle="""
+    SELECT doc_id,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 6 ELSE 5 END AS INTEGER) AS q0,
+           CAST(CASE doc_id % 3 WHEN 2 THEN 6 ELSE 5 END AS INTEGER) AS q1,
+           CAST(CASE doc_id % 3 WHEN 1 THEN 6 ELSE 5 END AS INTEGER) AS q2,
+           CAST(5 AS INTEGER) AS q3,
+           CAST(21 AS INTEGER) AS bright_cells
+    FROM documents
+    """,
+)
+def image_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image feature extraction, end-to-end checked: 16×16 BMPs
+    rendering the (c + id) % 3 cell pattern decode through the real
+    pixel parser, and the quadrant-histogram features (bright cells per
+    4×4-cell spatial bin) come out of actual bytes — while the oracle
+    derives each quadrant's count from the closed-form residue classes
+    (the pattern puts 6 bright cells in exactly one quadrant per
+    residue, 5 elsewhere; 21 total always). Replaces the last image
+    STUB (the sha-derived fake feature vector stays as the documented
+    plumbing twin). Map-only mapInPandas."""
+    from csv2parquet_spark.operators.multimodal import (
+        image_features,
+        with_counting_image,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return image_features(with_counting_image(docs))
