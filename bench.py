@@ -81,6 +81,9 @@ HEADLINE = [
     "image_ahash_near_dups",
     "bm25_topk_docs",
     "multimodal_resize_real",
+    "audio_features_real",
+    "video_frame_sample_real",
+    "image_features_real",
 ]
 
 

@@ -754,6 +754,9 @@ def _frame_pattern_bits(doc_id: int, frame: int) -> int:
     return bits
 
 
+_FRAME_CACHE: dict[int, bytes] = {}
+
+
 def synth_patterned_avi(doc_id: int) -> bytes:
     """Deterministic UNCOMPRESSED AVI (RIFF 'AVI ': hdrl with avih +
     strl(strh,strf), movi with one '00db' DIB chunk per frame) —
@@ -775,16 +778,22 @@ def synth_patterned_avi(doc_id: int) -> bytes:
     def lst(ltype: bytes, body: bytes) -> bytes:
         return chunk(b"LIST", ltype + body)
 
+    # the pattern depends only on (doc_id + f) % 3 — exactly three
+    # distinct frame images exist; render each residue once per process
     frames = []
     for f in range(n_frames):
-        bits = _frame_pattern_bits(doc_id, f)
-        bitarr = np.array([(bits >> i) & 1 for i in range(64)], dtype=np.uint8)
-        cx = (np.arange(w) * 8) // w
-        cy = (np.arange(h) * 8) // h
-        vals = bitarr[cy[:, None] * 8 + cx[None, :]] * np.uint8(255)
-        img = np.zeros((h, row_sz), dtype=np.uint8)
-        img[:, : 3 * w] = np.repeat(vals[::-1], 3, axis=1)  # bottom-up DIB
-        frames.append(chunk(b"00db", img.tobytes()))
+        r = (doc_id + f) % 3
+        cached = _FRAME_CACHE.get(r)
+        if cached is None:
+            bits = _frame_pattern_bits(r, 0)
+            bitarr = np.array([(bits >> i) & 1 for i in range(64)], dtype=np.uint8)
+            cx = (np.arange(w) * 8) // w
+            cy = (np.arange(h) * 8) // h
+            vals = bitarr[cy[:, None] * 8 + cx[None, :]] * np.uint8(255)
+            img = np.zeros((h, row_sz), dtype=np.uint8)
+            img[:, : 3 * w] = np.repeat(vals[::-1], 3, axis=1)  # bottom-up DIB
+            cached = _FRAME_CACHE[r] = img.tobytes()
+        frames.append(chunk(b"00db", cached))
 
     avih = struct.pack(
         "<IIIIIIIIIIIIII",
