@@ -80,6 +80,7 @@ _DEFER_THIS_ROUND: set[str] = {
     "audio_features_real",
     "video_frame_sample_real",
     "image_features_real",
+    "stream_topk_trending",
 }
 
 

@@ -295,3 +295,49 @@ def stream_interval_join_outer_agg(spark: SparkSession, sf_dir: str) -> DataFram
             F.when(F.col("purchase_id").isNotNull(), 1).otherwise(0)
         ).alias("n_pairs"),
     )
+
+
+@register(
+    "stream_topk_trending",
+    oracle="""
+    WITH c AS (
+      SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS window_start_ms,
+             event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY window_start_ms
+                                   ORDER BY n DESC, event_type) AS rk
+      FROM c
+    )
+    SELECT window_start_ms, event_type, CAST(n AS BIGINT) AS n,
+           CAST(rk AS INTEGER) AS rk
+    FROM r WHERE rk <= 3
+    """,
+)
+def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending top-3 event types per tumbling hour — the dashboard
+    query every event platform runs. Batch twin of the streaming shape
+    (window-agg in the stream, rank in a foreachBatch/downstream job —
+    rank is not stream-incremental, the standard split). The per-window
+    rank plans as WindowGroupLimit (≤3 rows per window leave each
+    partition ahead of the exchange); ties break on event_type so both
+    engines agree."""
+    from pyspark.sql.window import Window
+
+    e = table(spark, sf_dir, "events")
+    c = e.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    rk = F.row_number().over(
+        Window.partitionBy("w").orderBy(F.desc("n"), "event_type")
+    )
+    return (
+        c.withColumn("rk", rk)
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.unix_millis("w.start").alias("window_start_ms"),
+            "event_type",
+            "n",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

@@ -401,3 +401,52 @@ def test_connected_components_star_matches_propagation(spark, edges):
     # self-loop-only vertices included
     assert star == want
     assert prop == want
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_chunk_level_dedup_matches_reference(spark, docs):
+    """chunk_level_dedup == a straight-line Python reference (chunk on
+    size boundaries, keep first occurrence corpus-wide in (doc, idx)
+    order, rebuild in order) for arbitrary tiny corpora — including
+    empty docs, all-duplicate corpora, and within-doc repeats."""
+    import hashlib
+
+    from csv2parquet_spark.operators.dedup import chunk_level_dedup
+
+    size = 3
+    texts = [" ".join(toks) for toks in docs]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = {
+        r.doc_id: (r.n_chunks, r.n_kept, r.dedup_fp)
+        for r in chunk_level_dedup(df, size=size).collect()
+    }
+
+    # reference: chunk grammar = token starts 0, size, 2*size, ... (at
+    # least one chunk, possibly empty-string for empty docs)
+    seen: set[str] = set()
+    want = {}
+    for i, toks in enumerate(docs):
+        chunks = [
+            " ".join(toks[s : s + size])
+            for s in range(0, max(len(toks), 1), size)
+        ]
+        kept = []
+        for ch in chunks:
+            if ch not in seen:
+                seen.add(ch)
+                kept.append(ch)
+        want[i] = (
+            len(chunks),
+            len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+    assert got == want

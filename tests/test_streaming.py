@@ -750,3 +750,50 @@ def test_python_stream_datasource_restart_monotonic_offsets():
     r2 = _StreamReader({"rows_per_batch": 100, "max_rows": 1000})
     r2.commit({"offset": 400})  # recovery path that only re-commits
     assert r2.latestOffset()["offset"] == 500
+
+
+def test_trending_topk_stream_plus_foreachbatch_equals_batch(spark, sf_dir):
+    """The trending-top-k SPLIT: windowed counts run IN the stream
+    (incremental state), the per-window rank runs in foreachBatch on
+    each complete-mode snapshot (rank is not stream-incremental — this
+    is the standard production split). The final snapshot's ranked
+    output must equal the registered batch twin."""
+    from pyspark.sql.window import Window
+
+    events = read_events_stream(spark, sf_dir)
+    counts = events.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+    snapshots = []
+
+    def rank_batch(batch_df, _batch_id):
+        rk = F.row_number().over(
+            Window.partitionBy("w").orderBy(F.desc("n"), "event_type")
+        )
+        snapshots.append(
+            batch_df.withColumn("rk", rk)
+            .filter(F.col("rk") <= 3)
+            .select(
+                F.unix_millis("w.start").alias("window_start_ms"),
+                "event_type",
+                "n",
+                F.col("rk").cast("int").alias("rk"),
+            )
+            .collect()
+        )
+
+    q = (
+        counts.writeStream.outputMode("complete")
+        .foreachBatch(rank_batch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert snapshots, "foreachBatch never fired"
+    got = sorted(map(str, snapshots[-1]))
+    want = _sorted_rows(REGISTRY["stream_topk_trending"].fn(spark, sf_dir))
+    assert got == want
