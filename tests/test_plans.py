@@ -366,3 +366,33 @@ def test_salted_join_condition_carries_salt(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "__salt" in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_round4_query_plan_shapes(spark, sf_dir):
+    """Positive plan assertions for the round-4 scale claims:
+    - funnel: ONE user_id hash exchange shared by both windows and the
+      per-user rollup; the only other exchange is the 1-row global
+      aggregate's SinglePartition merge.
+    - paragraph dedup: exactly two exchanges (md5 keep-first window +
+      doc_id rebuild agg) — both on synthetic keys.
+    - trending top-k: the per-window rank plans as WindowGroupLimit
+      (≤k rows per window leave each partition ahead of the exchange).
+    """
+    def exchange_nodes(plan: str) -> int:
+        # formatted mode: one "(N) Exchange" detail header per node
+        return sum(
+            1
+            for ln in plan.splitlines()
+            if ln.startswith("(") and ") Exchange" in ln
+        )
+
+    p = _plan(REGISTRY["funnel_signup_view_purchase"].fn(spark, sf_dir))
+    assert exchange_nodes(p) == 2, p
+    assert "hashpartitioning(user_id" in p, p
+    assert "SinglePartition" in p, p
+
+    p = _plan(REGISTRY["paragraph_dedup_rebuild"].fn(spark, sf_dir))
+    assert exchange_nodes(p) == 2, p
+
+    p = _plan(REGISTRY["stream_topk_trending"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in p, p
