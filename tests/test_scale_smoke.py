@@ -95,3 +95,49 @@ def test_minhash_lsh_at_100k(spark, big_docs):
         | (F.col("jaccard") < 1.0)
     ).count()
     assert bad == 0
+
+
+def test_embedding_near_dups_at_20k_with_forced_salting(spark):
+    """The int8-LSH embedding near-dup path at 10× the fixture size,
+    with bucket_cap forced low enough that EVERY (table, bucket) group
+    takes the salted pair-block decomposition: 20k random-ish unit
+    vectors (md5-derived, pairwise ~orthogonal) with 2k planted
+    duplicate pairs must yield exactly those pairs at threshold 0.9."""
+    from csv2parquet_spark.operators.similarity import pairwise_near_dups
+
+    n = 20_000
+    seed = F.when((F.col("id") % 10 == 1), F.col("id") - 1).otherwise(F.col("id"))
+    emb = F.transform(
+        F.sequence(F.lit(1), F.lit(64)),
+        lambda j: (
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(seed.cast("string"), F.lit("/"), j.cast("string"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("double")
+                / F.lit(float(1 << 32))
+            )
+            - 0.5
+        ).cast("float"),
+    )
+    vecs = (
+        spark.range(n)
+        .repartition(16)
+        .select(F.col("id").alias("vec_id"), emb.alias("embedding"))
+        .localCheckpoint()
+    )
+    pairs = pairwise_near_dups(
+        vecs, threshold=0.9, bucket_cap=512
+    ).localCheckpoint()
+    assert pairs.count() == n // 10
+    bad = pairs.filter(
+        (F.col("id_b") != F.col("id_a") + 1)
+        | (F.col("id_a") % 10 != 0)
+        | (F.col("sim") < 0.9)
+    ).count()
+    assert bad == 0
