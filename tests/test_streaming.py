@@ -797,3 +797,47 @@ def test_trending_topk_stream_plus_foreachbatch_equals_batch(spark, sf_dir):
     got = sorted(map(str, snapshots[-1]))
     want = _sorted_rows(REGISTRY["stream_topk_trending"].fn(spark, sf_dir))
     assert got == want
+
+
+def test_streaming_kmv_quantiles_merge_equals_batch(spark, sf_dir):
+    """Streaming quantile monitoring through the EXACTLY-mergeable KMV
+    sketch: each micro-batch's bottom-k sample merges into the running
+    state by union + re-limit (the KMV merge law — no approximation
+    beyond the sketch itself), so after the stream drains, quantiles
+    from the streamed state are IDENTICAL to the batch sketch over the
+    same data. This is the foreachBatch shape for any mergeable sketch
+    (CM / HLL / MG follow the same pattern)."""
+    from csv2parquet_spark.operators.sketches import kmv_quantiles, kmv_sample
+
+    k = 256
+    state = {"sample": None}
+
+    def merge_batch(batch_df, _bid):
+        part = kmv_sample(batch_df, "value", "event_id", k).localCheckpoint()
+        if state["sample"] is None:
+            state["sample"] = part
+        else:
+            state["sample"] = (
+                state["sample"]
+                .unionByName(part)
+                .orderBy("h")
+                .limit(k)
+                .localCheckpoint()
+            )
+
+    events = read_events_stream(spark, sf_dir)
+    q = events.writeStream.foreachBatch(merge_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert state["sample"] is not None
+    got = sorted(
+        map(tuple, kmv_quantiles(state["sample"], [0.1, 0.5, 0.9], k).collect())
+    )
+    from csv2parquet_spark.tables import table
+
+    whole = kmv_sample(table(spark, sf_dir, "events"), "value", "event_id", k)
+    want = sorted(map(tuple, kmv_quantiles(whole, [0.1, 0.5, 0.9], k).collect()))
+    assert got == want
