@@ -398,12 +398,9 @@ def synth_patterned_image(doc_id: int) -> bytes:
     h = 16 + ((doc_id // 8) % 8) * 7
     row_sz = ((24 * w + 31) // 32) * 4
     # vectorized render (~30× the per-pixel loop, byte-identical):
-    # cell value lookup per pixel column/row, RGB repeat, bottom-up
-    # row order per the BMP spec, zero-padded rows to 4-byte alignment
-    bitarr = np.array([(bits >> i) & 1 for i in range(64)], dtype=np.uint8)
-    cx = (np.arange(w) * 8) // w
-    cy = (np.arange(h) * 8) // h
-    vals = bitarr[cy[:, None] * 8 + cx[None, :]] * np.uint8(255)  # top-down grid
+    # shared cell renderer, RGB repeat, bottom-up row order per the BMP
+    # spec, zero-padded rows to 4-byte alignment
+    vals = _render_cells(bits, w, h)  # top-down grid
     img = np.zeros((h, row_sz), dtype=np.uint8)
     img[:, : 3 * w] = np.repeat(vals[::-1], 3, axis=1)
     header = struct.pack("<2sIHHI", b"BM", 54 + img.size, 0, 0, 54) + struct.pack(
@@ -456,6 +453,53 @@ def _encode_bmp24(rows) -> bytes:
         "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img.size, 2835, 2835, 0, 0
     )
     return header + img.tobytes()
+
+
+def _render_cells(bits: int, w: int, h: int):
+    """h×w uint8 grid rendering a 64-bit cell pattern (pixel 255 where
+    its 8×8-grid cell's bit is set) — the ONE fixture renderer shared by
+    the patterned BMP/AVI/counting synths, so their oracle constants can
+    never drift apart."""
+    import numpy as np
+
+    bitarr = np.array([(bits >> i) & 1 for i in range(64)], dtype=np.uint8)
+    cx = (np.arange(w) * 8) // w
+    cy = (np.arange(h) * 8) // h
+    return bitarr[cy[:, None] * 8 + cx[None, :]] * np.uint8(255)
+
+
+def _cell_bright(gray, w: int, h: int):
+    """8×8 bool matrix: CELL-CENTER samples of a top-down grayscale grid
+    thresholded against the 64-cell mean — the shared aHash kernel core
+    (image_ahash / sample_frames_real / image_features all hash through
+    this one function; see the cell-center rationale in image_ahash)."""
+    import numpy as np
+
+    ys = (2 * np.arange(8) + 1) * h // 16
+    xs = (2 * np.arange(8) + 1) * w // 16
+    cells = gray[np.ix_(ys, xs)]
+    return cells > cells.mean()
+
+
+def _pack_bits64(flat) -> int:
+    """64 bools → one SIGNED int64 (bit 63 is the sign wrap)."""
+    hv = 0
+    for b in range(64):
+        if flat[b]:
+            hv |= 1 << b
+    return hv - (1 << 64) if hv >= 1 << 63 else hv
+
+
+def _with_synth(df: DataFrame, synth, id_col: str) -> DataFrame:
+    """(id, payload) with ``synth(id)`` bytes per row — the shared
+    Arrow-batched fixture-generator wrapper."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _gen(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth(int(i)))
+
+    return df.select(F.col(id_col), _gen(F.col(id_col)).alias("payload"))
 
 
 RESIZE_REAL_SCHEMA = (
@@ -548,19 +592,12 @@ def image_ahash(
                     continue  # non-BMP / truncated payload: drop, don't crash
                 rows, w, h = parsed
                 gray = rows.astype(np.float64).mean(axis=2)
-                # sample CELL CENTERS: for any dimension ≥ 16 the center
-                # pixel of grid cell k maps back to cell k under the
-                # x*8//w cell function (corner sampling does not — e.g.
-                # w=30: floor(floor(30/8)*8/30) = 0, cell 1 missed)
-                ys = (2 * np.arange(8) + 1) * h // 16
-                xs = (2 * np.arange(8) + 1) * w // 16
-                cells = gray[np.ix_(ys, xs)].ravel()
-                bits = cells > cells.mean()
-                hv = 0
-                for b in range(64):
-                    if bits[b]:
-                        hv |= 1 << b
-                hv = hv - (1 << 64) if hv >= 1 << 63 else hv
+                # CELL-CENTER sampling (shared _cell_bright): for any
+                # dimension ≥ 16 the center pixel of grid cell k maps
+                # back to cell k under the x*8//w cell function (corner
+                # sampling does not — e.g. w=30: floor(floor(30/8)*8/30)
+                # = 0, cell 1 missed)
+                hv = _pack_bits64(_cell_bright(gray, w, h).ravel())
                 ids.append(int(i))
                 hashes.append(hv)
                 bands.append(
@@ -614,13 +651,7 @@ def with_patterned_image(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, payload) with :func:`synth_patterned_image` bytes per id —
     the content-bearing image fixture for perceptual-hash tests and the
     hash-checked near-dup query."""
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("binary")
-    def _synth(ids: pd.Series) -> pd.Series:
-        return ids.map(lambda i: synth_patterned_image(int(i)))
-
-    return df.select(F.col(id_col), _synth(F.col(id_col)).alias("payload"))
+    return _with_synth(df, synth_patterned_image, id_col)
 
 
 def _parse_wav_pcm16(p: bytes):
@@ -684,13 +715,7 @@ def synth_patterned_wav(doc_id: int) -> bytes:
 
 def with_patterned_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, payload) with :func:`synth_patterned_wav` bytes per id."""
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("binary")
-    def _synth(ids: pd.Series) -> pd.Series:
-        return ids.map(lambda i: synth_patterned_wav(int(i)))
-
-    return df.select(F.col(id_col), _synth(F.col(id_col)).alias("payload"))
+    return _with_synth(df, synth_patterned_wav, id_col)
 
 
 AUDIO_FEATURES_SCHEMA = (
@@ -724,15 +749,27 @@ def audio_features(
                 if len(samples) == 0:
                     continue
                 x = samples.astype(np.float64)
+                # RMS and peak are sample-order-invariant (fine over the
+                # interleaved stream: overall energy / absolute peak);
+                # zero crossings are NOT — de-interleave and count per
+                # channel, or a stereo file with L>0, R<0 would report
+                # ~n crossings where the true per-channel count is 0.
+                n_frames_audio = len(x) // channels
+                ch = x[: n_frames_audio * channels].reshape(
+                    n_frames_audio, channels
+                )
+                zc = int(
+                    np.count_nonzero(
+                        np.signbit(ch[1:]) != np.signbit(ch[:-1])
+                    )
+                )
                 out["doc_id"].append(int(i))
-                out["n_samples"].append(len(samples) // channels)
+                out["n_samples"].append(n_frames_audio)
                 out["sample_rate"].append(rate)
-                out["duration_ms"].append(len(samples) // channels * 1000 // rate)
+                out["duration_ms"].append(n_frames_audio * 1000 // rate)
                 out["rms"].append(int(np.sqrt(np.mean(x * x)) + 0.5))
                 out["peak"].append(int(np.max(np.abs(x))))
-                out["zero_crossings"].append(
-                    int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
-                )
+                out["zero_crossings"].append(zc)
             if out["doc_id"]:
                 yield pd.DataFrame(out)
 
@@ -785,11 +822,7 @@ def synth_patterned_avi(doc_id: int) -> bytes:
         r = (doc_id + f) % 3
         cached = _FRAME_CACHE.get(r)
         if cached is None:
-            bits = _frame_pattern_bits(r, 0)
-            bitarr = np.array([(bits >> i) & 1 for i in range(64)], dtype=np.uint8)
-            cx = (np.arange(w) * 8) // w
-            cy = (np.arange(h) * 8) // h
-            vals = bitarr[cy[:, None] * 8 + cx[None, :]] * np.uint8(255)
+            vals = _render_cells(_frame_pattern_bits(r, 0), w, h)
             img = np.zeros((h, row_sz), dtype=np.uint8)
             img[:, : 3 * w] = np.repeat(vals[::-1], 3, axis=1)  # bottom-up DIB
             cached = _FRAME_CACHE[r] = img.tobytes()
@@ -799,9 +832,15 @@ def synth_patterned_avi(doc_id: int) -> bytes:
         "<IIIIIIIIIIIIII",
         66666, frame_sz, 0, 0, n_frames, 0, 1, frame_sz, w, h, 0, 0, 0, 0,
     )
+    # AVISTREAMHEADER is 56 bytes: 2 fourccs + 11 dwords + 2 shorts of
+    # rcFrame padding + the full 8-byte rcFrame (the final <4h below)
     strh = (
-        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, 15,
-                                        0, n_frames, frame_sz, 0, 0, 0)
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIII4h",
+                                        0, 0, 0,          # flags, prio, lang
+                                        0, 1, 15,         # init, scale, rate
+                                        0, n_frames,      # start, length
+                                        frame_sz, 0, 0,   # bufsize, quality, samplesize
+                                        0, 0, w, h)       # rcFrame
     )
     strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_sz, 2835, 2835, 0, 0)
     hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
@@ -812,13 +851,7 @@ def synth_patterned_avi(doc_id: int) -> bytes:
 
 def with_patterned_avi(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, payload) with :func:`synth_patterned_avi` bytes per id."""
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("binary")
-    def _synth(ids: pd.Series) -> pd.Series:
-        return ids.map(lambda i: synth_patterned_avi(int(i)))
-
-    return df.select(F.col(id_col), _synth(F.col(id_col)).alias("payload"))
+    return _with_synth(df, synth_patterned_avi, id_col)
 
 
 FRAME_SAMPLE_REAL_SCHEMA = (
@@ -855,17 +888,21 @@ def sample_frames_real(
                 w = h = None
                 frames: list[bytes] = []
 
-                def scan(start: int, end: int) -> None:
+                def scan(start: int, end: int, depth: int = 0) -> None:
                     nonlocal w, h
+                    if depth > 16:
+                        return  # crafted nested-LIST payload: stop, don't recurse out
                     pos = start
                     while pos + 8 <= end:
                         cid = p[pos : pos + 4]
                         sz = struct.unpack_from("<I", p, pos + 4)[0]
                         body_end = min(pos + 8 + sz, end)
                         if cid == b"LIST" and pos + 12 <= end:
-                            scan(pos + 12, body_end)  # recurse into list body
-                        elif cid == b"strf" and sz >= 40:
-                            w, h = struct.unpack_from("<ii", p, pos + 8 + 4)
+                            scan(pos + 12, body_end, depth + 1)
+                        elif cid == b"strf" and sz >= 40 and pos + 20 <= len(p):
+                            sw, sh = struct.unpack_from("<ii", p, pos + 8 + 4)
+                            if sw > 0 and sh != 0:  # reject crafted dims
+                                w, h = sw, sh
                         elif cid in (b"00db", b"00dc"):
                             frames.append(p[pos + 8 : body_end])
                         pos += 8 + sz + (sz & 1)
@@ -882,15 +919,7 @@ def sample_frames_real(
                     raw = np.frombuffer(fb, dtype=np.uint8, count=row_sz * h)
                     rows = raw.reshape(h, row_sz)[:, : 3 * w].reshape(h, w, 3)[::-1]
                     gray = rows.astype(np.float64).mean(axis=2)
-                    ys = (2 * np.arange(8) + 1) * h // 16
-                    xs = (2 * np.arange(8) + 1) * w // 16
-                    cells = gray[np.ix_(ys, xs)].ravel()
-                    bits = cells > cells.mean()
-                    hv = 0
-                    for b in range(64):
-                        if bits[b]:
-                            hv |= 1 << b
-                    hv = hv - (1 << 64) if hv >= 1 << 63 else hv
+                    hv = _pack_bits64(_cell_bright(gray, w, h).ravel())
                     out["doc_id"].append(int(i))
                     out["frame_idx"].append(fi)
                     out["n_frames"].append(len(frames))
@@ -911,25 +940,14 @@ def synth_counting_image(doc_id: int) -> bytes:
     collapse to closed-form constants by doc_id % 3."""
     import numpy as np
 
-    bits = _frame_pattern_bits(doc_id, 0)
-    bitarr = np.array([(bits >> i) & 1 for i in range(64)], dtype=np.uint8)
-    w = h = 16
-    cx = (np.arange(w) * 8) // w
-    cy = (np.arange(h) * 8) // h
-    vals = bitarr[cy[:, None] * 8 + cx[None, :]] * np.uint8(255)
+    vals = _render_cells(_frame_pattern_bits(doc_id, 0), 16, 16)
     rows = np.repeat(vals[:, :, None], 3, axis=2)
     return _encode_bmp24(rows)
 
 
 def with_counting_image(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, payload) with :func:`synth_counting_image` bytes per id."""
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("binary")
-    def _synth(ids: pd.Series) -> pd.Series:
-        return ids.map(lambda i: synth_counting_image(int(i)))
-
-    return df.select(F.col(id_col), _synth(F.col(id_col)).alias("payload"))
+    return _with_synth(df, synth_counting_image, id_col)
 
 
 IMAGE_FEATURES_SCHEMA = (
@@ -957,10 +975,7 @@ def image_features(
                     continue
                 rows, w, h = parsed
                 gray = rows.astype(np.float64).mean(axis=2)
-                ys = (2 * np.arange(8) + 1) * h // 16
-                xs = (2 * np.arange(8) + 1) * w // 16
-                cells = gray[np.ix_(ys, xs)]
-                bright = cells > cells.mean()
+                bright = _cell_bright(gray, w, h)
                 out["doc_id"].append(int(i))
                 qs = [
                     int(bright[4 * (q // 2) : 4 * (q // 2) + 4,

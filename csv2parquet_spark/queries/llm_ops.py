@@ -1203,7 +1203,9 @@ def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents").select("doc_id")
     imgs = with_patterned_image(docs).localCheckpoint()
-    resized = resize_images(imgs, 40, 24)
+    # checkpointed: feeds both the final select AND its aHash — without
+    # it the decode/resample/re-encode kernel executes twice per run
+    resized = resize_images(imgs, 40, 24).localCheckpoint()
     ha = image_ahash(imgs).select("doc_id", F.col("ahash").alias("h_orig"))
     hb = image_ahash(resized).select(
         "doc_id", F.col("ahash").alias("h_res")
