@@ -23,6 +23,7 @@ from csv2parquet_spark.queries import timeseries  # noqa: E402,F401
 from csv2parquet_spark.queries import text_index  # noqa: E402,F401
 from csv2parquet_spark.queries import operational  # noqa: E402,F401
 from csv2parquet_spark.queries import corpus_extra  # noqa: E402,F401
+from csv2parquet_spark.queries import mlmetrics  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-window rotation (automatic).
@@ -81,6 +82,9 @@ _DEFER_THIS_ROUND: set[str] = {
     "video_frame_sample_real",
     "image_features_real",
     "stream_topk_trending",
+    "roc_auc_exact",
+    "ewma_user_value",
+    "url_canonical_dedup",
 }
 
 

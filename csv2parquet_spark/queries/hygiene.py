@@ -670,3 +670,78 @@ def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nll2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization — the CommonCrawl-style URL-dedup front door.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "url_canonical_dedup",
+    oracle="""
+    WITH u AS (
+      SELECT lower(source) || '.example.com' AS domain,
+             lower(source) || '.example.com/docs/'
+               || CAST(doc_id % 211 AS VARCHAR) AS canonical,
+             doc_id
+      FROM documents
+    )
+    SELECT domain,
+           count(*) AS n_urls,
+           count(DISTINCT canonical) AS n_canonical,
+           count(*) - count(DISTINCT canonical) AS n_dupes,
+           count(*) AS n_utm_ok,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ref
+    FROM u
+    GROUP BY domain
+    """,
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + domain-level dedup census, with Spark
+    EARNING the parse while the oracle derives it from construction.
+
+    Each document synthesizes a messy-but-valid URL (mixed-case host,
+    tracking query params, fragment); Spark canonicalizes it with the
+    real ``parse_url`` built-in — lowercased HOST + PATH, query and
+    fragment stripped — and counts per-domain exact-duplicate
+    canonicals (doc_id % 211 forces collisions). The DuckDB oracle
+    never parses: it recomputes host/path/ref from the id arithmetic
+    that built the URL, so any parse_url deviation (fragment leaking
+    into QUERY, case-sensitive host, param misextraction) breaks the
+    hash. ``n_utm_ok`` counts rows whose extracted ``utm`` param is
+    exactly ``'x'`` — the fragment-leak canary.
+
+    Scale: map-side parse + one partial-agg on (domain, canonical) —
+    the same two-level exact-distinct shape as ``agg_distinct_counts``;
+    shuffles carry short canonical strings, never document text.
+    """
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.upper(F.substring("source", 1, 1)),
+        F.expr("substring(source, 2)"),
+        F.lit(".Example.COM/docs/"),
+        (F.col("doc_id") % 211).cast("string"),
+        F.lit("?ref="),
+        F.col("doc_id").cast("string"),
+        F.lit("&utm=x#sec"),
+        (F.col("doc_id") % 3).cast("string"),
+    )
+    parsed = d.select(
+        "doc_id",
+        F.lower(F.parse_url(url, F.lit("HOST"))).alias("domain"),
+        F.concat(
+            F.lower(F.parse_url(url, F.lit("HOST"))),
+            F.parse_url(url, F.lit("PATH")),
+        ).alias("canonical"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("ref")).alias("ref"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("utm")).alias("utm"),
+    )
+    return parsed.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("canonical").alias("n_canonical"),
+        (F.count(F.lit(1)) - F.countDistinct("canonical")).alias("n_dupes"),
+        F.sum((F.col("utm") == "x").cast("int")).alias("n_utm_ok"),
+        F.sum(F.col("ref").cast("long")).alias("sum_ref"),
+    )

@@ -752,3 +752,80 @@ def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wau",
         F.round(F.col("dau") * 1.0 / F.col("wau"), 6).alias("stickiness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing — bounded-lookback exponential moving average.
+# ---------------------------------------------------------------------------
+
+_EWMA_K = 8  # lookback depth; weights 2^(K-1-i) are exact integers
+
+
+def _ewma_lag_sql() -> str:
+    """Generated identical-on-both-engines lag arithmetic (integer
+    numerator / denominator, one terminal double division)."""
+    num = " + ".join(
+        f"coalesce(lag(cents, {i}) OVER w, 0) * {1 << (_EWMA_K - 1 - i)}"
+        for i in range(_EWMA_K)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag(cents, {i}) OVER w IS NOT NULL"
+        f" THEN {1 << (_EWMA_K - 1 - i)} ELSE 0 END)"
+        for i in range(_EWMA_K)
+    )
+    return f"""
+    WITH c AS (
+      SELECT event_id, user_id, ts,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT event_id, user_id, epoch_ms(ts) AS epoch_ms,
+           round(CAST(({num}) AS DOUBLE) / ({den}) / 100, 4) AS ewma
+    FROM c
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+
+@register("ewma_user_value", oracle=_ewma_lag_sql())
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of ``value``
+    (alpha = 1/2) with a BOUNDED lookback of 8 events.
+
+    The textbook EWMA recursion ``e_t = a·x_t + (1-a)·e_{t-1}`` carries
+    float state across the whole history — unbounded error compounding
+    and no cross-engine parity. The bounded form truncates the tail
+    (weight of the 9th-oldest event is 1/256 — below the cents
+    resolution of the data) and becomes a CLOSED-FORM window expression:
+    with a = 1/2 the weights 2^(K-1-i) are exact integers, so numerator
+    and denominator are integer-exact on both engines and the single
+    terminal division is deterministic IEEE. The null-aware denominator
+    renormalizes at each user's first K-1 rows (a partial-history EWMA,
+    not a zero-padded one).
+
+    Scale: one hash exchange on ``user_id`` (high-cardinality), lag
+    frame of constant depth 8 — state per row is O(K); no global sort,
+    no unbounded frame growth.
+    """
+    e = table(spark, sf_dir, "events")
+    c = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = None
+    den = None
+    for i in range(_EWMA_K):
+        wt = 1 << (_EWMA_K - 1 - i)
+        lg = F.lag("cents", i).over(w)
+        n_i = F.coalesce(lg, F.lit(0)) * wt
+        d_i = F.when(lg.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+        num = n_i if num is None else num + n_i
+        den = d_i if den is None else den + d_i
+    return c.select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("epoch_ms"),
+        F.round(num.cast("double") / den / 100, 4).alias("ewma"),
+    )
