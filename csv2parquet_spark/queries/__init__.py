@@ -24,6 +24,7 @@ from csv2parquet_spark.queries import text_index  # noqa: E402,F401
 from csv2parquet_spark.queries import operational  # noqa: E402,F401
 from csv2parquet_spark.queries import corpus_extra  # noqa: E402,F401
 from csv2parquet_spark.queries import mlmetrics  # noqa: E402,F401
+from csv2parquet_spark.queries import scanopt  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-window rotation (automatic).
@@ -85,6 +86,8 @@ _DEFER_THIS_ROUND: set[str] = {
     "roc_auc_exact",
     "ewma_user_value",
     "url_canonical_dedup",
+    "agg_pushdown_footer_stats",
+    "dpp_partitioned_days",
 }
 
 

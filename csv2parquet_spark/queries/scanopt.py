@@ -1,0 +1,156 @@
+"""Scan-level optimization showcases — the two parquet features that
+change the 100 TB cost model *before* a single row is read:
+
+* **Aggregate pushdown** (``spark.sql.parquet.aggregatePushDown``):
+  COUNT/MIN/MAX answered from row-group footer statistics through the
+  DSv2 ``ParquetScan`` — a full-table profile becomes a metadata-only
+  job (footers are KBs; the table is TBs). The plan's ``BatchScan``
+  carries ``PushedAggregation: [COUNT(*), MIN(...), ...]`` and reads
+  zero data pages (pinned in ``tests/test_plans.py``).
+
+* **Dynamic partition pruning** (DPP): a date-partitioned fact joined
+  to a dim that is only known selective at RUNTIME still prunes fact
+  partitions — Spark broadcasts the dim's join keys and injects them
+  as a ``dynamicpruningexpression`` into the fact scan's
+  ``PartitionFilters``. The 100 TB effect: a "revenue on incident
+  days" join scans the incident days' partitions, not the year.
+
+Both correctness claims are oracle-checked the normal way (the
+optimizations are result-invariant); the OPTIMIZATION claims are
+plan-asserted, because a correct-but-unpruned scan is precisely the
+failure mode these exist to prevent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from csv2parquet_spark.queries.helpers import sql_dsum
+from csv2parquet_spark.queries.registry import register
+from csv2parquet_spark.tables import table
+
+
+def footer_stats_session(spark: SparkSession) -> SparkSession:
+    """A child session (shared SparkContext, OWN SQLConf) configured for
+    metadata-only aggregates: parquet aggregate pushdown needs the DSv2
+    read path, so the v1 fallback list is cleared — scoped to the child
+    so the main session's (proven) plans are untouched. Engine-required
+    confs (UTC, nanos-as-long) are copied over.
+    """
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    s2.conf.set("spark.sql.sources.useV1SourceList", "")
+    s2.conf.set("spark.sql.session.timeZone", "UTC")
+    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return s2
+
+
+@register(
+    "agg_pushdown_footer_stats",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(l_orderkey) AS BIGINT) AS min_key,
+           CAST(max(l_orderkey) AS BIGINT) AS max_key,
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price
+    FROM lineitem
+    """,
+)
+def agg_pushdown_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-table COUNT/MIN/MAX profile answered from parquet footer
+    statistics (no data pages): the every-morning "how big is the
+    table, what key/value range does it span" health check that should
+    cost metadata, not a 100 TB scan.
+
+    Pushdown eligibility is deliberately part of the design: plain
+    MIN/MAX/COUNT aggregates with plain aliases over statistics-trusted
+    physical types (INT64, DOUBLE). Spark refuses to push timestamp
+    MIN/MAX (parquet timestamp stats aren't trusted across writers) and
+    any expression layered onto the aggregate collapses into its result
+    expressions and disables the match — both discovered empirically
+    and pinned in ``tests/test_plans.py``, where the plan must carry
+    the full ``PushedAggregation`` list and a ReadSchema of aggregate
+    RESULTS (no data columns).
+    """
+    s2 = footer_stats_session(spark)
+    li = s2.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_orderkey").alias("min_key"),
+        F.max("l_orderkey").alias("max_key"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+def write_day_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the day-partitioned copy of ``events`` DPP prunes
+    against (one parquet file per day directory — the layout a real
+    ingest pipeline maintains). Deterministic per-SF path, overwritten
+    idempotently; the write is one narrow pass of the fact table.
+    """
+    out = os.path.join(
+        "/tmp", "csv2parquet_spark_dpp", os.path.basename(os.path.abspath(sf_dir))
+    )
+    ev = table(spark, sf_dir, "events")
+    (
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        )
+        .repartition("day")
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(out)
+    )
+    return out
+
+
+@register(
+    "dpp_partitioned_days",
+    oracle=f"""
+    WITH dim AS (
+      SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day
+      FROM events WHERE event_type = 'error' AND value > 190
+    )
+    SELECT e.event_type,
+           count(*) AS n_events,
+           {sql_dsum("e.value", "sum_value")}
+    FROM events e
+    JOIN dim ON strftime(e.ts, '%Y-%m-%d') = dim.day
+    GROUP BY e.event_type
+    """,
+)
+def dpp_partitioned_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity breakdown on "incident days" (days with an error event
+    over value 190) — the fact side reads the DAY-PARTITIONED events
+    copy, and the incident-day dim is only computable at runtime, so
+    partition pruning happens via DPP: a broadcast of the dim's days is
+    injected into the fact scan's ``PartitionFilters`` as a
+    ``dynamicpruningexpression`` (plan-asserted). At 100 TB the fact
+    scan touches the incident days' directories, not the full history.
+
+    The oracle recomputes the same join from the raw (unpartitioned)
+    table — the result is layout-invariant; only the scan cost is not.
+    """
+    out = write_day_partitioned_events(spark, sf_dir)
+    fact = spark.read.parquet(out)
+    dim = (
+        table(spark, sf_dir, "events")
+        .where((F.col("event_type") == "error") & (F.col("value") > 190))
+        .select(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .distinct()
+    )
+    joined = fact.join(dim.hint("broadcast"), "day")
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )

@@ -396,3 +396,50 @@ def test_round4_query_plan_shapes(spark, sf_dir):
 
     p = _plan(REGISTRY["stream_topk_trending"].fn(spark, sf_dir))
     assert "WindowGroupLimit" in p, p
+
+
+def test_agg_pushdown_footer_stats_is_metadata_only(spark, sf_dir):
+    """The footer-stats profile pushes every aggregate into the DSv2
+    ParquetScan: PushedAggregation lists COUNT/MIN/MAX and the scan's
+    ReadSchema is empty (no data pages) — the property that turns a
+    100 TB profile into a footer read."""
+    df = REGISTRY["agg_pushdown_footer_stats"].fn(spark, sf_dir)
+    plan = _plan(df)  # formatted mode prints untruncated scan metadata
+    assert "PushedAggregation" in plan, plan
+    line = plan.replace("\n", " ")
+    assert "COUNT(*)" in line
+    assert "MIN(l_orderkey)" in line and "MAX(l_orderkey)" in line
+    assert "MIN(l_extendedprice)" in line and "MAX(l_extendedprice)" in line
+    # ReadSchema must be the aggregate RESULTS, not data columns
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "count(*)" in read_schema and "l_quantity" not in read_schema
+    row = df.collect()[0]
+    assert row.n_rows > 0 and row.min_key <= row.max_key
+
+
+def test_dpp_prunes_fact_partitions(spark, sf_dir):
+    """dpp_partitioned_days: the day-partitioned fact scan carries a
+    dynamicpruningexpression in PartitionFilters (runtime pruning from
+    the broadcast dim), and actually reads fewer day-directories than
+    exist — asserted from the post-execution metrics, not just the
+    plan text."""
+    from csv2parquet_spark.queries import scanopt
+
+    df = REGISTRY["dpp_partitioned_days"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    df.collect()
+    # count the partitions the pruned scan actually read vs on disk
+    out = scanopt.write_day_partitioned_events(spark, sf_dir)
+    total_days = spark.read.parquet(out).select("day").distinct().count()
+    pruned_days = (
+        scanopt.table(spark, sf_dir, "events")
+        .where((F.col("event_type") == "error") & (F.col("value") > 190))
+        .select(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .distinct()
+        .count()
+    )
+    assert pruned_days < total_days, (
+        f"fixture degenerate: dim selects all {total_days} days — "
+        "tighten the dim filter so pruning is observable"
+    )
