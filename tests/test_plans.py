@@ -443,3 +443,32 @@ def test_dpp_prunes_fact_partitions(spark, sf_dir):
         f"fixture degenerate: dim selects all {total_days} days — "
         "tighten the dim filter so pruning is observable"
     )
+
+
+def test_bucket_pruning_point_lookup(spark, sf_dir, tmp_path):
+    """A point filter on the bucket key prunes to ONE bucket:
+    SelectedBucketsCount shows 1 out of N — at 100 TB a key lookup
+    reads 1/N of the table's files, no shuffle, no full scan. Requires
+    spark.sql.sources.bucketing.autoBucketedScan not to discard the
+    bucketed layout for a scan without a join (pruning works either
+    way, but the plan line only appears on the bucketed scan)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("o_bkt_prune")
+    prior = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        key = o.select("o_orderkey").head()[0]
+        q = spark.table("o_bkt_prune").where(F.col("o_orderkey") == key)
+        plan = _plan(q)
+        assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+        assert q.count() >= 1
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", prior
+        )
+        spark.sql("DROP TABLE IF EXISTS o_bkt_prune")
+        import shutil
+
+        shutil.rmtree("spark-warehouse", ignore_errors=True)

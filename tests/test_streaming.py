@@ -841,3 +841,72 @@ def test_streaming_kmv_quantiles_merge_equals_batch(spark, sf_dir):
     whole = kmv_sample(table(spark, sf_dir, "events"), "value", "event_id", k)
     want = sorted(map(tuple, kmv_quantiles(whole, [0.1, 0.5, 0.9], k).collect()))
     assert got == want
+
+
+def test_available_now_drains_backlog_in_bounded_batches_then_stops(
+    spark, tmp_path, sf_dir
+):
+    """Trigger.AvailableNow — the batch-job-over-streaming-source mode
+    a 100 TB backfill uses: process everything currently available,
+    HONOR the per-batch bounds (maxFilesPerTrigger keeps any one
+    micro-batch memory-sized, unlike Trigger.Once), then terminate on
+    its own — checkpointable, resumable, no always-on cluster.
+
+    Pins: (1) the query self-terminates (awaitTermination returns
+    True, no manual stop); (2) the backlog was split into multiple
+    bounded micro-batches, not one mega-batch; (3) the drained result
+    equals the batch aggregation of the same files.
+    """
+    import glob as _glob
+
+    from csv2parquet_spark.tables import table
+
+    src = str(tmp_path / "an_events")
+    os.makedirs(src)
+    base = table(spark, sf_dir, "events").limit(90).localCheckpoint()
+    for i in range(3):
+        (
+            base.where(F.col("event_id") % 3 == i)
+            .coalesce(1)
+            .write.parquet(os.path.join(src, f"part{i}.parquet"))
+        )
+    assert len(_glob.glob(os.path.join(src, "*", "*.parquet"))) == 3
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("an_drain")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", str(tmp_path / "an_ckpt")
+        )
+        .start()
+    )
+    terminated = q.awaitTermination(timeout=120)
+    assert terminated, "availableNow query did not self-terminate"
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 3, f"expected >=3 bounded batches, got {n_batches}"
+
+    got = {
+        (r.event_type, r.n)
+        for r in spark.sql("SELECT * FROM an_drain").collect()
+    }
+    want = {
+        (r.event_type, r.n)
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(src)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
