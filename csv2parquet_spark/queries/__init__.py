@@ -88,6 +88,8 @@ _DEFER_THIS_ROUND: set[str] = {
     "url_canonical_dedup",
     "agg_pushdown_footer_stats",
     "dpp_partitioned_days",
+    "lateral_topk_per_nation",
+    "calibration_bins_report",
 }
 
 

@@ -737,3 +737,38 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT l_returnflag, l_linestatus, n, qty
         """
     )
+
+
+_LATERAL_SQL = """
+SELECT n.n_name AS nation, t.c_name AS customer, t.c_acctbal AS acctbal
+FROM {nation} n,
+LATERAL (
+  SELECT c_name, c_acctbal FROM {customer} c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 2
+) t
+"""
+
+
+@register(
+    "lateral_topk_per_nation",
+    oracle=_LATERAL_SQL.format(nation="nation", customer="customer"),
+)
+def lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join (Spark 4 SQL surface): per nation, the
+    top-2 customers by balance, written as the for-each-row subquery a
+    SQL user reaches for — and DuckDB runs the IDENTICAL statement as
+    the oracle.
+
+    The scale story is in what Catalyst does with it: the correlated
+    ORDER BY ... LIMIT 2 is decorrelated into a WindowGroupLimit
+    (partial below the exchange, final above — at most 2 rows per key
+    survive each input partition) plus one broadcast join of the
+    dimension — NOT a per-row re-execution of the subquery, and NOT a
+    full sort. The same plan shape as the hand-written
+    ``batch kNN join``; here the optimizer derives it from declarative
+    SQL (plan-pinned in tests/test_plans.py).
+    """
+    table(spark, sf_dir, "nation").createOrReplaceTempView("nation_lat")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("cust_lat")
+    return spark.sql(_LATERAL_SQL.format(nation="nation_lat", customer="cust_lat"))

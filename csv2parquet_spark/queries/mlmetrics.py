@@ -106,3 +106,69 @@ def roc_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+@register(
+    "calibration_bins_report",
+    oracle="""
+    WITH p AS (
+      SELECT round(0.5 + CAST(embedding[1] AS DOUBLE), 6) AS conf,
+             CASE WHEN label >= 5 THEN 1 ELSE 0 END AS correct
+      FROM embeddings
+    ),
+    b AS (
+      SELECT CAST(floor(conf * 10) AS INTEGER) AS bin, conf, correct
+      FROM p
+    )
+    SELECT bin,
+           count(*) AS n_preds,
+           round(CAST(sum(CAST(conf AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS avg_conf,
+           round(CAST(sum(correct) AS DOUBLE) / count(*), 6) AS frac_pos,
+           round(abs(round(CAST(sum(CAST(conf AS DECIMAL(18,6))) AS DOUBLE)
+                           / count(*), 6)
+                     - round(CAST(sum(correct) AS DOUBLE) / count(*), 6)),
+                 6) AS abs_gap
+    FROM b
+    GROUP BY bin
+    """,
+)
+def calibration_bins_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins for a probabilistic classifier: per
+    confidence decile, predicted-confidence mean vs observed accuracy
+    and their gap (the per-bin terms of Expected Calibration Error —
+    the post-training eval every model card reports).
+
+    The "model" is a linear probe (0.5 + first component, clamped by
+    the data's natural range) — deliberately libm-free: no exp/sigmoid
+    means every intermediate is engine-identical IEEE arithmetic, and
+    the 6-dp-rounded confidence is binned AFTER rounding so the
+    bin boundary is computed from the same double on both sides.
+
+    Scale: map-side binning + one 10-group partial agg — the corpus is
+    touched once; decimal-stabilized confidence sums make the
+    association order irrelevant.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    p = emb.select(
+        F.round(F.lit(0.5) + F.element_at("embedding", 1).cast("double"), 6)
+        .alias("conf"),
+        (F.col("label") >= 5).cast("int").alias("correct"),
+    )
+    b = p.select(
+        F.floor(F.col("conf") * 10).cast("int").alias("bin"), "conf", "correct"
+    )
+    avg_conf = F.round(
+        F.sum(F.col("conf").cast("decimal(18,6)")).cast("double")
+        / F.count(F.lit(1)),
+        6,
+    )
+    frac_pos = F.round(
+        F.sum("correct").cast("double") / F.count(F.lit(1)), 6
+    )
+    return b.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_preds"),
+        avg_conf.alias("avg_conf"),
+        frac_pos.alias("frac_pos"),
+        F.round(F.abs(avg_conf - frac_pos), 6).alias("abs_gap"),
+    )

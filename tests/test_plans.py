@@ -472,3 +472,14 @@ def test_bucket_pruning_point_lookup(spark, sf_dir, tmp_path):
         import shutil
 
         shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
+def test_lateral_topk_decorrelates_to_window_group_limit(spark, sf_dir):
+    """The correlated LATERAL ORDER BY ... LIMIT 2 must decorrelate to
+    WindowGroupLimit (bounded rows per key cross the exchange) + a
+    broadcast of the dimension — never a per-outer-row subquery
+    re-execution or a cartesian."""
+    plan = _plan(REGISTRY["lateral_topk_per_nation"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
