@@ -84,6 +84,12 @@ HEADLINE = [
     "audio_features_real",
     "video_frame_sample_real",
     "image_features_real",
+    # round-4 continuation (ML eval / scan-opt / URL hygiene / EWMA)
+    "roc_auc_exact",
+    "ewma_user_value",
+    "url_canonical_dedup",
+    "dpp_partitioned_days",
+    "lateral_topk_per_nation",
 ]
 
 

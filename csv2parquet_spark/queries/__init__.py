@@ -90,6 +90,7 @@ _DEFER_THIS_ROUND: set[str] = {
     "dpp_partitioned_days",
     "lateral_topk_per_nation",
     "calibration_bins_report",
+    "hard_negative_mining",
 }
 
 

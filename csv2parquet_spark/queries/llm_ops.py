@@ -1319,3 +1319,73 @@ def image_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents").select("doc_id")
     return image_features(with_counting_image(docs))
+
+
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+      FROM embeddings WHERE vec_id % 250 = 0
+    ), scored AS (
+      SELECT q.query_id, v.vec_id,
+             round({_sql_cosine('v.embedding', 'q.qv')}, 6) AS sim
+      FROM embeddings v, q
+      WHERE v.label <> q.qlabel
+    )
+    SELECT query_id, vec_id, sim,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY sim DESC, vec_id) AS INT)
+             AS neg_rank
+    FROM scored
+    QUALIFY neg_rank <= 3
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the top-3 most-similar vectors with a DIFFERENT label — the
+    near-miss negatives that make embedding models learn boundaries
+    (the batch-mining pass every retrieval/rerank training pipeline
+    runs over its corpus).
+
+    Same scale shape as the batch kNN join (one corpus pass, anchors
+    broadcast with precomputed norms, WindowGroupLimit partial top-k
+    below the exchange) with the label-inequality filter applied
+    MAP-SIDE before anything shuffles — the shuffle carries at most
+    k rows per anchor per partition, and the corpus×anchors product
+    never materializes.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    anchors = F.broadcast(
+        e.filter(F.col("vec_id") % 250 == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("__qvec"),
+            S.norm(F.col("embedding")).alias("__qn"),
+            F.col("label").alias("__qlabel"),
+        )
+    )
+    scored = (
+        e.withColumn("__vn", S.norm(F.col("embedding")))
+        .crossJoin(anchors)
+        .filter(F.col("label") != F.col("__qlabel"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                S.dot(F.col("embedding"), F.col("__qvec"))
+                / (F.col("__vn") * F.col("__qn")),
+                6,
+            ).alias("sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    return scored.select(
+        "query_id",
+        "vec_id",
+        "sim",
+        F.row_number().over(w).cast("int").alias("neg_rank"),
+    ).filter(F.col("neg_rank") <= 3)
