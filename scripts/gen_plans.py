@@ -115,6 +115,25 @@ SHOWCASE = [
     ("cdc_merge_apply",
      "MERGE/CDC apply: one key-partitioned full-outer hash join; "
      "delete filter post-join, no second exchange."),
+    ("agg_pushdown_footer_stats",
+     "Parquet aggregate pushdown: COUNT/MIN/MAX answered from row-group "
+     "footer statistics — `PushedAggregation` on the DSv2 scan, "
+     "ReadSchema is the aggregate results, zero data pages."),
+    ("dpp_partitioned_days",
+     "Dynamic partition pruning: the runtime-derived dim broadcast is "
+     "injected into the fact scan's `PartitionFilters` as a "
+     "`dynamicpruningexpression` — incident days scanned, not history."),
+    ("lateral_topk_per_nation",
+     "Correlated LATERAL LIMIT decorrelated to `WindowGroupLimit` + a "
+     "broadcast dim join — no per-row subquery re-execution."),
+    ("roc_auc_exact",
+     "Exact ROC-AUC with no per-row ranking: corpus partial-agg on the "
+     "quantized score, two-pass cumsum over the model-sized per-score "
+     "relation, one global sum."),
+    ("hard_negative_mining",
+     "Contrastive hard negatives: anchors broadcast with norms, label "
+     "filter map-side, `WindowGroupLimit Partial` caps rows per anchor "
+     "crossing the exchange."),
 ]
 
 
