@@ -91,6 +91,8 @@ _DEFER_THIS_ROUND: set[str] = {
     "lateral_topk_per_nation",
     "calibration_bins_report",
     "hard_negative_mining",
+    "pmi_collocations",
+    "entity_resolution_customers",
 }
 
 

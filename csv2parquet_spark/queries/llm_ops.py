@@ -1389,3 +1389,100 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sim",
         F.row_number().over(w).cast("int").alias("neg_rank"),
     ).filter(F.col("neg_rank") <= 3)
+
+
+@register(
+    "entity_resolution_customers",
+    oracle="""
+    WITH RECURSIVE recs AS (
+      SELECT CAST(c_custkey * 3 AS BIGINT) AS rec_id, c_name AS name
+      FROM customer
+      UNION ALL
+      SELECT CAST(c_custkey * 3 + 1 AS BIGINT),
+             replace(c_name, '#', '-')
+      FROM customer WHERE c_custkey % 5 = 0
+      UNION ALL
+      SELECT CAST(c_custkey * 3 + 2 AS BIGINT),
+             replace(replace(c_name, '#', '-'), 'C', 'K')
+      FROM customer WHERE c_custkey % 10 = 0
+    ), cand AS (
+      SELECT a.rec_id AS id_a, b.rec_id AS id_b
+      FROM recs a JOIN recs b
+        ON right(a.name, 6) = right(b.name, 6)
+       AND a.rec_id < b.rec_id
+       AND levenshtein(a.name, b.name) <= 1
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM cand
+      UNION SELECT id_b, id_a FROM cand
+    ), reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), comp AS (
+      SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a
+    )
+    SELECT r.rec_id,
+           COALESCE(c.component, r.rec_id) AS canonical_id,
+           (COALESCE(c.component, r.rec_id) = r.rec_id) AS is_canonical
+    FROM recs r LEFT JOIN comp c ON c.id = r.rec_id
+    """,
+)
+def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: a dirty customer registry (every
+    clean record, plus one and sometimes two corrupted name variants)
+    is resolved to canonical entities via block → fuzzy-match →
+    TRANSITIVE CLOSURE. The fixture is built so closure genuinely
+    matters: clean↔variant1 and variant1↔variant2 are edit-distance 1
+    but clean↔variant2 is 2 — pairwise matching alone would split the
+    entity; connected components reunite it (the standard ER
+    non-transitivity trap).
+
+    Scale shape: blocking on the name's stable digit suffix keys the
+    candidate self-join — block sizes are bounded (≤3 here; bounded by
+    the blocking design generally), so the join is never corpus²;
+    Levenshtein runs only within blocks; components iterate on the
+    match graph (a tiny fraction of the registry); final assignment is
+    one left join. The DuckDB oracle recomputes the same closure with
+    a recursive CTE.
+    """
+    c = table(spark, sf_dir, "customer")
+    key = F.col("c_custkey").cast("long")
+    r0 = c.select((key * 3).alias("rec_id"), F.col("c_name").alias("name"))
+    r1 = c.filter(key % 5 == 0).select(
+        (key * 3 + 1).alias("rec_id"),
+        F.expr("replace(c_name, '#', '-')").alias("name"),
+    )
+    r2 = c.filter(key % 10 == 0).select(
+        (key * 3 + 2).alias("rec_id"),
+        F.expr("replace(replace(c_name, '#', '-'), 'C', 'K')").alias("name"),
+    )
+    recs = r0.unionByName(r1).unionByName(r2)
+    blocked = recs.withColumn("block", F.expr("right(name, 6)"))
+    a = blocked.select(
+        F.col("rec_id").alias("id_a"), F.col("name").alias("name_a"), "block"
+    )
+    b = blocked.select(
+        F.col("rec_id").alias("id_b"), F.col("name").alias("name_b"), "block"
+    )
+    pairs = (
+        a.join(b, "block")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.levenshtein("name_a", "name_b") <= 1)
+        )
+        .select("id_a", "id_b")
+    )
+    comp = D.connected_components(pairs)
+    return (
+        recs.join(comp.withColumnRenamed("id", "rec_id"), "rec_id", "left")
+        .select(
+            "rec_id",
+            F.coalesce(F.col("component"), F.col("rec_id")).alias(
+                "canonical_id"
+            ),
+            (
+                F.coalesce(F.col("component"), F.col("rec_id"))
+                == F.col("rec_id")
+            ).alias("is_canonical"),
+        )
+    )

@@ -228,3 +228,86 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("doc_id", F.round(F.col("s").cast("double"), 6).alias("bm25"))
     )
+
+
+@register(
+    "pmi_collocations",
+    oracle="""
+    WITH tok AS (
+      SELECT string_split(text, ' ') AS arr FROM documents
+    ), bg AS (
+      SELECT arr[i] AS w1, arr[i + 1] AS w2
+      FROM tok, LATERAL (SELECT unnest(range(1, len(arr))) AS i) _l
+      WHERE len(arr) > 1
+    ), c2 AS (
+      SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2
+    ), cl AS (
+      SELECT w1, sum(c2) AS cl FROM c2 GROUP BY w1
+    ), cr AS (
+      SELECT w2, sum(c2) AS cr FROM c2 GROUP BY w2
+    ), t AS (
+      SELECT sum(c2) AS t FROM c2
+    )
+    SELECT c2.w1, c2.w2, CAST(c2.c2 AS BIGINT) AS pair_count,
+           round(ln(CAST(c2.c2 AS DOUBLE) * t.t
+                    / (CAST(cl.cl AS DOUBLE) * cr.cr)), 6) AS pmi
+    FROM c2 JOIN cl USING (w1) JOIN cr USING (w2), t
+    WHERE c2.c2 >= 5
+    ORDER BY pmi DESC, c2.w1, c2.w2
+    LIMIT 20
+    """,
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 adjacent token pairs by pointwise
+    mutual information, PMI = ln(c(w1,w2)·T / (c(w1,·)·c(·,w2))), with
+    a min-support floor of 5 — the phrase-detection pass (word2vec
+    phrases, n-gram vocab induction) a tokenizer pipeline runs before
+    committing multi-token units.
+
+    Scale shape: bigrams build MAP-SIDE (array zipped against its own
+    tail, explode — no join), ONE corpus scan; the model is the
+    pair-count relation, checkpointed so left-marginals,
+    right-marginals and the grand total all derive from it (three
+    model-sized aggs, zero corpus re-scans). Integer counts until the
+    single ln() argument, computed as (double·double)/(double·double)
+    in the same association order on both engines; min-support kills
+    the low-count noise PMI is notorious for. Top-20 is
+    TakeOrderedAndProject over the model relation.
+    """
+    docs = table(spark, sf_dir, "documents")
+    arr = F.split("text", " ")
+    n1 = F.greatest(F.size(arr) - 1, F.lit(0))
+    bg = docs.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(arr, 1, n1).alias("w1"), F.slice(arr, 2, n1).alias("w2")
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    c2 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint()
+    )
+    cl = c2.groupBy("w1").agg(F.sum("c2").alias("cl"))
+    cr = c2.groupBy("w2").agg(F.sum("c2").alias("cr"))
+    t = int(c2.agg(F.sum("c2")).collect()[0][0])  # 1 scalar to the driver
+    scored = (
+        c2.filter(F.col("c2") >= 5)
+        .join(cl, "w1")
+        .join(cr, "w2")
+        .select(
+            "w1",
+            "w2",
+            F.col("c2").alias("pair_count"),
+            F.round(
+                F.log(
+                    F.col("c2").cast("double")
+                    * F.lit(t)
+                    / (F.col("cl").cast("double") * F.col("cr"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(20)
