@@ -93,6 +93,7 @@ _DEFER_THIS_ROUND: set[str] = {
     "hard_negative_mining",
     "pmi_collocations",
     "entity_resolution_customers",
+    "collation_case_insensitive",
 }
 
 

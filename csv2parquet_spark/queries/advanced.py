@@ -772,3 +772,60 @@ def lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "nation").createOrReplaceTempView("nation_lat")
     table(spark, sf_dir, "customer").createOrReplaceTempView("cust_lat")
     return spark.sql(_LATERAL_SQL.format(nation="nation_lat", customer="cust_lat"))
+
+
+@register(
+    "collation_case_insensitive",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+                  ELSE event_type END AS mixed
+      FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_rows,
+           count(DISTINCT mixed) AS n_variants,
+           count(DISTINCT lower(mixed)) AS n_ci_variants,
+           CAST(sum(CASE WHEN mixed = event_type THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exact_match,
+           CAST(sum(CASE WHEN lower(mixed) = event_type THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_ci_match
+    FROM m GROUP BY event_type
+    """,
+)
+def collation_case_insensitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 COLLATIONS: case-insensitive comparison and DISTINCT via
+    ``UTF8_LCASE`` collation — half of every real-world key space is
+    case-noisy (emails, country codes, tags), and the collation-typed
+    column pushes the insensitivity into the ENGINE's comparators
+    (joins, aggs, distinct all honor it) instead of scattering
+    ``lower()`` through every expression.
+
+    The fixture mixes case deterministically (even event_ids
+    upper-cased); binary distinct sees 2 variants per type, collated
+    distinct sees 1, and the collated equality matches ALL rows while
+    binary equality matches only the untouched ones. The oracle
+    reproduces the semantics with explicit ``lower()`` — which is
+    exactly the rewrite collations make unnecessary.
+
+    Scale: collation changes comparator semantics, not plan shape —
+    still one partial-agg exchange on the (collated) group key.
+    """
+    ev = table(spark, sf_dir, "events")
+    mixed = F.when(
+        F.col("event_id") % 2 == 0, F.upper("event_type")
+    ).otherwise(F.col("event_type"))
+    m = ev.select("event_type", mixed.alias("mixed"))
+    ci = F.collate(F.col("mixed"), "UTF8_LCASE")
+    return m.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("mixed").alias("n_variants"),
+        F.countDistinct(ci).alias("n_ci_variants"),
+        F.sum((F.col("mixed") == F.col("event_type")).cast("int"))
+        .cast("long")
+        .alias("n_exact_match"),
+        F.sum((ci == F.col("event_type")).cast("int"))
+        .cast("long")
+        .alias("n_ci_match"),
+    )
