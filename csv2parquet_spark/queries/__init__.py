@@ -94,6 +94,8 @@ _DEFER_THIS_ROUND: set[str] = {
     "pmi_collocations",
     "entity_resolution_customers",
     "collation_case_insensitive",
+    "try_funcs",
+    "map_funcs2",
 }
 
 

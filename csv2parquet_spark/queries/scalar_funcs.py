@@ -464,3 +464,125 @@ def sql_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+@register(
+    "try_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                ELSE round(CAST(o_totalprice AS DOUBLE)
+                           / (o_orderkey % 7), 6) END AS safe_ratio,
+           TRY_CAST(CASE WHEN o_orderkey % 3 = 0 THEN 'not-a-number'
+                         ELSE CAST(o_orderkey AS VARCHAR) END
+                    AS BIGINT) AS safe_parse,
+           CASE (o_orderkey % 3) + 1
+                WHEN 1 THEN split_part(o_orderpriority, '-', 1)
+                WHEN 2 THEN split_part(o_orderpriority, '-', 2)
+                ELSE NULL END AS safe_elem
+    FROM orders
+    WHERE o_orderkey < 500
+    """,
+)
+def try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe ``try_*`` family: the error-absorbing twins that make
+    ANSI mode (Spark 4's default) production-safe — a single malformed
+    row NULLs out instead of failing a 100 TB job.
+
+    * ``try_divide`` — division by (o_orderkey % 7) NULLs where the
+      divisor is zero instead of raising DIVIDE_BY_ZERO;
+    * ``try_to_number``-shaped parse via ``try_cast`` — every third key
+      is planted as a non-numeric string and comes back NULL;
+    * ``try_element_at`` — an out-of-range array index (3rd token of a
+      2-token split) returns NULL instead of INVALID_ARRAY_INDEX.
+
+    The oracle reproduces each with explicit CASE/TRY_CAST guards —
+    the boilerplate try_* removes. All map-side expressions; the
+    filter is pushed to the scan.
+    """
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    bad_str = F.when(
+        F.col("o_orderkey") % 3 == 0, F.lit("not-a-number")
+    ).otherwise(F.col("o_orderkey").cast("string"))
+    return o.select(
+        "o_orderkey",
+        F.round(
+            F.try_divide(
+                F.col("o_totalprice").cast("double"),
+                (F.col("o_orderkey") % 7).cast("double"),
+            ),
+            6,
+        ).alias("safe_ratio"),
+        F.try_to_number(bad_str, F.lit("999999999")).cast("long").alias(
+            "safe_parse"
+        ),
+        F.try_element_at(
+            F.split("o_orderpriority", "-"),
+            ((F.col("o_orderkey") % 3) + 1).cast("int"),
+        ).alias("safe_elem"),
+    )
+
+
+@register(
+    "map_funcs2",
+    oracle="""
+    WITH m AS (
+      SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv,
+             event_id % 10 AS v2
+      FROM events
+    )
+    SELECT event_id,
+           CASE WHEN kv >= 50 THEN 1 ELSE 0 END
+             + CASE WHEN v2 >= 50 THEN 1 ELSE 0 END AS n_big,
+           kv * 2 AS k_doubled,
+           'K' AS first_upper_key,
+           v2 + 2 AS v2_zipped,
+           4 AS concat_size
+    FROM m
+    """,
+)
+def map_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order MAP functions — the second map batch:
+    ``map_filter`` (entries surviving a value predicate),
+    ``transform_values`` / ``transform_keys`` (lambda rewrites of
+    values and keys), ``map_zip_with`` (keywise merge of two maps) and
+    ``map_concat`` — the family that manipulates map columns entirely
+    inside Catalyst (no explode→groupBy round trip, no UDF).
+
+    The maps are built deterministically from props.k and event_id, so
+    the DuckDB oracle reproduces every extracted result with plain
+    arithmetic — the hash checks semantics (which entries survive,
+    what the lambdas compute, how zip aligns keys), not map rendering.
+    All map-side; zero exchanges.
+    """
+    e = table(spark, sf_dir, "events")
+    kv = F.from_json("props", "map<string,bigint>")["k"]
+    m1 = F.create_map(
+        F.lit("k"), kv, F.lit("v2"), (F.col("event_id") % 10).cast("bigint")
+    )
+    m2 = F.create_map(
+        F.lit("k"), F.lit(1).cast("bigint"),
+        F.lit("v2"), F.lit(2).cast("bigint"),
+    )
+    zipped = F.map_zip_with(m1, m2, lambda k, a, b: a + b)
+    return e.select(
+        "event_id",
+        F.size(F.map_filter(m1, lambda k, v: v >= 50)).alias("n_big"),
+        F.element_at(F.transform_values(m1, lambda k, v: v * 2), "k").alias(
+            "k_doubled"
+        ),
+        F.element_at(
+            F.map_keys(F.transform_keys(m1, lambda k, v: F.upper(k))), 1
+        ).alias("first_upper_key"),
+        F.element_at(zipped, "v2").alias("v2_zipped"),
+        F.size(
+            F.map_concat(
+                m1,
+                F.create_map(
+                    F.lit("x"), F.lit(0).cast("bigint"),
+                    F.lit("y"), F.lit(0).cast("bigint"),
+                ),
+            )
+        ).alias("concat_size"),
+    )
