@@ -96,6 +96,7 @@ _DEFER_THIS_ROUND: set[str] = {
     "collation_case_insensitive",
     "try_funcs",
     "map_funcs2",
+    "sql_scripting_threshold",
 }
 
 

@@ -829,3 +829,55 @@ def collation_case_insensitive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_ci_match"),
     )
+
+
+@register(
+    "sql_scripting_threshold",
+    oracle="""
+    WITH a AS (
+      SELECT round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(*), 6) AS avg_price
+      FROM orders
+    )
+    SELECT o.o_orderpriority,
+           count(*) AS n_above,
+           round(a.avg_price, 6) AS avg_price_used
+    FROM orders o, a
+    WHERE o.o_totalprice > a.avg_price
+    GROUP BY o.o_orderpriority, a.avg_price
+    """,
+)
+def sql_scripting_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL SCRIPTING + session variables: a BEGIN..END block
+    DECLAREs a variable, SETs it from a data-derived scalar query (the
+    corpus mean price), then runs the parameterized aggregation — the
+    procedural two-step (compute control value, use it) that previously
+    needed driver-side Python glue or a self-join, now expressed
+    entirely in SQL and planned as ordinary Catalyst statements.
+
+    The oracle inlines the same scalar as a CTE; the decimal-stabilized
+    6-dp mean makes the threshold bit-identical on both engines, so the
+    strict > comparisons partition rows identically.
+
+    Scale: two statements = two ordinary jobs (1-row scalar agg, then
+    scan + partial agg); the variable is driver-held metadata, not a
+    shuffle.
+    """
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_sv")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE avg_price DOUBLE;
+          SET avg_price = (
+            SELECT round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                              AS DOUBLE) / count(*), 6)
+            FROM orders_sv);
+          SELECT o_orderpriority,
+                 count(*) AS n_above,
+                 round(avg_price, 6) AS avg_price_used
+          FROM orders_sv
+          WHERE o_totalprice > avg_price
+          GROUP BY o_orderpriority;
+        END
+        """
+    )
