@@ -602,6 +602,8 @@ def knn_join(
     id_col: str = "vec_id",
     qid_col: str = "query_id",
     exclude_self: bool = True,
+    query_cols: list[str] | None = None,
+    pair_filter: Column | None = None,
 ) -> DataFrame:
     """Batch kNN join: exact top-k corpus neighbors for EVERY query row
     at once — the production retrieval shape (one pass for a whole query
@@ -617,17 +619,26 @@ def knn_join(
     is why the naive-looking window is the right 100 TB plan (verified
     against a hand-rolled salted two-stage top-k: same result, one fewer
     shuffle, no collect_list state).
+
+    ``query_cols`` carries extra query-side columns into the broadcast
+    as ``__q_<name>``; ``pair_filter`` is applied MAP-SIDE after the
+    broadcast join, before anything shuffles — together they express
+    constrained-neighbor variants (e.g. hard-negative mining's
+    different-label constraint) without duplicating this plan.
     """
     q = F.broadcast(
         queries.select(
             F.col(qid_col),
             F.col(vec_col).alias("__qvec"),
             norm(F.col(vec_col)).alias("__qn"),
+            *[F.col(c).alias(f"__q_{c}") for c in (query_cols or [])],
         )
     )
     scored = vectors.withColumn("__vn", norm(F.col(vec_col))).crossJoin(q)
     if exclude_self:
         scored = scored.filter(F.col(id_col) != F.col(qid_col))
+    if pair_filter is not None:
+        scored = scored.filter(pair_filter)
     scored = scored.select(
         F.col(qid_col),
         F.col(id_col),

@@ -1356,39 +1356,16 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     never materializes.
     """
     e = table(spark, sf_dir, "embeddings")
-    anchors = F.broadcast(
-        e.filter(F.col("vec_id") % 250 == 0).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("__qvec"),
-            S.norm(F.col("embedding")).alias("__qn"),
-            F.col("label").alias("__qlabel"),
-        )
+    anchors = e.filter(F.col("vec_id") % 250 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
     )
-    scored = (
-        e.withColumn("__vn", S.norm(F.col("embedding")))
-        .crossJoin(anchors)
-        .filter(F.col("label") != F.col("__qlabel"))
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(
-                S.dot(F.col("embedding"), F.col("__qvec"))
-                / (F.col("__vn") * F.col("__qn")),
-                6,
-            ).alias("sim"),
-        )
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("vec_id")
-    )
-    return scored.select(
-        "query_id",
-        "vec_id",
-        "sim",
-        F.row_number().over(w).cast("int").alias("neg_rank"),
-    ).filter(F.col("neg_rank") <= 3)
+    return S.knn_join(
+        e,
+        anchors,
+        k=3,
+        query_cols=["label"],
+        pair_filter=F.col("label") != F.col("__q_label"),
+    ).withColumnRenamed("knn_rank", "neg_rank")
 
 
 @register(

@@ -1,7 +1,9 @@
 """Scan-level optimization showcases — the two parquet features that
 change the 100 TB cost model *before* a single row is read:
 
-* **Aggregate pushdown** (``spark.sql.parquet.aggregatePushDown``):
+* **Aggregate pushdown** (``spark.sql.parquet.aggregatePushdown`` —
+  note the lowercase ``d``; Spark accepts misspelled conf keys
+  silently, so the camel-cased variant is a no-op):
   COUNT/MIN/MAX answered from row-group footer statistics through the
   DSv2 ``ParquetScan`` — a full-table profile becomes a metadata-only
   job (footers are KBs; the table is TBs). The plan's ``BatchScan``
@@ -89,12 +91,22 @@ def agg_pushdown_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def write_day_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the day-partitioned copy of ``events`` DPP prunes
     against (one parquet file per day directory — the layout a real
-    ingest pipeline maintains). Deterministic per-SF path, overwritten
-    idempotently; the write is one narrow pass of the fact table.
+    ingest pipeline maintains). Write-once per source state: the
+    output path is keyed by the source file's (size, mtime), so a
+    regenerated testdata set gets a fresh copy while repeat calls —
+    including the bench's warm + timed runs — reuse the existing one
+    and the timed region measures the JOIN, not fixture setup.
+    Concurrent-safe: the copy is written to a per-PID staging dir and
+    atomically renamed into place; a loser of the rename race just
+    uses the winner's (identical, deterministic) copy.
     """
-    out = os.path.join(
-        "/tmp", "csv2parquet_spark_dpp", os.path.basename(os.path.abspath(sf_dir))
-    )
+    src = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    st = os.stat(src)
+    key = f"{os.path.basename(os.path.abspath(sf_dir))}-{st.st_size}-{int(st.st_mtime)}"
+    out = os.path.join("/tmp", "csv2parquet_spark_dpp", key)
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return out
+    staging = f"{out}.staging.{os.getpid()}"
     ev = table(spark, sf_dir, "events")
     (
         ev.select(
@@ -107,8 +119,15 @@ def write_day_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
         .repartition("day")
         .write.mode("overwrite")
         .partitionBy("day")
-        .parquet(out)
+        .parquet(staging)
     )
+    try:
+        os.rename(staging, out)
+    except OSError:
+        # another process won the race with the identical copy
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
     return out
 
 

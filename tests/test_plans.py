@@ -429,9 +429,34 @@ def test_dpp_prunes_fact_partitions(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
     df.collect()
-    # count the partitions the pruned scan actually read vs on disk
-    out = scanopt.write_day_partitioned_events(spark, sf_dir)
-    total_days = spark.read.parquet(out).select("day").distinct().count()
+
+    # read the fact scan's POST-EXECUTION metrics: numPartitions is what
+    # the pruned scan actually read; staticFilesNum is the unpruned
+    # partition-directory count (1 file per day directory here).
+    def scan_metrics(node, out):
+        name = node.getClass().getSimpleName()
+        if "FileSourceScan" in name or "BatchScan" in name:
+            vals, it = {}, node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                vals[kv._1()] = kv._2().value()
+            out.append(vals)
+        for i in range(node.children().size()):
+            scan_metrics(node.children().apply(i), out)
+        if name == "AdaptiveSparkPlanExec":
+            scan_metrics(node.executedPlan(), out)
+        if "QueryStage" in name:
+            scan_metrics(node.plan(), out)
+
+    scans = []
+    scan_metrics(df._jdf.queryExecution().executedPlan(), scans)
+    fact = [m for m in scans if "staticFilesNum" in m]
+    assert fact, f"no partitioned fact scan found in metrics: {scans}"
+    read, static = fact[0]["numPartitions"], fact[0]["staticFilesNum"]
+    assert read < static, (
+        f"DPP read all {static} day-partitions — runtime pruning did "
+        "not happen (or the fixture dim selects every day)"
+    )
     pruned_days = (
         scanopt.table(spark, sf_dir, "events")
         .where((F.col("event_type") == "error") & (F.col("value") > 190))
@@ -439,10 +464,7 @@ def test_dpp_prunes_fact_partitions(spark, sf_dir):
         .distinct()
         .count()
     )
-    assert pruned_days < total_days, (
-        f"fixture degenerate: dim selects all {total_days} days — "
-        "tighten the dim filter so pruning is observable"
-    )
+    assert read == pruned_days, (read, pruned_days)
 
 
 def test_bucket_pruning_point_lookup(spark, sf_dir, tmp_path):
