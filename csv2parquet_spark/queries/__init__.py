@@ -97,6 +97,8 @@ _DEFER_THIS_ROUND: set[str] = {
     "try_funcs",
     "map_funcs2",
     "sql_scripting_threshold",
+    "bitmap_distinct_users",
+    "variant_explode_props",
 }
 
 

@@ -881,3 +881,43 @@ def sql_scripting_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+@register(
+    "bitmap_distinct_users",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via Spark's native bitmap aggregates
+    (``bitmap_construct_agg`` / ``bitmap_count``) — the roaring-bitmap
+    pattern: ids bucket into 32k-bit segments, each (group, bucket)
+    partial is a fixed-size byte array that merges by OR, and distinct
+    = sum of per-bucket popcounts. Unlike HLL this is exact, and unlike
+    ``count(DISTINCT)``'s expand-shuffle the shuffled state is bounded
+    bitmaps, not id rows — the warehouse trick for exact distinct at
+    100 TB (finite id domains).
+
+    The oracle is plain ``count(DISTINCT user_id)`` — equality IS the
+    exactness claim. ``n_events`` rides along to pin the same-scan
+    count.
+    """
+    ev = table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id)").alias("bn"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias(
+            "bm"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return b.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n_users"),
+        F.sum("n").alias("n_events"),
+    )

@@ -586,3 +586,45 @@ def map_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("concat_size"),
     )
+
+
+@register(
+    "variant_explode_props",
+    oracle="""
+    SELECT 'k' AS key,
+           count(*) AS n_entries,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_int_values,
+           CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k')
+                              AS BIGINT) >= 50
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_big
+    FROM events
+    """,
+)
+def variant_explode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT lateral explode: ``parse_json`` the semi-
+    structured props column into a variant, ``variant_explode`` it to
+    (pos, key, value) rows, and extract typed values with a plain
+    ``::bigint`` cast — the shredding step every semi-structured
+    ingest pipeline runs, without committing to a schema up front
+    (unknown keys would surface as new ``key`` groups instead of
+    breaking a struct cast).
+
+    The oracle re-derives the same rollup from JSON string functions.
+    Map-side explode + one small-key partial agg.
+    """
+    ev = table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_var")
+    return spark.sql(
+        """
+        SELECT vt.key AS key,
+               count(*) AS n_entries,
+               CAST(sum(CAST(vt.value AS BIGINT)) AS BIGINT)
+                 AS sum_int_values,
+               CAST(sum(CASE WHEN CAST(vt.value AS BIGINT) >= 50
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_big
+        FROM (SELECT parse_json(props) AS v FROM events_var) t,
+             LATERAL variant_explode(t.v) vt
+        GROUP BY vt.key
+        """
+    )
