@@ -141,3 +141,81 @@ def test_embedding_near_dups_at_20k_with_forced_salting(spark):
         | (F.col("sim") < 0.9)
     ).count()
     assert bad == 0
+
+
+def test_entity_resolution_at_150k_records(spark):
+    """Entity resolution at 150k records (clean + planted variants of
+    50k entities): block sizes stay bounded (the candidate join is
+    never registry²), closure recovers every planted cluster exactly,
+    and no cross-entity merge occurs. Structure mirrors the registered
+    query: block on the stable digit suffix, levenshtein<=1 within
+    block, connected components."""
+    from csv2parquet_spark.operators.dedup import connected_components
+
+    n = 50_000
+    base = spark.range(n).select(
+        F.col("id").alias("key"),
+        F.format_string("Entity#%09d", F.col("id")).alias("name"),
+    )
+    v1 = base.where(F.col("key") % 2 == 0).select(
+        "key", F.expr("replace(name, '#', '-')").alias("name"),
+        F.lit(1).alias("variant"),
+    )
+    v2 = base.where(F.col("key") % 4 == 0).select(
+        "key", F.expr("replace(replace(name, '#', '-'), 'E', 'X')").alias("name"),
+        F.lit(2).alias("variant"),
+    )
+    recs = (
+        base.select("key", "name", F.lit(0).alias("variant"))
+        .unionByName(v1)
+        .unionByName(v2)
+        .select(
+            (F.col("key") * 3 + F.col("variant")).alias("rec_id"), "name"
+        )
+        .repartition(16)
+        .localCheckpoint()
+    )
+    n_recs = recs.count()
+    assert n_recs == n + n // 2 + n // 4
+
+    blocked = recs.withColumn("block", F.expr("right(name, 6)"))
+    # block-size bound: the join fan-out is sum(|block|^2), so the max
+    # block must stay at the designed bound (3 variants per entity;
+    # right-6 digits collide across entities only via the 1e6 wrap,
+    # which 50k keys never reach)
+    max_block = (
+        blocked.groupBy("block").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert max_block <= 3, max_block
+
+    a = blocked.select(
+        F.col("rec_id").alias("id_a"), F.col("name").alias("name_a"), "block"
+    )
+    b = blocked.select(
+        F.col("rec_id").alias("id_b"), F.col("name").alias("name_b"), "block"
+    )
+    pairs = (
+        a.join(b, "block")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.levenshtein("name_a", "name_b") <= 1)
+        )
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs)
+    # every %4==0 entity must resolve all THREE records to the clean one
+    # (clean<->v2 is distance 2 — only the closure joins them)
+    dist = {
+        r["size"]: r["n"]
+        for r in comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # entities %4==0: 3 records; %2==0 not %4: 2 records; odd: singleton
+    # (singletons never enter the pair graph, so components only cover
+    # multi-record clusters)
+    assert dist.get(3) == n // 4, dist
+    assert dist.get(2) == n // 2 - n // 4, dist
+    assert 1 not in dist, dist
