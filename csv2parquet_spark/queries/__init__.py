@@ -101,6 +101,16 @@ _DEFER_THIS_ROUND: set[str] = {
     "variant_explode_props",
 }
 
+# Within the deferred tier, these names sort FIRST (list order), ahead
+# of registration order — so the ~3 trailing window slots go to the
+# round's flagship additions rather than whichever module imports
+# earliest. Everything else in the tier keeps registration order.
+_DEFER_PRIORITY: list[str] = [
+    "paragraph_dedup_rebuild",
+    "image_ahash_near_dups",
+    "bigram_lm_scores",
+]
+
 
 def _proven_from_driver_rounds() -> tuple[set[str], set[str]]:
     """(hash_proven, ran_clean) query names from CORRECTNESS_r*.json."""
@@ -143,8 +153,11 @@ def _rotate() -> None:
             t = 2.5
         return t
 
+    prio = {n: i for i, n in enumerate(_DEFER_PRIORITY)}
     rest = [n for n in REGISTRY if n not in set(force)]
-    rest.sort(key=tier)  # stable: registration order within tiers
+    # stable: _DEFER_PRIORITY order first within a tier, then
+    # registration order
+    rest.sort(key=lambda n: (tier(n), prio.get(n, len(prio))))
     ordered = {n: REGISTRY[n] for n in [*force, *rest]}
     REGISTRY.clear()
     REGISTRY.update(ordered)
