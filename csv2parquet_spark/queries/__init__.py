@@ -99,6 +99,8 @@ _DEFER_THIS_ROUND: set[str] = {
     "sql_scripting_threshold",
     "bitmap_distinct_users",
     "variant_explode_props",
+    "listagg_ordered",
+    "xpath_funcs",
 }
 
 # Within the deferred tier, these names sort FIRST (list order), ahead

@@ -628,3 +628,79 @@ def variant_explode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY vt.key
         """
     )
+
+
+@register(
+    "listagg_ordered",
+    oracle="""
+    SELECT n_regionkey AS region_key,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           count(*) AS n_nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 ``LISTAGG ... WITHIN GROUP (ORDER BY ...)`` — the
+    SQL-standard ordered string aggregation (DuckDB spells it
+    ``string_agg(... ORDER BY ...)``). The explicit WITHIN GROUP order
+    is what makes the result deterministic and hash-comparable —
+    unordered collect_list/string_agg is partition-order-dependent and
+    can never be oracle-checked.
+
+    Dimension-sized group-by; the pattern matters at scale for
+    building per-key delimited rollups (label lists, tag strings)
+    without a nondeterministic collect.
+    """
+    table(spark, sf_dir, "nation").createOrReplaceTempView("nation_la")
+    return spark.sql(
+        """
+        SELECT n_regionkey AS region_key,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)
+                 AS nations,
+               count(*) AS n_nations
+        FROM nation_la
+        GROUP BY n_regionkey
+        """
+    )
+
+
+@register(
+    "xpath_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey % 10 + o_orderkey % 7 AS BIGINT) AS qty_sum,
+           o_orderstatus AS status_text,
+           2 AS n_items
+    FROM orders
+    WHERE o_orderkey < 300
+    """,
+)
+def xpath_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XPath scalar family over per-row XML documents: ``xpath_long``
+    with an XPath aggregate (sum over repeated nodes), ``xpath_string``
+    scalar extraction, and node-set counting via ``size(xpath(...))`` —
+    the lightweight sibling of the full from_xml/row-tag converter path
+    for when XML is a COLUMN, not a file format.
+
+    The documents are synthesized from order columns, so the oracle
+    recomputes every extraction from the generating arithmetic — a
+    parser that drops a node or mis-scopes the XPath breaks the hash.
+    Map-side expressions; filter pushed to the scan.
+    """
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    xml = F.concat(
+        F.lit("<order><item><qty>"),
+        (F.col("o_orderkey") % 10).cast("string"),
+        F.lit("</qty></item><item><qty>"),
+        (F.col("o_orderkey") % 7).cast("string"),
+        F.lit("</qty></item><status>"),
+        F.col("o_orderstatus"),
+        F.lit("</status></order>"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.xpath_long(xml, F.lit("sum(order/item/qty)")).alias("qty_sum"),
+        F.xpath_string(xml, F.lit("order/status")).alias("status_text"),
+        F.size(F.xpath(xml, F.lit("order/item/qty/text()"))).alias("n_items"),
+    )
