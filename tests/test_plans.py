@@ -505,3 +505,70 @@ def test_lateral_topk_decorrelates_to_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_aqe_splits_skewed_join_partition(spark, sf_dir):
+    """AQE skew-join handling — the AUTOMATIC complement to the manual
+    salted_join_hot operator: a 90%-hot key join re-plans at runtime
+    into SortMergeJoin(skew=true) with the hot partition split across
+    tasks (AQEShuffleRead 'skewed'). At 100 TB this is the difference
+    between one straggler task holding the stage and the skew being
+    absorbed — and it needs NO code change, only honest shuffle stats.
+    Note: the skew flag only exists on the df's own executed QE (a
+    count()/noop write executes a different QueryExecution)."""
+    priors = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    try:
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(7))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k")
+        rows = j.count()
+        j.collect()  # execute THIS df's QE so the AQE final plan exists
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert "skewed" in plan  # AQEShuffleRead split the hot partition
+        # result unaffected: 180k hot-key rows + 100 cold matches
+        assert rows == 180_100
+    finally:
+        for k, v in priors.items():
+            spark.conf.set(k, v)
+
+
+def test_join_strategy_hints_select_physical_operators(spark, sf_dir):
+    """Join hints map to physical strategies: MERGE → SortMergeJoin,
+    SHUFFLE_HASH → ShuffledHashJoin, BROADCAST → BroadcastHashJoin —
+    the per-query escape hatch when the optimizer's size estimates are
+    wrong at scale (a hinted plan is deterministic; an estimated one
+    flips with stale stats)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cases = {
+        "merge": "SortMergeJoin",
+        "shuffle_hash": "ShuffledHashJoin",
+        "broadcast": "BroadcastHashJoin",
+    }
+    for hint, op in cases.items():
+        j = li.join(o.hint(hint), li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "o_orderstatus"
+        )
+        assert op in _plan(j), f"hint {hint!r} did not plan {op}"
