@@ -101,6 +101,7 @@ _DEFER_THIS_ROUND: set[str] = {
     "variant_explode_props",
     "listagg_ordered",
     "xpath_funcs",
+    "incremental_dedup_report",
 }
 
 # Within the deferred tier, these names sort FIRST (list order), ahead

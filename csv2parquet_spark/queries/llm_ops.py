@@ -1463,3 +1463,96 @@ def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_canonical"),
         )
     )
+
+
+@register(
+    "incremental_dedup_report",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)
+    ), sz AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM common JOIN sz sa ON sa.doc_id = id_a
+                  JOIN sz sb ON sb.doc_id = id_b
+      WHERE round(CAST(common AS DOUBLE)
+                  / (sa.sz + sb.sz - common), 6) >= 0.8
+    ), cross_pairs AS (
+      SELECT CASE WHEN id_a % 7 = 0 THEN id_a ELSE id_b END AS new_id
+      FROM pairs
+      WHERE (id_a % 7 = 0) <> (id_b % 7 = 0)
+    ), near AS (
+      SELECT new_id AS doc_id, count(*) AS n_near_dups
+      FROM cross_pairs GROUP BY new_id
+    ), old_md5 AS (
+      SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 7 <> 0
+    )
+    SELECT d.doc_id,
+           (md5(d.text) IN (SELECT h FROM old_md5)) AS is_exact_dup,
+           coalesce(near.n_near_dups, 0) AS n_near_dups,
+           CASE WHEN md5(d.text) IN (SELECT h FROM old_md5) THEN 'exact'
+                WHEN coalesce(near.n_near_dups, 0) > 0 THEN 'near'
+                ELSE 'unique' END AS verdict
+    FROM documents d LEFT JOIN near ON near.doc_id = d.doc_id
+    WHERE d.doc_id % 7 = 0
+    """,
+)
+def incremental_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the shape a production ingest actually runs:
+    a NEW batch (doc_id % 7 = 0 here) is screened against the EXISTING
+    corpus, never against itself, and each new document gets a
+    disposition: ``exact`` (byte-identical text already ingested —
+    md5 semi-join against the corpus hash set), ``near`` (>= 0.8
+    3-gram Jaccard against some corpus doc — the PPJoin pair machinery
+    restricted to batch×corpus pairs), or ``unique`` (safe to ingest).
+
+    Scale shape: the md5 screen shuffles 16-byte hashes; the near-dup
+    screen reuses the prefix-filtered shingle join (never corpus²) and
+    keeps only cross-split pairs, so intra-corpus duplicates — already
+    resolved in earlier ingests — cost nothing downstream of the pair
+    filter. At 100 TB the corpus side's hash set and shingle index are
+    the precomputed artifacts an ingest pipeline maintains between
+    batches.
+    """
+    docs = table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 7 == 0
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.8, order="hash").select(
+        "id_a", "id_b"
+    )
+    cross = pairs.filter(
+        (F.col("id_a") % 7 == 0) != (F.col("id_b") % 7 == 0)
+    ).select(
+        F.when(F.col("id_a") % 7 == 0, F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("doc_id")
+    )
+    near = cross.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_near_dups"))
+    old_md5 = docs.filter(~is_new).select(F.md5("text").alias("h")).distinct()
+    new_docs = docs.filter(is_new).select("doc_id", F.md5("text").alias("h"))
+    exact = new_docs.join(old_md5, "h", "left_semi").select(
+        "doc_id", F.lit(True).alias("is_exact_dup")
+    )
+    return (
+        new_docs.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("is_exact_dup"), F.lit(False)).alias(
+                "is_exact_dup"
+            ),
+            F.coalesce(F.col("n_near_dups"), F.lit(0)).alias("n_near_dups"),
+            F.when(F.coalesce(F.col("is_exact_dup"), F.lit(False)), "exact")
+            .when(F.coalesce(F.col("n_near_dups"), F.lit(0)) > 0, "near")
+            .otherwise("unique")
+            .alias("verdict"),
+        )
+    )
