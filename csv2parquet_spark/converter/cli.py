@@ -125,7 +125,16 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("csv2parquet-cli")
     fmt = args.format
     if fmt == "auto":
-        ext = args.csv.rsplit(".", 1)[-1].lower()
+        # Strip transparent-compression suffixes first: Spark's text
+        # sources decompress .gz/.bz2/.xz/.deflate on read, so
+        # `docs.jsonl.gz` must route as jsonl, not fall through to the
+        # csv default with the real extension hidden behind `.gz`.
+        name = args.csv.lower()
+        for czip in (".gz", ".bz2", ".xz", ".deflate", ".zst"):
+            if name.endswith(czip):
+                name = name[: -len(czip)]
+                break
+        ext = name.rsplit(".", 1)[-1]
         fmt = {"jsonl": "jsonl", "ndjson": "jsonl", "json": "json",
                "xml": "xml", "orc": "orc", "parquet": "parquet"}.get(ext, "csv")
     if fmt == "jsonl":

@@ -601,3 +601,34 @@ def test_convert_json_concatenated_objects_limitation(spark, tmp_path):
     out = str(tmp_path / "concat.parquet")
     convert_json(spark, str(src), out)
     assert duckdb.sql(f"SELECT id FROM read_parquet('{out}')").fetchall() == [(1,)]
+
+
+def test_cli_format_auto_compressed_inputs(tmp_path):
+    """Transparent-compression suffixes must not hide the real
+    extension from --format auto: in.jsonl.gz routes as JSONL (a .gz
+    file fell through to the CSV default before this pin, silently
+    comma-splitting JSON lines), and in.csv.gz converts as CSV with
+    Spark decompressing on read."""
+    import gzip
+
+    import duckdb
+
+    from csv2parquet_spark.converter.cli import main
+
+    jsrc = tmp_path / "in.jsonl.gz"
+    with gzip.open(jsrc, "wt") as f:
+        f.write('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
+    jout = str(tmp_path / "j.parquet")
+    assert main([str(jsrc), jout]) == 0
+    assert duckdb.sql(
+        f"SELECT a, b FROM read_parquet('{jout}') ORDER BY a"
+    ).fetchall() == [(1, "x"), (2, "y")]
+
+    csrc = tmp_path / "in.csv.gz"
+    with gzip.open(csrc, "wt") as f:
+        f.write("a,b\n1,x\n2,y\n")
+    cout = str(tmp_path / "c.parquet")
+    assert main([str(csrc), cout]) == 0
+    assert duckdb.sql(
+        f"SELECT a, b FROM read_parquet('{cout}') ORDER BY a"
+    ).fetchall() == [(1, "x"), (2, "y")]
