@@ -120,23 +120,35 @@ def main(argv: list[str] | None = None) -> int:
         dry=args.dry,
         parse_mode=args.parse_mode,
     )
-    from csv2parquet_spark.session import get_spark
-
-    spark = get_spark("csv2parquet-cli")
     fmt = args.format
     if fmt == "auto":
         # Strip transparent-compression suffixes first: Spark's text
-        # sources decompress .gz/.bz2/.xz/.deflate on read, so
-        # `docs.jsonl.gz` must route as jsonl, not fall through to the
-        # csv default with the real extension hidden behind `.gz`.
+        # sources decompress .gz/.bz2/.deflate on read (pure-Java Hadoop
+        # codecs), so `docs.jsonl.gz` must route as jsonl, not fall
+        # through to the csv default with the real extension hidden
+        # behind `.gz`. .xz has no Hadoop codec and .zst needs native
+        # libhadoop (absent from pip pyspark) — reading those produces a
+        # baffling FAILED_READ_FILE mid-job, so refuse them up front.
         name = args.csv.lower()
-        for czip in (".gz", ".bz2", ".xz", ".deflate", ".zst"):
+        for czip in (".xz", ".zst"):
+            if name.endswith(czip):
+                print(
+                    f"error: {czip} input is not supported (no usable "
+                    "Hadoop codec in this Spark build) — recompress as "
+                    ".gz or .bz2",
+                    file=sys.stderr,
+                )
+                return 2
+        for czip in (".gz", ".bz2", ".deflate"):
             if name.endswith(czip):
                 name = name[: -len(czip)]
                 break
         ext = name.rsplit(".", 1)[-1]
         fmt = {"jsonl": "jsonl", "ndjson": "jsonl", "json": "json",
                "xml": "xml", "orc": "orc", "parquet": "parquet"}.get(ext, "csv")
+    from csv2parquet_spark.session import get_spark
+
+    spark = get_spark("csv2parquet-cli")
     if fmt == "jsonl":
         from csv2parquet_spark.converter.jsonl import convert_jsonl
 

@@ -173,6 +173,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     prefix_filter: bool = True,
     order: str = "rare_first",
+    pair_filter=None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join (all pairs with J ≥ threshold).
 
@@ -200,6 +201,13 @@ def ngram_jaccard_pairs(
       prunes hard; right when shingle frequencies are near-uniform.
 
     Both orders produce identical final output (verification is exact).
+
+    ``pair_filter``: optional Column predicate over (``id_a``, ``id_b``)
+    applied at the CANDIDATE stage, before the exact-Jaccard verify —
+    for callers that only want a subset of the pair space (e.g.
+    incremental dedup's batch×corpus pairs), the discarded pairs then
+    never pay shingle-set intersection. Output equals filtering the
+    unrestricted result with the same predicate.
     """
     # localCheckpoint, not cache: the shingle relation feeds three
     # consumers (prefix stage + both verify sides); a lineage-truncating
@@ -278,6 +286,8 @@ def ngram_jaccard_pairs(
             .select("id_a", "id_b")
             .distinct()
         )
+    if pair_filter is not None:
+        cand = cand.filter(pair_filter)
     return _verify_jaccard(cand, dsa, threshold)
 
 

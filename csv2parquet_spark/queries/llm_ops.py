@@ -1524,12 +1524,17 @@ def incremental_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = table(spark, sf_dir, "documents")
     is_new = F.col("doc_id") % 7 == 0
-    pairs = D.ngram_jaccard_pairs(docs, threshold=0.8, order="hash").select(
-        "id_a", "id_b"
-    )
-    cross = pairs.filter(
-        (F.col("id_a") % 7 == 0) != (F.col("id_b") % 7 == 0)
-    ).select(
+    # candidate-stage pair filter: corpus-internal (and batch-internal)
+    # pairs are dropped BEFORE the exact-Jaccard verify — in the
+    # incremental setting corpus-internal near-dups dominate the pair
+    # space and were already resolved by earlier ingests.
+    pairs = D.ngram_jaccard_pairs(
+        docs,
+        threshold=0.8,
+        order="hash",
+        pair_filter=(F.col("id_a") % 7 == 0) != (F.col("id_b") % 7 == 0),
+    ).select("id_a", "id_b")
+    cross = pairs.select(
         F.when(F.col("id_a") % 7 == 0, F.col("id_a"))
         .otherwise(F.col("id_b"))
         .alias("doc_id")
@@ -1550,9 +1555,11 @@ def incremental_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "is_exact_dup"
             ),
             F.coalesce(F.col("n_near_dups"), F.lit(0)).alias("n_near_dups"),
-            F.when(F.coalesce(F.col("is_exact_dup"), F.lit(False)), "exact")
-            .when(F.coalesce(F.col("n_near_dups"), F.lit(0)) > 0, "near")
-            .otherwise("unique")
-            .alias("verdict"),
+        )
+        .withColumn(
+            "verdict",
+            F.when(F.col("is_exact_dup"), "exact")
+            .when(F.col("n_near_dups") > 0, "near")
+            .otherwise("unique"),
         )
     )

@@ -632,3 +632,15 @@ def test_cli_format_auto_compressed_inputs(tmp_path):
     assert duckdb.sql(
         f"SELECT a, b FROM read_parquet('{cout}') ORDER BY a"
     ).fetchall() == [(1, "x"), (2, "y")]
+
+
+def test_cli_refuses_unsupported_compression(tmp_path):
+    """--format auto must refuse .xz/.zst up front (no usable Hadoop
+    codec in a pip pyspark build) instead of routing the raw compressed
+    bytes into a reader and failing mid-job with FAILED_READ_FILE."""
+    from csv2parquet_spark.converter.cli import main
+
+    src = tmp_path / "in.jsonl.xz"
+    src.write_bytes(b"\xfd7zXZ\x00")
+    assert main([str(src), str(tmp_path / "o.parquet")]) == 2
+    assert main([str(tmp_path / "x.csv.zst"), str(tmp_path / "o2.parquet")]) == 2
