@@ -102,6 +102,8 @@ _DEFER_THIS_ROUND: set[str] = {
     "listagg_ordered",
     "xpath_funcs",
     "incremental_dedup_report",
+    "stock_running_balance",
+    "attribution_linear_multitouch",
 }
 
 # Within the deferred tier, these names sort FIRST (list order), ahead

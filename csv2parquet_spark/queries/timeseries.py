@@ -829,3 +829,138 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis("ts").alias("epoch_ms"),
         F.round(num.cast("double") / den / 100, 4).alias("ewma"),
     )
+
+
+@register(
+    "stock_running_balance",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS epoch_ms,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(floor(value) AS BIGINT)
+                  ELSE -CAST(floor(value / 2) AS BIGINT) END AS delta
+      FROM events
+    ), s AS (
+      SELECT user_id, event_id, epoch_ms, delta,
+             sum(delta) OVER w AS cum
+      FROM d
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms, event_id)
+    ), m AS (
+      SELECT user_id, event_id, epoch_ms, delta, cum,
+             min(cum) OVER w AS run_min
+      FROM s
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms, event_id)
+    )
+    SELECT user_id, event_id, epoch_ms, delta,
+           CAST(cum - least(run_min, 0) AS BIGINT) AS balance
+    FROM m
+    """,
+)
+def stock_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floor-at-zero running balance (inventory gauge, token bucket,
+    queue backlog): ``b_t = max(0, b_{t-1} + delta_t)`` — the textbook
+    "needs per-row recursion" operator. It does NOT need recursion:
+    the Lindley closed form ``b_t = S_t - min(0, min_{k<=t} S_k)``
+    turns the sequential recurrence into two stacked window
+    aggregates (prefix sum, then running min of the prefix sums) —
+    both hash-partitioned by user, both streaming-frame, zero Python.
+    At 100 TB this is the difference between an applyInPandas
+    per-key sequential kernel and staying entirely in Tungsten.
+
+    Deltas are integer (floor of value), so the closed form is exact
+    arithmetic on both engines; the oracle computes the identical
+    nested windows.
+    """
+    e = table(spark, sf_dir, "events")
+    d = e.select(
+        "user_id",
+        "event_id",
+        F.unix_millis("ts").alias("epoch_ms"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.floor("value").cast("long"),
+        )
+        .otherwise(-F.floor(F.col("value") / 2).cast("long"))
+        .alias("delta"),
+    )
+    w = Window.partitionBy("user_id").orderBy("epoch_ms", "event_id")
+    cum = F.sum("delta").over(w)
+    run_min = F.min(cum).over(w)
+    return d.select(
+        "user_id",
+        "event_id",
+        "epoch_ms",
+        "delta",
+        (cum - F.least(run_min, F.lit(0))).alias("balance"),
+    )
+
+
+@register(
+    "attribution_linear_multitouch",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id AS purchase_id, epoch_ms(ts) AS p_ms,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, epoch_ms(ts) AS c_ms
+      FROM events WHERE event_type = 'click'
+    ), t AS (
+      SELECT p.purchase_id, count(*) AS n_touches
+      FROM p JOIN c ON p.user_id = c.user_id
+       AND c.c_ms >= p.p_ms - 259200000 AND c.c_ms < p.p_ms
+      GROUP BY p.purchase_id
+    )
+    SELECT p.user_id, p.purchase_id,
+           coalesce(t.n_touches, 0) AS n_touches,
+           CASE WHEN t.n_touches IS NULL THEN NULL
+                ELSE round(CAST(p.cents AS DOUBLE)
+                           / 100 / t.n_touches, 6) END
+             AS credit_per_touch
+    FROM p LEFT JOIN t ON t.purchase_id = p.purchase_id
+    """,
+)
+def attribution_linear_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution — the complement of the proven
+    last-click model: every click in the 72 h before a purchase shares
+    the purchase value equally (credit = value / n_touches). Output is
+    per purchase (n_touches, credit_per_touch), deterministic with one
+    rounded division — per-touch credit rows would just replicate it
+    n times.
+
+    Scale shape: purchases×clicks is an equi join on ``user_id`` (the
+    high-cardinality key) with the 72 h window as a residual range
+    predicate — one hash exchange; per-user fan-out is bounded by a
+    user's own click history, never cross-user. Integer cents until
+    the single terminal division.
+    """
+    e = table(spark, sf_dir, "events")
+    ms = F.unix_millis("ts")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        ms.alias("p_ms"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", ms.alias("c_ms")
+    )
+    t = (
+        p.join(
+            c,
+            (p.user_id == c.user_id)
+            & (c.c_ms >= p.p_ms - 259_200_000)
+            & (c.c_ms < p.p_ms),
+        )
+        .groupBy("purchase_id")
+        .agg(F.count(F.lit(1)).alias("n_touches"))
+    )
+    return p.join(t, "purchase_id", "left").select(
+        "user_id",
+        "purchase_id",
+        F.coalesce(F.col("n_touches"), F.lit(0)).alias("n_touches"),
+        F.when(
+            F.col("n_touches").isNotNull(),
+            F.round(F.col("cents").cast("double") / 100 / F.col("n_touches"), 6),
+        ).alias("credit_per_touch"),
+    )

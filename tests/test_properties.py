@@ -450,3 +450,104 @@ def test_chunk_level_dedup_matches_reference(spark, docs):
             hashlib.md5(" ".join(kept).encode()).hexdigest(),
         )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# ML-metric / window closed-form properties (round-4 continuation).
+# ---------------------------------------------------------------------------
+
+
+@SETTINGS
+@given(
+    deltas=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=40
+    )
+)
+def test_lindley_closed_form_equals_recurrence(spark, deltas):
+    """stock_running_balance's two-window closed form
+    b_t = S_t - min(0, min_{k<=t} S_k) must equal the sequential
+    recurrence b_t = max(0, b_{t-1} + d_t) on arbitrary delta
+    sequences — the identity that lets the floor-at-zero gauge stay in
+    Tungsten instead of a per-key Python kernel."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [(i, d) for i, d in enumerate(deltas)]
+    df = spark.createDataFrame(rows, "seq int, delta long")
+    w = Window.partitionBy(F.lit(1)).orderBy("seq")
+    cum = F.sum("delta").over(w)
+    run_min = F.min(cum).over(w)
+    got = [
+        r.balance
+        for r in df.select(
+            "seq", (cum - F.least(run_min, F.lit(0))).alias("balance")
+        )
+        .orderBy("seq")
+        .collect()
+    ]
+    b, want = 0, []
+    for d in deltas:
+        b = max(0, b + d)
+        want.append(b)
+    assert got == want
+
+
+@SETTINGS
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=-5, max_value=5),  # quantized score
+            st.booleans(),  # label
+        ),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_roc_auc_formula_equals_pairwise_definition(spark, data):
+    """roc_auc_exact's per-distinct-score identity must equal the
+    DEFINITION of AUC: over all (pos, neg) pairs, the fraction where
+    score_pos > score_neg, counting ties as 1/2. Single-class inputs
+    are assumed away (AUC undefined)."""
+    from hypothesis import assume
+
+    from csv2parquet_spark.operators.ranking import global_cumsum
+    from pyspark.sql import functions as F
+
+    pos_scores = [s for s, is_pos in data if is_pos]
+    neg_scores = [s for s, is_pos in data if not is_pos]
+    assume(pos_scores and neg_scores)
+
+    # naive O(n^2) definition
+    num = 0.0
+    for sp in pos_scores:
+        for sn in neg_scores:
+            num += 1.0 if sp > sn else (0.5 if sp == sn else 0.0)
+    want = round(num / (len(pos_scores) * len(neg_scores)), 6)
+
+    df = spark.createDataFrame(
+        [(s, int(p)) for s, p in data], "score long, pos int"
+    )
+    g = df.groupBy("score").agg(
+        F.sum("pos").alias("n_p"),
+        (F.count(F.lit(1)) - F.sum("pos")).alias("n_n"),
+    )
+    c = global_cumsum(g, keys=["score"], weight_col="n_n", cum_col="cum_nn")
+    row = (
+        c.select(
+            "n_p",
+            "n_n",
+            (
+                F.col("n_p")
+                * (2 * (F.col("cum_nn") - F.col("n_n")) + F.col("n_n"))
+            ).alias("num2"),
+        )
+        .agg(
+            F.round(
+                F.sum("num2").cast("double")
+                / (F.lit(2) * F.sum("n_p") * F.sum("n_n")).cast("double"),
+                6,
+            ).alias("auc")
+        )
+        .collect()[0]
+    )
+    assert row.auc == want
