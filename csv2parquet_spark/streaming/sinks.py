@@ -29,12 +29,35 @@ from pyspark.sql import functions as F
 _MANIFEST = "_CURRENT"
 
 
-def read_snapshot(spark: SparkSession, root: str) -> DataFrame | None:
+def read_snapshot(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame | None:
     """Current snapshot DataFrame, or None before the first batch.
+
+    ``version`` (flat layout only) time-travels to a specific retained
+    snapshot: the sink keeps the current version plus its predecessor
+    (``_swap_in`` prunes older ones), so any retained ``vN`` directory
+    is readable as-of that batch. Requesting a pruned (or never
+    written) version raises ``ValueError`` with the retained list —
+    the Delta-style time-travel contract scoped to this sink's
+    retention window.
 
     Handles both layouts: flat (``root/vN``, one manifest) and
     partitioned (``root/<col>=<val>/vN``, one manifest per partition —
     see :func:`upsert_batch` ``partition_col``)."""
+    if version is not None:
+        vdir = os.path.join(root, f"v{version}")
+        if not os.path.isdir(vdir):
+            retained = sorted(
+                d for d in os.listdir(root)
+                if d.startswith("v") and d[1:].isdigit()
+            ) if os.path.isdir(root) else []
+            raise ValueError(
+                f"snapshot v{version} is not retained at {root} "
+                f"(retained: {retained or 'none'}) — the sink keeps the "
+                "current version and its predecessor"
+            )
+        return spark.read.parquet(vdir)
     m = os.path.join(root, _MANIFEST)
     if os.path.exists(m):
         with open(m) as f:

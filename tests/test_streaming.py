@@ -910,3 +910,32 @@ def test_available_now_drains_backlog_in_bounded_batches_then_stops(
         .collect()
     }
     assert got == want
+
+
+def test_snapshot_time_travel_within_retention(spark, tmp_path):
+    """read_snapshot(version=N) time-travels to any RETAINED snapshot
+    (the sink keeps the current version + its predecessor): after v1
+    and v2, version=1 shows the pre-upsert row values; a pruned
+    version raises ValueError naming the retained list."""
+    import pytest as _pytest
+
+    from csv2parquet_spark.streaming.sinks import read_snapshot, upsert_batch
+
+    root = str(tmp_path / "tt_snap")
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string")
+    upsert_batch(spark, root, b1, key="k", version=1)
+    b2 = spark.createDataFrame([(2, "B2"), (3, "c")], "k bigint, v string")
+    upsert_batch(spark, root, b2, key="k", version=2)
+
+    cur = {(r.k, r.v) for r in read_snapshot(spark, root).collect()}
+    assert cur == {(1, "a"), (2, "B2"), (3, "c")}
+    v1 = {(r.k, r.v) for r in read_snapshot(spark, root, version=1).collect()}
+    assert v1 == {(1, "a"), (2, "b")}
+
+    # v3 prunes v1 (retention: current + predecessor)
+    b3 = spark.createDataFrame([(4, "d")], "k bigint, v string")
+    upsert_batch(spark, root, b3, key="k", version=3)
+    with _pytest.raises(ValueError, match="not retained"):
+        read_snapshot(spark, root, version=1)
+    v2 = {(r.k, r.v) for r in read_snapshot(spark, root, version=2).collect()}
+    assert v2 == {(1, "a"), (2, "B2"), (3, "c")}
