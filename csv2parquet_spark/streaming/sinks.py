@@ -46,16 +46,39 @@ def read_snapshot(
     partitioned (``root/<col>=<val>/vN``, one manifest per partition —
     see :func:`upsert_batch` ``partition_col``)."""
     if version is not None:
+        if os.path.isdir(root) and any(
+            "=" in d and os.path.isdir(os.path.join(root, d))
+            for d in os.listdir(root)
+        ):
+            raise ValueError(
+                "time travel (version=) is only supported for the flat "
+                "layout; this root uses per-partition sub-snapshots"
+            )
+        cur = _current_version(root)
         vdir = os.path.join(root, f"v{version}")
-        if not os.path.isdir(vdir):
-            retained = sorted(
-                d for d in os.listdir(root)
-                if d.startswith("v") and d[1:].isdigit()
-            ) if os.path.isdir(root) else []
+        # Require the version to be COMMITTED (<= manifest) as well as
+        # present on disk: a crashed or in-flight upsert leaves an
+        # uncommitted v{N} directory that must never be served.
+        if cur is None or version > cur or not os.path.isdir(vdir):
+            retained = (
+                sorted(
+                    (
+                        d
+                        for d in os.listdir(root)
+                        if d.startswith("v")
+                        and d[1:].isdigit()
+                        and int(d[1:]) <= (cur if cur is not None else -1)
+                    ),
+                    key=lambda d: int(d[1:]),
+                )
+                if os.path.isdir(root)
+                else []
+            )
             raise ValueError(
                 f"snapshot v{version} is not retained at {root} "
                 f"(retained: {retained or 'none'}) — the sink keeps the "
-                "current version and its predecessor"
+                "current version and its predecessor, and only committed "
+                "versions are readable"
             )
         return spark.read.parquet(vdir)
     m = os.path.join(root, _MANIFEST)

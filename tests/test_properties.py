@@ -517,12 +517,20 @@ def test_roc_auc_formula_equals_pairwise_definition(spark, data):
     neg_scores = [s for s, is_pos in data if not is_pos]
     assume(pos_scores and neg_scores)
 
-    # naive O(n^2) definition
-    num = 0.0
+    # naive O(n^2) definition; HALF_UP reference rounding to match
+    # Spark's F.round (Python's round is half-even and diverges on
+    # exact .5 boundaries like AUC = 0.5/64)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    num2 = 0  # twice the numerator, exact integer
     for sp in pos_scores:
         for sn in neg_scores:
-            num += 1.0 if sp > sn else (0.5 if sp == sn else 0.0)
-    want = round(num / (len(pos_scores) * len(neg_scores)), 6)
+            num2 += 2 if sp > sn else (1 if sp == sn else 0)
+    want = float(
+        (
+            Decimal(num2) / (2 * len(pos_scores) * len(neg_scores))
+        ).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
 
     df = spark.createDataFrame(
         [(s, int(p)) for s, p in data], "score long, pos int"

@@ -939,3 +939,31 @@ def test_snapshot_time_travel_within_retention(spark, tmp_path):
         read_snapshot(spark, root, version=1)
     v2 = {(r.k, r.v) for r in read_snapshot(spark, root, version=2).collect()}
     assert v2 == {(1, "a"), (2, "B2"), (3, "c")}
+
+
+def test_snapshot_time_travel_refuses_uncommitted_and_partitioned(
+    spark, tmp_path
+):
+    """Time travel serves only COMMITTED versions: an orphan v2
+    directory from a crashed upsert (manifest still at v1) must not be
+    readable; and a partitioned-layout root refuses version= with an
+    explicit unsupported-layout error, not a confusing retention one."""
+    import os
+
+    import pytest as _pytest
+
+    from csv2parquet_spark.streaming.sinks import read_snapshot, upsert_batch
+
+    root = str(tmp_path / "tt2")
+    b1 = spark.createDataFrame([(1, "a")], "k bigint, v string")
+    upsert_batch(spark, root, b1, key="k", version=1)
+    # simulate a crash mid-upsert: v2 written, manifest NOT swapped
+    b1.write.parquet(os.path.join(root, "v2"))
+    with _pytest.raises(ValueError, match="not retained"):
+        read_snapshot(spark, root, version=2)
+
+    proot = str(tmp_path / "tt2_part")
+    bp = spark.createDataFrame([(1, "a", "x")], "k bigint, v string, d string")
+    upsert_batch(spark, proot, bp, key="k", version=1, partition_col="d")
+    with _pytest.raises(ValueError, match="flat layout"):
+        read_snapshot(spark, proot, version=1)
