@@ -104,6 +104,7 @@ _DEFER_THIS_ROUND: set[str] = {
     "incremental_dedup_report",
     "stock_running_balance",
     "attribution_linear_multitouch",
+    "pit_features_user",
 }
 
 # Within the deferred tier, these names sort FIRST (list order), ahead

@@ -964,3 +964,83 @@ def attribution_linear_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.col("cents").cast("double") / 100 / F.col("n_touches"), 6),
         ).alias("credit_per_touch"),
     )
+
+
+@register(
+    "pit_features_user",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS ms,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_target,
+             CASE WHEN event_type = 'click'
+                  THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                  ELSE 0 END AS click_cents,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), f AS (
+      SELECT user_id, event_id, ms, is_target,
+             CAST(sum(is_click) OVER w AS BIGINT) AS n_clicks_7d,
+             CAST(sum(click_cents) OVER w AS BIGINT) AS click_cents_7d
+      FROM u
+      WINDOW w AS (PARTITION BY user_id ORDER BY ms
+                   RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, ms AS purchase_ms,
+           n_clicks_7d, click_cents_7d
+    FROM f WHERE is_target = 1
+    """,
+)
+def pit_features_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME feature generation — the feature-store problem:
+    for every purchase (the training example), the user's trailing
+    7-day click count and click spend AS OF the purchase instant,
+    with no future leakage by construction.
+
+    The marker-row trick makes it one window instead of an interval
+    join: click rows carry their measures, purchase rows carry zeros
+    and a target flag; a single per-user RANGE frame (7 days in epoch
+    millis) accumulates over BOTH, and filtering back to the markers
+    yields each example's leakage-free features. One hash exchange on
+    user_id; the frame is time-bounded so window state is bounded by
+    a user's 7-day activity, not their history.
+
+    Ties at the same millisecond: RANGE frames include ALL peer rows
+    at the boundary on both engines identically (the frame is
+    value-based, not row-based). Integer cents throughout.
+    """
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    u = e.select(
+        "user_id",
+        "event_id",
+        F.unix_millis("ts").alias("ms"),
+        (F.col("event_type") == "purchase").cast("int").alias("is_target"),
+        F.when(
+            F.col("event_type") == "click",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("click_cents"),
+        (F.col("event_type") == "click").cast("int").alias("is_click"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ms")
+        .rangeBetween(-604_800_000, Window.currentRow)
+    )
+    f = u.select(
+        "user_id",
+        "event_id",
+        "ms",
+        "is_target",
+        F.sum("is_click").over(w).cast("long").alias("n_clicks_7d"),
+        F.sum("click_cents").over(w).cast("long").alias("click_cents_7d"),
+    )
+    return f.filter(F.col("is_target") == 1).select(
+        "user_id",
+        "event_id",
+        F.col("ms").alias("purchase_ms"),
+        "n_clicks_7d",
+        "click_cents_7d",
+    )
