@@ -105,6 +105,7 @@ _DEFER_THIS_ROUND: set[str] = {
     "stock_running_balance",
     "attribution_linear_multitouch",
     "pit_features_user",
+    "negative_sampling_parts",
 }
 
 # Within the deferred tier, these names sort FIRST (list order), ahead

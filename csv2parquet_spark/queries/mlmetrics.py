@@ -172,3 +172,98 @@ def calibration_bins_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         frac_pos.alias("frac_pos"),
         F.round(F.abs(avg_conf - frac_pos), 6).alias("abs_gap"),
     )
+
+
+@register(
+    "negative_sampling_parts",
+    oracle="""
+    WITH np AS (
+      SELECT count(*) AS n FROM part
+    ), cand AS (
+      SELECT c.c_custkey AS user_id,
+             CAST(('0x' || substr(md5(CAST(c.c_custkey AS VARCHAR)
+                                      || ':' || CAST(i.i AS VARCHAR)), 1, 8))
+                  AS BIGINT) % np.n + 1 AS cand_part
+      FROM customer c, np,
+           LATERAL (SELECT unnest(range(0, 8)) AS i) i
+    ), inter AS (
+      SELECT DISTINCT o.o_custkey AS user_id, l.l_partkey AS part
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ), neg AS (
+      SELECT DISTINCT cand.user_id, cand.cand_part
+      FROM cand
+      WHERE NOT EXISTS (
+        SELECT 1 FROM inter
+        WHERE inter.user_id = cand.user_id
+          AND inter.part = cand.cand_part)
+    )
+    SELECT user_id,
+           count(*) AS n_negatives,
+           CAST(sum(cand_part) AS BIGINT) AS digest
+    FROM neg GROUP BY user_id
+    """,
+)
+def negative_sampling_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic NEGATIVE SAMPLING for retrieval/recommender
+    training: each user draws 8 candidate parts from an md5 hash grid
+    (engine-portable, partitioning-independent — the same family as
+    ``operators/layout.py shard_key``), then true interactions (parts
+    the user actually ordered) are removed with a left-anti join so no
+    "negative" is secretly a positive — the collision check every
+    in-batch sampler skips and every offline pipeline must not.
+
+    Scale shape: candidates are |users|×8 generated map-side (no
+    corpus scan); the interaction set is one distinct projection of
+    the fact join; the anti join shuffles on (user, part) — bounded
+    key fan-out, never users×items. Output is per-user count + an
+    order-insensitive digest of the surviving negative ids.
+    """
+    from csv2parquet_spark.operators.layout import shard_key
+
+    n_parts = table(spark, sf_dir, "part").count()  # model-sized scalar
+    c = table(spark, sf_dir, "customer")
+    cand = (
+        c.select(F.col("c_custkey").alias("user_id"))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(7))).alias("i"),
+        )
+        .select(
+            "user_id",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("user_id").cast("string"),
+                                F.lit(":"),
+                                F.col("i").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % n_parts
+                + 1
+            ).alias("cand_part"),
+        )
+        .distinct()
+    )
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    inter = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").alias("cand_part"),
+        )
+        .distinct()
+    )
+    neg = cand.join(inter, ["user_id", "cand_part"], "left_anti")
+    return neg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_negatives"),
+        F.sum("cand_part").cast("long").alias("digest"),
+    )
