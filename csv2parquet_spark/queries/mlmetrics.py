@@ -218,8 +218,6 @@ def negative_sampling_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     key fan-out, never users×items. Output is per-user count + an
     order-insensitive digest of the surviving negative ids.
     """
-    from csv2parquet_spark.operators.layout import shard_key
-
     n_parts = table(spark, sf_dir, "part").count()  # model-sized scalar
     c = table(spark, sf_dir, "customer")
     cand = (
