@@ -419,11 +419,21 @@ def _signatures_from_arrays(dsa: DataFrame, num_perm: int, impl: str) -> DataFra
 
 
 def minhash_lsh_candidates(
-    sig_df: DataFrame, num_perm: int = 32, bands: int = 8
+    sig_df: DataFrame, num_perm: int = 32, bands: int = 8,
+    bucket_mode: str = "hash",
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` rows of
     ``num_perm // bands`` hashes, bucket by (band_idx, band_hash), and
-    emit candidate pairs per bucket. Pairs are distinct (id_a < id_b)."""
+    emit candidate pairs per bucket. Pairs are distinct (id_a < id_b).
+
+    ``bucket_mode`` picks the bucket key: ``"hash"`` (default) folds the
+    band's values through one more xxhash64 — an 8-byte shuffle key, the
+    scale path (a 2^-64 collision adds a spurious CANDIDATE only, which
+    downstream exact verification then rejects or legitimately keeps);
+    ``"tuple"`` keys on the band values themselves (comma-joined string)
+    — collision-free by construction, so the candidate set is exactly
+    "pairs agreeing on some band" and is reproducible in portable SQL
+    (the property the DuckDB-oracle query variants need)."""
     if num_perm % bands != 0:
         raise ValueError(
             f"num_perm ({num_perm}) must be divisible by bands ({bands}); "
@@ -431,12 +441,24 @@ def minhash_lsh_candidates(
             "LSH recall below the requested permutation count"
         )
     rows_per_band = num_perm // bands
+    if bucket_mode == "hash":
+        def _bucket(b):
+            return F.xxhash64(*[F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)])
+    elif bucket_mode == "tuple":
+        def _bucket(b):
+            return F.concat_ws(
+                ",",
+                *[F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                  for r in range(rows_per_band)],
+            )
+    else:
+        raise ValueError(f"unknown bucket_mode {bucket_mode!r}")
     band_arrays = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(*[F.element_at("sig", b * rows_per_band + r + 1)
-                             for r in range(rows_per_band)]).alias("bucket"),
+                _bucket(b).alias("bucket"),
             )
             for b in range(bands)
         ]
@@ -476,6 +498,48 @@ def minhash_near_dups(
     sig = _signatures_from_arrays(dsa, num_perm, impl).localCheckpoint()
     cand = minhash_lsh_candidates(sig, num_perm, bands)
     return _verify_jaccard(cand, dsa, threshold).select("id_a", "id_b", "jaccard")
+
+
+def minhash_near_dups_exprs(
+    df: DataFrame,
+    perm_hashers,
+    threshold: float = 0.5,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-dup pipeline over an EXPLICIT permutation-hash
+    family: ``perm_hashers`` is a list of Column builders (shingle
+    string → int64), one per permutation, evaluated JVM-side.
+
+    Same topology as :func:`minhash_near_dups` — map-side signature
+    construction (the min-agg is partial, so the corpus shuffle carries
+    ``len(perm_hashers)`` longs per doc), tuple-keyed banding
+    (collision-free, see :func:`minhash_lsh_candidates`), exact-Jaccard
+    verification of candidates — but with a hash family the caller can
+    reproduce outside Spark (e.g. md5 slices, which portable SQL can
+    compute; xxhash64 it cannot). The xxhash64 + Arrow-kernel variant
+    stays the throughput path; this one exists so the END-TO-END
+    pipeline (signatures → bands → candidates → verify) is checkable
+    against an independent engine, not just the signature step.
+
+    Output: (id_a, id_b, common, sz_a, sz_b, jaccard) for pairs with
+    exact Jaccard ≥ threshold among band-sharing candidates.
+    """
+    n = len(perm_hashers)
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(tokens(text_col), k)).alias("s"),
+    )
+    sigs = (
+        sh.groupBy("id")
+        .agg(*[F.min(h(F.col("s"))).alias(f"m{i}") for i, h in enumerate(perm_hashers)])
+        .select("id", F.array(*[f"m{i}" for i in range(n)]).alias("sig"))
+    )
+    cand = minhash_lsh_candidates(sigs, num_perm=n, bands=bands, bucket_mode="tuple")
+    dsa = doc_shingle_arrays(df, text_col, id_col, k).localCheckpoint()
+    return _verify_jaccard(cand, dsa, threshold)
 
 
 def connected_components(
@@ -634,21 +698,26 @@ def _connected_components_star(edges: DataFrame, max_iter: int = 20) -> DataFram
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64,
+    hasher=None,
 ) -> DataFrame:
-    """64-bit SimHash per document, computed per-row (map-only, no
+    """``bits``-bit SimHash per document, computed per-row (map-only, no
     explode, no shuffle).
 
-    Token hash = xxhash64(token) — computed JVM-side in Catalyst so the
-    hash function is identical everywhere it's used. Bit b of the
-    signature is the majority of bit b over the doc's token hashes
-    (repeats count). The per-bit counting runs as an Arrow-batched
-    pandas UDF: the pure-expression alternative (64 higher-order
-    ``filter`` passes per row) evaluates in Spark's interpreted HOF
-    path — ~17M lambda evaluations at 5k docs — while numpy unpacks all
-    64 bit-planes of a doc in one vectorized op. This is the documented
-    exception to "built-ins first": the built-in formulation cannot
-    reach codegen.
+    Token hash = ``hasher(token)`` — default ``xxhash64``, computed
+    JVM-side in Catalyst so the hash function is identical everywhere
+    it's used. Pass a different Column builder (e.g. an md5-slice — see
+    queries/llm_ops.simhash_near_dups) with a matching ``bits`` width
+    when the hash family must be reproducible outside Spark; the kernel
+    only assumes the hash's low ``bits`` bits are the signature domain.
+    Bit b of the signature is the majority of bit b over the doc's token
+    hashes (repeats count). The per-bit counting runs as an
+    Arrow-batched pandas UDF: the pure-expression alternative (64
+    higher-order ``filter`` passes per row) evaluates in Spark's
+    interpreted HOF path — ~17M lambda evaluations at 5k docs — while
+    numpy unpacks all 64 bit-planes of a doc in one vectorized op. This
+    is the documented exception to "built-ins first": the built-in
+    formulation cannot reach codegen.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -667,9 +736,11 @@ def simhash_signatures(
             out[i] = np.uint64(((2 * pos) > a.size) @ (np.uint64(1) << shifts))
         return pd.Series(out.view(np.int64))
 
+    if hasher is None:
+        hasher = F.xxhash64
     return _parallelize_scan(df).select(
         F.col(id_col).alias("id"),
-        _simhash(F.transform(tokens(text_col), lambda x: F.xxhash64(x))).alias(
+        _simhash(F.transform(tokens(text_col), lambda x: hasher(x))).alias(
             "simhash"
         ),
     )
@@ -680,18 +751,33 @@ def simhash_near_dups(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bits: int = 64,
+    hasher=None,
+    n_bands: int = 4,
 ) -> DataFrame:
-    """SimHash near-dup pairs: block on 4×16-bit bands (any pair within
-    Hamming ≤ 3 of 64 bits shares at least one exact 16-bit band by
-    pigeonhole over 4 bands), then verify Hamming via bit_count(xor)."""
-    sig = simhash_signatures(df, text_col, id_col).localCheckpoint()
+    """SimHash near-dup pairs: block on ``n_bands`` equal-width bands
+    (default 4×16-bit over 64 bits — any pair within Hamming ≤ 3 shares
+    at least one exact band by pigeonhole over 4 bands), then verify
+    Hamming via bit_count(xor). ``bits``/``hasher`` select the hash
+    family (see :func:`simhash_signatures`); pigeonhole completeness
+    requires ``max_hamming < n_bands``."""
+    if bits % n_bands != 0:
+        raise ValueError(f"bits ({bits}) must be divisible by n_bands ({n_bands})")
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) >= n_bands ({n_bands}): pigeonhole "
+            "blocking would miss pairs with one flipped bit in every band"
+        )
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    sig = simhash_signatures(df, text_col, id_col, bits, hasher).localCheckpoint()
     band_arr = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftrightunsigned("simhash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bucket"),
+                F.shiftrightunsigned("simhash", b * band_bits).bitwiseAND(F.lit(mask)).alias("bucket"),
             )
-            for b in range(4)
+            for b in range(n_bands)
         ]
     )
     buckets = sig.select("id", "simhash", F.explode(band_arr).alias("bb")).select(

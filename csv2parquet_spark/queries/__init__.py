@@ -106,6 +106,12 @@ _DEFER_THIS_ROUND: set[str] = {
     "attribution_linear_multitouch",
     "pit_features_user",
     "negative_sampling_parts",
+    # rows-only → oracle-backed conversions (md5-reproducible hash
+    # families / exact-verify): tier 1 as of this round, deferred so
+    # the already-verified window is untouched.
+    "minhash_near_dups",
+    "simhash_near_dups",
+    "heavy_hitters_mg",
 }
 
 # Within the deferred tier, these names sort FIRST (list order), ahead

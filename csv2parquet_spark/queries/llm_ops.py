@@ -191,21 +191,130 @@ def minhash_signatures_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("minhash_near_dups", oracle=None)  # seeded LSH → rows-only check
+def _minhash_lsh_oracle() -> str:
+    """End-to-end MinHash-LSH oracle: md5-slice signatures → 4 band
+    tuples (2 mins each) → band-sharing candidate pairs → exact Jaccard
+    ≥ 0.8. Mirrors the proven ``minhash_signatures_md5`` min
+    construction and the proven ``ngram_jaccard_near_dups`` verify
+    tail."""
+    mins = [
+        f"min(CAST(('0x' || substr(md5('{salt}:' || s), {1 + 8 * j}, 8)) AS BIGINT)) AS m{i}"
+        for i, (salt, j) in enumerate(
+            (salt, j) for salt in _MH_SALTS for j in range(4)
+        )
+    ]
+    band_keys = " ".join(
+        f"WHEN {b} THEN CAST(m{2 * b} AS VARCHAR) || ',' || CAST(m{2 * b + 1} AS VARCHAR)"
+        for b in range(4)
+    )
+    return f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS MATERIALIZED (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)
+    ), mins AS MATERIALIZED (
+      SELECT doc_id, {", ".join(mins)} FROM sh GROUP BY doc_id
+    ), bands AS MATERIALIZED (
+      SELECT doc_id, b.band, CASE b.band {band_keys} END AS key
+      FROM mins, (VALUES (0), (1), (2), (3)) AS b(band)
+    ), cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM bands a JOIN bands c
+        ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
+    ), sz AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT p.id_a, p.id_b, count(*) AS common
+      FROM cand p
+      JOIN sh a ON a.doc_id = p.id_a
+      JOIN sh b2 ON b2.doc_id = p.id_b AND b2.s = a.s
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, common, sa.sz AS sz_a, sb.sz AS sz_b,
+           round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jaccard
+    FROM common JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+    WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.8
+    """
+
+
+@register("minhash_near_dups", oracle=_minhash_lsh_oracle())
 def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(32 perms) + LSH(8 bands) candidates, verified with exact
-    Jaccard ≥ 0.8. Deterministic given the xxhash64 seeds, but the
-    banding math isn't expressible in portable SQL → rows-only check."""
-    return D.minhash_near_dups(
-        table(spark, sf_dir, "documents"), threshold=0.8, num_perm=32, bands=8
+    """MinHash + LSH banding + exact-Jaccard verify, END-TO-END
+    hash-checkable: 8 md5-slice permutations (the proven
+    ``minhash_signatures_md5`` family), 4 collision-free band TUPLES
+    (2 mins each), candidates = pairs agreeing on some band, verified
+    with exact Jaccard ≥ 0.8. Upgraded from the xxhash64 rows-only
+    variant — same operator pipeline (``minhash_lsh_candidates`` +
+    ``_verify_jaccard``), reproducible hash family, so the whole LSH
+    algorithm is proven against SQL, not just the signature step. The
+    xxhash64 + Arrow-kernel variant remains the library default and
+    throughput path (bit-identity + scale smoke pinned in
+    tests/test_operators.py and tests/test_scale_smoke.py)."""
+    hashers = [
+        (lambda salt, j: (
+            lambda s: F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{salt}:"), s)), 1 + 8 * j, 8),
+                16,
+                10,
+            ).cast("long")
+        ))(salt, j)
+        for salt in _MH_SALTS
+        for j in range(4)
+    ]
+    return D.minhash_near_dups_exprs(
+        table(spark, sf_dir, "documents"), hashers, threshold=0.8, bands=4
     )
 
 
-@register("simhash_near_dups", oracle=None)  # hash-dependent → rows-only
+def _simhash_oracle() -> str:
+    """32-bit md5-slice SimHash: per-token hash, per-bit ±1 majority,
+    bit-pack, 4×8-bit band blocking, bit_count(xor) Hamming verify."""
+    return """
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), h AS MATERIALIZED (
+      SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS hv
+      FROM toks
+    ), bitsum AS MATERIALIZED (
+      SELECT doc_id, b, sum(CASE WHEN ((hv >> b) & 1) = 1 THEN 1 ELSE -1 END) AS s
+      FROM h, LATERAL (SELECT unnest(range(0, 32)) AS b)
+      GROUP BY 1, 2
+    ), sig AS MATERIALIZED (
+      SELECT doc_id,
+             sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sh
+      FROM bitsum GROUP BY doc_id
+    ), bands AS MATERIALIZED (
+      SELECT doc_id, sh, b.band, (sh >> (b.band * 8)) & 255 AS bucket
+      FROM sig, (VALUES (0), (1), (2), (3)) AS b(band)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+           bit_count(xor(a.sh, c.sh)) AS hamming
+    FROM bands a JOIN bands c
+      ON a.band = c.band AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+    WHERE bit_count(xor(a.sh, c.sh)) <= 3
+    """
+
+
+@register("simhash_near_dups", oracle=_simhash_oracle())
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash near-dup pairs with Hamming ≤ 3 via 16-bit band
-    blocking (pigeonhole-complete for the chosen radius)."""
-    return D.simhash_near_dups(table(spark, sf_dir, "documents"), max_hamming=3)
+    """SimHash near-dup pairs with Hamming ≤ 3 via band blocking
+    (pigeonhole-complete for the chosen radius), hash-checkable
+    END-TO-END: 32-bit signatures from md5-slice token hashes (the
+    engine-reproducible family), 4×8-bit bands. Upgraded from the
+    64-bit xxhash64 rows-only variant — same operator code path
+    (``simhash_signatures``'s majority kernel + band self-join), so the
+    algorithm is proven against SQL; the 64-bit xxhash64 instantiation
+    stays the library default (kernel pinned against numpy ground truth
+    in tests/test_operators.py)."""
+    md5_32 = lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")  # noqa: E731
+    return D.simhash_near_dups(
+        table(spark, sf_dir, "documents"),
+        max_hamming=3,
+        bits=32,
+        hasher=md5_32,
+        n_bands=4,
+    )
 
 
 @register(

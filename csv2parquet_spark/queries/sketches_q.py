@@ -223,19 +223,38 @@ def kmv_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("heavy_hitters_mg", oracle=None)
+@register(
+    "heavy_hitters_mg",
+    oracle="""
+    WITH t AS MATERIALIZED (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ), g AS MATERIALIZED (
+      SELECT token, count(*) AS cnt FROM t WHERE token <> '' GROUP BY token
+    ), n AS (
+      SELECT sum(cnt) AS n FROM g
+    )
+    SELECT token AS tok, cnt
+    FROM g, n
+    WHERE cnt * 65 > n
+    ORDER BY cnt DESC, tok
+    LIMIT 20
+    """,
+)
 def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Misra-Gries heavy hitters over the corpus token stream (k=64
-    counters/partition): top-20 surviving tokens with their guaranteed
-    bounds [est, ub] on the true count (operators/sketches.py
-    mg_partials/mg_merge — mergeable summaries, Agarwal et al. 2012).
-
-    Rows-only: the surviving counter VALUES depend on the partition
-    layout (decrement order), so no SQL oracle — the hard guarantees
-    (est <= true <= ub; any token above the N/(k+1) frequency bar
-    survives) are pinned by tests/test_operators.py against exact
-    counts, and re-execution is deterministic for a fixed layout.
-    """
+    """Misra-Gries heavy hitters with EXACT verification — the
+    production sketch-then-verify pattern: pass 1 builds per-partition
+    MG(k=64) summaries and merges them (operators/sketches.py
+    mg_partials/mg_merge — mergeable summaries, Agarwal et al. 2012;
+    any token with true count > N/(k+1) is GUARANTEED to survive the
+    merge, pinned by tests/test_operators.py); pass 2 exact-counts ONLY
+    the ≤k surviving candidates (broadcast semi-mark, then a grouped
+    count whose key space is ≤ k+1 — candidate token or NULL — so the
+    shuffle carries ≤65 partial rows per partition and the NULL group's
+    count doubles as the stream length N, no third scan). The output —
+    tokens whose EXACT count clears the N/(k+1) bar, top-20 — is
+    layout-independent (the sketch only prunes; integer ``cnt*65 > N``
+    avoids float thresholds), which is what upgrades this query from
+    the rows-only check to a full hash match."""
     from csv2parquet_spark.operators.sketches import mg_merge, mg_partials
 
     d = table(spark, sf_dir, "documents")
@@ -243,7 +262,30 @@ def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("token") != ""
     )
     summary = mg_merge(mg_partials(toks, "token", k=64))
-    return summary.orderBy(F.desc("est"), "tok").limit(20)
+    cands = summary.filter(F.col("tok").isNotNull()).select("tok")
+    marked = toks.join(
+        F.broadcast(
+            cands.select(F.col("tok").alias("token"), F.lit(1).alias("is_cand"))
+        ),
+        "token",
+        "left",
+    )
+    counted = (
+        marked.groupBy(
+            F.when(F.col("is_cand") == 1, F.col("token")).alias("c")
+        )
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint()  # ≤ k+1 rows; N derives from it, no rescan
+    )
+    total = counted.agg(F.sum("cnt").alias("n"))
+    return (
+        counted.filter(F.col("c").isNotNull())
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * 65 > F.col("n"))
+        .select(F.col("c").alias("tok"), "cnt")
+        .orderBy(F.desc("cnt"), "tok")
+        .limit(20)
+    )
 
 
 def _hll_intersection_oracle() -> str:

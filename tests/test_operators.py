@@ -72,6 +72,64 @@ def test_simhash_identical_docs_zero_hamming(spark):
     assert {(p.id_a, p.id_b, p.hamming) for p in pairs} == {(1, 2, 0)}
 
 
+def test_minhash_tuple_buckets_match_hash_buckets(spark, sf_dir):
+    """bucket_mode="tuple" (collision-free band keys, the SQL-oracle
+    path) must produce the same candidate pair set as the default
+    xxhash64 band-fold on real signatures — a divergence would mean the
+    fold hashes distinct tuples together (or the tuple key conflates
+    bands)."""
+    docs = table(spark, sf_dir, "documents").limit(300)
+    sig = D.minhash_signatures(docs, num_perm=16)
+    hashed = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_candidates(sig, num_perm=16, bands=4).collect()
+    }
+    tupled = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_candidates(
+            sig, num_perm=16, bands=4, bucket_mode="tuple"
+        ).collect()
+    }
+    assert hashed == tupled and tupled
+
+
+def test_simhash_md5_family_matches_python_reference(spark):
+    """The 32-bit md5-slice SimHash instantiation (the hash-provable
+    registry variant) against a straight-line Python reference: per
+    token, hash = first 8 hex chars of md5; per bit, strict majority
+    over the token multiset; pack bits 0..31."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    texts = [
+        (1, "alpha beta gamma alpha"),
+        (2, "one two three four five six"),
+        (3, "alpha beta gamma alpha"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(texts, "doc_id bigint, text string")
+    md5_32 = lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")  # noqa: E731
+    got = {
+        r.id: r.simhash
+        for r in D.simhash_signatures(df, bits=32, hasher=md5_32).collect()
+    }
+
+    def ref(text):
+        toks = text.split(" ") if text else [""]
+        hs = [int(hashlib.md5(t.encode()).hexdigest()[:8], 16) for t in toks]
+        sig = 0
+        for b in range(32):
+            ones = sum((h >> b) & 1 for h in hs)
+            if 2 * ones > len(hs):
+                sig |= 1 << b
+        return sig
+
+    for doc_id, text in texts:
+        assert got[doc_id] == ref(text), (doc_id, got[doc_id], ref(text))
+    assert got[1] == got[3]
+
+
 def test_lsh_topk_subset_of_exact_scores(spark, sf_dir):
     """LSH top-k scores must agree with brute-force cosine for the ids it
     returns (it probes a subset; scores are computed the same way)."""
