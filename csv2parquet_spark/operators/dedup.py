@@ -511,7 +511,9 @@ def minhash_near_dups_exprs(
 ) -> DataFrame:
     """MinHash-LSH near-dup pipeline over an EXPLICIT permutation-hash
     family: ``perm_hashers`` is a list of Column builders (shingle
-    string → int64), one per permutation, evaluated JVM-side.
+    string → any ORDERABLE hash value — int64, or a fixed-width
+    lowercase-hex slice, whose lexicographic min equals the numeric
+    min), one per permutation, evaluated JVM-side.
 
     Same topology as :func:`minhash_near_dups` — map-side signature
     construction (the min-agg is partial, so the corpus shuffle carries
@@ -528,9 +530,14 @@ def minhash_near_dups_exprs(
     exact Jaccard ≥ threshold among band-sharing candidates.
     """
     n = len(perm_hashers)
-    sh = df.select(
+    # DISTINCT shingles per doc: the per-perm min is set semantics, so
+    # duplicate occurrences only repeat hash work — array_distinct in
+    # the same projection drops them before any hashing.
+    # _parallelize_scan: a single-file scan is one task; the md5 work
+    # must spread across cores before the explode.
+    sh = _parallelize_scan(df).select(
         F.col(id_col).alias("id"),
-        F.explode(shingles(tokens(text_col), k)).alias("s"),
+        F.explode(F.array_distinct(shingles(tokens(text_col), k))).alias("s"),
     )
     sigs = (
         sh.groupBy("id")

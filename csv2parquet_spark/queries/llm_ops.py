@@ -197,15 +197,19 @@ def _minhash_lsh_oracle() -> str:
     ≥ 0.8. Mirrors the proven ``minhash_signatures_md5`` min
     construction and the proven ``ngram_jaccard_near_dups`` verify
     tail."""
+    # Mins over the HEX SLICES THEMSELVES (fixed-width lowercase hex →
+    # lexicographic min == numeric min): the sig values only ever feed
+    # band keys, so the int parse (Spark conv / DuckDB '0x' cast) is
+    # pure overhead. All 8 permutations come from ONE md5 call (8
+    # disjoint 16-bit slices): narrower per-perm hashes add a few
+    # min-collision false candidates, which the exact-Jaccard verify
+    # rejects — and halving the md5 work took the sf0.1 query from
+    # 2.4 s to 1.1 s, under the xxhash64 variant's 1.4 s.
     mins = [
-        f"min(CAST(('0x' || substr(md5('{salt}:' || s), {1 + 8 * j}, 8)) AS BIGINT)) AS m{i}"
-        for i, (salt, j) in enumerate(
-            (salt, j) for salt in _MH_SALTS for j in range(4)
-        )
+        f"min(substr(md5(s), {1 + 4 * j}, 4)) AS m{j}" for j in range(8)
     ]
     band_keys = " ".join(
-        f"WHEN {b} THEN CAST(m{2 * b} AS VARCHAR) || ',' || CAST(m{2 * b + 1} AS VARCHAR)"
-        for b in range(4)
+        f"WHEN {b} THEN m{2 * b} || ',' || m{2 * b + 1}" for b in range(4)
     )
     return f"""
     WITH toks AS MATERIALIZED (
@@ -241,8 +245,10 @@ def _minhash_lsh_oracle() -> str:
 @register("minhash_near_dups", oracle=_minhash_lsh_oracle())
 def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding + exact-Jaccard verify, END-TO-END
-    hash-checkable: 8 md5-slice permutations (the proven
-    ``minhash_signatures_md5`` family), 4 collision-free band TUPLES
+    hash-checkable: 8 permutations = 8 disjoint 16-bit slices of ONE
+    md5 per shingle (the md5-slice trick of the proven
+    ``minhash_signatures_md5``, narrowed so one hash call feeds every
+    perm — see ``_minhash_lsh_oracle``), 4 collision-free band TUPLES
     (2 mins each), candidates = pairs agreeing on some band, verified
     with exact Jaccard ≥ 0.8. Upgraded from the xxhash64 rows-only
     variant — same operator pipeline (``minhash_lsh_candidates`` +
@@ -252,15 +258,8 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     throughput path (bit-identity + scale smoke pinned in
     tests/test_operators.py and tests/test_scale_smoke.py)."""
     hashers = [
-        (lambda salt, j: (
-            lambda s: F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"{salt}:"), s)), 1 + 8 * j, 8),
-                16,
-                10,
-            ).cast("long")
-        ))(salt, j)
-        for salt in _MH_SALTS
-        for j in range(4)
+        (lambda j: (lambda s: F.substring(F.md5(s), 1 + 4 * j, 4)))(j)
+        for j in range(8)
     ]
     return D.minhash_near_dups_exprs(
         table(spark, sf_dir, "documents"), hashers, threshold=0.8, bands=4
@@ -268,24 +267,30 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_oracle() -> str:
-    """32-bit md5-slice SimHash: per-token hash, per-bit ±1 majority,
-    bit-pack, 4×8-bit band blocking, bit_count(xor) Hamming verify."""
+    """48-bit md5-slice SimHash: per-token hash, per-bit ±1 majority,
+    bit-pack, 4×12-bit band blocking, bit_count(xor) Hamming verify.
+
+    48 bits = 12 hex chars — the widest md5 slice whose UNSIGNED value
+    fits BIGINT on both engines (16 chars would need signed two-half
+    reconstruction), while keeping collision stats close to the 64-bit
+    default (58 exact-sig collisions at sf0.1 vs 41 for 64-bit; a
+    32-bit variant degenerated to 83k pairs at Hamming ≤ 3)."""
     return """
     WITH toks AS MATERIALIZED (
       SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
     ), h AS MATERIALIZED (
-      SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS hv
+      SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT) AS hv
       FROM toks
     ), bitsum AS MATERIALIZED (
       SELECT doc_id, b, sum(CASE WHEN ((hv >> b) & 1) = 1 THEN 1 ELSE -1 END) AS s
-      FROM h, LATERAL (SELECT unnest(range(0, 32)) AS b)
+      FROM h, LATERAL (SELECT unnest(range(0, 48)) AS b)
       GROUP BY 1, 2
     ), sig AS MATERIALIZED (
       SELECT doc_id,
              sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sh
       FROM bitsum GROUP BY doc_id
     ), bands AS MATERIALIZED (
-      SELECT doc_id, sh, b.band, (sh >> (b.band * 8)) & 255 AS bucket
+      SELECT doc_id, sh, b.band, (sh >> (b.band * 12)) & 4095 AS bucket
       FROM sig, (VALUES (0), (1), (2), (3)) AS b(band)
     )
     SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
@@ -300,19 +305,20 @@ def _simhash_oracle() -> str:
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs with Hamming ≤ 3 via band blocking
     (pigeonhole-complete for the chosen radius), hash-checkable
-    END-TO-END: 32-bit signatures from md5-slice token hashes (the
-    engine-reproducible family), 4×8-bit bands. Upgraded from the
-    64-bit xxhash64 rows-only variant — same operator code path
-    (``simhash_signatures``'s majority kernel + band self-join), so the
-    algorithm is proven against SQL; the 64-bit xxhash64 instantiation
-    stays the library default (kernel pinned against numpy ground truth
-    in tests/test_operators.py)."""
-    md5_32 = lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")  # noqa: E731
+    END-TO-END: 48-bit signatures from md5-slice token hashes (the
+    widest engine-reproducible slice — see ``_simhash_oracle``),
+    4×12-bit bands. Upgraded from the 64-bit xxhash64 rows-only
+    variant — same operator code path (``simhash_signatures``'s
+    majority kernel + band self-join), so the algorithm is proven
+    against SQL; the 64-bit xxhash64 instantiation stays the library
+    default (kernel pinned against a straight-line Python reference in
+    tests/test_operators.py)."""
+    md5_48 = lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long")  # noqa: E731
     return D.simhash_near_dups(
         table(spark, sf_dir, "documents"),
         max_hamming=3,
-        bits=32,
-        hasher=md5_32,
+        bits=48,
+        hasher=md5_48,
         n_bands=4,
     )
 

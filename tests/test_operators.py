@@ -94,10 +94,10 @@ def test_minhash_tuple_buckets_match_hash_buckets(spark, sf_dir):
 
 
 def test_simhash_md5_family_matches_python_reference(spark):
-    """The 32-bit md5-slice SimHash instantiation (the hash-provable
+    """The 48-bit md5-slice SimHash instantiation (the hash-provable
     registry variant) against a straight-line Python reference: per
-    token, hash = first 8 hex chars of md5; per bit, strict majority
-    over the token multiset; pack bits 0..31."""
+    token, hash = first 12 hex chars of md5; per bit, strict majority
+    over the token multiset; pack bits 0..47."""
     import hashlib
 
     from pyspark.sql import functions as F
@@ -109,17 +109,17 @@ def test_simhash_md5_family_matches_python_reference(spark):
         (4, ""),
     ]
     df = spark.createDataFrame(texts, "doc_id bigint, text string")
-    md5_32 = lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")  # noqa: E731
+    md5_48 = lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long")  # noqa: E731
     got = {
         r.id: r.simhash
-        for r in D.simhash_signatures(df, bits=32, hasher=md5_32).collect()
+        for r in D.simhash_signatures(df, bits=48, hasher=md5_48).collect()
     }
 
     def ref(text):
         toks = text.split(" ") if text else [""]
-        hs = [int(hashlib.md5(t.encode()).hexdigest()[:8], 16) for t in toks]
+        hs = [int(hashlib.md5(t.encode()).hexdigest()[:12], 16) for t in toks]
         sig = 0
-        for b in range(32):
+        for b in range(48):
             ones = sum((h >> b) & 1 for h in hs)
             if 2 * ones > len(hs):
                 sig |= 1 << b
