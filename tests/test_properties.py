@@ -559,3 +559,71 @@ def test_roc_auc_formula_equals_pairwise_definition(spark, data):
         .collect()[0]
     )
     assert row.auc == want
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(list("abcdef")), min_size=3, max_size=8
+        ).map(lambda ts: " ".join(ts)),
+        min_size=3,
+        max_size=8,
+    )
+)
+def test_minhash_md5_pipeline_matches_reference(spark, docs):
+    """The hash-provable MinHash-LSH pipeline (md5 16-bit-slice perms,
+    tuple banding, exact-Jaccard verify) against a straight-line Python
+    reference of the SAME algorithm on arbitrary tiny corpora — pins
+    signature slicing, band grouping, the id_a < id_b orientation and
+    the verify threshold in one place. A forced duplicate of doc 0
+    guarantees at least one J=1 pair (identical shingle sets ⇒
+    identical signatures ⇒ shared bands ⇒ always recalled)."""
+    import hashlib
+
+    from csv2parquet_spark.operators.dedup import minhash_near_dups_exprs
+    from pyspark.sql import functions as F
+
+    docs = list(docs) + [docs[0]]  # planted exact dup
+    rows = [(i, t) for i, t in enumerate(docs)]
+
+    def sh_set(text):
+        toks = text.split(" ")
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+
+    def sig(shs):
+        return [
+            min(hashlib.md5(s.encode()).hexdigest()[4 * j : 4 * j + 4] for s in shs)
+            for j in range(8)
+        ]
+
+    sets = {i: sh_set(t) for i, t in rows if sh_set(t)}
+    sigs = {i: sig(s) for i, s in sets.items()}
+    cand = set()
+    for a in sigs:
+        for b in sigs:
+            if a < b and any(
+                sigs[a][2 * k : 2 * k + 2] == sigs[b][2 * k : 2 * k + 2]
+                for k in range(4)
+            ):
+                cand.add((a, b))
+    expected = {}
+    for a, b in cand:
+        common = len(sets[a] & sets[b])
+        j = common / len(sets[a] | sets[b])
+        if j >= 0.8:
+            expected[(a, b)] = common
+
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    hashers = [
+        (lambda j: (lambda s: F.substring(F.md5(s), 1 + 4 * j, 4)))(j)
+        for j in range(8)
+    ]
+    got = {
+        (r.id_a, r.id_b): r.common
+        for r in minhash_near_dups_exprs(df, hashers, threshold=0.8, bands=4).collect()
+    }
+    assert got == expected
+    assert (0, len(docs) - 1) in got  # the planted dup was recalled
