@@ -87,4 +87,77 @@ def pagerank(
     return ranks.select("id", F.round("rank", 6).alias("rank"))
 
 
-__all__ = ["pagerank"]
+def pagerank_fixed(
+    edges: DataFrame,
+    n_iter: int = 5,
+    damp_num: int = 85,
+    damp_den: int = 100,
+    scale: int = 10**12,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """FIXED-POINT power-iteration PageRank: ranks live in integer
+    ``1/scale`` units (BIGINT end-to-end) and damping is the rational
+    ``damp_num/damp_den``, so every operation is integer multiply /
+    add / floor-divide — exact, associative, and therefore identical
+    across partitionings, retries, AND engines (the float variant
+    above is deterministic per engine run but its double arithmetic is
+    not portable SQL). The recurrence per iteration:
+
+        r'(v) = ((damp_den-damp_num)·scale) // (damp_den·n)
+                + (damp_num · (Σ_{u→v} r(u)//deg(u) + dm//n)) // damp_den
+
+    with ``dm`` the summed rank of dangling vertices. Floor divisions
+    shed ≤1 unit of mass each — the fixed-point algorithm is DEFINED by
+    this recurrence (it is not an approximation of the float one), so
+    an independent implementation reproduces it bit-for-bit.
+
+    Same scale shape as :func:`pagerank`: the edge relation is built
+    and checkpointed once; each superstep shuffles only (vertex, rank)
+    BIGINT pairs. Output: (id, rank_fp) in ``1/scale`` units.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    vertices = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = vertices.count()  # scalar: one number to the driver
+    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    ed = e.join(out_deg, "src").localCheckpoint()
+
+    base = ((damp_den - damp_num) * scale) // (damp_den * n)
+    ranks = vertices.withColumn("r", F.lit(scale // n).cast("long")).localCheckpoint()
+    for _ in range(n_iter):
+        contrib = (
+            ed.join(ranks.select(F.col("id").alias("src"), "r"), "src")
+            .select("dst", F.expr("r DIV deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").cast("long").alias("inflow"))
+        )
+        dangling = (
+            ranks.join(out_deg.select(F.col("src").alias("id")), "id", "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm"))
+        )
+        ranks = (
+            vertices.join(
+                contrib.select(F.col("dst").alias("id"), "inflow"), "id", "left"
+            )
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damp_num} * (coalesce(inflow, CAST(0 AS BIGINT))"
+                        f" + dm DIV {n})) DIV {damp_den}"
+                    )
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("id", F.col("r").alias("rank_fp"))
+
+
+__all__ = ["pagerank", "pagerank_fixed"]

@@ -107,11 +107,13 @@ _DEFER_THIS_ROUND: set[str] = {
     "pit_features_user",
     "negative_sampling_parts",
     # rows-only → oracle-backed conversions (md5-reproducible hash
-    # families / exact-verify): tier 1 as of this round, deferred so
-    # the already-verified window is untouched.
+    # families / exact-verify / fixed-point integer iteration): tier 1
+    # as of this round, deferred so the already-verified window is
+    # untouched.
     "minhash_near_dups",
     "simhash_near_dups",
     "heavy_hitters_mg",
+    "textrank_tokens",
 }
 
 # Within the deferred tier, these names sort FIRST (list order), ahead

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from csv2parquet_spark.operators.graph import pagerank
+from csv2parquet_spark.operators.graph import pagerank_fixed
 from csv2parquet_spark.operators.text import shingles
 from csv2parquet_spark.queries.registry import register
 from csv2parquet_spark.tables import table
@@ -125,16 +125,68 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("textrank_tokens", oracle=None)  # iterative float fixpoint → rows-only
+def _textrank_oracle(n_iter: int = 5) -> str:
+    """Chained-MATERIALIZED-CTE oracle for the FIXED-POINT PageRank
+    (operators/graph.py:pagerank_fixed): every quantity is BIGINT in
+    1e-12 units, damping 85/100 as integer multiply + floor divide, so
+    both engines compute the identical integers — no float anywhere.
+    sum() is CAST AS BIGINT everywhere (DuckDB widens to HUGEINT)."""
+    parts = [
+        """
+    WITH toks AS MATERIALIZED (
+      SELECT string_split(text, ' ') AS t FROM documents
+    ), e AS MATERIALIZED (
+      SELECT DISTINCT t[i] AS src, t[i+1] AS dst
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+      WHERE t[i] <> '' AND t[i+1] <> ''
+    ), v AS MATERIALIZED (
+      SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION SELECT dst FROM e)
+    ), deg AS MATERIALIZED (
+      SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src
+    ), p AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM v
+    ), r0 AS MATERIALIZED (
+      SELECT id, CAST(1000000000000 // p.n AS BIGINT) AS r FROM v, p
+    )"""
+    ]
+    for t in range(1, n_iter + 1):
+        parts.append(f"""
+    , c{t} AS MATERIALIZED (
+      SELECT e.dst AS id, CAST(sum(r.r // d.deg) AS BIGINT) AS inflow
+      FROM e JOIN deg d ON d.src = e.src JOIN r{t - 1} r ON r.id = e.src
+      GROUP BY e.dst
+    ), dm{t} AS MATERIALIZED (
+      SELECT CAST(coalesce(sum(r.r), 0) AS BIGINT) AS dm
+      FROM r{t - 1} r WHERE r.id NOT IN (SELECT src FROM deg)
+    ), r{t} AS MATERIALIZED (
+      SELECT v.id,
+             CAST((15 * 1000000000000) // (100 * p.n)
+                  + (85 * (coalesce(c.inflow, 0) + m.dm // p.n)) // 100
+                  AS BIGINT) AS r
+      FROM v CROSS JOIN p CROSS JOIN dm{t} m
+      LEFT JOIN c{t} c ON c.id = v.id
+    )""")
+    parts.append(f"""
+    SELECT id AS token, r AS rank_fp FROM r{n_iter}
+    ORDER BY r DESC, token LIMIT 50
+    """)
+    return "".join(parts)
+
+
+@register("textrank_tokens", oracle=_textrank_oracle())
 def textrank_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TextRank (Mihalcea & Tarau 2004): PageRank over the directed
     token-transition graph — top-50 tokens by stationary weight.
 
-    Edges are distinct adjacent-token pairs (the bpe_pair_counts
-    relation, deduplicated); 5 fixed power iterations with decimal-
-    summed contributions make the output deterministic run-to-run (the
-    rows-only gate re-executes and diffs). Not SQL-expressible without
-    recursion, hence no oracle; determinism is the contract instead.
+    Edges are distinct adjacent-token pairs; 5 fixed power iterations
+    of the FIXED-POINT integer recurrence (``pagerank_fixed`` —
+    BIGINT ranks in 1e-12 units, damping as 85//100 integer ops),
+    which is exact, associative, and portable — upgrading this query
+    from the rows-only determinism check to a full hash match against
+    a 5-level chained-CTE SQL oracle. The double-arithmetic
+    :func:`~csv2parquet_spark.operators.graph.pagerank` stays the
+    library's float variant (closed-form-pinned in tests); ranking
+    agreement between the two is pinned by a unit test.
     """
     d = table(spark, sf_dir, "documents")
     edges = (
@@ -145,11 +197,11 @@ def textrank_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("src") != "") & (F.col("dst") != ""))
     )
-    ranks = pagerank(edges, damping=0.85, n_iter=5)
+    ranks = pagerank_fixed(edges, n_iter=5)
     return (
-        ranks.orderBy(F.desc("rank"), "id")
+        ranks.orderBy(F.desc("rank_fp"), "id")
         .limit(50)
-        .select(F.col("id").alias("token"), "rank")
+        .select(F.col("id").alias("token"), "rank_fp")
     )
 
 

@@ -707,6 +707,59 @@ def test_pagerank_closed_forms(spark):
     assert got == again
 
 
+def test_pagerank_fixed_matches_python_reference(spark):
+    """pagerank_fixed (the hash-provable integer recurrence) against a
+    straight-line Python implementation of the SAME recurrence on a
+    cycle, a dangling chain, and a diamond-with-self-loop — and its
+    induced ranking must agree with the float pagerank on the
+    well-separated dangling graph (the fixed-point algorithm is a
+    sibling, not an approximation, but on non-tied graphs the order
+    must coincide)."""
+    from collections import Counter
+
+    from csv2parquet_spark.operators.graph import pagerank, pagerank_fixed
+
+    SCALE = 10**12
+
+    def ref(edges, n_iter=5):
+        e = sorted(set(edges))
+        vs = sorted({a for a, _ in e} | {b for _, b in e})
+        n = len(vs)
+        deg = Counter(a for a, _ in e)
+        r = {v: SCALE // n for v in vs}
+        base = (15 * SCALE) // (100 * n)
+        for _ in range(n_iter):
+            inflow = {v: 0 for v in vs}
+            for a, b in e:
+                inflow[b] += r[a] // deg[a]
+            dm = sum(r[v] for v in vs if deg.get(v, 0) == 0)
+            r = {v: base + (85 * (inflow[v] + dm // n)) // 100 for v in vs}
+        return r
+
+    graphs = [
+        [("a", "b"), ("b", "c"), ("c", "a")],
+        [("a", "b"), ("b", "c")],  # c dangles
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "d"), ("a", "b")],
+    ]
+    for edges in graphs:
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {x.id: x.rank_fp for x in pagerank_fixed(df, n_iter=5).collect()}
+        assert got == ref(edges), edges
+
+    dangle = spark.createDataFrame(graphs[1], "src string, dst string")
+    order_fp = [
+        x.id
+        for x in pagerank_fixed(dangle, n_iter=5)
+        .orderBy(F.desc("rank_fp"), "id")
+        .collect()
+    ]
+    order_fl = [
+        x.id
+        for x in pagerank(dangle, n_iter=5).orderBy(F.desc("rank"), "id").collect()
+    ]
+    assert order_fp == order_fl
+
+
 def test_global_cumsum_matches_window(spark):
     """global_cumsum (two-pass, no single-partition stage) must equal
     the naive global-window running sum on a shuffled fixture."""
