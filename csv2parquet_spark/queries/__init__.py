@@ -114,6 +114,9 @@ _DEFER_THIS_ROUND: set[str] = {
     "simhash_near_dups",
     "heavy_hitters_mg",
     "textrank_tokens",
+    # twelfth-wave additions
+    "timeseries_interpolate_linear",
+    "kmeans_train_clusters",
 }
 
 # Within the deferred tier, these names sort FIRST (list order), ahead

@@ -129,3 +129,175 @@ def ncm_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n"))
     )
+
+
+_KM_K, _KM_ITER = 4, 2
+
+
+def _km_dist_sql(vec: str, cent: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {_DIM} + 1), "
+        f"i -> (CAST({vec}[i] AS DOUBLE) - {cent}[i])"
+        f" * (CAST({vec}[i] AS DOUBLE) - {cent}[i])))"
+    )
+
+
+def _kmeans_oracle(k: int = _KM_K, n_iter: int = _KM_ITER) -> str:
+    """Chained-CTE Lloyd's k-means mirroring the query exactly: md5-min
+    init, squared-euclidean CASE-chain argmin (ties → lower cluster),
+    per-component decimal-summed means rounded to 6dp each iteration,
+    carry-forward for empty clusters. list_sum's sequential fold pairs
+    with Spark's F.aggregate (the proven similarity_topk_exact
+    pairing), so the float distances are bit-identical."""
+    parts = [f"""
+    WITH emb AS MATERIALIZED (
+      SELECT vec_id, embedding FROM embeddings
+    ), c0 AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cluster,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+      FROM emb ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {k}
+    )"""]
+    for t in range(1, n_iter + 1):
+        ks = ", ".join(
+            f"(SELECT cent FROM c{t - 1} WHERE cluster = {c}) AS k{c}"
+            for c in range(k)
+        )
+        ds = ",\n        ".join(
+            f"{_km_dist_sql('v.embedding', f'kk.k{c}')} AS dc{c}" for c in range(k)
+        )
+        whens = " ".join(
+            "WHEN "
+            + " AND ".join(f"dc{c} <= dc{o}" for o in range(c + 1, k))
+            + f" THEN {c}"
+            for c in range(k - 1)
+        )
+        parts.append(f"""
+    , kk{t} AS MATERIALIZED (
+      SELECT {ks}
+    ), d{t} AS MATERIALIZED (
+      SELECT v.vec_id, v.embedding,
+        {ds}
+      FROM emb v CROSS JOIN kk{t} kk
+    ), a{t} AS MATERIALIZED (
+      SELECT vec_id, embedding,
+        CASE {whens} ELSE {k - 1} END AS cluster
+      FROM d{t}
+    ), m{t} AS MATERIALIZED (
+      SELECT cluster, pos,
+        round(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,12))) AS DOUBLE)
+              / count(*), 6) AS mm
+      FROM (SELECT cluster, r.i AS pos, embedding[r.i] AS x
+            FROM a{t}, LATERAL (SELECT unnest(range(1, {_DIM} + 1)) AS i) AS r)
+      GROUP BY cluster, pos
+    ), mc{t} AS MATERIALIZED (
+      SELECT cluster, list(mm ORDER BY pos) AS cent FROM m{t} GROUP BY cluster
+    ), c{t} AS MATERIALIZED (
+      SELECT cluster, cent FROM mc{t}
+      UNION ALL
+      SELECT p.cluster, p.cent FROM c{t - 1} p
+      WHERE p.cluster NOT IN (SELECT cluster FROM mc{t})
+    )""")
+    parts.append(f"""
+    SELECT a.cluster, CAST(count(*) AS BIGINT) AS n_vecs, ck.checksum
+    FROM a{n_iter} a JOIN (
+      SELECT cluster,
+             CAST(sum(CAST(mm AS DECIMAL(18,6))) AS DOUBLE) AS checksum
+      FROM m{n_iter} GROUP BY cluster
+    ) ck USING (cluster)
+    GROUP BY a.cluster, ck.checksum
+    """)
+    return "".join(parts)
+
+
+@register("kmeans_train_clusters", oracle=_kmeans_oracle())
+def kmeans_train_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means TRAINING LOOP, hash-proven end-to-end (the
+    clustering sibling of ``logreg_gd_weights``): k=4 centroids
+    initialized from the 4 vectors with the smallest md5(vec_id)
+    (deterministic, data-derived, SQL-reproducible — unlike the
+    xxhash64 init of ``operators/similarity.kmeans_centroids``, which
+    stays the IVF scale path with its broadcast-matrix pandas-UDF
+    assignment), then 2 iterations of: squared-euclidean argmin
+    assignment (explicit CASE chain, ties to the lower cluster id) and
+    per-component mean update (per-row DECIMAL(18,12) casts make the
+    sums association-proof; means rounded to 6dp at every iteration
+    boundary per the engine's iterative-float protocol). Output:
+    cluster sizes from the final assignment plus an exact
+    decimal-summed checksum of the final rounded centroid components.
+
+    Scale shape: per iteration one map-only assignment pass over the
+    corpus (centroids are literals — model-sized) and one
+    posexplode → partial-agg shuffle of n·dim scalar terms; only the
+    k×dim means ever reach the driver (the logreg precedent). Distance
+    folds use F.aggregate(zip_with(...)) whose left-to-right order
+    pairs bit-identically with DuckDB's list_sum (proven by
+    similarity_topk_exact)."""
+    k = _KM_K
+    emb = table(spark, sf_dir, "embeddings")
+    init = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(k)
+        .select("embedding")
+        .collect()
+    )
+    cents = [[float(x) for x in r.embedding] for r in init]
+
+    def assign(cents):
+        dcols = []
+        for c, cent in enumerate(cents):
+            carr = F.array(*[F.lit(float(v)) for v in cent])
+            diffs = F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                carr,
+                lambda x, y: (x - y) * (x - y),
+            )
+            dcols.append(
+                F.aggregate(diffs, F.lit(0.0), lambda a, x: a + x).alias(f"dc{c}")
+            )
+        d = emb.select("vec_id", "embedding", *dcols)
+        cl = F.when(
+            (F.col("dc0") <= F.col("dc1"))
+            & (F.col("dc0") <= F.col("dc2"))
+            & (F.col("dc0") <= F.col("dc3")),
+            0,
+        ).when(
+            (F.col("dc1") <= F.col("dc2")) & (F.col("dc1") <= F.col("dc3")), 1
+        ).when(F.col("dc2") <= F.col("dc3"), 2).otherwise(3)
+        return d.select("vec_id", "embedding", cl.alias("cluster"))
+
+    assigned = means = None
+    for _ in range(_KM_ITER):
+        assigned = assign(cents)
+        means = (
+            assigned.select(
+                "cluster",
+                F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                    "pos", "x"
+                ),
+            )
+            .groupBy("cluster", "pos")
+            .agg(
+                F.round(
+                    F.sum(F.col("x").cast("decimal(18,12)")).cast("double")
+                    / F.count("*"),
+                    6,
+                ).alias("mm")
+            )
+            .localCheckpoint()  # k·dim rows; reused for cents AND checksum
+        )
+        rows = (
+            means.groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mm"))).alias("pm"))
+            .select("cluster", F.col("pm.mm").alias("cent"))
+            .collect()
+        )
+        new = {c: cents[c] for c in range(k)}  # empty cluster → carry forward
+        for r in rows:
+            new[r.cluster] = [float(x) for x in r.cent]
+        cents = [new[c] for c in range(k)]
+
+    counts = assigned.groupBy("cluster").agg(F.count("*").alias("n_vecs"))
+    ck = means.groupBy("cluster").agg(
+        F.sum(F.col("mm").cast("decimal(18,6)")).cast("double").alias("checksum")
+    )
+    return counts.join(ck, "cluster").select("cluster", "n_vecs", "checksum")

@@ -1044,3 +1044,109 @@ def pit_features_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_clicks_7d",
         "click_cents_7d",
     )
+
+
+@register(
+    "timeseries_interpolate_linear",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS rev_u
+      FROM events
+      WHERE event_type = 'purchase' AND user_id % 29 = 3
+      GROUP BY 1, 2
+    ), span AS MATERIALIZED (
+      SELECT user_id, min(d) AS lo, max(d) AS hi FROM daily GROUP BY user_id
+    ), cal AS MATERIALIZED (
+      SELECT s.user_id, CAST(g.g AS DATE) AS d
+      FROM span s,
+           LATERAL (SELECT unnest(generate_series(s.lo, s.hi, INTERVAL 1 DAY)) AS g) g
+    ), j AS MATERIALIZED (
+      SELECT c.user_id, c.d, daily.rev_u
+      FROM cal c LEFT JOIN daily ON daily.user_id = c.user_id AND daily.d = c.d
+    ), w AS MATERIALIZED (
+      SELECT user_id, d, rev_u,
+        last_value(rev_u IGNORE NULLS) OVER pw AS pv,
+        last_value(CASE WHEN rev_u IS NOT NULL THEN d END IGNORE NULLS) OVER pw AS pd,
+        first_value(rev_u IGNORE NULLS) OVER nw AS nv,
+        first_value(CASE WHEN rev_u IS NOT NULL THEN d END IGNORE NULLS) OVER nw AS nd
+      FROM j
+      WINDOW
+        pw AS (PARTITION BY user_id ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        nw AS (PARTITION BY user_id ORDER BY d
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+           CAST(CASE WHEN rev_u IS NOT NULL THEN rev_u
+                ELSE (pv * (date_diff('day', pd, nd) - date_diff('day', pd, d))
+                      + nv * date_diff('day', pd, d))
+                     // date_diff('day', pd, nd)
+                END AS BIGINT) AS rev_micros,
+           rev_u IS NULL AS is_gap
+    FROM w
+    """,
+)
+def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR-interpolation gap fill — the other half of the resampling
+    story (``timeseries_gapfill_daily`` fills zeros; sensors/finance
+    want the line between known points): per-user daily revenue where
+    each gap day gets ``prev + (next-prev)·(d-pd)/(nd-pd)``.
+
+    Exactness: revenue is scaled to INTEGER micro-units (the per-row
+    decimal cast makes the sum association-proof, ×1e6 is exact), and
+    the interpolation is computed as the single non-negative integer
+    expression ``(pv·(den-num) + nv·num) DIV den`` — floor and
+    truncating division agree on non-negatives, so both engines produce
+    the identical BIGINT with no float anywhere. The calendar is
+    per-user generated rows between that user's own first and last
+    active day, so prev/next neighbors always exist for gap rows.
+
+    Scale shape: fact rollup is the only corpus job; the per-user
+    calendar is dimension-sized; neighbor carry is two frames over the
+    SAME (user_id, d) window order (one hash exchange, one sort,
+    per-user state one row each direction).
+    """
+    e = table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") % 29 == 3)
+    )
+    daily = (
+        e.groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("rev_dec"))
+        .select(
+            "user_id", "d", (F.col("rev_dec") * 1000000).cast("long").alias("rev_u")
+        )
+    )
+    span = daily.groupBy("user_id").agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    cal = span.select("user_id", F.explode(F.sequence("lo", "hi")).alias("d"))
+    j = cal.join(daily, ["user_id", "d"], "left")
+    wp = Window.partitionBy("user_id").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wn = Window.partitionBy("user_id").orderBy("d").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    known_d = F.when(F.col("rev_u").isNotNull(), F.col("d"))
+    g = j.select(
+        "user_id",
+        "d",
+        "rev_u",
+        F.last("rev_u", ignorenulls=True).over(wp).alias("pv"),
+        F.last(known_d, ignorenulls=True).over(wp).alias("pd"),
+        F.first("rev_u", ignorenulls=True).over(wn).alias("nv"),
+        F.first(known_d, ignorenulls=True).over(wn).alias("nd"),
+    )
+    num = F.datediff("d", "pd")
+    den = F.datediff("nd", "pd")
+    return g.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.when(F.col("rev_u").isNotNull(), F.col("rev_u"))
+        .otherwise(
+            F.expr("(pv * (datediff(nd, pd) - datediff(d, pd))"
+                   " + nv * datediff(d, pd)) DIV datediff(nd, pd)")
+        )
+        .cast("long")
+        .alias("rev_micros"),
+        F.col("rev_u").isNull().alias("is_gap"),
+    )
