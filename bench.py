@@ -90,6 +90,9 @@ HEADLINE = [
     "url_canonical_dedup",
     "dpp_partitioned_days",
     "lateral_topk_per_nation",
+    # round-4 second continuation (resampling + clustering loop)
+    "timeseries_interpolate_linear",
+    "kmeans_train_clusters",
 ]
 
 

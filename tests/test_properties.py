@@ -627,3 +627,74 @@ def test_minhash_md5_pipeline_matches_reference(spark, docs):
     }
     assert got == expected
     assert (0, len(docs) - 1) in got  # the planted dup was recalled
+
+
+@SETTINGS
+@given(
+    series=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=25),
+                  st.integers(min_value=0, max_value=10**9)),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_linear_interpolation_matches_reference(spark, series):
+    """The integer linear-interpolation core (the exact expression
+    timeseries_interpolate_linear uses) against a Python reference on
+    arbitrary sparse non-negative series: every calendar day between
+    the first and last known day gets floor-interpolated micros, known
+    days pass through, and the non-negative DIV form never drifts from
+    the reference's floor((pv*(den-num)+nv*num)/den)."""
+    import datetime
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    base = datetime.date(2024, 1, 1)
+    known = {d: v for d, v in series}
+    rows = [(1, base + datetime.timedelta(days=d), v) for d, v in series]
+    df = spark.createDataFrame(rows, "user_id int, d date, rev_u long")
+    span = df.groupBy("user_id").agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    cal = span.select("user_id", F.explode(F.sequence("lo", "hi")).alias("d"))
+    j = cal.join(df, ["user_id", "d"], "left")
+    wp = Window.partitionBy("user_id").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wn = Window.partitionBy("user_id").orderBy("d").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    known_d = F.when(F.col("rev_u").isNotNull(), F.col("d"))
+    g = j.select(
+        "d",
+        "rev_u",
+        F.last("rev_u", ignorenulls=True).over(wp).alias("pv"),
+        F.last(known_d, ignorenulls=True).over(wp).alias("pd"),
+        F.first("rev_u", ignorenulls=True).over(wn).alias("nv"),
+        F.first(known_d, ignorenulls=True).over(wn).alias("nd"),
+    )
+    got = {
+        (r.d - base).days: r.out
+        for r in g.select(
+            "d",
+            F.when(F.col("rev_u").isNotNull(), F.col("rev_u"))
+            .otherwise(
+                F.expr("(pv * (datediff(nd, pd) - datediff(d, pd))"
+                       " + nv * datediff(d, pd)) DIV datediff(nd, pd)")
+            )
+            .alias("out"),
+        ).collect()
+    }
+
+    days = sorted(known)
+    want = {}
+    for d in range(days[0], days[-1] + 1):
+        if d in known:
+            want[d] = known[d]
+        else:
+            pd_ = max(x for x in days if x < d)
+            nd_ = min(x for x in days if x > d)
+            pv, nv = known[pd_], known[nd_]
+            den, num = nd_ - pd_, d - pd_
+            want[d] = (pv * (den - num) + nv * num) // den
+    assert got == want
