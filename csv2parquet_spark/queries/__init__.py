@@ -49,85 +49,22 @@ from csv2parquet_spark.queries import scanopt  # noqa: E402,F401
 # Queries that miss this round's window stay in tier 1/2 and surface
 # automatically next round once newly-proven names drop to tier 3.
 # ---------------------------------------------------------------------------
-# Round-4 re-proofs: _lsh_blas_candidates grew an ENFORCED bucket-size
-# cap (census + salted pair-block decomposition — VERDICT r3 item 4);
-# the default path is logically unchanged (r=1 for every in-cap bucket)
-# but the plan changed, so the two proven consumers re-prove.
-_FORCE_FIRST: list[str] = ["embedding_near_dups", "embedding_semantic_dedup"]
+# Round-5: _FORCE_FIRST cleared — both r4 re-proofs came back green
+# (CORRECTNESS_r04.json) and no proven query's behavior has changed yet
+# this round. Add names here ONLY when changing behavior of an
+# already-hash-proven query.
+_FORCE_FIRST: list[str] = []
 
-# Round-4: cleared at round start per the rotation protocol — the ~45
-# round-3 continuation queries auto-promote to tier 1 and fill this
-# round's 50-slot window (2 force-first + 42 tier-1 + 3 tier-2 = 47).
-# New round-4 registrations go here: they sort at 2.5 — behind the
-# pending tier-2 rows-only proofs — so the first ~3 (registration
-# order) still land in window slots 48-50 and the rest auto-promote
-# next round.
-_DEFER_THIS_ROUND: set[str] = {
-    "funnel_signup_view_purchase",
-    "bigram_lm_scores",
-    "paragraph_dedup_rebuild",
-    "length_bucket_packing_report",
-    "image_ahash_near_dups",
-    "exact_percentiles_global",
-    "cdc_merge_apply",
-    "shard_assignment_stats",
-    "table_profile_orders",
-    "attribution_last_click",
-    "dau_wau_stickiness",
-    "rfm_customer_segments",
-    "grouped_percentiles_exact",
-    "benford_first_digit_audit",
-    "bm25_topk_docs",
-    "multimodal_resize_real",
-    "audio_features_real",
-    "video_frame_sample_real",
-    "image_features_real",
-    "stream_topk_trending",
-    "roc_auc_exact",
-    "ewma_user_value",
-    "url_canonical_dedup",
-    "agg_pushdown_footer_stats",
-    "dpp_partitioned_days",
-    "lateral_topk_per_nation",
-    "calibration_bins_report",
-    "hard_negative_mining",
-    "pmi_collocations",
-    "entity_resolution_customers",
-    "collation_case_insensitive",
-    "try_funcs",
-    "map_funcs2",
-    "sql_scripting_threshold",
-    "bitmap_distinct_users",
-    "variant_explode_props",
-    "listagg_ordered",
-    "xpath_funcs",
-    "incremental_dedup_report",
-    "stock_running_balance",
-    "attribution_linear_multitouch",
-    "pit_features_user",
-    "negative_sampling_parts",
-    # rows-only → oracle-backed conversions (md5-reproducible hash
-    # families / exact-verify / fixed-point integer iteration): tier 1
-    # as of this round, deferred so the already-verified window is
-    # untouched.
-    "minhash_near_dups",
-    "simhash_near_dups",
-    "heavy_hitters_mg",
-    "textrank_tokens",
-    # twelfth-wave additions
-    "timeseries_interpolate_linear",
-    "kmeans_train_clusters",
-}
+# Round-5: cleared at round start per the rotation protocol (VERDICT r4
+# item 1) — the 44 never-driver-proven round-4 queries auto-promote to
+# tier 1 and fill this round's window. New round-5 registrations go
+# here so they can't displace the pending proofs; they fill trailing
+# slots if tier 0+1+2 < 50 and auto-promote next round.
+_DEFER_THIS_ROUND: set[str] = set()
 
-# Within the deferred tier, these names sort FIRST (list order), ahead
-# of registration order — so the ~3 trailing window slots go to the
-# round's flagship additions rather than whichever module imports
-# earliest. Everything else in the tier keeps registration order.
-_DEFER_PRIORITY: list[str] = [
-    "paragraph_dedup_rebuild",
-    "image_ahash_near_dups",
-    "bigram_lm_scores",
-]
+# Within the deferred tier, these names sort FIRST (list order) so
+# trailing window slots go to the round's flagship additions.
+_DEFER_PRIORITY: list[str] = []
 
 
 def _proven_from_driver_rounds() -> tuple[set[str], set[str]]:
