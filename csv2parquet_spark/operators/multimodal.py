@@ -509,57 +509,72 @@ RESIZE_REAL_SCHEMA = (
 
 def resize_images(
     df: DataFrame,
-    target_w: int,
-    target_h: int,
+    target_w: int | None = None,
+    target_h: int | None = None,
     id_col: str = "doc_id",
     payload_col: str = "payload",
+    target_w_col: str | None = None,
+    target_h_col: str | None = None,
 ) -> DataFrame:
     """REAL image resize for 24-bpp BMP payloads (nearest-neighbor,
     pixel-center sampling): decode the actual pixel grid, resample to
-    (target_w, target_h), re-encode a valid BMP. This replaces the
-    resize STUB for the one format this container can decode without
-    external codecs — the mapInPandas shape (Arrow batches, map-only,
-    no shuffle) is exactly what a PIL/ffmpeg-backed kernel drops into.
-    Non-BMP / corrupt payloads are dropped (codec gate)."""
+    the target, re-encode a valid BMP. Targets are either one constant
+    (target_w/target_h) or PER-ROW integer columns (target_w_col/
+    target_h_col — the dataloader shape, where each image carries its
+    own bucketed resolution). This replaces the resize STUB for the one
+    format this container can decode without external codecs — the
+    mapInPandas shape (Arrow batches, map-only, no shuffle) is exactly
+    what a PIL/ffmpeg-backed kernel drops into. Non-BMP / corrupt
+    payloads are dropped (codec gate)."""
     import numpy as np
 
+    per_row = target_w_col is not None
+    cols = [id_col, payload_col] + (
+        [target_w_col, target_h_col] if per_row else []
+    )
+
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        xs_cache: dict[int, object] = {}
+        # pixel-center nearest index vectors, keyed (src_dim, dst_dim)
+        idx_cache: dict[tuple[int, int], object] = {}
+
+        def centers(src: int, dst: int):
+            v = idx_cache.get((src, dst))
+            if v is None:
+                v = idx_cache[(src, dst)] = (2 * np.arange(dst) + 1) * src // (
+                    2 * dst
+                )
+            return v
+
         for pdf in batches:
-            ids, payloads = [], []
-            for i, p in zip(pdf[id_col], pdf[payload_col]):
+            if per_row:
+                tws = pdf[target_w_col].astype(int)
+                ths = pdf[target_h_col].astype(int)
+            else:
+                tws = [target_w] * len(pdf)
+                ths = [target_h] * len(pdf)
+            ids, payloads, ows, ohs = [], [], [], []
+            for i, p, tw, th in zip(pdf[id_col], pdf[payload_col], tws, ths):
                 parsed = _parse_bmp24(bytes(p))
                 if parsed is None:
                     continue
                 rows, w, h = parsed
-                # pixel-center nearest sampling (the aHash convention)
-                ys = xs_cache.get(h)
-                if ys is None:
-                    ys = xs_cache[h] = (2 * np.arange(target_h) + 1) * h // (
-                        2 * target_h
-                    )
-                xs = xs_cache.get(-w - 1)
-                if xs is None:
-                    xs = xs_cache[-w - 1] = (2 * np.arange(target_w) + 1) * w // (
-                        2 * target_w
-                    )
-                out = rows[np.ix_(ys, xs)]
+                out = rows[np.ix_(centers(h, int(th)), centers(w, int(tw)))]
                 ids.append(int(i))
                 payloads.append(_encode_bmp24(out))
+                ows.append(int(tw))
+                ohs.append(int(th))
             if ids:
                 yield pd.DataFrame(
                     {
                         "doc_id": ids,
                         "payload": payloads,
-                        "out_w": target_w,
-                        "out_h": target_h,
+                        "out_w": ows,
+                        "out_h": ohs,
                         "out_bytes": [len(b) for b in payloads],
                     }
                 )
 
-    return df.select(id_col, payload_col).mapInPandas(
-        resize_batches, RESIZE_REAL_SCHEMA
-    )
+    return df.select(*cols).mapInPandas(resize_batches, RESIZE_REAL_SCHEMA)
 
 
 AHASH_SCHEMA = "doc_id bigint, ahash bigint, bands array<int>"

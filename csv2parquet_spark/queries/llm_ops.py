@@ -1292,24 +1292,29 @@ def image_ahash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_resize_real",
     oracle="""
     SELECT doc_id,
-           CAST(40 AS INTEGER) AS out_w,
-           CAST(24 AS INTEGER) AS out_h,
-           CAST(2934 AS INTEGER) AS out_bytes,
+           CAST(8 * (2 + doc_id % 5) AS INTEGER) AS out_w,
+           CAST(8 * (2 + doc_id % 3) AS INTEGER) AS out_h,
+           CAST(54 + 3 * (8 * (2 + doc_id % 5)) * (8 * (2 + doc_id % 3))
+                AS INTEGER) AS out_bytes,
            true AS ahash_preserved
     FROM documents
     """,
 )
 def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image resize, end-to-end checked: patterned BMPs decode →
-    nearest-neighbor resample to 40×24 → re-encode as valid BMPs →
-    re-decode → perceptual hash, asserting the aHash survives the
-    resize for every document (the property perceptual hashing is FOR;
-    the fixture patterns are 8×8-cell-aligned so it must hold exactly).
-    The oracle derives the invariants from arithmetic — out_bytes =
-    54 + row_size(40)·24 = 2934 for every row — while Spark earns them
-    through two full decode/encode round-trips. All three stages are
-    map-only mapInPandas; the only shuffle is the doc_id hash-join of
-    the two hash relations."""
+    nearest-neighbor resample to a PER-DOCUMENT target resolution
+    (8·(2+id%5) × 8·(2+id%3), the bucketed-resolution dataloader shape)
+    → re-encode as valid BMPs → re-decode → perceptual hash, asserting
+    the aHash survives the resize for every document (the property
+    perceptual hashing is FOR). Targets are multiples of 8 ≥ 16, so the
+    8×8-cell-aligned fixture patterns resample cell-exactly and the
+    preservation holds with no tolerance. The oracle derives every
+    row's dims and byte size from id arithmetic — out_bytes = 54 +
+    3·w·h (rows of width 8k are already 4-byte aligned) — so the hash
+    check bites on PER-ROW values, while Spark earns them through two
+    full decode/encode round-trips. All three stages are map-only
+    mapInPandas; the only shuffle is the doc_id hash-join of the two
+    hash relations."""
     from csv2parquet_spark.operators.multimodal import (
         image_ahash,
         resize_images,
@@ -1320,7 +1325,14 @@ def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     imgs = with_patterned_image(docs).localCheckpoint()
     # checkpointed: feeds both the final select AND its aHash — without
     # it the decode/resample/re-encode kernel executes twice per run
-    resized = resize_images(imgs, 40, 24).localCheckpoint()
+    targets = imgs.withColumn(
+        "tw", (F.lit(8) * (F.lit(2) + F.col("doc_id") % 5)).cast("int")
+    ).withColumn(
+        "th", (F.lit(8) * (F.lit(2) + F.col("doc_id") % 3)).cast("int")
+    )
+    resized = resize_images(
+        targets, target_w_col="tw", target_h_col="th"
+    ).localCheckpoint()
     ha = image_ahash(imgs).select("doc_id", F.col("ahash").alias("h_orig"))
     hb = image_ahash(resized).select(
         "doc_id", F.col("ahash").alias("h_res")

@@ -799,7 +799,7 @@ def exact_percentiles_global(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_orderkey, 'update', round(o_totalprice + 100.0, 2)
       FROM orders WHERE o_orderkey % 17 <> 0 AND o_orderkey % 10 = 3
       UNION ALL
-      SELECT o_orderkey + 10000000, 'insert', 42.0
+      SELECT -o_orderkey, 'insert', 42.0
       FROM orders WHERE o_orderkey % 25 = 0
     )
     SELECT COALESCE(b.o_orderkey, d.k) AS o_orderkey,
@@ -816,9 +816,11 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     warehouse CDC-apply shape: WHEN MATCHED AND op='delete' DELETE,
     WHEN MATCHED AND op='update' UPDATE, WHEN NOT MATCHED INSERT): a
     deterministic delta derived from the base itself (deletes for
-    key%17=0, +100 price updates for key%10=3, inserts above key+10M
-    for key%25=0) applies onto orders, emitting the post-merge state
-    with each row's provenance.
+    key%17=0, +100 price updates for key%10=3, inserts at -key for
+    key%25=0 — NEGATED keys are a namespace disjoint from the 1-based
+    o_orderkey at EVERY scale factor, so synthetic inserts can never
+    collide with real base keys and silently match) applies onto
+    orders, emitting the post-merge state with each row's provenance.
 
     Scale shape: ONE shuffle on the merge key for each side of the
     full-outer hash join — delta cost is ∝ |delta| on the build side at
@@ -843,7 +845,7 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionAll(
             o.filter(F.col("o_orderkey") % 25 == 0).select(
-                (F.col("o_orderkey") + 10_000_000).alias("k"),
+                (-F.col("o_orderkey")).alias("k"),
                 F.lit("insert").alias("op"),
                 F.lit(42.0).alias("new_price"),
             )

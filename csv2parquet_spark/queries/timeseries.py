@@ -584,8 +584,10 @@ def error_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def funnel_signup_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel conversion (product analytics): of users who
-    signed up, how many then VIEWED, then PURCHASED — each step strictly
-    after the previous one and inside a 72 h window from signup.
+    signed up, how many then VIEWED, then PURCHASED — each step AT OR
+    AFTER the previous one (a view/purchase in the same millisecond as
+    the prior step counts; both engines use >=) and inside a 72 h
+    window from signup.
 
     Step times resolve as conditional-min windows partitioned by
     user_id: s0 (first signup), v0 (first view ≥ s0), p0 (first
@@ -675,7 +677,11 @@ def attribution_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "click")
     )
-    k = F.pmod(F.get_json_object("props", "$.k").cast("long"), F.lit(100))
+    # '%' (C-style remainder, sign of dividend) on BOTH engines — the
+    # oracle uses DuckDB '%', so F.pmod would diverge for negative k.
+    # Fixture k is in [0, 99]; with matching '%' semantics the two
+    # engines stay identical even if a future fixture breaks that.
+    k = F.get_json_object("props", "$.k").cast("long") % F.lit(100)
     enc = F.when(
         F.col("event_type") == "click", F.unix_millis("ts") * 100 + k
     )

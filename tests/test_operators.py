@@ -1118,3 +1118,68 @@ def test_avi_frame_sampler_real_walk(spark):
             assert r.n_frames == 5 and r.frame_bytes == 768
             assert r.ahash == _frame_pattern_bits(11, fi)
     assert not [d for d, _ in got if d in (13, 14)]
+
+
+def test_ahash_fixture_base_patterns_well_separated():
+    """The image_ahash_near_dups oracle only enumerates SAME-base pairs,
+    which silently assumes no two splitmix64 base patterns ever land
+    within Hamming <= 3 of each other (variants flip one bit per side,
+    so a cross-base pair needs base distance <= 5 to sneak under the
+    max_hamming=3 verify). Assert that margin LOUDLY for every base any
+    tested scale factor can reach (sf0.1 has 5000 docs = 1250 bases;
+    check 2000 bases for headroom) so a future dataset size fails here,
+    not as a silent oracle gap."""
+    import numpy as np
+
+    from csv2parquet_spark.operators.multimodal import _mix64
+
+    bits = np.array([_mix64(b) for b in range(2000)], dtype=np.uint64)
+    # pairwise XOR popcount without Python loops: 8 bytes per value
+    bytes_view = bits.view(np.uint8).reshape(-1, 8)
+    popcnt = np.unpackbits(bytes_view, axis=1).astype(np.int32)
+    # d(i,j) = sum over bit positions of a_xor_b; compute via matmul:
+    # hamming = ones@ones where differ = p_i + p_j - 2*p_i*p_j per bit
+    p = popcnt  # (n, 64) of 0/1
+    same = p @ p.T  # bits set in both
+    tot = p.sum(axis=1)
+    hamming = tot[:, None] + tot[None, :] - 2 * same
+    np.fill_diagonal(hamming, 99)
+    assert int(hamming.min()) > 5, (
+        f"base patterns too close: min pairwise Hamming {int(hamming.min())}"
+    )
+
+
+def test_resize_images_per_row_targets(spark):
+    """Per-row target columns: each image resamples to ITS OWN (tw, th),
+    out_bytes reflects the re-encoded payload, and the content equals an
+    independent nearest-neighbor resample."""
+    import numpy as np
+
+    from csv2parquet_spark.operators.multimodal import (
+        _parse_bmp24,
+        resize_images,
+        synth_patterned_image,
+    )
+
+    data = [
+        (3, bytearray(synth_patterned_image(3)), 16, 24),
+        (4, bytearray(synth_patterned_image(4)), 40, 16),
+    ]
+    df = spark.createDataFrame(
+        data, "doc_id bigint, payload binary, tw int, th int"
+    )
+    rows = {
+        r.doc_id: r
+        for r in resize_images(
+            df, target_w_col="tw", target_h_col="th"
+        ).collect()
+    }
+    for doc_id, payload, tw, th in data:
+        r = rows[doc_id]
+        assert (r.out_w, r.out_h) == (tw, th)
+        arr, w, h = _parse_bmp24(bytes(r.payload))
+        assert (w, h) == (tw, th) and r.out_bytes == len(bytes(r.payload))
+        src, sw, sh = _parse_bmp24(bytes(payload))
+        ys = (2 * np.arange(th) + 1) * sh // (2 * th)
+        xs = (2 * np.arange(tw) + 1) * sw // (2 * tw)
+        assert (arr == src[np.ix_(ys, xs)]).all()
