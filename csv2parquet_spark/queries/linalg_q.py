@@ -1,6 +1,7 @@
 """Distributed-linear-algebra queries over the embeddings table
-(operators/linalg.py): hash-checked gram matrix, rows-only PCA
-projection (eigendecomposition is not SQL-expressible)."""
+(operators/linalg.py): hash-checked gram matrix and PCA projection
+(fixed-point integer power iteration — engine-exact; the eigh variant
+stays the library path in operators/linalg.pca_project)."""
 
 from __future__ import annotations
 
@@ -34,15 +35,180 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select("i", "j", F.round("v", 4).alias("v"))
 
 
-@register("embedding_pca_project", oracle=None)  # eigh not SQL-expressible
+_PCA_S = 6  # matrix squarings: iterate with G^64, gap amplified ^64
+_PCA_T = 12  # power-iteration steps per component
+_PCA_SV = 1_000_000_000  # fixed-point vector units (1e-9)
+_PCA_SM = 100_000_000  # fixed-point matrix units after each rescale
+
+
+def _pca_power_oracle(s_sq: int = _PCA_S, t_iter: int = _PCA_T) -> str:
+    """Chained-CTE fixed-point power iteration mirroring the query
+    exactly: the integer gram (proven 4dp rounding × 10⁴) is SQUARED
+    s_sq times with a max-entry truncating rescale (iterating with
+    G^(2^s) — the testdata embeddings are near-isotropic, λ1/λ2 ≈ 1.02,
+    so plain power iteration would need hundreds of steps; squaring
+    amplifies the gap to ^64), then T max-norm power steps for
+    component 1 and T deflated steps for component 2. Every op is
+    integer multiply / add / truncating division, so the HUGEINT
+    arithmetic is exact and engine-identical (DuckDB ``//`` on integers
+    truncates toward zero, same as the query's tdiv; intermediates peak
+    ~2.5e27 ≪ int128). The float projection pairs
+    list_sum(list_transform) with Spark's F.aggregate(zip_with) left
+    fold (the proven similarity_topk_exact pairing)."""
+    parts = [f"""
+    WITH h0 AS MATERIALIZED (
+      SELECT ii.i AS i, jj.j AS j,
+             CAST(round(round(sum(e.embedding[ii.i + 1] * e.embedding[jj.j + 1]),
+                              4) * 10000, 0) AS HUGEINT) AS hv
+      FROM embeddings e, range(0, {_DIM}) ii(i), range(0, {_DIM}) jj(j)
+      GROUP BY ii.i, jj.j
+    )"""]
+    for s in range(1, s_sq + 1):
+        parts.append(f"""
+    , q{s} AS MATERIALIZED (
+      SELECT a.i AS i, b.j AS j, sum(a.hv * b.hv) AS qv
+      FROM h{s - 1} a JOIN h{s - 1} b ON a.j = b.i
+      GROUP BY a.i, b.j
+    ), h{s} AS MATERIALIZED (
+      SELECT i, j, (qv * {_PCA_SM}) // (SELECT max(abs(qv)) FROM q{s}) AS hv
+      FROM q{s}
+    )""")
+    h = f"h{s_sq}"
+    parts.append(f"""
+    , v0 AS MATERIALIZED (
+      SELECT r.pos, CAST({_PCA_SV} AS HUGEINT) AS vv
+      FROM range(0, {_DIM}) r(pos)
+    )""")
+    for t in range(1, t_iter + 1):
+        parts.append(f"""
+    , u{t} AS MATERIALIZED (
+      SELECT h.i AS pos, sum(h.hv * v.vv) AS uu
+      FROM {h} h JOIN v{t - 1} v ON h.j = v.pos GROUP BY h.i
+    ), v{t} AS MATERIALIZED (
+      SELECT pos, (uu * {_PCA_SV}) // (SELECT max(abs(uu)) FROM u{t}) AS vv
+      FROM u{t}
+    )""")
+    parts.append(f"""
+    , w AS MATERIALIZED (
+      SELECT h.i AS pos, sum(h.hv * v.vv) AS ww
+      FROM {h} h JOIN v{t_iter} v ON h.j = v.pos GROUP BY h.i
+    ), n1 AS MATERIALIZED (SELECT sum(vv * vv) AS n FROM v{t_iter})
+    , y0 AS MATERIALIZED (
+      SELECT r.pos, CAST(CASE WHEN r.pos % 2 = 0 THEN {_PCA_SV}
+                              ELSE -{_PCA_SV} END AS HUGEINT) AS vv
+      FROM range(0, {_DIM}) r(pos)
+    )""")
+    for t in range(1, t_iter + 1):
+        parts.append(f"""
+    , t{t} AS MATERIALIZED (
+      SELECT ((SELECT sum(a.vv * b.vv)
+               FROM v{t_iter} a JOIN y{t - 1} b USING (pos)) * {_PCA_SV})
+             // (SELECT n FROM n1) AS t1
+    ), z{t} AS MATERIALIZED (
+      SELECT gy.pos,
+             gy.gvy - (w.ww * (SELECT t1 FROM t{t})) // {_PCA_SV} AS uu
+      FROM (SELECT h.i AS pos, sum(h.hv * y.vv) AS gvy
+            FROM {h} h JOIN y{t - 1} y ON h.j = y.pos GROUP BY h.i) gy
+      JOIN w ON w.pos = gy.pos
+    ), y{t} AS MATERIALIZED (
+      SELECT pos, (uu * {_PCA_SV}) // (SELECT max(abs(uu)) FROM z{t}) AS vv
+      FROM z{t}
+    )""")
+    parts.append(f"""
+    , c1 AS MATERIALIZED (
+      SELECT list(CAST(vv AS DOUBLE) ORDER BY pos) AS arr FROM v{t_iter}
+    ), c2 AS MATERIALIZED (
+      SELECT list(CAST(vv AS DOUBLE) ORDER BY pos) AS arr FROM y{t_iter}
+    )
+    SELECT e.vec_id,
+           round(list_sum(list_transform(range(1, {_DIM} + 1),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * c1.arr[i]))
+                 / CAST({_PCA_SV} AS DOUBLE), 4) AS p_0,
+           round(list_sum(list_transform(range(1, {_DIM} + 1),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * c2.arr[i]))
+                 / CAST({_PCA_SV} AS DOUBLE), 4) AS p_1
+    FROM embeddings e CROSS JOIN c1 CROSS JOIN c2
+    """)
+    return "".join(parts)
+
+
+@register("embedding_pca_project", oracle=_pca_power_oracle())
 def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows projected onto the top-2 principal directions of the gram
-    matrix (deterministic sign convention). Distributed partial-gram →
-    driver eigh (64×64) → broadcast map-only projection."""
-    from csv2parquet_spark.operators.linalg import pca_project
+    matrix — hash-proven end-to-end via FIXED-POINT INTEGER power
+    iteration (the pagerank_fixed technique applied to eigenvectors;
+    replaces the rows-only eigh variant, which stays the library path
+    in operators/linalg.pca_project).
+
+    Training: the distributed dim² gram partials (mapInPandas numpy,
+    shuffle volume batches·dim² — row-count-independent) collect as
+    4096 scalars; everything after is model-sized driver work in EXACT
+    integer arithmetic. The gram is squared 6 times with a max-entry
+    truncating rescale (the testdata spectrum is near-flat, λ1/λ2 ≈
+    1.02 — plain power iteration would need hundreds of steps; G^64
+    amplifies the gap to ^64), then 12 max-norm steps converge
+    component 1 and 12 deflated steps (y ← H·y − (H·v1)(v1ᵀy)/(v1ᵀv1),
+    division split in two so intermediates stay ≪ int128) converge
+    component 2. All divisions truncate toward zero (Python tdiv ==
+    DuckDB ``//`` == Spark DIV), so both engines walk bit-identical
+    states; sign falls out of the deterministic inits (all-ones /
+    alternating). Projection is a map-only Catalyst HOF fold
+    (F.aggregate(zip_with), the proven bit-identical pairing with
+    list_sum), rounded at 4 dp. At 100 TB only the gram pass touches
+    data; everything else is dim² driver state broadcast back."""
+    from csv2parquet_spark.operators.linalg import gram_matrix
+
+    def tdiv(a: int, b: int) -> int:
+        # truncate toward zero (b > 0 here) — DuckDB // and Spark DIV
+        return a // b if a >= 0 else -((-a) // b)
 
     emb = table(spark, sf_dir, "embeddings")
-    return pca_project(emb, k=2, dim=_DIM)
+    rows = gram_matrix(emb, "embedding", _DIM).select(
+        "i", "j", F.round("v", 4).alias("v")
+    ).collect()  # dim² scalars — model-sized
+    H = [[0] * _DIM for _ in range(_DIM)]
+    for r in rows:
+        y = r.v * 10000
+        # DuckDB round(y, 0): half away from zero
+        H[r.i][r.j] = int(y + 0.5) if y >= 0 else -int(-y + 0.5)
+
+    rng = range(_DIM)
+    for _ in range(_PCA_S):
+        Q = [[sum(H[i][k] * H[k][j] for k in rng) for j in rng] for i in rng]
+        mx = max(abs(x) for row in Q for x in row)
+        H = [[tdiv(x * _PCA_SM, mx) for x in row] for row in Q]
+
+    def matvec(vec: list[int]) -> list[int]:
+        return [sum(H[i][j] * vec[j] for j in rng) for i in rng]
+
+    v1 = [_PCA_SV] * _DIM
+    for _ in range(_PCA_T):
+        u = matvec(v1)
+        m = max(abs(x) for x in u)
+        v1 = [tdiv(x * _PCA_SV, m) for x in u]
+    w = matvec(v1)
+    n1 = sum(x * x for x in v1)
+    v2 = [_PCA_SV if p % 2 == 0 else -_PCA_SV for p in range(_DIM)]
+    for _ in range(_PCA_T):
+        s = sum(a * b for a, b in zip(v1, v2))
+        t1 = tdiv(s * _PCA_SV, n1)
+        gv = matvec(v2)
+        u = [gv[i] - tdiv(w[i] * t1, _PCA_SV) for i in rng]
+        m = max(abs(x) for x in u)
+        v2 = [tdiv(x * _PCA_SV, m) for x in u]
+
+    def proj(comp: list[int]):
+        arr = F.array(*[F.lit(float(x)) for x in comp])
+        dot = F.aggregate(
+            F.zip_with(F.col("embedding"), arr, lambda x, c: x * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.round(dot / F.lit(float(_PCA_SV)), 4)
+
+    return emb.select(
+        "vec_id", proj(v1).alias("p_0"), proj(v2).alias("p_1")
+    )
 
 
 @register(

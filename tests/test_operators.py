@@ -1183,3 +1183,31 @@ def test_resize_images_per_row_targets(spark):
         ys = (2 * np.arange(th) + 1) * sh // (2 * th)
         xs = (2 * np.arange(tw) + 1) * sw // (2 * tw)
         assert (arr == src[np.ix_(ys, xs)]).all()
+
+
+def test_pca_power_iteration_agrees_with_eigh(spark, sf_dir):
+    """The fixed-point power-iteration components driving
+    embedding_pca_project must align with numpy's eigh directions
+    (|cosine| > 0.999 after 8 max-norm steps on this spectrum), and the
+    projections must be non-degenerate — the engine-exactness is proven
+    by the oracle hash; this pins that the integer recurrence still
+    computes PCA."""
+    import numpy as np
+
+    from csv2parquet_spark.operators.linalg import principal_components
+    from csv2parquet_spark.queries.linalg_q import embedding_pca_project
+    from csv2parquet_spark.tables import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    C = principal_components(emb, k=2, dim=64)  # eigh reference
+    rows = embedding_pca_project(spark, sf_dir).collect()
+    V = {r.vec_id: np.asarray(r.embedding) for r in emb.collect()}
+    got = np.array([[r.p_0, r.p_1] for r in rows])
+    ref = np.array([[float(V[r.vec_id] @ C[0]), float(V[r.vec_id] @ C[1])]
+                    for r in rows])
+    assert got.std(axis=0).min() > 1e-3  # both axes carry real variance
+    for k in range(2):
+        cos = abs(float(got[:, k] @ ref[:, k])) / (
+            np.linalg.norm(got[:, k]) * np.linalg.norm(ref[:, k])
+        )
+        assert cos > 0.999, f"component {k} misaligned: |cos|={cos}"
