@@ -96,6 +96,12 @@ HEADLINE = [
     # round-4 second continuation (resampling + clustering loop)
     "timeseries_interpolate_linear",
     "kmeans_train_clusters",
+    # round-5 additions (DSIR data selection / keep-best dedup /
+    # runtime bloom-filter join / fixed-point PCA)
+    "dsir_importance_weights",
+    "dedup_keep_best_quality",
+    "runtime_bloom_filter_join",
+    "embedding_pca_project",
 ]
 
 

@@ -60,11 +60,23 @@ _FORCE_FIRST: list[str] = []
 # tier 1 and fill this round's window. New round-5 registrations go
 # here so they can't displace the pending proofs; they fill trailing
 # slots if tier 0+1+2 < 50 and auto-promote next round.
-_DEFER_THIS_ROUND: set[str] = set()
+_DEFER_THIS_ROUND: set[str] = {
+    "dsir_importance_weights",
+    "dedup_keep_best_quality",
+    "stream_dedup_within_watermark",
+    "runtime_bloom_filter_join",
+}
 
 # Within the deferred tier, these names sort FIRST (list order) so
-# trailing window slots go to the round's flagship additions.
-_DEFER_PRIORITY: list[str] = []
+# trailing window slots go to the round's flagship additions. Tier 1
+# holds 45 names this round (the r4 backlog + the pca conversion), so
+# ~4 trailing slots reach these.
+_DEFER_PRIORITY: list[str] = [
+    "dsir_importance_weights",
+    "dedup_keep_best_quality",
+    "runtime_bloom_filter_join",
+    "stream_dedup_within_watermark",
+]
 
 
 def _proven_from_driver_rounds() -> tuple[set[str], set[str]]:

@@ -745,3 +745,89 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("utm") == "x").cast("int")).alias("n_utm_ok"),
         F.sum(F.col("ref").cast("long")).alias("sum_ref"),
     )
+
+
+_DSIR_B = 256  # hashed-feature buckets (2 hex chars of md5)
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS arr FROM documents
+    ), bg AS (
+      SELECT doc_id, lang,
+             substring(md5(arr[i] || ' ' || arr[i + 1]), 1, 2) AS bucket
+      FROM tok, LATERAL (SELECT unnest(range(1, len(arr))) AS i) _l
+      WHERE len(arr) > 1
+    ), m AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS cr,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+      FROM bg GROUP BY bucket
+    ), tot AS (
+      SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt
+      FROM m
+    )
+    SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+           round(sum(ln(CAST((m.ct + 1) * (tot.nr + {_DSIR_B}) AS DOUBLE)
+                        / CAST((m.cr + 1) * (tot.nt + {_DSIR_B}) AS DOUBLE))),
+                 6) AS logweight
+    FROM bg JOIN m USING (bucket), tot
+    GROUP BY bg.doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per-document log
+    importance weight log(p_target(x)/p_raw(x)) under hashed-bigram
+    bag-of-features models — the published recipe for picking raw-web
+    documents that look like a target domain. Here target = the 'en'
+    slice of the corpus, raw = the whole corpus, features = token
+    bigrams hashed into {_DSIR_B} buckets (2 hex chars of md5 — the
+    bucket ID stays a string; no hex parsing, per the engine's
+    md5-slice convention), add-one smoothing on both models.
+
+    Scale shape: bigrams build MAP-SIDE (slice/zip/explode, the
+    bigram_lm_scores shape — no join); the feature MODEL is one
+    groupBy(bucket) with conditional counts ({_DSIR_B} rows — broadcast
+    back), totals are a 1-row broadcast; scoring is a map-only
+    broadcast join + one doc_id aggregation. TWO shuffles end-to-end
+    (bucket model + per-doc rollup), both on synthetic keys; the corpus
+    never re-shuffles by content. Everything is integer until ONE
+    ln(ratio-of-integer-products) per occurrence, so the engines agree
+    to well under the 6 dp round (the proven bigram_lm_scores
+    discipline)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    arr = F.split("text", " ")
+    bg = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.arrays_zip(
+                F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))).alias("w1"),
+                F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))).alias("w2"),
+            )
+        ).alias("p"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.substring(
+            F.md5(F.concat(F.col("p.w1"), F.lit(" "), F.col("p.w2"))), 1, 2
+        ).alias("bucket"),
+    )
+    m = bg.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
+    )
+    tot = m.agg(
+        F.sum("cr").alias("nr"), F.sum("ct").alias("nt")
+    )
+    scored = bg.join(F.broadcast(m), "bucket").crossJoin(F.broadcast(tot))
+    term = F.log(
+        ((F.col("ct") + 1) * (F.col("nr") + _DSIR_B)).cast("double")
+        / ((F.col("cr") + 1) * (F.col("nt") + _DSIR_B)).cast("double")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_feats"),
+        F.round(F.sum(term), 6).alias("logweight"),
+    )

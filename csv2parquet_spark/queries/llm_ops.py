@@ -1690,3 +1690,87 @@ def incremental_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("unique"),
         )
     )
+
+
+@register(
+    "dedup_keep_best_quality",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)
+    ), sz AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM common JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+      WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) >= 0.8
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), comp AS (
+      SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a
+    ), alldocs AS (
+      SELECT d.doc_id, d.n_chars, COALESCE(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    ), ranked AS (
+      SELECT component, doc_id, n_chars,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY component) AS n_members
+      FROM alldocs
+    )
+    SELECT component, doc_id AS kept_doc_id,
+           CAST(n_chars AS BIGINT) AS kept_n_chars,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KEEP decision that completes near-dedup: one row per
+    near-dup cluster naming WHICH copy survives — the longest document
+    (n_chars, ties to the lower doc_id), not the arbitrary first-seen.
+    This is the production choice in corpus pipelines (keep the most
+    complete variant of a boilerplate-expanded page); singleton docs
+    are their own component, so the output is the corpus's full
+    keep-list.
+
+    Scale shape: exact-Jaccard pairs via the PPJoin prefix filter
+    (never corpus²) → connected components on the pair graph (min-label
+    propagation — component ids are model-sized) → ONE hash exchange on
+    component shared by the row_number ranking and the member-count
+    window. Oracle: the proven dedup_clusters recursive-closure chain
+    plus the same keep-rule window."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.8).select("id_a", "id_b")
+    cc = D.connected_components(pairs).withColumnRenamed("id", "doc_id")
+    full = (
+        docs.select("doc_id", "n_chars")
+        .join(cc, "doc_id", "left")
+        .withColumn("component", F.coalesce("component", F.col("doc_id")))
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("n_chars"), "doc_id")
+    ranked = full.select(
+        "component",
+        "doc_id",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("component")).alias("n_members"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "component",
+        F.col("doc_id").alias("kept_doc_id"),
+        F.col("n_chars").cast("long").alias("kept_n_chars"),
+        F.col("n_members").cast("long").alias("n_members"),
+    )

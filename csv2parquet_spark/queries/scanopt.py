@@ -173,3 +173,70 @@ def dpp_partitioned_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+def bloom_join_session(spark: SparkSession) -> SparkSession:
+    """A child session (shared SparkContext, OWN SQLConf — the
+    footer_stats_session pattern) tuned so Spark's runtime bloom-filter
+    injection triggers at fixture scale: the application-side scan
+    threshold defaults to 10 GB (nothing local qualifies), and the
+    broadcast fallback must be off or the join never shuffles. Scoped
+    to the child so the main session's proven plans are untouched."""
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "1KB",
+    )
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.session.timeZone", "UTC")
+    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return s2
+
+
+@register(
+    "runtime_bloom_filter_join",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey % 97 = 0
+    GROUP BY l.l_returnflag
+    """,
+)
+def runtime_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective fact-dim shuffle join with Spark's RUNTIME BLOOM
+    FILTER injected on the fact side — the third scan-level optimization
+    in the family (after footer-stats aggregate pushdown and dynamic
+    partition pruning): when one join side is small and selective,
+    Catalyst builds a bloom filter over its join keys as a subquery and
+    evaluates BloomFilterMightContain against the big side's keys
+    BEFORE the shuffle, so at 100 TB the fact table's non-matching rows
+    die map-side instead of crossing the wire. test_plans.py pins
+    bloom_filter_agg + BloomFilterMightContain in the executed plan
+    (AQE gotcha: inspect THIS df's own QueryExecution after collect).
+
+    The filter ('~1% of orders') is runtime-opaque on purpose — a
+    static predicate on the fact side would be ordinary pushdown; the
+    bloom filter is how the ORDER-KEY selectivity reaches lineitem.
+    Result is conf-invariant (the oracle is the plain join); only the
+    shuffle volume is not."""
+    s2 = bloom_join_session(spark)
+    li = s2.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    o = (
+        s2.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey")
+        .where(F.col("o_orderkey") % 97 == 0)
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    return j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("revenue"),
+    )

@@ -341,3 +341,59 @@ def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle="""
+    WITH dup AS (
+      SELECT event_id, ts, event_type FROM events
+      UNION ALL
+      SELECT event_id, ts + INTERVAL 10 MINUTE, event_type
+      FROM events WHERE event_id % 7 = 0
+    ), keep AS (
+      SELECT event_id, ts, event_type,
+             min(ts) OVER (PARTITION BY event_id) AS first_ts
+      FROM dup
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_in,
+           CAST(sum(CASE WHEN ts = first_ts THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN ts = first_ts THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_dropped
+    FROM keep GROUP BY event_type
+    """,
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``streaming/windows.streaming_dedup``
+    (``dropDuplicatesWithinWatermark`` — stateful keep-first on
+    event_id with watermark-bounded state; the REAL micro-batch
+    semantics run in tests/test_streaming.py::test_streaming_dedup).
+    The fixture's event_ids are unique, so the twin plants
+    deterministic duplicates (every 7th event re-delivered 10 minutes
+    late — the at-least-once redelivery shape the operator exists for)
+    and reports, per event_type, how many rows arrived and how many the
+    keep-first rule kept vs dropped.
+
+    Scale shape: ONE hash exchange on event_id (the min-ts window);
+    the per-type rollup is a partial-aggregated map-side combine. In
+    production the state store holds only in-watermark keys — the batch
+    twin's window is the unbounded-history equivalent on a bounded
+    replay."""
+    e = table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    late = e.filter(F.col("event_id") % 7 == 0).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 10 MINUTES")
+    )
+    from pyspark.sql import Window
+
+    dup = e.unionAll(late)
+    keep = dup.withColumn(
+        "first_ts", F.min("ts").over(Window.partitionBy("event_id"))
+    )
+    kept = (F.col("ts") == F.col("first_ts")).cast("int")
+    return keep.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_in"),
+        F.sum(kept).alias("n_kept"),
+        F.sum(1 - kept).alias("n_dropped"),
+    )

@@ -572,3 +572,17 @@ def test_join_strategy_hints_select_physical_operators(spark, sf_dir):
             "l_orderkey", "o_orderstatus"
         )
         assert op in _plan(j), f"hint {hint!r} did not plan {op}"
+
+
+def test_runtime_bloom_filter_injected(spark, sf_dir):
+    """runtime_bloom_filter_join: Catalyst builds a bloom filter over
+    the selective orders side (bloom_filter_agg subquery) and applies
+    BloomFilterMightContain to lineitem's keys BEFORE the shuffle —
+    asserted on THIS df's own executed plan after collect (AQE attaches
+    runtime subqueries to the executing QueryExecution only)."""
+    df = REGISTRY["runtime_bloom_filter_join"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    low = plan.lower()
+    assert "bloom_filter_agg" in low, plan[:4000]
+    assert "bloomfiltermightcontain" in low or "might_contain" in low, plan[:4000]
