@@ -865,3 +865,84 @@ def chunk_level_dedup(
             ).alias("dedup_fp"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT similarity join: directional pairs
+    (id_a, id_b) where |shingles(A) ∩ shingles(B)| / |shingles(A)| ≥
+    threshold — A is (near-)contained in B. The asymmetric complement
+    of Jaccard: quotes, excerpts, and boilerplate-wrapped copies have
+    LOW Jaccard against their source (size mismatch) but containment
+    ≈ 1, so a Jaccard-only dedup misses exactly the subset-duplicates
+    this finds.
+
+    Scale shape (prefix principle, contained side only): if
+    |A∩B| ≥ t·|A|, then ANY |A| − ⌈t·|A|⌉ + 1 elements of A must hit B
+    (pigeonhole), so the candidate join runs A's hash-order prefix
+    against B's full shingle relation — never prefix×prefix is needed
+    and never corpus². A per-occurrence position filter prunes
+    further: if the FIRST shared element sits at sorted position p in
+    A, the overlap is ≤ |A| − p (no earlier A-element is in B), so
+    occurrences with (|A|−p)/|A| < t cannot certify the pair.
+    Verification is the same array-at-a-time exact intersect as
+    Jaccard, with the length prefilter t·|A| ≤ |B| (the overlap can't
+    exceed |B|)."""
+    dsa = doc_shingle_arrays(df, text_col, id_col, k).localCheckpoint()
+    plen = _prefix_len(threshold)
+    prefix = dsa.select(
+        "id",
+        "sz",
+        F.posexplode(F.slice(F.array_sort("sset"), F.lit(1), plen)).alias(
+            "pos", "shingle"
+        ),
+    )
+    a = prefix.select(
+        F.col("id").alias("id_a"),
+        F.col("sz").alias("pa_sz"),
+        F.col("pos").alias("pa_pos"),
+        "shingle",
+    )
+    full = dsa.select(F.col("id").alias("id_b"), F.explode("sset").alias("shingle"))
+    ub = (F.col("pa_sz") - F.col("pa_pos")).cast("double") / F.col("pa_sz")
+    cand = (
+        a.join(full, "shingle")
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            & (ub >= F.lit(threshold) - F.lit(_EPS))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return (
+        cand.join(
+            dsa.select(
+                F.col("id").alias("id_a"),
+                F.col("sset").alias("set_a"),
+                F.col("sz").alias("sz_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            dsa.select(
+                F.col("id").alias("id_b"),
+                F.col("sset").alias("set_b"),
+                F.col("sz").alias("sz_b"),
+            ),
+            "id_b",
+        )
+        .filter(F.col("sz_a") * F.lit(threshold) - F.lit(_EPS) <= F.col("sz_b"))
+        .withColumn("common", F.size(F.array_intersect("set_a", "set_b")))
+        .withColumn(
+            "containment_exact",
+            F.col("common").cast("double") / F.col("sz_a"),
+        )
+        .filter(F.col("containment_exact") >= threshold)
+        .withColumn("containment", F.round("containment_exact", 6))
+        .select("id_a", "id_b", "common", "sz_a", "sz_b", "containment")
+    )

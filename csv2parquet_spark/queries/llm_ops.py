@@ -1774,3 +1774,37 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("long").alias("kept_n_chars"),
         F.col("n_members").cast("long").alias("n_members"),
     )
+
+
+@register(
+    "containment_near_dups",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)
+    ), sz AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, common, sa.sz AS sz_a, sb.sz AS sz_b,
+           round(CAST(common AS DOUBLE) / sa.sz, 6) AS containment
+    FROM common JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+    WHERE CAST(common AS DOUBLE) / sa.sz >= 0.9
+    """,
+)
+def containment_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional subset-duplicate pairs: documents whose 3-gram
+    shingle set is ≥90% CONTAINED in another document's — the
+    quote/excerpt/boilerplate-wrap case that symmetric Jaccard misses
+    (a short doc inside a long one has tiny Jaccard but containment
+    ≈ 1). See operators/dedup.py:containment_pairs for the one-sided
+    prefix-filter scale argument (A's pigeonhole prefix joins B's full
+    shingle relation; never corpus²)."""
+    return D.containment_pairs(
+        table(spark, sf_dir, "documents"), threshold=0.9
+    )

@@ -1068,3 +1068,41 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_values") * 1.0 / F.col("__n"), 6).alias("frac"),
         F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford_expected"),
     )
+
+
+@register(
+    "k_anonymity_report",
+    oracle="""
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 4000) AS BIGINT) AS bal_band,
+             CAST(count(*) AS BIGINT) AS class_size
+      FROM customer
+      GROUP BY 1, 2, 3
+    )
+    SELECT c_nationkey, c_mktsegment, bal_band, class_size
+    FROM classes WHERE class_size < 4
+    """,
+)
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-governance check before a dataset release: k-anonymity
+    over the quasi-identifier tuple (nation, market segment, account-
+    balance band) — every equivalence class smaller than k=4 is a
+    re-identification risk (an attacker who knows someone's nation +
+    segment + rough balance pins them to <4 candidate rows). Output is
+    the violating classes with their sizes — the rows a release would
+    have to suppress or generalize further.
+
+    Scale shape: ONE partial-aggregated groupBy on the quasi-identifier
+    key (map-side combine collapses to the class space, which is
+    bounded by the generalization grid, not the row count) + a
+    class-size filter. Banding uses floor(x/4000) — float floor agrees
+    across engines away from exact band boundaries, and the fixture's
+    2-decimal balances never sit on a multiple of 4000 exactly."""
+    c = table(spark, sf_dir, "customer")
+    classes = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 4000).alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("class_size"))
+    return classes.filter(F.col("class_size") < 4)

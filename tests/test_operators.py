@@ -1211,3 +1211,30 @@ def test_pca_power_iteration_agrees_with_eigh(spark, sf_dir):
             np.linalg.norm(got[:, k]) * np.linalg.norm(ref[:, k])
         )
         assert cos > 0.999, f"component {k} misaligned: |cos|={cos}"
+
+
+def test_containment_pairs_directional_and_exact(spark):
+    """containment_pairs finds the planted subset-duplicate in the
+    containment direction only (short ⊂ long has containment 1.0 but
+    tiny Jaccard — the pair Jaccard dedup misses), with common/sz
+    agreeing with a straight Python shingle computation."""
+    long_text = " ".join(f"w{i}" for i in range(40))
+    short_text = " ".join(f"w{i}" for i in range(10, 22))  # ⊂ long
+    other = " ".join(f"x{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, short_text), (3, other)],
+        "doc_id bigint, text string",
+    )
+    rows = D.containment_pairs(df, threshold=0.9).collect()
+    got = {(r.id_a, r.id_b): r for r in rows}
+    assert set(got) == {(2, 1)}  # short contained in long, nothing else
+
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    a, b = sh(short_text), sh(long_text)
+    r = got[(2, 1)]
+    assert r.common == len(a & b)
+    assert r.sz_a == len(a) and r.sz_b == len(b)
+    assert r.containment == 1.0

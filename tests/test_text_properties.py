@@ -111,3 +111,48 @@ def test_chunking_covers_every_token(spark, n_tokens):
         seen.update(idxs)
     assert seen == set(range(n_tokens))
     assert starts == [i * 24 for i in range(len(starts))]
+
+
+WORDS = st.lists(
+    st.integers(min_value=0, max_value=11).map(lambda i: f"t{i}"),
+    min_size=0,
+    max_size=25,
+).map(" ".join)
+
+
+@SETTINGS
+@given(texts=st.lists(WORDS, min_size=2, max_size=7))
+def test_containment_pairs_match_brute_force(spark, texts):
+    """Prefix-filter LOSSLESSNESS for the containment join: on random
+    small-alphabet corpora (dense shingle collisions by construction),
+    containment_pairs equals an exhaustive pure-Python O(n²) shingle
+    computation — every pair, both directions, with exact common/sz
+    counts."""
+    from csv2parquet_spark.operators.dedup import containment_pairs
+
+    t = 0.9
+
+    def sh(s: str) -> set[str]:
+        w = s.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    sets = {i: sh(s) for i, s in enumerate(texts)}
+    want = {}
+    for a, sa in sets.items():
+        if not sa:
+            continue
+        for b, sb in sets.items():
+            if a == b or not sb:
+                continue
+            common = len(sa & sb)
+            if common / len(sa) >= t:
+                want[(a, b)] = (common, len(sa), len(sb))
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): (r.common, r.sz_a, r.sz_b)
+        for r in containment_pairs(df, threshold=t).collect()
+    }
+    assert got == want
