@@ -68,6 +68,7 @@ _DEFER_THIS_ROUND: set[str] = {
     # second wave — behind the four above; auto-promote next round
     "containment_near_dups",
     "k_anonymity_report",
+    "crawl_budget_largest_remainder",
 }
 
 # Within the deferred tier, these names sort FIRST (list order) so

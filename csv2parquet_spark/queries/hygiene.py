@@ -831,3 +831,93 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_feats"),
         F.round(F.sum(term), 6).alias("logweight"),
     )
+
+
+_CRAWL_BUDGET = 300
+
+
+@register(
+    "crawl_budget_largest_remainder",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_src
+      FROM d
+    ), q AS (
+      SELECT d.source, d.n_docs,
+             ({_CRAWL_BUDGET} * d.n_docs) // tot.total AS base_quota,
+             ({_CRAWL_BUDGET} * d.n_docs) % tot.total AS remainder
+      FROM d, tot
+    ), r AS (
+      SELECT source, n_docs, base_quota, remainder,
+             row_number() OVER (ORDER BY remainder DESC, source) AS rk,
+             {_CRAWL_BUDGET} - sum(base_quota) OVER () AS leftover
+      FROM q
+    )
+    SELECT source, n_docs, CAST(base_quota AS BIGINT) AS base_quota,
+           CAST(base_quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS allocated
+    FROM r
+    """,
+)
+def crawl_budget_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain crawl/sampling budget via the LARGEST-REMAINDER
+    (Hamilton) method: split a global budget of 300 document slots
+    across sources proportionally to their corpus share, with the
+    integer leftovers going to the largest fractional remainders (ties
+    to source name) — allocations sum to the budget EXACTLY, which
+    naive per-domain rounding does not guarantee. The shape every
+    crawler / dataset-mixing scheduler needs when "18.37 slots" must
+    become an integer plan.
+
+    Scale shape: one map-side-combining count per source collapses the
+    corpus to the MODEL-SIZED domain relation; everything after stays
+    on that relation — the remainder rank is a broadcast self-join
+    count (no global Window: a single-partition sort over domains would
+    be lint-bait, and rank-by-count needs no sort at all), totals are
+    1-row broadcasts. Everything integer (DIV / %) ⇒ engine-exact."""
+    d = table(spark, sf_dir, "documents").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = d.agg(
+        F.sum("n_docs").alias("total"), F.count(F.lit(1)).alias("n_src")
+    )
+    q = d.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.expr(f"({_CRAWL_BUDGET} * n_docs) DIV total").alias("base_quota"),
+        (F.lit(_CRAWL_BUDGET) * F.col("n_docs") % F.col("total")).alias(
+            "remainder"
+        ),
+    )
+    # rank by (remainder DESC, source): rk = 1 + #{rows strictly ahead},
+    # via a broadcast self-join over the domain relation
+    other = q.select(
+        F.col("source").alias("o_source"), F.col("remainder").alias("o_rem")
+    )
+    ahead = (F.col("o_rem") > F.col("remainder")) | (
+        (F.col("o_rem") == F.col("remainder"))
+        & (F.col("o_source") < F.col("source"))
+    )
+    rk = (
+        q.join(F.broadcast(other), ahead, "left")
+        .groupBy("source", "n_docs", "base_quota")
+        .agg((F.count("o_source") + 1).alias("rk"))
+    )
+    leftover = q.agg(
+        (F.lit(_CRAWL_BUDGET) - F.sum("base_quota")).alias("leftover")
+    )
+    return rk.crossJoin(F.broadcast(leftover)).select(
+        "source",
+        "n_docs",
+        F.col("base_quota").cast("long").alias("base_quota"),
+        (
+            F.col("base_quota")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("allocated"),
+    )
