@@ -567,13 +567,20 @@ def connected_components(
     propagation fixpoint on random graphs (tests/test_properties.py).
 
     ``localCheckpoint`` truncates the lineage each round so the plan
-    doesn't grow with iterations. Input: (id_a, id_b); output:
-    (id, component) for every vertex that appears in an edge.
+    doesn't grow with iterations; the fixpoint check rides the SAME
+    materialization job via ``observe`` (sum of per-row changed flags
+    collected by task listeners), so each round is ONE pass over the
+    label relation — the old separate old-vs-new join re-read both
+    label sets per round, a whole extra vertex-set scan at scale.
+    Input: (id_a, id_b); output: (id, component) for every vertex that
+    appears in an edge.
     """
     if algorithm == "star":
         return _connected_components_star(edges, max_iter)
     if algorithm != "propagation":
         raise ValueError(f"unknown algorithm {algorithm!r}")
+    from pyspark.sql import Observation
+
     sym = edges.select("id_a", "id_b").union(
         edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )
@@ -593,23 +600,28 @@ def connected_components(
             .agg(F.min("nc").alias("nmin"))
             .select(F.col("id_a").alias("id"), "nmin")
         )
+        obs = Observation()
         new_labels = (
             labels.join(nbr_min, "id", "left")
             .select(
                 "id",
                 F.least(
                     F.col("component"), F.coalesce("nmin", F.col("component"))
-                ).alias("component"),
+                ).alias("new_component"),
+                F.col("component").alias("old_component"),
             )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("new_component") != F.col("old_component")).cast(
+                        "long"
+                    )
+                ).alias("n_changed"),
+            )
+            .select("id", F.col("new_component").alias("component"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        changed = int(obs.get["n_changed"] or 0)
         labels = new_labels
         if changed == 0:
             break

@@ -49,11 +49,13 @@ from csv2parquet_spark.queries import scanopt  # noqa: E402,F401
 # Queries that miss this round's window stay in tier 1/2 and surface
 # automatically next round once newly-proven names drop to tier 3.
 # ---------------------------------------------------------------------------
-# Round-5: _FORCE_FIRST cleared — both r4 re-proofs came back green
-# (CORRECTNESS_r04.json) and no proven query's behavior has changed yet
-# this round. Add names here ONLY when changing behavior of an
-# already-hash-proven query.
-_FORCE_FIRST: list[str] = []
+# Round-5: the r4 re-proofs came back green (CORRECTNESS_r04.json).
+# One behavior-adjacent change this round: connected_components'
+# fixpoint check moved into the checkpoint materialization job
+# (observe-based — one pass per round instead of two); results are
+# property-test-identical but the executed plan changed, so the one
+# proven consumer re-proves.
+_FORCE_FIRST: list[str] = ["dedup_clusters"]
 
 # Round-5: cleared at round start per the rotation protocol (VERDICT r4
 # item 1) — the 44 never-driver-proven round-4 queries auto-promote to

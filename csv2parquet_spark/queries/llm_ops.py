@@ -1753,7 +1753,12 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, threshold=0.8).select("id_a", "id_b")
+    # hash prefix order (the ngram_jaccard_near_dups choice): zero extra
+    # shuffles and identical output on this corpus's near-uniform
+    # shingle frequencies; rare_first stays the operator default
+    pairs = D.ngram_jaccard_pairs(
+        docs, threshold=0.8, order="hash"
+    ).select("id_a", "id_b")
     cc = D.connected_components(pairs).withColumnRenamed("id", "doc_id")
     full = (
         docs.select("doc_id", "n_chars")

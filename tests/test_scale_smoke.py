@@ -219,3 +219,19 @@ def test_entity_resolution_at_150k_records(spark):
     assert dist.get(3) == n // 4, dist
     assert dist.get(2) == n // 2 - n // 4, dist
     assert 1 not in dist, dist
+
+
+def test_containment_at_100k(spark, big_docs):
+    """Containment join over 100k high-entropy docs: the one-sided
+    prefix filter keeps the candidate space at the planted pairs (the
+    10% exact duplicates, containment 1.0 BOTH directions — 2·N/10
+    directional pairs), with no quadratic stage."""
+    from csv2parquet_spark.operators.dedup import containment_pairs
+
+    pairs = containment_pairs(big_docs, threshold=0.9)
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("containment").alias("cmin"),
+    ).collect()[0]
+    assert agg.n == 2 * (N_DOCS // 10)
+    assert agg.cmin == 1.0
