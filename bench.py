@@ -102,6 +102,8 @@ HEADLINE = [
     "dedup_keep_best_quality",
     "runtime_bloom_filter_join",
     "embedding_pca_project",
+    "containment_near_dups",
+    "content_defined_chunks",
 ]
 
 

@@ -67,10 +67,12 @@ _DEFER_THIS_ROUND: set[str] = {
     "dedup_keep_best_quality",
     "stream_dedup_within_watermark",
     "runtime_bloom_filter_join",
-    # second wave — behind the four above; auto-promote next round
+    # second/third wave — behind the four above; auto-promote next round
     "containment_near_dups",
     "k_anonymity_report",
     "crawl_budget_largest_remainder",
+    "content_defined_chunks",
+    "source_overlap_matrix",
 }
 
 # Within the deferred tier, these names sort FIRST (list order) so

@@ -1813,3 +1813,160 @@ def containment_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.containment_pairs(
         table(spark, sf_dir, "documents"), threshold=0.9
     )
+
+
+@register(
+    "content_defined_chunks",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text AS t, length(text) AS n FROM documents
+    ), h AS (
+      SELECT doc_id, n,
+        CASE WHEN n >= 5 THEN list_transform(range(1, n - 3), i ->
+          ((((CAST(ascii(t[i]) AS BIGINT) * 257 + ascii(t[i+1])) * 257
+             + ascii(t[i+2])) * 257 + ascii(t[i+3])) * 257 + ascii(t[i+4])))
+        ELSE [] END AS hashes
+      FROM base
+    ), cuts AS (
+      SELECT doc_id, n,
+        list_filter(list_transform(range(1, len(hashes) + 1), i ->
+          CASE WHEN hashes[i] % 64 = 0 AND i + 4 < n THEN CAST(i + 4 AS BIGINT)
+          END), x -> x IS NOT NULL) AS cut_pos
+      FROM h
+    ), lens AS (
+      SELECT doc_id, n, cut_pos,
+        list_transform(range(1, len(cut_pos) + 2), i ->
+          (CASE WHEN i <= len(cut_pos) THEN cut_pos[i]
+                ELSE CAST(n AS BIGINT) END)
+          - (CASE WHEN i = 1 THEN 0 ELSE cut_pos[i - 1] END)) AS clens
+      FROM cuts
+    )
+    SELECT doc_id, CAST(len(clens) AS BIGINT) AS n_chunks,
+           CAST(list_min(clens) AS BIGINT) AS min_chunk,
+           CAST(list_max(clens) AS BIGINT) AS max_chunk,
+           CAST(n AS BIGINT) AS total_chars,
+           md5(coalesce(array_to_string(cut_pos, ','), '')) AS cuts_digest
+    FROM lens
+    """,
+)
+def content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-DEFINED chunking (the rsync/LBFS/FastCDC family): chunk
+    boundaries fall where the Karp-Rabin rolling 5-gram hash ≡ 0
+    (mod 64) — so boundaries depend only on LOCAL content, and an
+    insertion near the start of a document shifts at most one chunk
+    instead of re-aligning every fixed-size block. This is the chunking
+    that makes chunk-level dedup robust to edits (fixed-size chunks
+    lose all alignment after one inserted byte).
+
+    Map-only at any scale: the rolling hash, boundary filter, and
+    chunk-length diffs are all per-row Catalyst array expressions over
+    the winnowing hash machinery (exact BIGINT polynomial, no modulus
+    overflow at 5 ASCII chars) — zero shuffles, and the output carries
+    an md5 digest of the cut positions so the oracle hash bites on
+    every boundary, not just the counts."""
+    c = F.col("text")
+    codes = F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("bigint"))
+    n = F.length(c)
+    m = F.greatest(n - F.lit(4), F.lit(0))
+    parts = [F.slice(codes, i + 1, m) for i in range(5)]
+    h = parts[0]
+    for p in parts[1:]:
+        h = F.zip_with(h, p, lambda a, b: a * 257 + b)
+    hashes = F.when(n >= 5, h).otherwise(F.array().cast("array<bigint>"))
+    cuts = F.filter(
+        F.transform(
+            hashes,
+            lambda x, i: F.when(
+                (x % 64 == 0) & (i + 5 < n), (i + 5).cast("bigint")
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    ends = F.concat(cuts, F.array(n.cast("bigint")))
+    starts = F.concat(F.array(F.lit(0).cast("bigint")), cuts)
+    clens = F.zip_with(ends, starts, lambda a, b: a - b)
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(clens).cast("long").alias("n_chunks"),
+        F.array_min(clens).alias("min_chunk"),
+        F.array_max(clens).alias("max_chunk"),
+        n.cast("long").alias("total_chars"),
+        F.md5(F.concat_ws(",", F.transform(cuts, lambda x: x.cast("string")))).alias(
+            "cuts_digest"
+        ),
+    )
+
+
+@register(
+    "source_overlap_matrix",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)
+    ), sz AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b,
+             round(CAST(common AS DOUBLE) / sa.sz, 6) AS containment
+      FROM common JOIN sz sa ON sa.doc_id = id_a
+      WHERE CAST(common AS DOUBLE) / sa.sz >= 0.9
+    )
+    SELECT da.source AS source_a, db.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(sum(CAST(p.containment AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS avg_containment
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.id_a
+    JOIN documents db ON db.doc_id = p.id_b
+    GROUP BY da.source, db.source
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance analysis: WHICH sources copy from which — the
+    containment pair graph rolled up to a (source_contained,
+    source_container) matrix with pair counts and mean containment.
+    This is the dataset-governance view of dedup output (is one crawl
+    a mirror of another? does a source boilerplate-wrap a sibling?),
+    and the first question a data audit asks after pair-level dedup.
+
+    Scale shape: the pair relation (already never-corpus², see
+    containment_pairs) joins the doc→source map twice — at scale both
+    are broadcastable slices of the doc-metadata relation — then one
+    partial-aggregated rollup on the source-pair key (model-sized:
+    |sources|²). Mean containment sums in DECIMAL so partial-agg order
+    can't perturb the 6 dp round."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.containment_pairs(docs, threshold=0.9).select(
+        "id_a", "id_b", "containment"
+    )
+    src = docs.select("doc_id", "source")
+    return (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("id_a"), F.col("source").alias("source_a")
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_b"), F.col("source").alias("source_b")
+            ),
+            "id_b",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.sum(F.col("containment").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_containment"),
+        )
+    )

@@ -134,6 +134,18 @@ SHOWCASE = [
      "Contrastive hard negatives: anchors broadcast with norms, label "
      "filter map-side, `WindowGroupLimit Partial` caps rows per anchor "
      "crossing the exchange."),
+    ("runtime_bloom_filter_join",
+     "Runtime bloom filter: `bloom_filter_agg` over the selective side "
+     "becomes a `BloomFilterMightContain` predicate on the fact scan — "
+     "non-matching rows die map-side, BEFORE the shuffle."),
+    ("dsir_importance_weights",
+     "DSIR scoring: map-side bigram bucketing, a 256-row feature-model "
+     "aggregate broadcast back, one per-doc rollup — the corpus never "
+     "shuffles by content."),
+    ("containment_near_dups",
+     "One-sided prefix principle: the contained side's pigeonhole "
+     "prefix joins the container side's full shingle relation; exact "
+     "intersect verify touches only surviving pairs."),
 ]
 
 
