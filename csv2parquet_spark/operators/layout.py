@@ -234,3 +234,62 @@ def write_training_shards(
         n_bytes = sum(_os.path.getsize(f) for f in files)
         manifest.append({"shard": shard, "n_rows": n_rows, "n_bytes": n_bytes})
     return manifest
+
+
+def compaction_plan(
+    files: list[tuple[str, int]], target_bytes: int
+) -> list[list[str]]:
+    """Bin-pack part files into compaction groups of ~``target_bytes``
+    (first-fit-decreasing — within 11/9·OPT+1 of optimal bin count):
+    the small-files maintenance planner every lakehouse table needs
+    after streaming/incremental writes fragment it. Files larger than
+    the target get their own group (never split — rewriting a big file
+    buys nothing). Input is (path, size) metadata — model-sized (one
+    row per FILE); the planning is driver arithmetic, only the rewrite
+    touches data."""
+    groups: list[tuple[int, list[str]]] = []
+    for path, size in sorted(files, key=lambda ps: (-ps[1], ps[0])):
+        for i, (total, members) in enumerate(groups):
+            if total + size <= target_bytes:
+                groups[i] = (total + size, members + [path])
+                break
+        else:
+            groups.append((size, [path]))
+    return [members for _, members in groups]
+
+
+def compact_small_files(
+    spark,
+    in_dir: str,
+    out_dir: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Execute a compaction plan: read each planned group and write it
+    back as ONE file per group (row content preserved exactly; order
+    within a group follows the group's file order). Returns
+    {"n_input_files", "n_output_files", "plan"}.
+
+    Scale shape: metadata listing is O(files); each group rewrite is an
+    independent map-only job reading only its own members — at cluster
+    scale the groups run as one job over a file-to-group assignment,
+    never a global shuffle of the table."""
+    import os
+
+    files = [
+        (os.path.join(in_dir, f), os.path.getsize(os.path.join(in_dir, f)))
+        for f in sorted(os.listdir(in_dir))
+        if f.endswith(".parquet")
+    ]
+    plan = compaction_plan(files, target_bytes)
+    for i, group in enumerate(plan):
+        (
+            spark.read.parquet(*group)
+            .coalesce(1)
+            .write.mode("overwrite" if i == 0 else "append")
+            .parquet(out_dir)
+        )
+    return {
+        "n_input_files": len(files),
+        "n_output_files": len(plan),
+        "plan": plan,
+    }

