@@ -73,6 +73,8 @@ _DEFER_THIS_ROUND: set[str] = {
     "crawl_budget_largest_remainder",
     "content_defined_chunks",
     "source_overlap_matrix",
+    "bootstrap_ci_revenue",
+    "ab_test_revenue_ztest",
 }
 
 # Within the deferred tier, these names sort FIRST (list order) so

@@ -265,3 +265,203 @@ def negative_sampling_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_negatives"),
         F.sum("cand_part").cast("long").alias("digest"),
     )
+
+
+# Poisson(1) inverse-CDF thresholds scaled to 2^32 (exact integer floors
+# of the 50-digit-decimal cumulative pmf; weight k for u32 in
+# [t_{k-1}, t_k), capped at 9) — the decision is a pure INTEGER compare,
+# so both engines draw identical Poisson weights from identical md5 bits.
+_POIS1_T = [
+    1580030168, 3160060337, 3950075421, 4213413783, 4279248373,
+    4292415291, 4294609777, 4294923276, 4294962463,
+]
+_BOOT_B = 32  # bootstrap replicas
+
+
+def _pois_weight_sql(u: str) -> str:
+    whens = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS1_T)
+    )
+    return f"CASE {whens} ELSE {len(_POIS1_T)} END"
+
+
+@register(
+    "bootstrap_ci_revenue",
+    oracle=f"""
+    WITH reps AS (
+      SELECT o.o_totalprice, r.rep,
+             {_pois_weight_sql("CAST(('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR) || ':' || CAST(r.rep AS VARCHAR)), 1, 8)) AS BIGINT)")}
+               AS w
+      FROM orders o, (SELECT unnest(range(0, {_BOOT_B})) AS rep) r
+    ), means AS (
+      SELECT rep,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)) * w) AS DOUBLE)
+                   / sum(w), 6) AS m
+      FROM reps GROUP BY rep
+    ), arr AS (
+      SELECT list(m ORDER BY m) AS ms FROM means
+    )
+    SELECT CAST({_BOOT_B} AS BIGINT) AS n_replicas,
+           (SELECT round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                         / count(*), 6) FROM orders) AS point_mean,
+           ms[1] AS ci_low, ms[31] AS ci_high
+    FROM arr
+    """,
+)
+def bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap 95% CI for mean order value — the standard
+    big-data bootstrap (per-row Poisson(1) resampling weights, so no
+    replica ever materializes and one pass serves all B=32 replicas) —
+    made ENGINE-EXACT by deterministic randomness: replica r's weight
+    for a row is the Poisson inverse-CDF of the row's md5(key:r) top-32
+    bits, decided by pure integer threshold compares against exact
+    pre-scaled constants. This is how you get reproducible error bars
+    on petabyte aggregates: no RNG state, no seed plumbing — the data
+    IS the seed.
+
+    Scale shape: a 32-way map-side explode (weights computed inline, no
+    join), ONE partial-aggregated groupBy(rep) to 32 decimal-summed
+    replica means, then a 32-element array sort for the percentile
+    pick. Nothing but the (rep, sum, count) cells ever shuffles."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    reps = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("rep"),
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("rep").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.lit(len(_POIS1_T))
+    for k, t in reversed(list(enumerate(_POIS1_T))):
+        w = F.when(u < t, k).otherwise(w)
+    means = (
+        reps.withColumn("w", w)
+        .groupBy("rep")
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)") * F.col("w"))
+                .cast("double")
+                / F.sum("w"),
+                6,
+            ).alias("m")
+        )
+    )
+    arr = means.agg(F.sort_array(F.collect_list("m")).alias("ms"))
+    point = o.agg(
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("point_mean")
+    )
+    return (
+        arr.crossJoin(F.broadcast(point))
+        .select(
+            F.lit(_BOOT_B).cast("long").alias("n_replicas"),
+            "point_mean",
+            F.element_at("ms", 1).alias("ci_low"),
+            F.element_at("ms", 31).alias("ci_high"),
+        )
+    )
+
+
+@register(
+    "ab_test_revenue_ztest",
+    oracle="""
+    WITH g AS (
+      SELECT CASE WHEN substr(md5(CAST(o_custkey AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS grp,
+             o_totalprice AS v
+      FROM orders
+    ), m AS (
+      SELECT grp, count(*) AS n,
+             CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(v * v AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+      FROM g GROUP BY grp
+    ), s AS (
+      SELECT
+        (SELECT n FROM m WHERE grp = 'A') AS n_a,
+        (SELECT n FROM m WHERE grp = 'B') AS n_b,
+        (SELECT sx FROM m WHERE grp = 'A') AS sx_a,
+        (SELECT sx FROM m WHERE grp = 'B') AS sx_b,
+        (SELECT sxx FROM m WHERE grp = 'A') AS sxx_a,
+        (SELECT sxx FROM m WHERE grp = 'B') AS sxx_b
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(sx_a / n_a, 6) AS mean_a,
+           round(sx_b / n_b, 6) AS mean_b,
+           round((sx_a / n_a - sx_b / n_b)
+                 / sqrt((sxx_a - sx_a * sx_a / n_a) / (n_a - 1) / n_a
+                        + (sxx_b - sx_b * sx_b / n_b) / (n_b - 1) / n_b),
+                 6) AS z_score
+    FROM s
+    """,
+)
+def ab_test_revenue_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Welch z-test on mean order value between a
+    DETERMINISTIC 50/50 customer split (first md5 hex digit of the
+    customer key — the standard hash-bucketing used by real experiment
+    platforms, so assignment is stable across reruns and joins): the
+    experimentation-readout primitive. Everything reduces to the five
+    sufficient moments per arm (decimal-summed so partial-agg order is
+    irrelevant), the z statistic is closed-form driver-free algebra in
+    the projection, and sqrt/divisions are IEEE-identical across
+    engines on identical moment doubles.
+
+    Scale shape: ONE map-side-combining aggregate over the fact table
+    (two groups); the z computation runs on a 2-row relation."""
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    g = o.select(
+        F.when(
+            F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 1) < "8",
+            "A",
+        )
+        .otherwise("B")
+        .alias("grp"),
+        F.col("o_totalprice").alias("v"),
+    )
+    m = g.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("decimal(18,6)")).cast("double").alias("sx"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    a = m.filter(F.col("grp") == "A").select(
+        F.col("n").alias("n_a"), F.col("sx").alias("sx_a"), F.col("sxx").alias("sxx_a")
+    )
+    b = m.filter(F.col("grp") == "B").select(
+        F.col("n").alias("n_b"), F.col("sx").alias("sx_b"), F.col("sxx").alias("sxx_b")
+    )
+    s = a.crossJoin(F.broadcast(b))
+    mean_a = F.col("sx_a") / F.col("n_a")
+    mean_b = F.col("sx_b") / F.col("n_b")
+    var_term = (
+        (F.col("sxx_a") - F.col("sx_a") * F.col("sx_a") / F.col("n_a"))
+        / (F.col("n_a") - 1)
+        / F.col("n_a")
+    ) + (
+        (F.col("sxx_b") - F.col("sx_b") * F.col("sx_b") / F.col("n_b"))
+        / (F.col("n_b") - 1)
+        / F.col("n_b")
+    )
+    return s.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round((mean_a - mean_b) / F.sqrt(var_term), 6).alias("z_score"),
+    )
