@@ -75,6 +75,8 @@ _DEFER_THIS_ROUND: set[str] = {
     "source_overlap_matrix",
     "bootstrap_ci_revenue",
     "ab_test_revenue_ztest",
+    "cusum_changepoint_daily",
+    "sessionize_dynamic_gap",
 }
 
 # Within the deferred tier, these names sort FIRST (list order) so

@@ -1156,3 +1156,158 @@ def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame
         .alias("rev_micros"),
         F.col("rev_u").isNull().alias("is_gap"),
     )
+
+
+@register(
+    "cusum_changepoint_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(round(CAST(o_totalprice AS DOUBLE) * 100, 0)
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(cents) AS BIGINT) AS t, count(*) AS n FROM daily
+    ), c AS (
+      SELECT d, cents,
+             CAST(sum(cents) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS prefix,
+             row_number() OVER (ORDER BY d) AS rn
+      FROM daily
+    ), s AS (
+      SELECT c.d, tot.n,
+             CAST(tot.n AS BIGINT) * c.prefix
+               - CAST(c.rn AS BIGINT) * tot.t AS sv
+      FROM c, tot
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS change_day,
+           CAST(n AS BIGINT) AS n_days,
+           abs(sv) AS max_abs_s,
+           CASE WHEN sv > 0 THEN 'above' ELSE 'below' END AS direction
+    FROM s ORDER BY abs(sv) DESC, d LIMIT 1
+    """,
+)
+def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point estimate over the daily-revenue series: the
+    day t maximizing |Σ_{i≤t} x_i − t·mean| — where the cumulative sum
+    departs furthest from the global trend — is the classic
+    single-change-point location estimator (Page 1954's CUSUM statistic
+    with known mean), the monitoring primitive behind "when did this
+    metric shift". INTEGER-EXACT throughout: revenue in cents, and the
+    statistic scaled by n (S_t = n·prefix_t − t·total — same argmax,
+    no division anywhere), so both engines agree to the last bit.
+
+    Scale shape: the per-day pre-aggregate collapses the fact table
+    map-side; the prefix sum and day index come from the TWO-PASS
+    global machinery (operators/ranking.py — 8th/9th production uses),
+    never a single-partition window; the argmax is
+    TakeOrderedAndProject(1)."""
+    from csv2parquet_spark.operators.ranking import (
+        global_cumsum,
+        global_row_number,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice").cast("double") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    ranked, n = global_row_number(daily, ["d"])
+    pre = global_cumsum(daily, ["d"], "cents", cum_col="prefix").select(
+        "d", "prefix"
+    )
+    tot = daily.agg(F.sum("cents").cast("bigint").alias("t"))
+    s = (
+        ranked.join(pre, "d")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            (
+                F.lit(n).cast("bigint") * F.col("prefix")
+                - F.col("rn").cast("bigint") * F.col("t")
+            ).alias("sv"),
+        )
+    )
+    return (
+        s.orderBy(F.abs(F.col("sv")).desc(), "d")
+        .limit(1)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("change_day"),
+            F.lit(n).cast("long").alias("n_days"),
+            F.abs(F.col("sv")).alias("max_abs_s"),
+            F.when(F.col("sv") > 0, "above").otherwise("below").alias("direction"),
+        )
+    )
+
+
+_DYN_GAPS_SQL = """CASE prev_type WHEN 'purchase' THEN 7200000
+         WHEN 'click' THEN 3600000 WHEN 'view' THEN 3600000
+         ELSE 1800000 END"""
+
+
+@register(
+    "sessionize_dynamic_gap",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, event_id, ts, event_type,
+             lag(event_type) OVER w AS prev_type,
+             lag(ts) OVER w AS prev_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch_ms(ts) - epoch_ms(prev_ts) >
+                          {_DYN_GAPS_SQL}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM marked
+    ), sess AS (
+      SELECT user_id, ts,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_idx
+      FROM flagged
+    )
+    SELECT user_id, session_idx,
+           epoch_ms(min(ts)) AS session_start_ms,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, session_idx
+    """,
+)
+def sessionize_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-gap sessionization — the inactivity threshold depends on
+    the PREVIOUS event's type (a purchase keeps the session alive 2 h,
+    browsing 1 h, everything else 30 min): the batch twin of Spark's
+    dynamic ``session_window(ts, gap_expr)`` (each event extends its
+    session by its own gap), which fixed-gap sessionize can't express.
+    Same gaps-and-islands plan as the fixed twin: lag → per-row
+    threshold → running-sum ordinal; ONE user_id exchange shared by
+    both windows and the rollup."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_type = F.lag("event_type").over(w)
+    gap_ms = F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))
+    thresh = (
+        F.when(prev_type == "purchase", 7_200_000)
+        .when(prev_type.isin("click", "view"), 3_600_000)
+        .otherwise(1_800_000)
+    )
+    marked = e.withColumn(
+        "is_new",
+        F.when(gap_ms.isNull() | (gap_ms > thresh), 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_idx",
+        F.sum("is_new")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("long"),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.unix_millis(F.min("ts")).alias("session_start_ms"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
