@@ -77,6 +77,8 @@ _DEFER_THIS_ROUND: set[str] = {
     "ab_test_revenue_ztest",
     "cusum_changepoint_daily",
     "sessionize_dynamic_gap",
+    "psi_price_drift",
+    "backtest_seasonal_naive",
 }
 
 # Within the deferred tier, these names sort FIRST (list order) so

@@ -465,3 +465,138 @@ def ab_test_revenue_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean_b, 6).alias("mean_b"),
         F.round((mean_a - mean_b) / F.sqrt(var_term), 6).alias("z_score"),
     )
+
+
+@register(
+    "psi_price_drift",
+    oracle="""
+    WITH b AS (
+      SELECT CASE WHEN substr(md5(CAST(o_custkey AS VARCHAR)), 1, 1) < '8'
+                  THEN 'expected' ELSE 'actual' END AS side,
+             least(CAST(o_totalprice AS BIGINT) // 50000, 9) AS bucket
+      FROM orders
+    ), c AS (
+      SELECT bucket,
+             CAST(sum(CASE WHEN side = 'expected' THEN 1 ELSE 0 END) AS BIGINT)
+               AS ne,
+             CAST(sum(CASE WHEN side = 'actual' THEN 1 ELSE 0 END) AS BIGINT)
+               AS na
+      FROM b GROUP BY bucket
+    ), tot AS (
+      SELECT CAST(sum(ne) AS BIGINT) AS te, CAST(sum(na) AS BIGINT) AS ta
+      FROM c
+    )
+    SELECT CAST(c.bucket AS BIGINT) AS bucket, c.ne, c.na,
+           round((CAST((c.ne + 1) AS DOUBLE) / (tot.te + 10)
+                  - CAST((c.na + 1) AS DOUBLE) / (tot.ta + 10))
+                 * ln(CAST((c.ne + 1) * (tot.ta + 10) AS DOUBLE)
+                      / CAST((c.na + 1) * (tot.te + 10) AS DOUBLE)), 6)
+             AS psi_term
+    FROM c, tot
+    """,
+)
+def psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index terms between two deterministic
+    md5-split halves of the order-value distribution — THE standard
+    model-monitoring drift metric (PSI = Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ); > 0.2
+    conventionally means the scoring population shifted and the model
+    needs review). Fixed 50k-wide value bands (capped at bucket 9) keep
+    the binning integer-exact; add-one smoothing keeps empty bins
+    finite; the single ln per bin takes a ratio of integer products
+    (the DSIR/bigram discipline), so both engines agree well under the
+    6 dp round. Per-bin terms are emitted (the drill-down a monitoring
+    dashboard shows); the headline PSI is their sum.
+
+    Scale shape: ONE map-side-combining aggregate over the fact table
+    into ≤10 bins; everything after runs on the bin relation."""
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    side = F.when(
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 1) < "8",
+        "expected",
+    ).otherwise("actual")
+    bucket = F.least(
+        F.expr("CAST(o_totalprice AS BIGINT) DIV 50000"), F.lit(9)
+    )
+    c = (
+        o.select(side.alias("side"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("side") == "expected", 1).otherwise(0)).alias("ne"),
+            F.sum(F.when(F.col("side") == "actual", 1).otherwise(0)).alias("na"),
+        )
+    )
+    tot = c.agg(F.sum("ne").alias("te"), F.sum("na").alias("ta"))
+    j = c.crossJoin(F.broadcast(tot))
+    pe = (F.col("ne") + 1).cast("double") / (F.col("te") + 10)
+    pa = (F.col("na") + 1).cast("double") / (F.col("ta") + 10)
+    lr = F.log(
+        ((F.col("ne") + 1) * (F.col("ta") + 10)).cast("double")
+        / ((F.col("na") + 1) * (F.col("te") + 10)).cast("double")
+    )
+    return j.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("ne").cast("long").alias("ne"),
+        F.col("na").cast("long").alias("na"),
+        F.round((pe - pa) * lr, 6).alias("psi_term"),
+    )
+
+
+@register(
+    "backtest_seasonal_naive",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(CAST(value AS DOUBLE) * 100, 0) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ), joined AS (
+      SELECT a.event_type, a.d, a.cents,
+             b.cents AS forecast
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND b.d = a.d - 7
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(abs(cents - forecast)) AS BIGINT) AS sum_abs_err_cents,
+           round(CAST(sum(abs(cents - forecast)) AS DOUBLE)
+                 / count(*) / 100, 6) AS mae
+    FROM joined GROUP BY event_type
+    """,
+)
+def backtest_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-evaluation baseline: backtest the SEASONAL-NAIVE
+    forecaster (tomorrow = same weekday last week) on per-type daily
+    value — the benchmark every real forecasting model must beat, and
+    the shape of any rolling backtest (align series with its own lag,
+    score the residuals). Integer-exact residuals: daily totals in
+    cents, the 7-day alignment as a self-equi-join on (type, d−7) —
+    which at scale is ONE hash exchange reused for both sides (same
+    key), where a lag window would also work but the join form keeps
+    the day-grain relation free of per-partition ordering assumptions.
+    MAE divides once at the end."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("value").cast("double") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    fc = daily.select(
+        "event_type",
+        F.date_add("d", 7).alias("d"),
+        F.col("cents").alias("forecast"),
+    )
+    j = daily.join(fc, ["event_type", "d"])
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.abs(F.col("cents") - F.col("forecast")))
+        .cast("bigint")
+        .alias("sum_abs_err_cents"),
+        F.round(
+            F.sum(F.abs(F.col("cents") - F.col("forecast"))).cast("double")
+            / F.count(F.lit(1))
+            / 100,
+            6,
+        ).alias("mae"),
+    )

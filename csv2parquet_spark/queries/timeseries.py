@@ -1241,7 +1241,7 @@ def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DYN_GAPS_SQL = """CASE prev_type WHEN 'purchase' THEN 7200000
+_DYN_GAP_SQL = """CASE event_type WHEN 'purchase' THEN 7200000
          WHEN 'click' THEN 3600000 WHEN 'view' THEN 3600000
          ELSE 1800000 END"""
 
@@ -1249,17 +1249,20 @@ _DYN_GAPS_SQL = """CASE prev_type WHEN 'purchase' THEN 7200000
 @register(
     "sessionize_dynamic_gap",
     oracle=f"""
-    WITH marked AS (
-      SELECT user_id, event_id, ts, event_type,
-             lag(event_type) OVER w AS prev_type,
-             lag(ts) OVER w AS prev_ts
+    WITH ends AS (
+      SELECT user_id, event_id, ts,
+             epoch_ms(ts) + {_DYN_GAP_SQL} AS w_end
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), marked AS (
+      SELECT user_id, event_id, ts,
+             max(w_end) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS prev_max_end
+      FROM ends
     ), flagged AS (
       SELECT user_id, event_id, ts,
-             CASE WHEN prev_ts IS NULL
-                       OR epoch_ms(ts) - epoch_ms(prev_ts) >
-                          {_DYN_GAPS_SQL}
+             CASE WHEN prev_max_end IS NULL
+                       OR epoch_ms(ts) >= prev_max_end
                   THEN 1 ELSE 0 END AS is_new
       FROM marked
     ), sess AS (
@@ -1276,26 +1279,34 @@ _DYN_GAPS_SQL = """CASE prev_type WHEN 'purchase' THEN 7200000
     """,
 )
 def sessionize_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DYNAMIC-gap sessionization — the inactivity threshold depends on
-    the PREVIOUS event's type (a purchase keeps the session alive 2 h,
-    browsing 1 h, everything else 30 min): the batch twin of Spark's
-    dynamic ``session_window(ts, gap_expr)`` (each event extends its
-    session by its own gap), which fixed-gap sessionize can't express.
-    Same gaps-and-islands plan as the fixed twin: lag → per-row
-    threshold → running-sum ordinal; ONE user_id exchange shared by
-    both windows and the rollup."""
+    """DYNAMIC-gap sessionization — each event extends its session by a
+    gap that depends on ITS OWN type (a purchase keeps the session
+    alive 2 h, browsing 1 h, everything else 30 min): the exact batch
+    twin of Spark's dynamic ``session_window(ts, gap_expr)``, which
+    fixed-gap sessionize can't express. The merge rule is the RUNNING
+    MAX of window ends, not the previous event's end — an early
+    long-gap event bridges later short-gap ones ([0,2h) ∪ [10min,40min)
+    still absorbs an event at 1h), which is session_window's actual
+    union-of-intervals semantics and is pinned against a REAL streaming
+    run in tests/test_streaming.py. Plan: two stacked windows (max-end
+    carry, running-sum ordinal) and the rollup all share ONE user_id
+    exchange."""
     e = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev_type = F.lag("event_type").over(w)
-    gap_ms = F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))
-    thresh = (
-        F.when(prev_type == "purchase", 7_200_000)
-        .when(prev_type.isin("click", "view"), 3_600_000)
+    gap = (
+        F.when(F.col("event_type") == "purchase", 7_200_000)
+        .when(F.col("event_type").isin("click", "view"), 3_600_000)
         .otherwise(1_800_000)
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_max_end = (
+        F.max(F.unix_millis("ts") + gap)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
     )
     marked = e.withColumn(
         "is_new",
-        F.when(gap_ms.isNull() | (gap_ms > thresh), 1).otherwise(0),
+        F.when(
+            prev_max_end.isNull() | (F.unix_millis("ts") >= prev_max_end), 1
+        ).otherwise(0),
     )
     sess = marked.withColumn(
         "session_idx",

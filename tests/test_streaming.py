@@ -967,3 +967,36 @@ def test_snapshot_time_travel_refuses_uncommitted_and_partitioned(
     upsert_batch(spark, proot, bp, key="k", version=1, partition_col="d")
     with _pytest.raises(ValueError, match="flat layout"):
         read_snapshot(spark, proot, version=1)
+
+
+def test_dynamic_session_stream_equals_batch_twin(spark, sf_dir):
+    """REAL streaming session_window with a DYNAMIC gap expression
+    (each event's gap depends on its own type) must produce the exact
+    session set of the batch twin's running-max-of-ends islands — the
+    union-of-intervals semantics where an early long-gap event bridges
+    later short-gap ones."""
+    from pyspark.sql import functions as F
+
+    events = read_events_stream(spark, sf_dir)
+    gap = (
+        F.when(F.col("event_type") == "purchase", "2 hours")
+        .when(F.col("event_type").isin("click", "view"), "1 hour")
+        .otherwise("30 minutes")
+    )
+    agg = (
+        events.withWatermark("ts", "30 days")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis("w.start").alias("session_start_ms"),
+            "n_events",
+        )
+    )
+    got = _sorted_rows(_run_stream(spark, agg))
+    want = _sorted_rows(
+        REGISTRY["sessionize_dynamic_gap"]
+        .fn(spark, sf_dir)
+        .select("user_id", "session_start_ms", "n_events")
+    )
+    assert got == want
