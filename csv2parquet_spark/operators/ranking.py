@@ -159,6 +159,91 @@ def global_cumsum(
     return part.mapInPandas(accumulate, out_schema)
 
 
+def global_running_max(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    out_col: str = "run_max",
+    exclusive: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Attach the global running MAX of ``value_col`` in ``keys`` order
+    (a total order) — the scale-safe twin of
+    ``max(v) OVER (ORDER BY keys ROWS UNBOUNDED PRECEDING)``, same
+    two-pass shape as :func:`global_cumsum`: range-partitioned parallel
+    sort, P per-partition maxima to the driver, broadcast exclusive
+    prefix maxima, map-only local running max. No single-partition
+    stage anywhere.
+
+    ``exclusive=True`` gives the prefix max over STRICTLY PRECEDING
+    rows (NULL on the globally first row) — the dominance/skyline
+    frame ``ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    vtype = df.schema[value_col].dataType.simpleString()
+    if vtype not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"global_running_max needs an integral value column, got "
+            f"{value_col!r}: {vtype}"
+        )
+    part = df.repartitionByRange(
+        num_partitions
+        or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")),
+        *[F.col(k) for k in keys],
+    ).sortWithinPartitions(*keys)
+    part = part.localCheckpoint()  # pin layout across the two passes
+
+    maxes = (
+        part.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.max(value_col).alias("m"))
+        .collect()
+    )
+    if any(r["m"] is None for r in maxes):
+        raise ValueError(
+            f"global_running_max: NULL values in {value_col!r} — "
+            "fill or filter first"
+        )
+    per = {r.pid: int(r["m"]) for r in maxes}
+    offsets: dict[int, int | None] = {}
+    acc: int | None = None
+    for pid in sorted(per):
+        offsets[pid] = acc  # exclusive: max over all PRECEDING partitions
+        acc = per[pid] if acc is None else max(acc, per[pid])
+    bc = df.sparkSession.sparkContext.broadcast(offsets)
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(part.schema.fields) + [StructField(out_col, LongType())]
+    )
+
+    def running(batches):
+        pid = TaskContext.get().partitionId()
+        carry = bc.value.get(pid, None)  # max over everything before this row
+        for pdf in batches:
+            v = pdf[value_col].to_numpy(dtype=np.int64)
+            inc = np.maximum.accumulate(v) if len(v) else v
+            if exclusive:
+                out = np.empty(len(v), dtype=object)
+                if len(v):
+                    out[0] = carry
+                    prev = inc[:-1]
+                    if carry is not None:
+                        prev = np.maximum(prev, carry)
+                    out[1:] = prev
+            else:
+                out = np.maximum(inc, carry) if carry is not None else inc
+            if len(v):
+                carry = int(inc[-1]) if carry is None else max(carry, int(inc[-1]))
+            pdf = pdf.copy()
+            pdf[out_col] = pd.array(out, dtype="Int64")
+            yield pdf
+
+    return part.mapInPandas(running, out_schema)
+
+
 def ntile_of(rn: Column, n: int, tiles: int) -> Column:
     """ntile(tiles) as a pure function of the 1-based unique row number
     and literal total ``n``: the first ``n % tiles`` tiles get

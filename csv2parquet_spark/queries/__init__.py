@@ -25,6 +25,7 @@ from csv2parquet_spark.queries import operational  # noqa: E402,F401
 from csv2parquet_spark.queries import corpus_extra  # noqa: E402,F401
 from csv2parquet_spark.queries import mlmetrics  # noqa: E402,F401
 from csv2parquet_spark.queries import scanopt  # noqa: E402,F401
+from csv2parquet_spark.queries import order_stats  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-window rotation (automatic).
@@ -79,6 +80,10 @@ _DEFER_THIS_ROUND: set[str] = {
     "sessionize_dynamic_gap",
     "psi_price_drift",
     "backtest_seasonal_naive",
+    # fourth wave
+    "skyline_parts_frontier",
+    "mad_outlier_report",
+    "rrf_fusion_hybrid",
 }
 
 # Within the deferred tier, these names sort FIRST (list order) so

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from csv2parquet_spark.operators.graph import pagerank_fixed
 from csv2parquet_spark.operators.text import shingles
+from csv2parquet_spark.queries.llm_ops import _sql_cosine
 from csv2parquet_spark.queries.registry import register
 from csv2parquet_spark.tables import table
 
@@ -208,10 +209,11 @@ def textrank_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 __all__ = ["bpe_pair_counts", "inverted_index_postings", "textrank_tokens"]
 
 
-@register(
-    "bm25_topk_docs",
-    oracle="""
-    WITH tok AS (
+# BM25 scoring pipeline as a reusable oracle fragment (shared by
+# bm25_topk_docs and rrf_fusion_hybrid — the fused query must rank the
+# SAME sparse scores).
+_BM25_SQL_CTES = """
+    tok AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
     ), dl AS (
       SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
@@ -229,25 +231,18 @@ __all__ = ["bpe_pair_counts", "inverted_index_postings", "textrank_tokens"]
                   * tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
                   AS DECIMAL(18,10)) AS term_score
       FROM tf JOIN df USING (t) JOIN dl USING (doc_id), stats
+    ), sparse AS (
+      SELECT doc_id, round(CAST(sum(term_score) AS DOUBLE), 6) AS bm25
+      FROM scored GROUP BY doc_id
+      ORDER BY sum(term_score) DESC, doc_id LIMIT 20
     )
-    SELECT doc_id, round(CAST(sum(term_score) AS DOUBLE), 6) AS bm25
-    FROM scored GROUP BY doc_id
-    ORDER BY sum(term_score) DESC, doc_id LIMIT 20
-    """,
-)
-def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 retrieval (Robertson/Okapi, k1=1.2, b=0.75) for a fixed
-    3-term query over the corpus — the lexical-retrieval half of a
-    two-stage RAG pipeline (the ANN queries are the dense half). Model
-    stats (df per term, N, avgdl) are partial-agg scalars; scoring
-    touches only docs containing a query term (the tf relation, not the
-    corpus); top-20 is TakeOrderedAndProject.
+"""
 
-    Parity: every per-term score is a deterministic double expression
-    of integer (tf, dl, df, N) and one shared double (avgdl — the same
-    division on both engines), decimal-cast BEFORE the per-doc sum so
-    association order can't drift, rounded at 6 dp; ORDER BY the exact
-    decimal sum with a doc_id tiebreak."""
+
+def _bm25_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of the ``sparse`` CTE: BM25 (k1=1.2, b=0.75) top-20
+    for the fixed 3-term query, ``(doc_id, bm25)`` with bm25 rounded at
+    6 dp. See :func:`bm25_topk_docs` for the parity discipline."""
     terms = ["spark", "shuffle", "broadcast"]
     docs = table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
@@ -279,6 +274,127 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.orderBy(F.desc("s"), "doc_id")
         .limit(20)
         .select("doc_id", F.round(F.col("s").cast("double"), 6).alias("bm25"))
+    )
+
+
+@register(
+    "bm25_topk_docs",
+    oracle=f"""
+    WITH {_BM25_SQL_CTES}
+    SELECT doc_id, bm25 FROM sparse
+    """,
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (Robertson/Okapi, k1=1.2, b=0.75) for a fixed
+    3-term query over the corpus — the lexical-retrieval half of a
+    two-stage RAG pipeline (the ANN queries are the dense half). Model
+    stats (df per term, N, avgdl) are partial-agg scalars; scoring
+    touches only docs containing a query term (the tf relation, not the
+    corpus); top-20 is TakeOrderedAndProject.
+
+    Parity: every per-term score is a deterministic double expression
+    of integer (tf, dl, df, N) and one shared double (avgdl — the same
+    division on both engines), decimal-cast BEFORE the per-doc sum so
+    association order can't drift, rounded at 6 dp; ORDER BY the exact
+    decimal sum with a doc_id tiebreak."""
+    return _bm25_top20(spark, sf_dir)
+
+
+def _rank_by_count(
+    df: DataFrame, score_col: str, id_col: str, out_id: str, out_rank: str
+) -> DataFrame:
+    """1-based rank by (score DESC, id ASC) over a MODEL-SIZED relation
+    (top-k lists, k≤~100) without a Window: rank = 1 + number of rows
+    strictly ahead, via a broadcast self-join. k×k comparisons on k
+    rows — constant work regardless of corpus size, and no
+    single-partition sort stage anywhere."""
+    a = df.select(F.col(id_col).alias("__ia"), F.col(score_col).alias("__sa"))
+    b = df.select(F.col(id_col).alias("__ib"), F.col(score_col).alias("__sb"))
+    ahead = (F.col("__sb") > F.col("__sa")) | (
+        (F.col("__sb") == F.col("__sa")) & (F.col("__ib") < F.col("__ia"))
+    )
+    return (
+        a.join(F.broadcast(b), ahead, "left")
+        .groupBy("__ia")
+        .agg((F.count("__ib") + 1).cast("long").alias(out_rank))
+        .select(F.col("__ia").alias(out_id), out_rank)
+    )
+
+
+@register(
+    "rrf_fusion_hybrid",
+    oracle=f"""
+    WITH {_BM25_SQL_CTES},
+    srank AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+               AS rank_sparse
+      FROM sparse
+    ), dense AS (
+      SELECT b.vec_id AS doc_id,
+             round({_sql_cosine('b.embedding', 'q.embedding')}, 6) AS sim
+      FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      WHERE b.vec_id <> 0
+      ORDER BY sim DESC, b.vec_id LIMIT 20
+    ), drank AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY sim DESC, doc_id) AS BIGINT)
+               AS rank_dense
+      FROM dense
+    )
+    SELECT coalesce(d.doc_id, s.doc_id) AS doc_id,
+           d.rank_dense, s.rank_sparse,
+           CAST(CASE WHEN d.rank_dense IS NOT NULL
+                      AND s.rank_sparse IS NOT NULL
+                     THEN 120 + d.rank_dense + s.rank_sparse
+                     ELSE 1 END AS BIGINT) AS rrf_num,
+           CAST(coalesce(60 + d.rank_dense, 1)
+                * coalesce(60 + s.rank_sparse, 1) AS BIGINT) AS rrf_den
+    FROM drank d FULL JOIN srank s ON d.doc_id = s.doc_id
+    """,
+)
+def rrf_fusion_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval fusion — Reciprocal Rank Fusion (Cormack et al.
+    2009) of the lexical BM25 top-20 and the dense cosine top-20 for
+    the same information need (query vec_id=0 / the fixed 3-term query).
+    The standard two-retriever RAG merge: RRF(d) = Σ 1/(60 + rank_r(d)).
+
+    Engine-exactness: RRF depends only on RANKS, so the float retrieval
+    scores never enter the output — the fused score is emitted as the
+    exact integer fraction ``rrf_num/rrf_den`` (both retrievers:
+    (120+ra+rb)/((60+ra)(60+rb)); one retriever: 1/(60+r)), making the
+    hash check bite on pure BIGINT arithmetic.
+
+    Scale shape: each retriever is its own scale-safe pipeline (BM25:
+    partial-agg model stats + TakeOrdered; dense: broadcast query ×
+    scan + TakeOrdered); ranking and fusion then operate on two
+    MODEL-SIZED top-k relations — rank-by-count broadcast self-joins
+    (k², k=20) and a tiny full-outer merge. At 100 TB only the two
+    retrieval scans touch data; fusion cost is O(k²) regardless.
+    """
+    from csv2parquet_spark.operators.similarity import topk_similar
+
+    sparse = _bm25_top20(spark, sf_dir).localCheckpoint()
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select("embedding")
+    dense = (
+        topk_similar(e.filter(F.col("vec_id") != 0), q, k=20)
+        .localCheckpoint()
+    )
+    srank = _rank_by_count(sparse, "bm25", "doc_id", "doc_id", "rank_sparse")
+    drank = _rank_by_count(dense, "sim", "vec_id", "doc_id", "rank_dense")
+    ra, rb = F.col("rank_dense"), F.col("rank_sparse")
+    return drank.join(srank, "doc_id", "full").select(
+        "doc_id",
+        "rank_dense",
+        "rank_sparse",
+        F.when(ra.isNotNull() & rb.isNotNull(), 120 + ra + rb)
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("rrf_num"),
+        (F.coalesce(ra + 60, F.lit(1)) * F.coalesce(rb + 60, F.lit(1)))
+        .cast("long")
+        .alias("rrf_den"),
     )
 
 

@@ -1343,3 +1343,95 @@ def test_python_datasource_jsonl_sink_streaming(spark, tmp_path):
         with open(os.path.join(out, any_file[0])) as fh:
             rec = json.loads(fh.readline())
         assert {"seq", "user_id", "value"} <= set(rec)
+
+
+def test_global_running_max_matches_window(spark):
+    """global_running_max (two-pass) must equal the naive global-window
+    running max on a shuffled fixture — inclusive AND exclusive frames,
+    including the NULL on the globally first row."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from csv2parquet_spark.operators.ranking import global_running_max
+
+    # non-monotone values so the running max actually plateaus
+    rows = [(i, ((i * 6007) % 101) - 50) for i in range(853)]
+    df = spark.createDataFrame(rows, ["k", "v"]).repartition(11)
+
+    got_inc = {
+        r.k: r.m
+        for r in global_running_max(df, ["k"], "v", out_col="m").collect()
+    }
+    w_inc = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want_inc = {
+        r.k: r.m for r in df.withColumn("m", F.max("v").over(w_inc)).collect()
+    }
+    assert got_inc == want_inc
+
+    got_exc = {
+        r.k: r.m
+        for r in global_running_max(
+            df, ["k"], "v", out_col="m", exclusive=True
+        ).collect()
+    }
+    w_exc = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    want_exc = {
+        r.k: r.m for r in df.withColumn("m", F.max("v").over(w_exc)).collect()
+    }
+    assert got_exc == want_exc
+    assert got_exc[0] is None  # globally first row has no predecessor
+
+
+def test_skyline_matches_pairwise_dominance(spark, sf_dir):
+    """The skyline query must equal the O(n²) dominance definition
+    computed in Python over the same (price_cents, size) points."""
+    from csv2parquet_spark.queries.order_stats import skyline_parts_frontier
+    from csv2parquet_spark.tables import table
+
+    pts = [
+        (int(r.p_retailprice * 100 + 0.5), int(r.p_size))
+        for r in table(spark, sf_dir, "part").collect()
+    ]
+    frontier_prices = {
+        r.price_cents for r in skyline_parts_frontier(spark, sf_dir).collect()
+    }
+    want = {
+        c
+        for c, s in pts
+        if not any(
+            (c2 <= c and s2 >= s and (c2 < c or s2 > s)) for c2, s2 in pts
+        )
+    }
+    assert frontier_prices == want
+
+
+def test_mad_outlier_report_matches_statistics(spark, sf_dir):
+    """The integer-doubled med2/m4 encodings must equal Python's exact
+    median/MAD (statistics.median on the raw cents), and the outlier
+    count must match the 3·1.4826·MAD rule applied row-by-row."""
+    import statistics
+    from fractions import Fraction
+
+    from csv2parquet_spark.queries.order_stats import mad_outlier_report
+    from csv2parquet_spark.tables import table
+
+    rows = table(spark, sf_dir, "orders").collect()
+    by_grp: dict[str, list[int]] = {}
+    for r in rows:
+        by_grp.setdefault(r.o_orderpriority, []).append(
+            int(r.o_totalprice * 100 + 0.5)
+        )
+    got = {r.grp: r for r in mad_outlier_report(spark, sf_dir).collect()}
+    assert set(got) == set(by_grp)
+    for grp, cents in by_grp.items():
+        med = Fraction(statistics.median(cents))
+        devs = [abs(Fraction(c) - med) for c in cents]
+        mad = Fraction(statistics.median([float(d) for d in devs]))
+        r = got[grp]
+        assert Fraction(r.med2, 2) == med
+        assert Fraction(r.m4, 4) == mad
+        # threshold 4.4478·MAD exactly, as the integer form encodes it
+        cutoff = Fraction(44478, 10000) * mad
+        n_out = sum(1 for d in devs if d > cutoff)
+        assert r.n_outliers == n_out
+        assert r.n == len(cents)
