@@ -84,6 +84,7 @@ _DEFER_THIS_ROUND: set[str] = {
     "skyline_parts_frontier",
     "mad_outlier_report",
     "rrf_fusion_hybrid",
+    "mmr_diversify_topk",
 }
 
 # Within the deferred tier, these names sort FIRST (list order) so

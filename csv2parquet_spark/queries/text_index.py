@@ -479,3 +479,149 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(20)
+
+
+def _mmr_oracle(k: int = 8, n_cand: int = 50) -> str:
+    """Generate the chained-CTE DuckDB twin of the MMR selection loop:
+    one MATERIALIZED CTE level per pick (DuckDB inlines CTEs — without
+    MATERIALIZED the growing NOT IN/greedy chain goes exponential)."""
+    cos_q = _sql_cosine("e.embedding", "q.embedding")
+    cos_p = _sql_cosine("ea.embedding", "eb.embedding")
+    sql = f"""
+    WITH cand AS MATERIALIZED (
+      SELECT e.vec_id AS doc_id,
+             CAST(round({cos_q} * 10000) AS BIGINT) AS rel_fp
+      FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      WHERE e.vec_id <> 0
+      ORDER BY rel_fp DESC, doc_id LIMIT {n_cand}
+    ), pairs AS MATERIALIZED (
+      SELECT ca.doc_id AS a, cb.doc_id AS b,
+             CAST(round({cos_p} * 10000) AS BIGINT) AS sim_fp
+      FROM cand ca JOIN embeddings ea ON ea.vec_id = ca.doc_id,
+           cand cb JOIN embeddings eb ON eb.vec_id = cb.doc_id
+      WHERE ca.doc_id <> cb.doc_id
+    ), sel1 AS MATERIALIZED (
+      SELECT CAST(1 AS BIGINT) AS pick_rank, doc_id, rel_fp,
+             CAST(NULL AS BIGINT) AS max_sim_fp, rel_fp AS mmr2
+      FROM cand ORDER BY rel_fp DESC, doc_id LIMIT 1
+    ), selall1 AS MATERIALIZED (SELECT * FROM sel1)
+    """
+    for t in range(2, k + 1):
+        sql += f"""
+    , sel{t} AS MATERIALIZED (
+      SELECT CAST({t} AS BIGINT) AS pick_rank, doc_id, rel_fp,
+             max_sim_fp, rel_fp - max_sim_fp AS mmr2
+      FROM (
+        SELECT c.doc_id, c.rel_fp,
+               (SELECT max(p.sim_fp) FROM pairs p
+                 WHERE p.a = c.doc_id
+                   AND p.b IN (SELECT doc_id FROM selall{t - 1})) AS max_sim_fp
+        FROM cand c
+        WHERE c.doc_id NOT IN (SELECT doc_id FROM selall{t - 1})
+      )
+      ORDER BY mmr2 DESC, doc_id LIMIT 1
+    ), selall{t} AS MATERIALIZED (
+      SELECT * FROM selall{t - 1} UNION ALL SELECT * FROM sel{t}
+    )
+    """
+    sql += f"""
+    SELECT pick_rank, doc_id, rel_fp, max_sim_fp, mmr2 FROM selall{k}
+    """
+    return sql
+
+
+@register("mmr_diversify_topk", oracle=_mmr_oracle())
+def mmr_diversify_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998)
+    diversified top-8 for query vec_id=0: greedily pick the candidate
+    maximizing λ·rel − (1−λ)·max-sim-to-already-picked, λ=0.5 — the
+    standard de-redundancy re-rank between retrieval and a RAG prompt
+    (near-duplicate passages waste context tokens).
+
+    Engine-exactness: relevance and pairwise similarity are cosines
+    rounded to 1e-4 fixed-point BIGINTs (identical doubles on both
+    engines via the proven sequential-fold pairing, identical
+    away-from-zero rounding); with λ=0.5 the argmax of
+    (rel − max_sim)/2 equals the argmax of the INTEGER ``mmr2 = rel_fp
+    − max_sim_fp``, ties to lower id — so every greedy pick is a pure
+    integer decision and the whole trajectory is deterministic.
+
+    Scale shape: ONE corpus-touching stage (broadcast query × scan →
+    TakeOrdered top-50); everything after operates on the model-sized
+    candidate set — a 50×50 broadcast pair-sim relation (checkpointed,
+    computed once) and 8 tiny argmax jobs, each a filter + partial-agg
+    over ≤2500 rows. The corpus is scanned exactly once regardless of
+    k; driver state is the k picked ids (the kmeans/logreg iterative
+    pattern).
+    """
+    from csv2parquet_spark.operators.similarity import dot, norm
+
+    k, n_cand = 8, 50
+    e = table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qv"), norm(F.col("embedding")).alias("qn")
+        )
+    )
+    rel_fp = F.round(
+        dot(F.col("embedding"), F.col("qv"))
+        / (norm(F.col("embedding")) * F.col("qn"))
+        * 10000
+    ).cast("long")
+    cand = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select(F.col("vec_id").alias("doc_id"), rel_fp.alias("rel_fp"), "embedding")
+        .orderBy(F.desc("rel_fp"), "doc_id")
+        .limit(n_cand)
+        .localCheckpoint()
+    )
+    ca = cand.select(
+        F.col("doc_id").alias("a"), F.col("embedding").alias("ea")
+    )
+    cb = cand.select(
+        F.col("doc_id").alias("b"), F.col("embedding").alias("eb")
+    )
+    sim_fp = F.round(
+        dot(F.col("ea"), F.col("eb"))
+        / (norm(F.col("ea")) * norm(F.col("eb")))
+        * 10000
+    ).cast("long")
+    pairs = (
+        ca.join(F.broadcast(cb), F.col("a") != F.col("b"))
+        .select("a", "b", sim_fp.alias("sim_fp"))
+        .localCheckpoint()
+    )
+    scores = cand.select("doc_id", "rel_fp")
+
+    first = scores.orderBy(F.desc("rel_fp"), "doc_id").limit(1).collect()[0]
+    picked = [
+        (1, first.doc_id, first.rel_fp, None, first.rel_fp)
+    ]  # (pick_rank, doc_id, rel_fp, max_sim_fp, mmr2)
+    chosen = [first.doc_id]
+    for t in range(2, k + 1):
+        best = (
+            scores.filter(~F.col("doc_id").isin(chosen))
+            .join(
+                pairs.filter(F.col("b").isin(chosen))
+                .groupBy("a")
+                .agg(F.max("sim_fp").alias("max_sim_fp")),
+                F.col("doc_id") == F.col("a"),
+            )
+            .select(
+                "doc_id",
+                "rel_fp",
+                "max_sim_fp",
+                (F.col("rel_fp") - F.col("max_sim_fp")).alias("mmr2"),
+            )
+            .orderBy(F.desc("mmr2"), "doc_id")
+            .limit(1)
+            .collect()[0]
+        )
+        picked.append((t, best.doc_id, best.rel_fp, best.max_sim_fp, best.mmr2))
+        chosen.append(best.doc_id)
+    return spark.createDataFrame(
+        picked,
+        "pick_rank bigint, doc_id bigint, rel_fp bigint, "
+        "max_sim_fp bigint, mmr2 bigint",
+    )

@@ -1435,3 +1435,53 @@ def test_mad_outlier_report_matches_statistics(spark, sf_dir):
         n_out = sum(1 for d in devs if d > cutoff)
         assert r.n_outliers == n_out
         assert r.n == len(cents)
+
+
+def test_mmr_greedy_trajectory_matches_python(spark, sf_dir):
+    """The distributed MMR loop must reproduce a straight-line Python
+    greedy MMR over the same integer-rounded candidate/pair sims."""
+    from csv2parquet_spark.queries.text_index import mmr_diversify_topk
+    from csv2parquet_spark.tables import table
+
+    import numpy as np
+
+    e = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+         for r in table(spark, sf_dir, "embeddings").collect()}
+    qv = e[0]
+
+    def cos_fp(a, b):
+        # numpy dot on float64 is not guaranteed to associate like the
+        # engines' sequential fold — recompute sequentially.
+        dot = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            na += x * x
+            nb += y * y
+        from decimal import ROUND_HALF_UP, Decimal
+        v = dot / (na ** 0.5 * nb ** 0.5) * 10000
+        return int(Decimal(repr(v)).quantize(Decimal("1"), ROUND_HALF_UP))
+
+    rel = {i: cos_fp(v, qv) for i, v in e.items() if i != 0}
+    cand = sorted(rel, key=lambda i: (-rel[i], i))[:50]
+    sims = {
+        (a, b): cos_fp(e[a], e[b]) for a in cand for b in cand if a != b
+    }
+    chosen = [min(cand, key=lambda i: (-rel[i], i))]
+    expect = [(1, chosen[0], rel[chosen[0]], None, rel[chosen[0]])]
+    for t in range(2, 9):
+        rest = [i for i in cand if i not in chosen]
+        best = min(
+            rest,
+            key=lambda i: (-(rel[i] - max(sims[(i, s)] for s in chosen)), i),
+        )
+        ms = max(sims[(best, s)] for s in chosen)
+        expect.append((t, best, rel[best], ms, rel[best] - ms))
+        chosen.append(best)
+
+    got = [
+        (r.pick_rank, r.doc_id, r.rel_fp, r.max_sim_fp, r.mmr2)
+        for r in mmr_diversify_topk(spark, sf_dir).orderBy("pick_rank").collect()
+    ]
+    assert got == expect
