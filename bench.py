@@ -104,6 +104,11 @@ HEADLINE = [
     "embedding_pca_project",
     "containment_near_dups",
     "content_defined_chunks",
+    # round-5 fourth wave (order statistics + retrieval fusion)
+    "skyline_parts_frontier",
+    "mad_outlier_report",
+    "rrf_fusion_hybrid",
+    "mmr_diversify_topk",
 ]
 
 

@@ -85,6 +85,7 @@ _DEFER_THIS_ROUND: set[str] = {
     "mad_outlier_report",
     "rrf_fusion_hybrid",
     "mmr_diversify_topk",
+    "merge_schema_evolution_read",
 }
 
 # Within the deferred tier, these names sort FIRST (list order) so

@@ -240,3 +240,85 @@ def runtime_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+def write_two_generation_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the two-generation orders table the schema-evolution
+    query reads: generation 1 (orders before 1995) was written BEFORE
+    the pipeline started capturing ``o_orderpriority``; generation 2
+    (1995 onward) carries the added column — the additive-column
+    evolution every long-lived ingest dataset accumulates. Same
+    write-once / atomic-rename discipline as the DPP fixture: keyed by
+    the source file's (size, mtime), so bench warm+timed runs reuse it
+    and the timed region measures the READ, not setup.
+    """
+    src = os.path.join(os.path.abspath(sf_dir), "orders.parquet")
+    st = os.stat(src)
+    key = f"{os.path.basename(os.path.abspath(sf_dir))}-{st.st_size}-{int(st.st_mtime)}"
+    out = os.path.join("/tmp", "csv2parquet_spark_evolve", key)
+    if os.path.exists(os.path.join(out, "gen2", "_SUCCESS")):
+        return out
+    staging = f"{out}.staging.{os.getpid()}"
+    o = table(spark, sf_dir, "orders")
+    cut = F.col("o_orderdate") < "1995-01-01"
+    (
+        o.where(cut)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(os.path.join(staging, "gen1"))
+    )
+    (
+        o.where(~cut)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite")
+        .parquet(os.path.join(staging, "gen2"))
+    )
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    try:
+        os.rename(staging, out)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+    return out
+
+
+@register(
+    "merge_schema_evolution_read",
+    oracle=f"""
+    SELECT CASE WHEN o_orderdate < TIMESTAMP '1995-01-01'
+                THEN '<pre-evolution>' ELSE o_orderpriority END AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {sql_dsum('o_totalprice', 'revenue')}
+    FROM orders GROUP BY 1
+    """,
+)
+def merge_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read across an additive schema evolution: old parquet files lack
+    ``o_orderpriority``; ``mergeSchema=true`` unions the footers into
+    the superset schema and back-fills the missing column with NULL —
+    no rewrite of the old files (the operation every 100 TB dataset
+    needs when a column is added years in; rewriting history is the
+    thing you can't afford). The aggregate labels pre-evolution rows
+    explicitly, and the oracle recomputes the same split from the raw
+    table — the merged read must be exactly equivalent.
+
+    Scale note: schema merging reads FOOTERS of (a sample of) files at
+    planning time — metadata cost, not data cost; the scan itself
+    stays pruned/pushed-down as usual.
+    """
+    root = write_two_generation_orders(spark, sf_dir)
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(root, "gen1"), os.path.join(root, "gen2"))
+    )
+    return merged.groupBy(
+        F.coalesce(F.col("o_orderpriority"), F.lit("<pre-evolution>")).alias(
+            "priority"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("revenue"),
+    )

@@ -1485,3 +1485,27 @@ def test_mmr_greedy_trajectory_matches_python(spark, sf_dir):
         for r in mmr_diversify_topk(spark, sf_dir).orderBy("pick_rank").collect()
     ]
     assert got == expect
+
+
+def test_merge_schema_read_superset_and_null_backfill(spark, sf_dir):
+    """mergeSchema must surface the union schema and NULL-backfill the
+    evolved column for exactly the generation-1 rows."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from csv2parquet_spark.queries.scanopt import write_two_generation_orders
+    from csv2parquet_spark.tables import table
+
+    root = write_two_generation_orders(spark, sf_dir)
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "gen1"), os.path.join(root, "gen2")
+    )
+    assert "o_orderpriority" in merged.columns
+    # without mergeSchema, schema comes from one footer — the evolved
+    # column may be invisible; with it, it's always present
+    n_null = merged.filter(F.col("o_orderpriority").isNull()).count()
+    o = table(spark, sf_dir, "orders")
+    n_gen1 = o.filter(F.col("o_orderdate") < "1995-01-01").count()
+    assert n_null == n_gen1
+    assert merged.count() == o.count()
