@@ -86,6 +86,8 @@ _DEFER_THIS_ROUND: set[str] = {
     "rrf_fusion_hybrid",
     "mmr_diversify_topk",
     "merge_schema_evolution_read",
+    "woe_iv_value_bins",
+    "l_diversity_report",
 }
 
 # Within the deferred tier, these names sort FIRST (list order) so

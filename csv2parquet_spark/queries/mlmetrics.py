@@ -600,3 +600,105 @@ def backtest_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mae"),
     )
+
+
+@register(
+    "woe_iv_value_bins",
+    oracle="""
+    WITH g1 AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS bads
+      FROM orders GROUP BY 1
+    ), cumrel AS (
+      SELECT cents, cnt, bads,
+             sum(cnt) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER () AS n
+      FROM g1
+    ), binned AS (
+      SELECT ((cum - 1) * 8) // n AS bin, cnt, bads FROM cumrel
+    ), pb AS (
+      SELECT bin,
+             CAST(sum(cnt) AS BIGINT) AS n_rows,
+             CAST(sum(cnt) - sum(bads) AS BIGINT) AS goods,
+             CAST(sum(bads) AS BIGINT) AS bads
+      FROM binned GROUP BY bin
+    ), tot AS (
+      SELECT CAST(sum(goods) AS BIGINT) AS gt, CAST(sum(bads) AS BIGINT) AS bt
+      FROM pb
+    )
+    SELECT CAST(pb.bin AS BIGINT) AS bin, pb.n_rows, pb.goods, pb.bads,
+           round(ln(CAST((pb.goods + 1) * (tot.bt + 8) AS DOUBLE)
+                    / CAST((pb.bads + 1) * (tot.gt + 8) AS DOUBLE)), 6) AS woe,
+           round((CAST(pb.goods + 1 AS DOUBLE) / (tot.gt + 8)
+                  - CAST(pb.bads + 1 AS DOUBLE) / (tot.bt + 8))
+                 * ln(CAST((pb.goods + 1) * (tot.bt + 8) AS DOUBLE)
+                      / CAST((pb.bads + 1) * (tot.gt + 8) AS DOUBLE)), 6)
+             AS iv_term
+    FROM pb, tot
+    """,
+)
+def woe_iv_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence / Information-Value readout for the order
+    value against the 'F' (fulfilled) status — the classic
+    credit-scoring feature diagnostic: equi-depth bins of the feature,
+    WOE_b = ln(good-share/bad-share) per bin (monotone WOE ⇒ the
+    feature ranks the outcome), and the IV terms whose sum grades
+    predictive power (<0.02 useless, >0.3 strong).
+
+    Equi-depth binning without a single-partition sort: the feature is
+    value-compressed to ``(cents) → (count, bads)``, the global CDF
+    comes from the two-pass
+    :func:`~csv2parquet_spark.operators.ranking.global_cumsum`, and a
+    distinct value lands wholly in bin ``((cum−1)·8) DIV n`` (ties are
+    never split across bins — the deterministic convention both engines
+    share). WOE/IV use add-one smoothing and take ONE ln of a ratio of
+    integer products (the PSI/DSIR discipline), so 6 dp rounding is
+    bit-stable cross-engine.
+
+    Scale shape: one map-side-combining aggregate over the fact table
+    (domain-sized output), the two-pass cumsum on the compressed
+    relation, then everything runs on an 8-row bin relation.
+    """
+    o = table(spark, sf_dir, "orders")
+    g1 = (
+        o.select(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("bad"),
+        )
+        .groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("bad").alias("bads"))
+    )
+    cum = global_cumsum(g1, keys=["cents"], weight_col="cnt", cum_col="cum")
+    n = g1.agg(F.sum("cnt")).collect()[0][0]
+    pb = (
+        cum.select(
+            F.expr(f"((cum - 1) * 8) div {n}").alias("bin"), "cnt", "bads"
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("cnt").alias("n_rows"),
+            (F.sum("cnt") - F.sum("bads")).alias("goods"),
+            F.sum("bads").alias("bads"),
+        )
+    )
+    tot = pb.agg(F.sum("goods").alias("gt"), F.sum("bads").alias("bt"))
+    j = pb.crossJoin(F.broadcast(tot))
+    lr = F.log(
+        ((F.col("goods") + 1) * (F.col("bt") + 8)).cast("double")
+        / ((F.col("bads") + 1) * (F.col("gt") + 8)).cast("double")
+    )
+    shares = (F.col("goods") + 1).cast("double") / (F.col("gt") + 8) - (
+        F.col("bads") + 1
+    ).cast("double") / (F.col("bt") + 8)
+    return j.select(
+        F.col("bin").cast("long").alias("bin"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("goods").cast("long").alias("goods"),
+        F.col("bads").cast("long").alias("bads"),
+        F.round(lr, 6).alias("woe"),
+        F.round(shares * lr, 6).alias("iv_term"),
+    )
