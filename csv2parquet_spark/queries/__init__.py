@@ -88,6 +88,7 @@ _DEFER_THIS_ROUND: set[str] = {
     "merge_schema_evolution_read",
     "woe_iv_value_bins",
     "l_diversity_report",
+    "stratified_sample_exact",
 }
 
 # Within the deferred tier, these names sort FIRST (list order) so

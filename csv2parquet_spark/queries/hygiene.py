@@ -921,3 +921,43 @@ def crawl_budget_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("long")
         .alias("allocated"),
     )
+
+
+@register(
+    "stratified_sample_exact",
+    oracle="""
+    SELECT lang, doc_id, h AS sample_key
+    FROM (
+      SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 10
+    """,
+)
+def stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified sample: the 10 audit documents per
+    language stratum, selected by md5(doc_id) order — the
+    deterministic, engine-portable "spot-check N per class" draw every
+    QA/labeling pipeline needs (hash order ≈ uniform, reproducible
+    across runs/engines, and independent of physical row order, unlike
+    TABLESAMPLE).
+
+    Scale shape: the rank ≤ k window compiles to WindowGroupLimit with
+    a PARTIAL pass below the exchange — every map task forwards at most
+    k rows per stratum, so the shuffle carries ≤ k·P·strata rows, never
+    the corpus, and no per-stratum full sort happens on one task.
+    """
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.select("lang", "doc_id", h.alias("sample_key"),
+                 F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 10)
+        .select("lang", "doc_id", "sample_key")
+    )
