@@ -161,3 +161,51 @@ def pagerank_fixed(
 
 
 __all__ = ["pagerank", "pagerank_fixed"]
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Synchronous weighted Label Propagation (Raghavan et al. 2007)
+    community detection, ``n_iter`` fixed supersteps — deterministic by
+    construction so results are engine- and partitioning-independent:
+    integer edge weights, next label = the neighbor label with the MAX
+    total incident weight, ties to the SMALLEST label, all vertices
+    updated simultaneously. Returns ``(id, lbl)`` after the last step.
+
+    The argmax is the engine-portable two-aggregate shape (max weight
+    per vertex, then min label among the maximizers) — no struct
+    ordering, which DuckDB aggregates can't mirror. Per superstep: one
+    join of the checkpointed edge relation with the (vertex, label)
+    state + two aggregations keyed by vertex — the shuffled state is
+    vertices and candidate labels, never the edge payload; same Pregel
+    cost model as :func:`pagerank`.
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
+    ).localCheckpoint()
+    labels = (
+        e.select(F.col("src").alias("id")).distinct()
+        .select("id", F.col("id").alias("lbl"))
+        .localCheckpoint()
+    )
+    for _ in range(n_iter):
+        nbr = (
+            e.join(labels.select(F.col("id").alias("dst"), "lbl"), "dst")
+            .groupBy("src", "lbl")
+            .agg(F.sum("w").alias("tw"))
+        )
+        best = nbr.groupBy("src").agg(F.max("tw").alias("bw"))
+        labels = (
+            nbr.join(best, "src")
+            .filter(F.col("tw") == F.col("bw"))
+            .groupBy("src")
+            .agg(F.min("lbl").alias("lbl"))
+            .select(F.col("src").alias("id"), "lbl")
+            .localCheckpoint()
+        )
+    return labels

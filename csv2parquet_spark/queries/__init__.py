@@ -89,6 +89,7 @@ _DEFER_THIS_ROUND: set[str] = {
     "woe_iv_value_bins",
     "l_diversity_report",
     "stratified_sample_exact",
+    "lpa_copurchase_communities",
 }
 
 # Within the deferred tier, these names sort FIRST (list order) so

@@ -1084,3 +1084,88 @@ def shard_assignment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
     )
+
+
+def _lpa_oracle(n_iter: int = 3) -> str:
+    """Generated DuckDB twin of operators/graph.label_propagation over
+    the co-purchase graph: one MATERIALIZED CTE level per superstep
+    (nbr → best → l), the same two-aggregate argmax (max weight, then
+    min label among maximizers)."""
+    sql = """
+    WITH li AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e AS MATERIALIZED (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst,
+             CAST(count(*) AS BIGINT) AS w
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+    ), l0 AS MATERIALIZED (
+      SELECT DISTINCT src AS id, src AS lbl FROM e
+    )"""
+    for t in range(1, n_iter + 1):
+        sql += f"""
+    , nbr{t} AS MATERIALIZED (
+      SELECT e.src, l.lbl, CAST(sum(e.w) AS BIGINT) AS tw
+      FROM e JOIN l{t - 1} l ON l.id = e.dst
+      GROUP BY e.src, l.lbl
+    ), best{t} AS MATERIALIZED (
+      SELECT src, CAST(max(tw) AS BIGINT) AS bw FROM nbr{t} GROUP BY src
+    ), l{t} AS MATERIALIZED (
+      SELECT n.src AS id, CAST(min(n.lbl) AS BIGINT) AS lbl
+      FROM nbr{t} n JOIN best{t} b ON b.src = n.src AND n.tw = b.bw
+      GROUP BY n.src
+    )"""
+    sql += f"""
+    SELECT CAST(lbl AS BIGINT) AS community,
+           CAST(count(*) AS BIGINT) AS size,
+           CAST(min(id) AS BIGINT) AS min_member
+    FROM l{n_iter} GROUP BY lbl
+    ORDER BY size DESC, community LIMIT 20
+    """
+    return sql
+
+
+@register("lpa_copurchase_communities", oracle=_lpa_oracle())
+def lpa_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the co-purchase graph (parts weighted by
+    how many orders contain both): 3 supersteps of deterministic
+    synchronous Label Propagation
+    (:func:`~csv2parquet_spark.operators.graph.label_propagation`) —
+    the "products that sell together" clustering, and the third graph
+    algorithm next to PageRank and connected components (LPA finds
+    DENSE communities; CC only finds reachability).
+
+    Deterministic/hash-provable because every superstep is integer
+    arithmetic with total tie-breaks (max summed weight, then smallest
+    label), mirrored CTE-for-CTE by the generated oracle. Scale shape:
+    edges are basket-bounded (C(lines,2) per order, never parts²); per
+    superstep the shuffled relation is (vertex, candidate label), not
+    edges; labels are checkpointed so the plan stays
+    iteration-count-independent.
+    """
+    from csv2parquet_spark.operators.graph import label_propagation
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    labels = label_propagation(edges, n_iter=3)
+    return (
+        labels.groupBy(F.col("lbl").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("size"),
+            F.min("id").alias("min_member"),
+        )
+        .orderBy(F.desc("size"), "community")
+        .limit(20)
+    )

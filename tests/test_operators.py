@@ -1509,3 +1509,41 @@ def test_merge_schema_read_superset_and_null_backfill(spark, sf_dir):
     n_gen1 = o.filter(F.col("o_orderdate") < "1995-01-01").count()
     assert n_null == n_gen1
     assert merged.count() == o.count()
+
+
+def test_label_propagation_two_cliques(spark):
+    """Synchronous weighted LPA must separate two dense cliques joined
+    by one weak bridge, and must match a straight-line Python reference
+    superstep-for-superstep (deterministic ties to smallest label)."""
+    from csv2parquet_spark.operators.graph import label_propagation
+
+    def clique(ids, w):
+        return [(a, b, w) for a in ids for b in ids if a != b]
+
+    edges = clique([1, 2, 3, 4], 5) + clique([10, 11, 12, 13], 5) + [
+        (4, 10, 1),
+        (10, 4, 1),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    got = {r.id: r.lbl for r in label_propagation(df, n_iter=3).collect()}
+
+    # Python reference: same synchronous update, same tie rule
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    for s, d, w in edges:
+        adj[s].append((d, w))
+    lbl = {v: v for v in adj}
+    for _ in range(3):
+        nxt = {}
+        for v in adj:
+            tot = defaultdict(int)
+            for d, w in adj[v]:
+                tot[lbl[d]] += w
+            bw = max(tot.values())
+            nxt[v] = min(l for l, t in tot.items() if t == bw)
+        lbl = nxt
+    assert got == lbl
+    assert len({lbl[v] for v in [1, 2, 3, 4]}) == 1
+    assert len({lbl[v] for v in [10, 11, 12, 13]}) == 1
+    assert lbl[1] != lbl[10]  # the bridge must not merge the cliques
