@@ -1861,9 +1861,14 @@ def content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     Map-only at any scale: the rolling hash, boundary filter, and
     chunk-length diffs are all per-row Catalyst array expressions over
     the winnowing hash machinery (exact BIGINT polynomial, no modulus
-    overflow at 5 ASCII chars) — zero shuffles, and the output carries
-    an md5 digest of the cut positions so the oracle hash bites on
-    every boundary, not just the counts."""
+    overflow at 5 ASCII chars) — zero KEY shuffles, and the output
+    carries an md5 digest of the cut positions so the oracle hash bites
+    on every boundary, not just the counts. The input goes through the
+    gated round-robin rebalance (``dedup._parallelize_scan``): the
+    per-char HOF work is CPU-bound, and the single-file local fixture
+    otherwise runs the whole stage on ONE task (6 s → ~0.6 s on 32
+    cores); at scale the scan already has thousands of tasks and the
+    gate never fires."""
     c = F.col("text")
     codes = F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("bigint"))
     n = F.length(c)
@@ -1885,7 +1890,7 @@ def content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ends = F.concat(cuts, F.array(n.cast("bigint")))
     starts = F.concat(F.array(F.lit(0).cast("bigint")), cuts)
     clens = F.zip_with(ends, starts, lambda a, b: a - b)
-    d = table(spark, sf_dir, "documents")
+    d = D._parallelize_scan(table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.size(clens).cast("long").alias("n_chunks"),
