@@ -89,6 +89,20 @@ def build_parser() -> argparse.ArgumentParser:
         default="row",
         help="record element name for --format xml (default: row)",
     )
+    # Engine extension: output clustering for scan pruning (the
+    # reference writes input order; useless row-group stats at scale).
+    p.add_argument(
+        "--sort-by", default=None, metavar="COL",
+        help="engine extension: range-cluster the output on COL "
+        "(tight row-group min/max stats; non-overlapping files in "
+        "multi-file mode)",
+    )
+    p.add_argument(
+        "--zorder-by", default=None, metavar="COL,COL[,COL]",
+        help="engine extension: Morton/Z-order cluster the output on "
+        ">=2 numeric columns so conjunctive range predicates prune row "
+        "groups in every listed dimension",
+    )
     return p
 
 
@@ -96,6 +110,9 @@ def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if len(args.delimiter) != 1:
         print("delimiter must be a single character", file=sys.stderr)
+        return 2
+    if args.sort_by and args.zorder_by:
+        print("--sort-by and --zorder-by are mutually exclusive", file=sys.stderr)
         return 2
     opts = ConvertOptions(
         header=args.header,
@@ -119,6 +136,12 @@ def main(argv: list[str] | None = None) -> int:
         print_schema=args.print_schema,
         dry=args.dry,
         parse_mode=args.parse_mode,
+        sort_by=args.sort_by,
+        zorder_by=(
+            [c.strip() for c in args.zorder_by.split(",") if c.strip()]
+            if args.zorder_by
+            else None
+        ),
     )
     fmt = args.format
     if fmt == "auto":

@@ -27,6 +27,7 @@ import tempfile
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from csv2parquet_spark.converter.inference import infer_schema
@@ -84,6 +85,18 @@ class ConvertOptions:
     # aborting a day-long job is usually the wrong trade — but parity
     # stays the default.
     parse_mode: str = "FAILFAST"
+    # Engine extension: cluster the OUTPUT for scan pruning (the
+    # reference writes rows in input order — main.rs:178 — which gives
+    # useless row-group min/max stats). sort_by = 1-D range clustering
+    # on one column; zorder_by = multi-column Morton clustering
+    # (operators/layout.interleave_bits) so conjunctive range predicates
+    # prune row groups in EVERY listed dimension. Multi-file output gets
+    # one range-partitioning exchange (non-overlapping key ranges per
+    # file); single-file output degrades to a within-file sort (tight
+    # per-row-group stats). Mutually exclusive; zorder_by needs >= 2
+    # numeric columns (the min/max scaling pass is one tiny aggregate).
+    sort_by: str | None = None
+    zorder_by: list[str] | None = None
 
 
 def _effective_multiline(csv_path: str, opts: ConvertOptions) -> bool:
@@ -239,6 +252,48 @@ def convert(
     return schema
 
 
+def _clustered(df: DataFrame, opts: ConvertOptions) -> DataFrame:
+    """Apply the sort_by / zorder_by output clustering (no-op without
+    either). Validates the named columns against the resolved schema so
+    a typo fails before the job runs, not as an analysis error mid-write.
+    """
+    if not (opts.sort_by or opts.zorder_by):
+        return df
+    if opts.sort_by and opts.zorder_by:
+        raise ValueError("sort_by and zorder_by are mutually exclusive")
+    cols = [opts.sort_by] if opts.sort_by else list(opts.zorder_by or [])
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"cluster column(s) not in schema: {missing}")
+    if opts.zorder_by:
+        if len(cols) < 2:
+            raise ValueError("zorder_by needs at least 2 columns")
+        numeric = {"tinyint", "smallint", "int", "bigint", "float",
+                   "double", "date", "timestamp"}
+        bad = [
+            c for c in cols
+            if df.schema[c].dataType.simpleString().split("(")[0] not in numeric
+        ]
+        if bad:
+            raise ValueError(f"zorder_by columns must be numeric: {bad}")
+        from csv2parquet_spark.operators.layout import zorder_key
+
+        df, key = zorder_key(df, cols, bits=16)
+        df = df.withColumn("__cluster_key", key)
+    else:
+        df = df.withColumn("__cluster_key", F.col(opts.sort_by))
+    parts = (
+        1
+        if opts.single_file
+        else df.sparkSession.sparkContext.defaultParallelism
+    )
+    return (
+        df.repartitionByRange(parts, "__cluster_key")
+        .sortWithinPartitions("__cluster_key")
+        .drop("__cluster_key")
+    )
+
+
 def write_parquet(
     spark: SparkSession,
     df: DataFrame,
@@ -247,11 +302,19 @@ def write_parquet(
     opts: ConvertOptions,
 ) -> None:
     """W1-W9 parquet sink shared by every source format (CSV, JSONL)."""
-    # repartition(1), NOT coalesce(1): coalesce propagates up the plan
-    # and collapses the source *parse* to one task; repartition inserts
-    # an exchange so the read stays parallel and only the final parquet
-    # encode is single-task (the one-file contract forces that much).
-    writer = df.repartition(1).write if opts.single_file else df.write
+    df = _clustered(df, opts)
+    if opts.sort_by or opts.zorder_by:
+        # _clustered already produced the target partitioning (1 sorted
+        # partition for single-file; range-partitioned otherwise) — a
+        # further repartition(1) would destroy the sort.
+        writer = df.write
+    else:
+        # repartition(1), NOT coalesce(1): coalesce propagates up the
+        # plan and collapses the source *parse* to one task; repartition
+        # inserts an exchange so the read stays parallel and only the
+        # final parquet encode is single-task (the one-file contract
+        # forces that much).
+        writer = df.repartition(1).write if opts.single_file else df.write
     if opts.compression:
         if opts.compression not in _CODECS:
             raise ValueError(f"unknown codec {opts.compression!r}")

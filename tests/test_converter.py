@@ -644,3 +644,75 @@ def test_cli_refuses_unsupported_compression(tmp_path):
     src.write_bytes(b"\xfd7zXZ\x00")
     assert main([str(src), str(tmp_path / "o.parquet")]) == 2
     assert main([str(tmp_path / "x.csv.zst"), str(tmp_path / "o2.parquet")]) == 2
+
+
+def test_cli_sort_by_clusters_output(tmp_path):
+    """--sort-by must range-cluster the single output file: the column
+    reads back globally sorted (tight row-group min/max stats)."""
+    import random
+
+    import pyarrow.parquet as pq
+
+    from csv2parquet_spark.converter.cli import main
+
+    rnd = random.Random(11)
+    src = tmp_path / "in.csv"
+    src.write_text(
+        "x,s\n" + "".join(f"{rnd.randint(0, 9999)},r{i}\n" for i in range(5000))
+    )
+    out = str(tmp_path / "out.parquet")
+    assert main(["--sort-by", "x", str(src), out]) == 0
+    xs = pq.read_table(out).column("x").to_pylist()
+    assert xs == sorted(xs)
+    assert len(xs) == 5000
+
+
+def test_cli_zorder_by_prunes_rowgroups(tmp_path):
+    """--zorder-by must make row-group min/max stats prune a 2-D box
+    predicate that the reference's input-order layout cannot prune at
+    all (the point of Morton clustering)."""
+    import random
+
+    from csv2parquet_spark.converter.cli import main
+    from csv2parquet_spark.operators.layout import rowgroup_prune_fraction
+
+    rnd = random.Random(13)
+    src = tmp_path / "in.csv"
+    src.write_text(
+        "x,y\n"
+        + "".join(
+            f"{rnd.randint(0, 9999)},{rnd.randint(0, 9999)}\n"
+            for i in range(20000)
+        )
+    )
+    pred = {"x": (1000.0, 1999.0), "y": (1000.0, 1999.0)}
+
+    zout = str(tmp_path / "z.parquet")
+    assert main(
+        ["--zorder-by", "x,y", "--max-row-group-size", "8", str(src), zout]
+    ) == 0
+    plain = str(tmp_path / "plain.parquet")
+    assert main(["--max-row-group-size", "8", str(src), plain]) == 0
+
+    pz = rowgroup_prune_fraction(zout, pred)
+    pp = rowgroup_prune_fraction(plain, pred)
+    # measured locally: ~0.95 vs 0.0 — assert with slack
+    assert pz > 0.8, f"z-order pruned only {pz:.2f}"
+    assert pz > pp + 0.5
+
+
+def test_cli_cluster_flag_validation(tmp_path):
+    """Mutual exclusion and unknown-column validation fail fast (rc=2 /
+    ValueError), not mid-write."""
+    import pytest
+
+    from csv2parquet_spark.converter.cli import main
+
+    src = tmp_path / "in.csv"
+    src.write_text("x,y\n1,2\n")
+    out = str(tmp_path / "o.parquet")
+    assert main(["--sort-by", "x", "--zorder-by", "x,y", str(src), out]) == 2
+    with pytest.raises(ValueError, match="not in schema"):
+        main(["--sort-by", "nope", str(src), out])
+    with pytest.raises(ValueError, match="at least 2"):
+        main(["--zorder-by", "x", str(src), out])
