@@ -90,6 +90,7 @@ _DEFER_THIS_ROUND: set[str] = {
     "l_diversity_report",
     "stratified_sample_exact",
     "lpa_copurchase_communities",
+    "isotonic_calibration_exact",
 }
 
 # Within the deferred tier, these names sort FIRST (list order) so

@@ -702,3 +702,103 @@ def woe_iv_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(lr, 6).alias("woe"),
         F.round(shares * lr, 6).alias("iv_term"),
     )
+
+
+@register(
+    "isotonic_calibration_exact",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 100) AS BIGINT)
+               AS score,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN label >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS p
+      FROM embeddings GROUP BY 1
+    ), c AS (
+      SELECT score, n, p,
+             sum(n) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS cum_n,
+             sum(p) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS cum_p
+      FROM g
+    ), kj AS (
+      SELECT k.score AS ks, j.score AS js, k.n AS kn, k.p AS kp,
+             CAST(j.cum_p - k.cum_p + k.p AS DOUBLE)
+               / CAST(j.cum_n - k.cum_n + k.n AS DOUBLE) AS rate
+      FROM c k JOIN c j ON k.score <= j.score
+    ), m AS (
+      SELECT ks, js, kn, kp,
+             max(rate) OVER (PARTITION BY js ORDER BY ks
+                             ROWS UNBOUNDED PRECEDING) AS mx
+      FROM kj
+    )
+    SELECT ks AS score, CAST(max(kn) AS BIGINT) AS n,
+           CAST(max(kp) AS BIGINT) AS p,
+           round(min(mx), 6) AS iso_rate
+    FROM m GROUP BY ks
+    """,
+)
+def isotonic_calibration_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT isotonic regression (the PAVA fit) of the positive rate
+    against the quantized first-embedding-component score — the
+    standard probability-calibration map (monotone, least-squares
+    optimal; the sibling of ``roc_auc_exact`` and the principled
+    upgrade over fixed calibration bins).
+
+    Instead of the sequential pool-adjacent-violators sweep (which
+    doesn't distribute), the fit uses the minimax closed form
+    (Robertson/Wright/Dykstra): ŷ_i = min_{j≥i} max_{k≤i}
+    weighted-avg(pos over score buckets k..j). Every interval average
+    is ONE double division of exact integer sums (deterministic), and
+    max/min over identical doubles is engine-exact — so the whole fit
+    hash-matches.
+
+    Scale shape: ONE corpus partial-agg onto the quantized score
+    relation (≤201 buckets at any corpus size — the quantization fixes
+    the model size), two-pass ``global_cumsum`` for the prefix sums,
+    then the O(buckets²) minimax on a broadcast pair relation with
+    PARTITIONED windows (by j for the prefix max, then a groupBy for
+    the suffix min). The corpus is touched exactly once; everything
+    after is model-sized.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    g = (
+        emb.select(
+            F.floor(F.element_at("embedding", 1).cast("double") * 100)
+            .cast("long")
+            .alias("score"),
+            (F.col("label") >= 5).cast("int").alias("pos"),
+        )
+        .groupBy("score")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("pos").cast("long").alias("p"),
+        )
+    )
+    c = global_cumsum(g, keys=["score"], weight_col="n", cum_col="cum_n")
+    c = global_cumsum(c, keys=["score"], weight_col="p", cum_col="cum_p")
+    c = c.localCheckpoint()  # model-sized (≤201 rows), consumed twice
+    k = c.select(
+        F.col("score").alias("ks"), F.col("n").alias("kn"),
+        F.col("p").alias("kp"), F.col("cum_n").alias("kcn"),
+        F.col("cum_p").alias("kcp"),
+    )
+    j = c.select(
+        F.col("score").alias("js"), F.col("cum_n").alias("jcn"),
+        F.col("cum_p").alias("jcp"),
+    )
+    kj = k.join(F.broadcast(j), F.col("ks") <= F.col("js")).select(
+        "ks", "js", "kn", "kp",
+        (
+            (F.col("jcp") - F.col("kcp") + F.col("kp")).cast("double")
+            / (F.col("jcn") - F.col("kcn") + F.col("kn")).cast("double")
+        ).alias("rate"),
+    )
+    from pyspark.sql import Window
+
+    wj = Window.partitionBy("js").orderBy("ks").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    m = kj.withColumn("mx", F.max("rate").over(wj))
+    return m.groupBy(F.col("ks").alias("score")).agg(
+        F.max("kn").alias("n"),
+        F.max("kp").alias("p"),
+        F.round(F.min("mx"), 6).alias("iso_rate"),
+    )

@@ -1547,3 +1547,57 @@ def test_label_propagation_two_cliques(spark):
     assert len({lbl[v] for v in [1, 2, 3, 4]}) == 1
     assert len({lbl[v] for v in [10, 11, 12, 13]}) == 1
     assert lbl[1] != lbl[10]  # the bridge must not merge the cliques
+
+
+def test_isotonic_calibration_matches_pava(spark, sf_dir):
+    """The minimax closed form must equal the classic sequential
+    pool-adjacent-violators fit (exact Fractions), and be monotone."""
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from csv2parquet_spark.queries.mlmetrics import isotonic_calibration_exact
+    from csv2parquet_spark.tables import table
+
+    import math
+
+    rows = (
+        table(spark, sf_dir, "embeddings")
+        .select(
+            F.floor(F.element_at("embedding", 1).cast("double") * 100)
+            .cast("long")
+            .alias("score"),
+            (F.col("label") >= 5).cast("int").alias("pos"),
+        )
+        .groupBy("score")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("pos").alias("p"))
+        .orderBy("score")
+        .collect()
+    )
+    # classic PAVA with exact weights
+    pools = []  # (n, p) merged pools in score order
+    spans = []  # how many buckets each pool covers
+    for r in rows:
+        pools.append((r.n, r.p))
+        spans.append(1)
+        while len(pools) > 1 and Fraction(pools[-2][1], pools[-2][0]) >= Fraction(
+            pools[-1][1], pools[-1][0]
+        ):
+            n2, p2 = pools.pop()
+            s2 = spans.pop()
+            pools[-1] = (pools[-1][0] + n2, pools[-1][1] + p2)
+            spans[-1] += s2
+    want = []
+    for (n, p), s in zip(pools, spans):
+        want.extend([Fraction(p, n)] * s)
+
+    got = {
+        r.score: r.iso_rate
+        for r in isotonic_calibration_exact(spark, sf_dir).collect()
+    }
+    assert len(got) == len(rows)
+    fits = [got[r.score] for r in rows]
+    for a, b in zip(fits, fits[1:]):
+        assert a <= b, "isotonic fit must be non-decreasing"
+    for f, w in zip(fits, want):
+        assert math.isclose(f, float(w), abs_tol=2e-6), (f, float(w))
