@@ -91,6 +91,7 @@ _DEFER_THIS_ROUND: set[str] = {
     "stratified_sample_exact",
     "lpa_copurchase_communities",
     "isotonic_calibration_exact",
+    "jackknife_ratio_ci",
 }
 
 # Within the deferred tier, these names sort FIRST (list order) so

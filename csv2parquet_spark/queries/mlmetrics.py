@@ -802,3 +802,114 @@ def isotonic_calibration_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("kp").alias("p"),
         F.round(F.min("mx"), 6).alias("iso_rate"),
     )
+
+
+@register(
+    "jackknife_ratio_ci",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 32 AS b,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ), pb AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS n_b,
+             CAST(sum(cents) AS BIGINT) AS s_b
+      FROM o GROUP BY b
+    ), tot AS (
+      SELECT CAST(sum(n_b) AS BIGINT) AS n, CAST(sum(s_b) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS nb
+      FROM pb
+    ), loo AS (
+      SELECT CAST(tot.s - pb.s_b AS DOUBLE)
+               / CAST(tot.n - pb.n_b AS DOUBLE) AS th,
+             tot.n AS n, tot.s AS s, tot.nb AS nb
+      FROM pb, tot
+    ), mn AS (
+      SELECT CAST(sum(CAST(th AS DECIMAL(28,12))) AS DOUBLE)
+               / CAST(max(nb) AS DOUBLE) AS thbar,
+             max(n) AS n, max(s) AS s, max(nb) AS nb
+      FROM loo
+    )
+    SELECT max(mn.n) AS n_orders, max(mn.nb) AS n_buckets,
+           round(CAST(max(mn.s) AS DOUBLE) / max(mn.n), 6) AS theta_hat,
+           round(sqrt(CAST(max(mn.nb) - 1 AS DOUBLE) / max(mn.nb)
+                 * CAST(sum(CAST((loo.th - mn.thbar) * (loo.th - mn.thbar)
+                                 AS DECIMAL(28,12))) AS DOUBLE)), 6)
+             AS se_jack,
+           round(CAST(max(mn.s) AS DOUBLE) / max(mn.n)
+                 - 1.96 * sqrt(CAST(max(mn.nb) - 1 AS DOUBLE) / max(mn.nb)
+                   * CAST(sum(CAST((loo.th - mn.thbar) * (loo.th - mn.thbar)
+                                   AS DECIMAL(28,12))) AS DOUBLE)), 6)
+             AS ci_lo,
+           round(CAST(max(mn.s) AS DOUBLE) / max(mn.n)
+                 + 1.96 * sqrt(CAST(max(mn.nb) - 1 AS DOUBLE) / max(mn.nb)
+                   * CAST(sum(CAST((loo.th - mn.thbar) * (loo.th - mn.thbar)
+                                   AS DECIMAL(28,12))) AS DOUBLE)), 6)
+             AS ci_hi
+    FROM loo, mn
+    """,
+)
+def jackknife_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered (delete-one-bucket) jackknife 95% CI for a RATIO
+    metric — mean order value in cents, with the CUSTOMER as the unit
+    of randomization: orders of one customer land in one of 32 md5
+    hash buckets, and each leave-one-bucket-out estimate
+    θ₍ᵦ₎ = (S−S_b)/(N−N_b) comes from the totals minus that bucket's
+    sums. This is how experiment platforms get honest error bars on
+    ratio metrics (per-row bootstrap/CLT understates variance when the
+    numerator and denominator are correlated within a customer).
+
+    Determinism: bucket sums are exact integers; each θ₍ᵦ₎ is ONE
+    double division; the jackknife mean and the squared deviations go
+    through DECIMAL(28,12) sums (association-proof) with single
+    multiplications/roots on identical doubles. Scale shape: ONE
+    map-side-combining aggregate over the fact table into 32 buckets;
+    everything after is a 32-row relation — the classic
+    "mergeable-summary then model-sized math" jackknife at any corpus
+    size.
+    """
+    from csv2parquet_spark.operators.layout import shard_key
+
+    o = table(spark, sf_dir, "orders").select(
+        shard_key(F.col("o_custkey"), 32).cast("long").alias("b"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    pb = o.groupBy("b").agg(
+        F.count(F.lit(1)).alias("n_b"), F.sum("cents").alias("s_b")
+    )
+    tot = pb.agg(
+        F.sum("n_b").alias("n"),
+        F.sum("s_b").alias("s"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    loo = pb.crossJoin(F.broadcast(tot)).select(
+        (
+            (F.col("s") - F.col("s_b")).cast("double")
+            / (F.col("n") - F.col("n_b")).cast("double")
+        ).alias("th"),
+        "n", "s", "nb",
+    ).localCheckpoint()  # 32 rows, consumed twice
+    mn = loo.agg(
+        (
+            F.sum(F.col("th").cast("decimal(28,12)")).cast("double")
+            / F.max("nb").cast("double")
+        ).alias("thbar")
+    )
+    j = loo.crossJoin(F.broadcast(mn))
+    dev2 = (F.col("th") - F.col("thbar")) * (F.col("th") - F.col("thbar"))
+    var = (
+        (F.max("nb") - 1).cast("double") / F.max("nb")
+        * F.sum(dev2.cast("decimal(28,12)")).cast("double")
+    )
+    theta = F.max("s").cast("double") / F.max("n")
+    return j.agg(
+        F.max("n").alias("n_orders"),
+        F.max("nb").alias("n_buckets"),
+        F.round(theta, 6).alias("theta_hat"),
+        F.round(F.sqrt(var), 6).alias("se_jack"),
+        F.round(theta - 1.96 * F.sqrt(var), 6).alias("ci_lo"),
+        F.round(theta + 1.96 * F.sqrt(var), 6).alias("ci_hi"),
+    )
