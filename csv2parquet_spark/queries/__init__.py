@@ -92,6 +92,7 @@ _DEFER_THIS_ROUND: set[str] = {
     "lpa_copurchase_communities",
     "isotonic_calibration_exact",
     "jackknife_ratio_ci",
+    "km_reorder_survival",
 }
 
 # Within the deferred tier, these names sort FIRST (list order) so

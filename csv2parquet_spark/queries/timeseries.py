@@ -1322,3 +1322,132 @@ def sessionize_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis(F.min("ts")).alias("session_start_ms"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "km_reorder_survival",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey AS c,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT)
+               AS day
+      FROM orders
+    ), w AS (
+      SELECT CAST(max(day) AS BIGINT) AS wend FROM o
+    ), sp AS (
+      SELECT c, day,
+             lead(day) OVER (PARTITION BY c ORDER BY day) AS nxt
+      FROM o
+    ), dur AS (
+      SELECT CASE WHEN nxt IS NOT NULL THEN nxt - day
+                  ELSE (SELECT wend FROM w) - day END AS t,
+             CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS d
+      FROM sp
+    ), g AS (
+      SELECT t, CAST(sum(d) AS BIGINT) AS d_t,
+             CAST(count(*) - sum(d) AS BIGINT) AS c_t,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM dur GROUP BY t
+    ), cumrel AS (
+      SELECT t, d_t, c_t, cnt,
+             sum(cnt) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER () AS n
+      FROM g
+    ), terms AS (
+      SELECT t, d_t, c_t,
+             CAST(n - (cum - cnt) AS BIGINT) AS at_risk,
+             CASE WHEN d_t = 0 THEN 0
+                  WHEN d_t = n - (cum - cnt) THEN -1000000000000000
+                  ELSE CAST(round(ln(CAST(n - (cum - cnt) - d_t AS DOUBLE)
+                                     / CAST(n - (cum - cnt) AS DOUBLE))
+                                  * CAST(1000000000000 AS DOUBLE))
+                            AS BIGINT) END AS term_fp
+      FROM cumrel
+    )
+    SELECT t, at_risk, d_t, c_t,
+           round(exp(CAST(sum(term_fp) OVER (ORDER BY t
+                                             ROWS UNBOUNDED PRECEDING)
+                          AS DOUBLE)
+                     / CAST(1000000000000 AS DOUBLE)), 6) AS surv
+    FROM terms
+    """,
+)
+def km_reorder_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for the INTER-PURCHASE time with
+    right-censoring — "what fraction of customers have not reordered
+    within t days": each consecutive-order gap is an observed event,
+    the time from a customer's last order to the dataset end is a
+    CENSORED duration (ignoring censoring would bias reorder times
+    short — the canonical survival-analysis mistake). S(t) =
+    Π_{u≤t} (1 − d_u/n_u) over event times.
+
+    Hash-provable product chain: ln S(t) = Σ ln((n−d)/n) with each term
+    ONE ln of an integer ratio (deterministic double), rounded to
+    1e-12 fixed-point BIGINT, accumulated by the two-pass
+    ``global_cumsum`` (exact integer addition — association-proof where
+    a double running sum would not be); S = exp of the identical
+    double. The n=d boundary (last at-risk dies) takes a −10¹⁵
+    sentinel, and exp(−1000) underflows to 0.0 identically on both
+    engines.
+
+    Scale shape: one per-customer window (lead) over the fact, one
+    groupBy onto the day-domain-sized duration relation, then two
+    two-pass cumsums (at-risk counts, ln terms) on that compressed
+    relation — no single-partition stage; the curve length is the
+    duration domain, not the row count.
+    """
+    from csv2parquet_spark.operators.ranking import global_cumsum
+
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("day"),
+    )
+    wend = o.agg(F.max("day").alias("wend"))
+    sp = o.withColumn(
+        "nxt", F.lead("day").over(Window.partitionBy("c").orderBy("day"))
+    )
+    dur = sp.crossJoin(F.broadcast(wend)).select(
+        F.when(F.col("nxt").isNotNull(), F.col("nxt") - F.col("day"))
+        .otherwise(F.col("wend") - F.col("day"))
+        .alias("t"),
+        F.when(F.col("nxt").isNotNull(), 1).otherwise(0).alias("d"),
+    )
+    g = dur.groupBy("t").agg(
+        F.sum("d").alias("d_t"),
+        (F.count(F.lit(1)) - F.sum("d")).alias("c_t"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    n = g.agg(F.sum("cnt")).collect()[0][0]
+    cum = global_cumsum(g, keys=["t"], weight_col="cnt", cum_col="cum")
+    at_risk = (F.lit(n) - (F.col("cum") - F.col("cnt"))).cast("long")
+    lnterm = F.log(
+        (at_risk - F.col("d_t")).cast("double") / at_risk.cast("double")
+    )
+    terms = cum.select(
+        "t",
+        "d_t",
+        "c_t",
+        at_risk.alias("at_risk"),
+        F.when(F.col("d_t") == 0, F.lit(0).cast("long"))
+        .when(
+            F.col("d_t") == at_risk, F.lit(-1000000000000000).cast("long")
+        )
+        .otherwise(
+            F.round(lnterm * F.lit(1000000000000.0)).cast("long")
+        )
+        .alias("term_fp"),
+    )
+    acc = global_cumsum(terms, keys=["t"], weight_col="term_fp", cum_col="lnacc")
+    return acc.select(
+        "t",
+        "at_risk",
+        "d_t",
+        "c_t",
+        F.round(
+            F.exp(F.col("lnacc").cast("double") / F.lit(1000000000000.0)), 6
+        ).alias("surv"),
+    )

@@ -1601,3 +1601,55 @@ def test_isotonic_calibration_matches_pava(spark, sf_dir):
         assert a <= b, "isotonic fit must be non-decreasing"
     for f, w in zip(fits, want):
         assert math.isclose(f, float(w), abs_tol=2e-6), (f, float(w))
+
+
+def test_km_survival_matches_python_reference(spark, sf_dir):
+    """The fixed-point KM curve must equal a straight-line Python
+    Kaplan-Meier over the same (duration, event) pairs, censoring
+    included."""
+    import math
+    from collections import Counter
+    from fractions import Fraction
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from csv2parquet_spark.queries.timeseries import km_reorder_survival
+    from csv2parquet_spark.tables import table
+
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        ).cast("long").alias("day"),
+    )
+    rows = o.withColumn(
+        "nxt", F.lead("day").over(Window.partitionBy("c").orderBy("day"))
+    ).collect()
+    wend = max(r.day for r in rows)
+    durs = [
+        (r.nxt - r.day, 1) if r.nxt is not None else (wend - r.day, 0)
+        for r in rows
+    ]
+    deaths = Counter(t for t, d in durs if d)
+    total = Counter(t for t, _ in durs)
+    at_risk = len(durs)
+    surv = Fraction(1)
+    want = {}
+    for t in sorted(total):
+        d_t = deaths.get(t, 0)
+        if d_t:
+            surv *= Fraction(at_risk - d_t, at_risk)
+        want[t] = (at_risk, d_t, float(surv))
+        at_risk -= total[t]
+
+    got = {r.t: r for r in km_reorder_survival(spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    for t, (n_t, d_t, s) in want.items():
+        r = got[t]
+        assert r.at_risk == n_t and r.d_t == d_t
+        assert math.isclose(r.surv, s, abs_tol=2e-6), (t, r.surv, s)
+    # curve must be non-increasing in t
+    ts = sorted(got)
+    for a, b in zip(ts, ts[1:]):
+        assert got[b].surv <= got[a].surv + 1e-9
