@@ -93,6 +93,7 @@ _DEFER_THIS_ROUND: set[str] = {
     "isotonic_calibration_exact",
     "jackknife_ratio_ci",
     "km_reorder_survival",
+    "theil_sen_daily_trend",
 }
 
 # Within the deferred tier, these names sort FIRST (list order) so

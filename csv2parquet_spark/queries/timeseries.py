@@ -1451,3 +1451,124 @@ def km_reorder_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.exp(F.col("lnacc").cast("double") / F.lit(1000000000000.0)), 6
         ).alias("surv"),
     )
+
+
+@register(
+    "theil_sen_daily_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1
+    ), sl AS (
+      SELECT CAST(b.cents - a.cents AS DOUBLE)
+               / CAST(b.d - a.d AS DOUBLE) AS s
+      FROM daily a JOIN daily b ON a.d < b.d
+    ), g AS (
+      SELECT s, CAST(count(*) AS BIGINT) AS cnt FROM sl GROUP BY s
+    ), cdf AS (
+      SELECT s, cnt,
+             sum(cnt) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER () AS n
+      FROM g
+    ), med AS (
+      SELECT (sum(CASE WHEN cum - cnt < (n+1)//2 AND (n+1)//2 <= cum
+                       THEN s END)
+              + sum(CASE WHEN cum - cnt < (n+2)//2 AND (n+2)//2 <= cum
+                         THEN s END)) / 2 AS slope,
+             CAST(max(n) AS BIGINT) AS n_pairs
+      FROM cdf
+    ), res AS (
+      SELECT CAST(daily.cents AS DOUBLE) - med.slope * daily.d AS r,
+             med.slope, med.n_pairs
+      FROM daily, med
+    ), rg AS (
+      SELECT r, slope, n_pairs, CAST(count(*) AS BIGINT) AS cnt
+      FROM res GROUP BY r, slope, n_pairs
+    ), rcdf AS (
+      SELECT r, slope, n_pairs, cnt,
+             sum(cnt) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER () AS n
+      FROM rg
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_days,
+           max(n_pairs) AS n_pairs,
+           round(max(slope), 6) AS ts_slope,
+           round((sum(CASE WHEN cum - cnt < (n+1)//2 AND (n+1)//2 <= cum
+                           THEN r END)
+                  + sum(CASE WHEN cum - cnt < (n+2)//2 AND (n+2)//2 <= cum
+                             THEN r END)) / 2, 6) AS ts_intercept
+    FROM rcdf
+    """,
+)
+def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily revenue: slope = MEDIAN of all
+    pairwise day-to-day slopes, intercept = median residual — the
+    estimator that shrugs off the outlier days OLS chases (29.3%
+    breakdown point). The robust-regression sibling of
+    ``ols_per_group`` and ``mad_outlier_report``.
+
+    Engine-exactness: daily revenue in integer cents; each pairwise
+    slope is ONE double division of integer differences
+    (deterministic); medians come from the value-compressed CDF +
+    conditional-sum k-th pick (the MAD machinery) — the even-count
+    median averages two picked doubles, still deterministic. The
+    intercept pass reuses the UNROUNDED slope so both medians bite on
+    full-precision values.
+
+    Scale shape: one partial-agg onto the day domain; pairwise slopes
+    are day-domain², not row², and the two median passes run on
+    compressed relations. Day-domain² is the honest cost of exact
+    Theil-Sen — at a year of days that is 66k pairs, still model-sized;
+    sub-sampled Theil-Sen (random pair subsets) is the documented
+    path beyond that.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("d"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+        )
+        .groupBy("d")
+        .agg(F.sum("c").alias("cents"))
+        .localCheckpoint()  # day-domain-sized; consumed by pairs + residuals
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("cents").alias("ca"))
+    b = daily.select(F.col("d").alias("db"), F.col("cents").alias("cb"))
+    sl = a.join(F.broadcast(b), F.col("da") < F.col("db")).select(
+        (
+            (F.col("cb") - F.col("ca")).cast("double")
+            / (F.col("db") - F.col("da")).cast("double")
+        ).alias("s")
+    )
+
+    def _median_of(df, col):
+        from csv2parquet_spark.operators.ranking import global_cumsum
+
+        g = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        cum = global_cumsum(g, keys=[col], weight_col="cnt", cum_col="cum")
+        n = int(cum.agg(F.max("cum")).collect()[0][0])
+        k1, k2 = (n + 1) // 2, (n + 2) // 2
+        pick = lambda k: F.sum(  # noqa: E731
+            F.when(
+                (F.col("cum") - F.col("cnt") < k) & (F.lit(k) <= F.col("cum")),
+                F.col(col),
+            )
+        )
+        row = cum.agg(((pick(k1) + pick(k2)) / 2).alias("m")).collect()[0]
+        return float(row.m), n
+
+    slope, n_pairs = _median_of(sl, "s")
+    res = daily.select(
+        (F.col("cents").cast("double") - F.lit(slope) * F.col("d")).alias("r")
+    )
+    intercept, n_days = _median_of(res, "r")
+    return spark.createDataFrame(
+        [(n_days, n_pairs, round(slope, 6), round(intercept, 6))],
+        "n_days bigint, n_pairs bigint, ts_slope double, ts_intercept double",
+    )

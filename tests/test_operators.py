@@ -1653,3 +1653,46 @@ def test_km_survival_matches_python_reference(spark, sf_dir):
     ts = sorted(got)
     for a, b in zip(ts, ts[1:]):
         assert got[b].surv <= got[a].surv + 1e-9
+
+
+def test_theil_sen_matches_python_reference(spark, sf_dir):
+    """Slope/intercept must equal the direct median-of-pairwise-slopes
+    definition computed in Python on the same integer daily series."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from csv2parquet_spark.queries.timeseries import theil_sen_daily_trend
+    from csv2parquet_spark.tables import table
+
+    daily = {
+        r.d: r.cents
+        for r in (
+            table(spark, sf_dir, "events")
+            .select(
+                F.datediff(
+                    F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+                ).cast("long").alias("d"),
+                F.floor(F.col("value") * 100 + F.lit(0.5))
+                .cast("long")
+                .alias("c"),
+            )
+            .groupBy("d")
+            .agg(F.sum("c").alias("cents"))
+            .collect()
+        )
+    }
+    ds = sorted(daily)
+    slopes = [
+        (daily[b] - daily[a]) / (b - a)
+        for i, a in enumerate(ds)
+        for b in ds[i + 1 :]
+    ]
+    slope = statistics.median(slopes)
+    intercept = statistics.median(daily[d] - slope * d for d in ds)
+
+    r = theil_sen_daily_trend(spark, sf_dir).collect()[0]
+    assert r.n_days == len(ds)
+    assert r.n_pairs == len(slopes)
+    assert abs(r.ts_slope - slope) < 2e-6
+    assert abs(r.ts_intercept - intercept) < 2e-6
