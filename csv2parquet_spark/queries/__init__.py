@@ -94,6 +94,8 @@ _DEFER_THIS_ROUND: set[str] = {
     "jackknife_ratio_ci",
     "km_reorder_survival",
     "theil_sen_daily_trend",
+    "mann_whitney_u_test",
+    "kendall_tau_b_bands",
 }
 
 # Within the deferred tier, these names sort FIRST (list order) so

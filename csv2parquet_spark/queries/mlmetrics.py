@@ -913,3 +913,200 @@ def jackknife_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(theta - 1.96 * F.sqrt(var), 6).alias("ci_lo"),
         F.round(theta + 1.96 * F.sqrt(var), 6).alias("ci_hi"),
     )
+
+
+@register(
+    "mann_whitney_u_test",
+    oracle="""
+    WITH o AS (
+      SELECT CASE WHEN substr(md5(CAST(o_custkey AS VARCHAR)), 1, 1) < '8'
+                  THEN 1 ELSE 0 END AS grp_a,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ), g AS (
+      SELECT cents,
+             CAST(sum(grp_a) AS BIGINT) AS n_a,
+             CAST(count(*) - sum(grp_a) AS BIGINT) AS n_b
+      FROM o GROUP BY cents
+    ), c AS (
+      SELECT cents, n_a, n_b,
+             sum(n_b) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum_b
+      FROM g
+    ), u AS (
+      SELECT CAST(sum(n_a) AS BIGINT) AS na,
+             CAST(sum(n_b) AS BIGINT) AS nb,
+             CAST(sum(n_a * (2 * (cum_b - n_b) + n_b)) AS BIGINT) AS u2,
+             CAST(sum(n_a + n_b) AS BIGINT) AS n,
+             CAST(sum((n_a + n_b) * (n_a + n_b) * (n_a + n_b)
+                      - (n_a + n_b)) AS BIGINT) AS tie3
+      FROM c
+    )
+    SELECT na, nb, u2,
+           round((CAST(u2 AS DOUBLE) / 2 - CAST(na AS DOUBLE) * nb / 2)
+                 / sqrt(CAST(na AS DOUBLE) * nb / 12
+                        * ((n + 1) - CAST(tie3 AS DOUBLE) / (n * (n - 1)))),
+                 6) AS z_score
+    FROM u
+    """,
+)
+def mann_whitney_u_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test between the two md5
+    experiment arms of the order-value distribution — the nonparametric
+    complement of ``ab_test_revenue_ztest``: sensitive to distribution
+    shifts a mean-based z-test misses, and immune to the heavy tail
+    that inflates its variance.
+
+    Rank-free U: on the value-compressed CDF, each value's A-count
+    contributes ``n_a·(#B strictly below + #B tied/2)`` — doubled to
+    ``u2 = n_a·(2·cum_b_below + n_b)`` so ties stay INTEGER (the exact
+    trick ``roc_auc_exact`` uses — U/(n_a·n_b) IS the AUC between the
+    arms). The tie-corrected normal z is closed-form deterministic
+    doubles from integer totals. Scale shape: ONE map-side-combining
+    aggregate onto the value domain + one two-pass cumsum — no row
+    ever gets a rank.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        F.when(
+            F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 1) < "8", 1
+        )
+        .otherwise(0)
+        .alias("grp_a"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    g = o.groupBy("cents").agg(
+        F.sum("grp_a").alias("n_a"),
+        (F.count(F.lit(1)) - F.sum("grp_a")).alias("n_b"),
+    )
+    c = global_cumsum(g, keys=["cents"], weight_col="n_b", cum_col="cum_b")
+    tied = F.col("n_a") + F.col("n_b")
+    u = c.agg(
+        F.sum("n_a").alias("na"),
+        F.sum("n_b").alias("nb"),
+        F.sum(
+            F.col("n_a") * (2 * (F.col("cum_b") - F.col("n_b")) + F.col("n_b"))
+        ).alias("u2"),
+        F.sum(tied).alias("n"),
+        F.sum(tied * tied * tied - tied).alias("tie3"),
+    )
+    z = (
+        F.col("u2").cast("double") / 2
+        - F.col("na").cast("double") * F.col("nb") / 2
+    ) / F.sqrt(
+        F.col("na").cast("double") * F.col("nb") / 12
+        * (
+            (F.col("n") + 1)
+            - F.col("tie3").cast("double") / (F.col("n") * (F.col("n") - 1))
+        )
+    )
+    return u.select("na", "nb", "u2", F.round(z, 6).alias("z_score"))
+
+
+@register(
+    "kendall_tau_b_bands",
+    oracle="""
+    WITH rel AS (
+      SELECT CAST(o.o_totalprice AS BIGINT) // 50000 AS x,
+             CAST(floor(c.c_acctbal / 2000) AS BIGINT) AS y
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), cell AS (
+      SELECT x, y, CAST(count(*) AS BIGINT) AS m FROM rel GROUP BY x, y
+    ), conc AS (
+      SELECT CAST(sum(a.m * b.m) AS BIGINT) AS s,
+             'C' AS kind
+      FROM cell a JOIN cell b ON b.x > a.x AND b.y > a.y
+      UNION ALL
+      SELECT CAST(sum(a.m * b.m) AS BIGINT) AS s, 'D' AS kind
+      FROM cell a JOIN cell b ON b.x > a.x AND b.y < a.y
+    ), marg AS (
+      SELECT CAST(sum(m) AS BIGINT) AS n,
+             CAST(sum(m * (m - 1)) AS BIGINT) / 2 AS tie_xy
+      FROM cell
+    ), tx AS (
+      SELECT CAST(sum(mx * (mx - 1)) AS BIGINT) / 2 AS n1
+      FROM (SELECT CAST(sum(m) AS BIGINT) AS mx FROM cell GROUP BY x)
+    ), ty AS (
+      SELECT CAST(sum(my * (my - 1)) AS BIGINT) / 2 AS n2
+      FROM (SELECT CAST(sum(m) AS BIGINT) AS my FROM cell GROUP BY y)
+    )
+    SELECT marg.n AS n_pairs_rows,
+           CAST(max(CASE WHEN kind = 'C' THEN s END) AS BIGINT) AS conc,
+           CAST(max(CASE WHEN kind = 'D' THEN s END) AS BIGINT) AS disc,
+           CAST(tx.n1 AS BIGINT) AS ties_x, CAST(ty.n2 AS BIGINT) AS ties_y,
+           round((CAST(max(CASE WHEN kind = 'C' THEN s END) AS DOUBLE)
+                  - max(CASE WHEN kind = 'D' THEN s END))
+                 / sqrt((CAST(marg.n AS DOUBLE) * (marg.n - 1) / 2 - tx.n1)
+                        * (CAST(marg.n AS DOUBLE) * (marg.n - 1) / 2
+                           - ty.n2)), 6) AS tau_b
+    FROM conc, marg, tx, ty
+    GROUP BY marg.n, tx.n1, ty.n2
+    """,
+)
+def kendall_tau_b_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between the order-value band and
+    the customer's account-balance band — "do richer customers place
+    bigger orders", answered by CONCORDANCE instead of moments (robust
+    to any monotone rescaling; the tie-corrected tau-b is the version
+    defined on banded/contingency data).
+
+    Exactness: concordant/discordant counts are sums of integer
+    cell-count products over the banded CONTINGENCY GRID (never row
+    pairs) — C = Σ m_ab·m_cd over cells strictly increasing in both
+    coordinates, via a grid self-join (grid² pairs, model-sized since
+    the grid is the band cross product). Tie terms are integer
+    marginals; tau-b is one deterministic double expression at the end.
+
+    Scale shape: one broadcast dim join + ONE partial-agg onto the
+    grid; everything after is grid-sized. At 100 TB the grid is still
+    ~20×12 cells — the corpus never pairs with itself.
+    """
+    o = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    rel = o.join(
+        F.broadcast(cust.select("c_custkey", "c_acctbal")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(
+        F.expr("CAST(o_totalprice AS BIGINT) div 50000").alias("x"),
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("y"),
+    )
+    cell = rel.groupBy("x", "y").agg(F.count(F.lit(1)).alias("m")).localCheckpoint()
+    a = cell.select(
+        F.col("x").alias("xa"), F.col("y").alias("ya"), F.col("m").alias("ma")
+    )
+    b = cell.select(
+        F.col("x").alias("xb"), F.col("y").alias("yb"), F.col("m").alias("mb")
+    )
+    conc = (
+        a.join(F.broadcast(b), (F.col("xb") > F.col("xa")) & (F.col("yb") > F.col("ya")))
+        .agg(F.sum(F.col("ma") * F.col("mb")).alias("s"))
+        .collect()[0].s
+        or 0
+    )
+    disc = (
+        a.join(F.broadcast(b), (F.col("xb") > F.col("xa")) & (F.col("yb") < F.col("ya")))
+        .agg(F.sum(F.col("ma") * F.col("mb")).alias("s"))
+        .collect()[0].s
+        or 0
+    )
+    marg = cell.agg(F.sum("m").alias("n")).collect()[0]
+    n = int(marg.n)
+    ties_x = int(
+        cell.groupBy("x").agg(F.sum("m").alias("mx"))
+        .agg(F.sum(F.col("mx") * (F.col("mx") - 1)).alias("t"))
+        .collect()[0].t
+    ) // 2
+    ties_y = int(
+        cell.groupBy("y").agg(F.sum("m").alias("my"))
+        .agg(F.sum(F.col("my") * (F.col("my") - 1)).alias("t"))
+        .collect()[0].t
+    ) // 2
+    n0 = n * (n - 1) / 2.0
+    tau_b = (float(conc) - float(disc)) / (
+        ((n0 - ties_x) * (n0 - ties_y)) ** 0.5
+    )
+    return spark.createDataFrame(
+        [(n, int(conc), int(disc), ties_x, ties_y, round(tau_b, 6))],
+        "n_pairs_rows bigint, conc bigint, disc bigint, ties_x bigint, "
+        "ties_y bigint, tau_b double",
+    )

@@ -1696,3 +1696,101 @@ def test_theil_sen_matches_python_reference(spark, sf_dir):
     assert r.n_pairs == len(slopes)
     assert abs(r.ts_slope - slope) < 2e-6
     assert abs(r.ts_intercept - intercept) < 2e-6
+
+
+def test_mann_whitney_matches_rank_definition(spark, sf_dir):
+    """u2 must equal 2x the classic rank-sum U (with tie halves), and
+    the tie-corrected z must match the textbook formula."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from csv2parquet_spark.queries.mlmetrics import mann_whitney_u_test
+    from csv2parquet_spark.tables import table
+
+    rows = (
+        table(spark, sf_dir, "orders")
+        .select(
+            F.when(
+                F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 1)
+                < "8",
+                1,
+            )
+            .otherwise(0)
+            .alias("a"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("c"),
+        )
+        .collect()
+    )
+    avals = sorted(r.c for r in rows if r.a)
+    bvals = sorted(r.c for r in rows if not r.a)
+    import bisect
+
+    u2 = 0
+    for x in avals:
+        lo = bisect.bisect_left(bvals, x)
+        hi = bisect.bisect_right(bvals, x)
+        u2 += 2 * lo + (hi - lo)
+    na, nb = len(avals), len(bvals)
+    n = na + nb
+    from collections import Counter
+
+    tie3 = sum(t**3 - t for t in Counter(r.c for r in rows).values())
+    var = na * nb / 12 * ((n + 1) - tie3 / (n * (n - 1)))
+    z = (u2 / 2 - na * nb / 2) / math.sqrt(var)
+
+    r = mann_whitney_u_test(spark, sf_dir).collect()[0]
+    assert (r.na, r.nb, r.u2) == (na, nb, u2)
+    assert abs(r.z_score - z) < 2e-6
+
+
+def test_kendall_tau_b_matches_pairwise_definition(spark, sf_dir):
+    """Grid-based concordance counts must equal the O(n^2) pairwise
+    definition on the same banded rows."""
+    from pyspark.sql import functions as F
+
+    from csv2parquet_spark.queries.mlmetrics import kendall_tau_b_bands
+    from csv2parquet_spark.tables import table
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    rows = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_acctbal")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.expr("CAST(o_totalprice AS BIGINT) div 50000").alias("x"),
+            F.floor(F.col("c_acctbal") / 2000).cast("long").alias("y"),
+        )
+        .collect()
+    )
+    pts = [(r.x, r.y) for r in rows]
+    conc = disc = tx = ty = 0
+    for i in range(len(pts)):
+        xi, yi = pts[i]
+        for j in range(i + 1, len(pts)):
+            xj, yj = pts[j]
+            if xi == xj and yi == yj:
+                continue
+            if xi == xj:
+                tx += 1
+            elif yi == yj:
+                ty += 1
+            elif (xi - xj) * (yi - yj) > 0:
+                conc += 1
+            else:
+                disc += 1
+
+    r = kendall_tau_b_bands(spark, sf_dir).collect()[0]
+    assert r.conc == conc and r.disc == disc
+    n = len(pts)
+    n0 = n * (n - 1) / 2
+    # query's ties_x counts ALL same-x pairs (incl. same-cell); the
+    # denominator terms must still agree with the scipy tau-b form
+    want_tau = (conc - disc) / (
+        ((n0 - r.ties_x) * (n0 - r.ties_y)) ** 0.5
+    )
+    assert abs(r.tau_b - want_tau) < 2e-6
