@@ -109,6 +109,10 @@ HEADLINE = [
     "mad_outlier_report",
     "rrf_fusion_hybrid",
     "mmr_diversify_topk",
+    # round-5 fifth wave (calibration / survival / communities)
+    "isotonic_calibration_exact",
+    "km_reorder_survival",
+    "lpa_copurchase_communities",
 ]
 
 
