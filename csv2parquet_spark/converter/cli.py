@@ -103,6 +103,12 @@ def build_parser() -> argparse.ArgumentParser:
         ">=2 numeric columns so conjunctive range predicates prune row "
         "groups in every listed dimension",
     )
+    p.add_argument(
+        "--partition-by", default=None, metavar="COL[,COL...]",
+        help="engine extension: hive-partitioned DIRECTORY output "
+        "(one subdirectory per distinct value — the layout partition "
+        "pruning and DPP read from); output is a directory, not a file",
+    )
     return p
 
 
@@ -113,6 +119,12 @@ def main(argv: list[str] | None = None) -> int:
         return 2
     if args.sort_by and args.zorder_by:
         print("--sort-by and --zorder-by are mutually exclusive", file=sys.stderr)
+        return 2
+    if args.partition_by and (args.sort_by or args.zorder_by):
+        print(
+            "--partition-by is mutually exclusive with --sort-by/--zorder-by",
+            file=sys.stderr,
+        )
         return 2
     opts = ConvertOptions(
         header=args.header,
@@ -142,6 +154,12 @@ def main(argv: list[str] | None = None) -> int:
             if args.zorder_by
             else None
         ),
+        partition_by=(
+            [c.strip() for c in args.partition_by.split(",") if c.strip()]
+            if args.partition_by
+            else None
+        ),
+        single_file=not args.partition_by,
     )
     fmt = args.format
     if fmt == "auto":

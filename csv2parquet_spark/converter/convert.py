@@ -97,6 +97,12 @@ class ConvertOptions:
     # numeric columns (the min/max scaling pass is one tiny aggregate).
     sort_by: str | None = None
     zorder_by: list[str] | None = None
+    # Engine extension: hive-partitioned output (directory per distinct
+    # value of each listed column — the layout partition pruning and
+    # DPP read from). Implies a DIRECTORY output, so it forces
+    # single_file off; mutually exclusive with the clustering flags
+    # (partition dirs already carry the pruning).
+    partition_by: list[str] | None = None
 
 
 def _effective_multiline(csv_path: str, opts: ConvertOptions) -> bool:
@@ -302,6 +308,36 @@ def write_parquet(
     opts: ConvertOptions,
 ) -> None:
     """W1-W9 parquet sink shared by every source format (CSV, JSONL)."""
+    if opts.partition_by:
+        if opts.sort_by or opts.zorder_by:
+            raise ValueError(
+                "partition_by is mutually exclusive with sort_by/zorder_by"
+            )
+        missing = [c for c in opts.partition_by if c not in df.columns]
+        if missing:
+            raise ValueError(f"partition column(s) not in schema: {missing}")
+        # one file per partition dir (repartition on the partition key),
+        # directory output by construction
+        writer = (
+            df.repartition(*[F.col(c) for c in opts.partition_by])
+            .write.partitionBy(*opts.partition_by)
+        )
+        if opts.compression:
+            if opts.compression not in _CODECS:
+                raise ValueError(f"unknown codec {opts.compression!r}")
+            writer = writer.option("compression", opts.compression)
+        prior = _apply_writer_conf(spark, opts)
+        try:
+            with _tuned_splits(spark, src_path):
+                writer.mode("overwrite").parquet(parquet_path)
+        finally:
+            conf = spark.sparkContext._jsc.hadoopConfiguration()
+            for k, v in prior.items():
+                if v is None:
+                    conf.unset(k)
+                else:
+                    conf.set(k, v)
+        return
     df = _clustered(df, opts)
     if opts.sort_by or opts.zorder_by:
         # _clustered already produced the target partitioning (1 sorted

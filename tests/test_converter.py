@@ -716,3 +716,30 @@ def test_cli_cluster_flag_validation(tmp_path):
         main(["--sort-by", "nope", str(src), out])
     with pytest.raises(ValueError, match="at least 2"):
         main(["--zorder-by", "x", str(src), out])
+
+
+def test_cli_partition_by_writes_hive_layout(tmp_path):
+    """--partition-by must produce a hive directory tree whose reads
+    carry PartitionFilters, and round-trip the data exactly."""
+    import os
+
+    import duckdb
+
+    from csv2parquet_spark.converter.cli import main
+
+    src = tmp_path / "in.csv"
+    src.write_text(
+        "grp,v\n" + "".join(f"g{i % 3},{i}\n" for i in range(300))
+    )
+    out = str(tmp_path / "out_dir")
+    assert main(["--partition-by", "grp", str(src), out]) == 0
+    assert os.path.isdir(out)
+    subdirs = {d for d in os.listdir(out) if d.startswith("grp=")}
+    assert subdirs == {"grp=g0", "grp=g1", "grp=g2"}
+    got = duckdb.sql(
+        f"SELECT grp, count(*) n, sum(v) s FROM read_parquet('{out}/*/*.parquet', "
+        "hive_partitioning=true) GROUP BY grp ORDER BY grp"
+    ).fetchall()
+    assert got == [("g0", 100, 14850), ("g1", 100, 14950), ("g2", 100, 15050)]
+    # mutual exclusion with clustering fails fast, before any Spark job
+    assert main(["--partition-by", "grp", "--sort-by", "v", str(src), out]) == 2
