@@ -96,6 +96,7 @@ _DEFER_THIS_ROUND: set[str] = {
     "theil_sen_daily_trend",
     "mann_whitney_u_test",
     "kendall_tau_b_bands",
+    "acf_daily_revenue",
 }
 
 # Within the deferred tier, these names sort FIRST (list order) so

@@ -1572,3 +1572,101 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_days, n_pairs, round(slope, 6), round(intercept, 6))],
         "n_days bigint, n_pairs bigint, ts_slope double, ts_intercept double",
     )
+
+
+@register(
+    "acf_daily_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1
+    ), m AS (
+      SELECT round(CAST(sum(CAST(cents AS DECIMAL(28,6))) AS DOUBLE)
+                   / count(*), 6) AS mu,
+             CAST(sum(CAST((CAST(cents AS DOUBLE)
+                    - round(CAST((SELECT sum(CAST(cents AS DECIMAL(28,6)))
+                                  FROM daily) AS DOUBLE)
+                            / (SELECT count(*) FROM daily), 6))
+                   * (CAST(cents AS DOUBLE)
+                    - round(CAST((SELECT sum(CAST(cents AS DECIMAL(28,6)))
+                                  FROM daily) AS DOUBLE)
+                            / (SELECT count(*) FROM daily), 6))
+                   AS DECIMAL(38,6))) AS DOUBLE) AS den
+      FROM daily
+    ), lagged AS (
+      SELECT k.k, a.cents AS xa, b.cents AS xb
+      FROM daily a
+      JOIN (SELECT unnest(range(1, 8)) AS k) k ON TRUE
+      JOIN daily b ON b.d = a.d + k.k
+    )
+    SELECT CAST(k AS BIGINT) AS lag_k,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           round(CAST(sum(CAST((CAST(xa AS DOUBLE) - m.mu)
+                               * (CAST(xb AS DOUBLE) - m.mu)
+                               AS DECIMAL(38,6))) AS DOUBLE) / m.den, 6)
+             AS acf
+    FROM lagged, m
+    GROUP BY k, m.den
+    """,
+)
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily revenue at lags 1-7 — the
+    diagnostic that says whether the series has day-over-day momentum
+    or weekly seasonality (the lag the seasonal-naive backtest assumes
+    is checked here, not guessed).
+
+    Parity discipline: daily totals in integer cents; the mean is a
+    decimal-sum average ROUNDED at 6 dp so both engines center on the
+    identical double; every centered product is decimal(38,6)-cast
+    before summing (association-proof at any magnitude); one division
+    per lag at the end. Scale shape: one partial-agg onto the day
+    domain, then a 7-way lag self-join on the day-domain relation —
+    day-domain sized everywhere after the first aggregate.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("d"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+        )
+        .groupBy("d")
+        .agg(F.sum("c").alias("cents"))
+        .localCheckpoint()  # day-domain sized; consumed three times
+    )
+    mu_n = daily.agg(
+        F.sum(F.col("cents").cast("decimal(28,6)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    mu = round(float(mu_n.s) / mu_n.n, 6)
+    den = (
+        daily.agg(
+            F.sum(
+                (
+                    (F.col("cents").cast("double") - F.lit(mu))
+                    * (F.col("cents").cast("double") - F.lit(mu))
+                ).cast("decimal(38,6)")
+            ).cast("double").alias("den")
+        ).collect()[0].den
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("cents").alias("xa"))
+    b = daily.select(F.col("d").alias("db"), F.col("cents").alias("xb"))
+    lagged = (
+        a.withColumn("lag_k", F.explode(F.array(*[F.lit(k) for k in range(1, 8)])))
+        .join(F.broadcast(b), F.col("db") == F.col("da") + F.col("lag_k"))
+    )
+    num = F.sum(
+        (
+            (F.col("xa").cast("double") - F.lit(mu))
+            * (F.col("xb").cast("double") - F.lit(mu))
+        ).cast("decimal(38,6)")
+    ).cast("double")
+    return lagged.groupBy(F.col("lag_k").cast("long").alias("lag_k")).agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(num / F.lit(den), 6).alias("acf"),
+    )

@@ -1794,3 +1794,39 @@ def test_kendall_tau_b_matches_pairwise_definition(spark, sf_dir):
         ((n0 - r.ties_x) * (n0 - r.ties_y)) ** 0.5
     )
     assert abs(r.tau_b - want_tau) < 2e-6
+
+
+def test_acf_matches_numpy_reference(spark, sf_dir):
+    """ACF terms must match the direct centered-product definition."""
+    from pyspark.sql import functions as F
+
+    from csv2parquet_spark.queries.timeseries import acf_daily_revenue
+    from csv2parquet_spark.tables import table
+
+    daily = {
+        r.d: r.cents
+        for r in (
+            table(spark, sf_dir, "events")
+            .select(
+                F.datediff(
+                    F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+                ).cast("long").alias("d"),
+                F.floor(F.col("value") * 100 + F.lit(0.5))
+                .cast("long")
+                .alias("c"),
+            )
+            .groupBy("d")
+            .agg(F.sum("c").alias("cents"))
+            .collect()
+        )
+    }
+    mu = round(sum(daily.values()) / len(daily), 6)
+    den = sum((x - mu) ** 2 for x in daily.values())
+    got = {r.lag_k: r for r in acf_daily_revenue(spark, sf_dir).collect()}
+    assert set(got) == set(range(1, 8))
+    for k in range(1, 8):
+        # calendar lag (day d pairs with day d+k), not positional lag
+        pairs = [(daily[d], daily[d + k]) for d in daily if d + k in daily]
+        num = sum((xa - mu) * (xb - mu) for xa, xb in pairs)
+        assert got[k].n_terms == len(pairs)
+        assert abs(got[k].acf - num / den) < 2e-6, (k, got[k].acf, num / den)
