@@ -97,6 +97,8 @@ _DEFER_THIS_ROUND: set[str] = {
     "mann_whitney_u_test",
     "kendall_tau_b_bands",
     "acf_daily_revenue",
+    "anomaly_days_seasonal_mad",
+    "conformal_interval_daily",
 }
 
 # Within the deferred tier, these names sort FIRST (list order) so

@@ -1670,3 +1670,202 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_terms"),
         F.round(num / F.lit(den), 6).alias("acf"),
     )
+
+
+@register(
+    "anomaly_days_seasonal_mad",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1
+    ), res AS (
+      SELECT a.d, a.cents, b.cents AS forecast,
+             a.cents - b.cents AS r
+      FROM daily a JOIN daily b ON b.d = a.d - 7
+    ), g AS (
+      SELECT r, CAST(count(*) AS BIGINT) AS cnt FROM res GROUP BY r
+    ), cdf AS (
+      SELECT r, cnt,
+             sum(cnt) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER () AS n
+      FROM g
+    ), med AS (
+      SELECT CAST(sum(CASE WHEN cum - cnt < (n+1)//2 AND (n+1)//2 <= cum
+                           THEN r END)
+                  + sum(CASE WHEN cum - cnt < (n+2)//2 AND (n+2)//2 <= cum
+                             THEN r END) AS BIGINT) AS med2
+      FROM cdf
+    ), dg AS (
+      SELECT abs(2 * g.r - med.med2) AS dv, CAST(sum(g.cnt) AS BIGINT) AS cnt
+      FROM g, med GROUP BY 1
+    ), dcdf AS (
+      SELECT dv, cnt,
+             sum(cnt) OVER (ORDER BY dv ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER () AS n
+      FROM dg
+    ), mad AS (
+      SELECT CAST(sum(CASE WHEN cum - cnt < (n+1)//2 AND (n+1)//2 <= cum
+                           THEN dv END)
+                  + sum(CASE WHEN cum - cnt < (n+2)//2 AND (n+2)//2 <= cum
+                             THEN dv END) AS BIGINT) AS m4
+      FROM dcdf
+    )
+    SELECT res.d, res.cents, res.forecast, res.r,
+           CAST(CASE WHEN 10000 * abs(2 * res.r - med.med2)
+                          > 22239 * mad.m4
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+    FROM res, med, mad
+    """,
+)
+def anomaly_days_seasonal_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomalous-days monitor — the composition every revenue dashboard
+    runs: seasonal-naive expectation (same weekday last week) →
+    residual → ROBUST flagging at 3·1.4826·MAD of the residual
+    distribution (a real incident inflates mean/stddev thresholds and
+    masks itself; the median/MAD gate does not move).
+
+    All integers end-to-end: cents residuals, the MAD machinery's
+    doubled encodings (med2, d=|2r−med2|, m4), and the integer cutoff
+    ``10000·d > 22239·m4`` — zero floats, bit-identical engines. The
+    two medians use global_cumsum + conditional k-th picks (no
+    single-partition window). Per-day rows with forecast, residual and
+    flag come back so the hash bites on every day.
+    """
+    from csv2parquet_spark.operators.ranking import global_cumsum
+
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("d"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+        )
+        .groupBy("d")
+        .agg(F.sum("c").alias("cents"))
+        .localCheckpoint()
+    )
+    b = daily.select(
+        (F.col("d") + 7).alias("d7"), F.col("cents").alias("forecast")
+    )
+    res = daily.join(F.broadcast(b), F.col("d") == F.col("d7")).select(
+        "d", "cents", "forecast", (F.col("cents") - F.col("forecast")).alias("r")
+    ).localCheckpoint()
+
+    def _med2_of(df, col):
+        g = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        cum = global_cumsum(g, keys=[col], weight_col="cnt", cum_col="cum")
+        n = int(cum.agg(F.max("cum")).collect()[0][0])
+        k1, k2 = (n + 1) // 2, (n + 2) // 2
+        pick = lambda k: F.sum(  # noqa: E731
+            F.when(
+                (F.col("cum") - F.col("cnt") < k) & (F.lit(k) <= F.col("cum")),
+                F.col(col),
+            )
+        )
+        return int(cum.agg((pick(k1) + pick(k2)).alias("m")).collect()[0].m)
+
+    med2 = _med2_of(res.select("r"), "r")
+    dev = res.select(
+        F.abs(2 * F.col("r") - F.lit(med2).cast("long")).alias("dv")
+    )
+    m4 = _med2_of(dev, "dv")
+    # threshold computed in Python — 22239·m4 overflows an int32 literal
+    # multiply under ANSI mode
+    thresh = 22239 * m4
+    return res.select(
+        "d",
+        "cents",
+        "forecast",
+        "r",
+        F.when(
+            10000 * F.abs(2 * F.col("r") - F.lit(med2).cast("long"))
+            > F.lit(thresh).cast("long"),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("is_anomaly"),
+    )
+
+
+@register(
+    "conformal_interval_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1
+    ), res AS (
+      SELECT abs(a.cents - b.cents) AS ar
+      FROM daily a JOIN daily b ON b.d = a.d - 7
+    ), g AS (
+      SELECT ar, CAST(count(*) AS BIGINT) AS cnt FROM res GROUP BY ar
+    ), cdf AS (
+      SELECT ar, cnt,
+             sum(cnt) OVER (ORDER BY ar ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER () AS n
+      FROM g
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_cal,
+           CAST((max(n) + 1) * 9 // 10 AS BIGINT) AS k,
+           CAST(sum(CASE WHEN cum - cnt < (n + 1) * 9 // 10
+                          AND (n + 1) * 9 // 10 <= cum
+                         THEN ar END) AS BIGINT) AS qhat_cents
+    FROM cdf
+    """,
+)
+def conformal_interval_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval for tomorrow's revenue:
+    qhat = the ⌈(n+1)·0.9⌉-th order statistic of the absolute
+    seasonal-naive residuals — the forecast ± qhat then covers ≥90% of
+    future days under exchangeability, with NO distributional
+    assumption (the finite-sample guarantee that sets conformal apart
+    from a Gaussian ±1.64σ band).
+
+    The calibration quantile is an exact integer order statistic (the
+    k-th pick on the value-compressed CDF — same machinery as the MAD
+    report), so the interval half-width is a BIGINT both engines agree
+    on bit-for-bit. One aggregate onto the day domain, one residual
+    join, one two-pass cumsum.
+    """
+    from csv2parquet_spark.operators.ranking import global_cumsum
+
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("d"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+        )
+        .groupBy("d")
+        .agg(F.sum("c").alias("cents"))
+    )
+    b = daily.select(
+        (F.col("d") + 7).alias("d7"), F.col("cents").alias("forecast")
+    )
+    res = daily.join(F.broadcast(b), F.col("d") == F.col("d7")).select(
+        F.abs(F.col("cents") - F.col("forecast")).alias("ar")
+    )
+    g = res.groupBy("ar").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = global_cumsum(g, keys=["ar"], weight_col="cnt", cum_col="cum")
+    n = int(cum.agg(F.max("cum")).collect()[0][0])
+    k = (n + 1) * 9 // 10
+    return cum.agg(
+        F.lit(n).cast("long").alias("n_cal"),
+        F.lit(k).cast("long").alias("k"),
+        F.sum(
+            F.when(
+                (F.col("cum") - F.col("cnt") < k) & (F.lit(k) <= F.col("cum")),
+                F.col("ar"),
+            )
+        ).alias("qhat_cents"),
+    )

@@ -1830,3 +1830,40 @@ def test_acf_matches_numpy_reference(spark, sf_dir):
         num = sum((xa - mu) * (xb - mu) for xa, xb in pairs)
         assert got[k].n_terms == len(pairs)
         assert abs(got[k].acf - num / den) < 2e-6, (k, got[k].acf, num / den)
+
+
+def test_conformal_interval_coverage_property(spark, sf_dir):
+    """qhat must be the ceil((n+1)*0.9)-th smallest |residual| and give
+    >=90% empirical coverage on the calibration residuals themselves."""
+    from pyspark.sql import functions as F
+
+    from csv2parquet_spark.queries.timeseries import conformal_interval_daily
+    from csv2parquet_spark.tables import table
+
+    daily = {
+        r.d: r.cents
+        for r in (
+            table(spark, sf_dir, "events")
+            .select(
+                F.datediff(
+                    F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+                ).cast("long").alias("d"),
+                F.floor(F.col("value") * 100 + F.lit(0.5))
+                .cast("long")
+                .alias("c"),
+            )
+            .groupBy("d")
+            .agg(F.sum("c").alias("cents"))
+            .collect()
+        )
+    }
+    resid = sorted(
+        abs(daily[d] - daily[d - 7]) for d in daily if d - 7 in daily
+    )
+    n = len(resid)
+    k = (n + 1) * 9 // 10
+    r = conformal_interval_daily(spark, sf_dir).collect()[0]
+    assert (r.n_cal, r.k) == (n, k)
+    assert r.qhat_cents == resid[k - 1]
+    covered = sum(1 for x in resid if x <= r.qhat_cents)
+    assert covered >= 0.9 * n - 1
