@@ -244,6 +244,33 @@ def global_running_max(
     return part.mapInPandas(running, out_schema)
 
 
+def exact_median(df: DataFrame, col: str) -> tuple[float, int]:
+    """Exact median of ``df[col]`` (numeric, possibly double) as
+    ``(median, n)`` with NO single-partition stage: value-compress to
+    ``(value) → count``, two-pass :func:`global_cumsum` for the CDF,
+    then the two middle order statistics as conditional sums (each CASE
+    picks exactly one row's value; even n averages the two picks).
+    Used by the Theil-Sen/Zipf estimators; for integer columns where
+    exactness must survive the /2, use the med2-doubling variant inline
+    (see mad_outlier_report).
+    """
+    g = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+    cum = global_cumsum(g, keys=[col], weight_col="cnt", cum_col="cum")
+    n = int(cum.agg(F.max("cum")).collect()[0][0])
+    k1, k2 = (n + 1) // 2, (n + 2) // 2
+
+    def pick(k: int) -> Column:
+        return F.sum(
+            F.when(
+                (F.col("cum") - F.col("cnt") < k) & (F.lit(k) <= F.col("cum")),
+                F.col(col),
+            )
+        )
+
+    row = cum.agg(((pick(k1) + pick(k2)) / 2).alias("m")).collect()[0]
+    return float(row.m), n
+
+
 def ntile_of(rn: Column, n: int, tiles: int) -> Column:
     """ntile(tiles) as a pure function of the 1-based unique row number
     and literal total ``n``: the first ``n % tiles`` tiles get

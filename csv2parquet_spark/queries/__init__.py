@@ -99,6 +99,7 @@ _DEFER_THIS_ROUND: set[str] = {
     "acf_daily_revenue",
     "anomaly_days_seasonal_mad",
     "conformal_interval_daily",
+    "zipf_fit_tokens",
 }
 
 # Within the deferred tier, these names sort FIRST (list order) so

@@ -625,3 +625,104 @@ def mmr_diversify_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pick_rank bigint, doc_id bigint, rel_fp bigint, "
         "max_sim_fp bigint, mmr2 bigint",
     )
+
+
+@register(
+    "zipf_fit_tokens",
+    oracle="""
+    WITH tc AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+      WHERE t <> '' GROUP BY t
+    ), top AS (
+      SELECT t, c FROM tc ORDER BY c DESC, t LIMIT 100
+    ), ranked AS (
+      SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, t) AS DOUBLE)) AS x,
+             ln(CAST(c AS DOUBLE)) AS y
+      FROM top
+    ), sl AS (
+      SELECT (b.y - a.y) / (b.x - a.x) AS s
+      FROM ranked a JOIN ranked b ON a.x < b.x
+    ), sg AS (
+      SELECT s, CAST(count(*) AS BIGINT) AS cnt FROM sl GROUP BY s
+    ), scdf AS (
+      SELECT s, cnt,
+             sum(cnt) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER () AS n
+      FROM sg
+    ), med AS (
+      SELECT (sum(CASE WHEN cum - cnt < (n+1)//2 AND (n+1)//2 <= cum
+                       THEN s END)
+              + sum(CASE WHEN cum - cnt < (n+2)//2 AND (n+2)//2 <= cum
+                         THEN s END)) / 2 AS slope,
+             CAST(max(n) AS BIGINT) AS n_pairs
+      FROM scdf
+    ), rs AS (
+      SELECT ranked.y - med.slope * ranked.x AS r, med.slope, med.n_pairs
+      FROM ranked, med
+    ), rg AS (
+      SELECT r, slope, n_pairs, CAST(count(*) AS BIGINT) AS cnt
+      FROM rs GROUP BY r, slope, n_pairs
+    ), rcdf AS (
+      SELECT r, slope, n_pairs, cnt,
+             sum(cnt) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER () AS n
+      FROM rg
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_tokens,
+           max(n_pairs) AS n_pairs,
+           round(max(slope), 6) AS zipf_slope,
+           round((sum(CASE WHEN cum - cnt < (n+1)//2 AND (n+1)//2 <= cum
+                           THEN r END)
+                  + sum(CASE WHEN cum - cnt < (n+2)//2 AND (n+2)//2 <= cum
+                             THEN r END)) / 2, 6) AS zipf_intercept
+    FROM rcdf
+    """,
+)
+def zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token-frequency distribution:
+    Theil-Sen slope of ln(frequency) against ln(rank) over the top-100
+    tokens — natural text sits near slope −1; a synthetic or
+    template-heavy corpus shows up immediately as a flat or broken
+    power law. The corpus-statistics health check next to
+    token_entropy_quality.
+
+    Robust fit by construction (median of pairwise slopes — one
+    boilerplate mega-token can't bend it). Parity: ranks are integers
+    (count desc, token tiebreak both engines), ln of integers is
+    deterministic, each pairwise slope one double division, both
+    medians via the compressed-CDF k-th picks. Scale shape: one
+    map-combining token count + TakeOrdered(100); everything after is
+    100-point / 4950-pair model-sized math.
+    """
+    from csv2parquet_spark.operators.ranking import exact_median
+
+    docs = table(spark, sf_dir, "documents")
+    tc = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = tc.orderBy(F.desc("c"), "t").limit(100).localCheckpoint()
+    ranked = _rank_by_count(top, "c", "t", "tok", "rank").join(
+        top.select(F.col("t").alias("tok"), "c"), "tok"
+    ).select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    ).localCheckpoint()
+    a = ranked.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = ranked.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    sl = a.join(F.broadcast(b), F.col("xa") < F.col("xb")).select(
+        ((F.col("yb") - F.col("ya")) / (F.col("xb") - F.col("xa"))).alias("s")
+    )
+    slope, n_pairs = exact_median(sl, "s")
+    res = ranked.select(
+        (F.col("y") - F.lit(slope) * F.col("x")).alias("r")
+    )
+    intercept, n_tokens = exact_median(res, "r")
+    return spark.createDataFrame(
+        [(n_tokens, n_pairs, round(slope, 6), round(intercept, 6))],
+        "n_tokens bigint, n_pairs bigint, zipf_slope double, "
+        "zipf_intercept double",
+    )

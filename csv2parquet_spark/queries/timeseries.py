@@ -1547,27 +1547,13 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s")
     )
 
-    def _median_of(df, col):
-        from csv2parquet_spark.operators.ranking import global_cumsum
+    from csv2parquet_spark.operators.ranking import exact_median
 
-        g = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
-        cum = global_cumsum(g, keys=[col], weight_col="cnt", cum_col="cum")
-        n = int(cum.agg(F.max("cum")).collect()[0][0])
-        k1, k2 = (n + 1) // 2, (n + 2) // 2
-        pick = lambda k: F.sum(  # noqa: E731
-            F.when(
-                (F.col("cum") - F.col("cnt") < k) & (F.lit(k) <= F.col("cum")),
-                F.col(col),
-            )
-        )
-        row = cum.agg(((pick(k1) + pick(k2)) / 2).alias("m")).collect()[0]
-        return float(row.m), n
-
-    slope, n_pairs = _median_of(sl, "s")
+    slope, n_pairs = exact_median(sl, "s")
     res = daily.select(
         (F.col("cents").cast("double") - F.lit(slope) * F.col("d")).alias("r")
     )
-    intercept, n_days = _median_of(res, "r")
+    intercept, n_days = exact_median(res, "r")
     return spark.createDataFrame(
         [(n_days, n_pairs, round(slope, 6), round(intercept, 6))],
         "n_days bigint, n_pairs bigint, ts_slope double, ts_intercept double",
