@@ -146,6 +146,21 @@ SHOWCASE = [
      "One-sided prefix principle: the contained side's pigeonhole "
      "prefix joins the container side's full shingle relation; exact "
      "intersect verify touches only surviving pairs."),
+    ("skyline_parts_frontier",
+     "Dominance without a pairwise join: groupBy price compresses to "
+     "the candidate set, the two-pass global_running_max supplies the "
+     "exclusive prefix max — no Window, no Exchange SinglePartition."),
+    ("stratified_sample_exact",
+     "Exact per-stratum quota: rank<=k compiles to WindowGroupLimit "
+     "with a Partial below the exchange — each map task forwards at "
+     "most k rows per stratum."),
+    ("isotonic_calibration_exact",
+     "Minimax isotonic fit: one corpus partial-agg onto the quantized "
+     "score relation; the O(buckets²) pair stage is a broadcast NLJ "
+     "with PARTITIONED prefix-max windows."),
+    ("mad_outlier_report",
+     "Value-compressed robust stats: both median passes walk the "
+     "(group, value)→count CDF — the windows never see raw rows."),
 ]
 
 

@@ -586,3 +586,21 @@ def test_runtime_bloom_filter_injected(spark, sf_dir):
     low = plan.lower()
     assert "bloom_filter_agg" in low, plan[:4000]
     assert "bloomfiltermightcontain" in low or "might_contain" in low, plan[:4000]
+
+
+def test_stratified_sample_uses_window_group_limit(spark, sf_dir):
+    """stratified_sample_exact's rank<=k must compile to WindowGroupLimit
+    with a Partial pass below the exchange — the property that bounds
+    the shuffle to k rows per stratum per map task."""
+    plan = _plan(REGISTRY["stratified_sample_exact"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
+
+
+def test_skyline_has_no_window_no_single_partition(spark, sf_dir):
+    """The skyline's dominance prefix-max is the two-pass
+    global_running_max — the plan must contain neither a Window node
+    nor an Exchange SinglePartition."""
+    plan = _plan(REGISTRY["skyline_parts_frontier"].fn(spark, sf_dir))
+    assert "Window" not in plan
+    assert "Exchange SinglePartition" not in plan
