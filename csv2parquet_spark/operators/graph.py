@@ -209,3 +209,43 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels
+
+
+def bfs_hops(
+    edges: DataFrame,
+    source: int,
+    n_iter: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Breadth-first hop distances from ``source`` over a directed edge
+    list, ``n_iter`` synchronous relaxation supersteps — returns
+    ``(id, d)`` for every vertex reached within ``n_iter`` hops
+    (unreached vertices are absent, so the result is deterministic and
+    engine-portable with no sentinel conventions).
+
+    Per superstep: the current distance relation joins the checkpointed
+    edges, candidate ``d+1`` rows union the existing relation, and a
+    min-groupBy keeps the best distance — the shuffled state is
+    (vertex, distance), never edges; same Pregel cost model as
+    :func:`pagerank` / :func:`label_propagation`.
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint()
+    dist = (
+        e.sparkSession.createDataFrame([(source, 0)], "id bigint, d bigint")
+        .localCheckpoint()
+    )
+    for _ in range(n_iter):
+        cand = (
+            e.join(dist.select(F.col("id").alias("src"), "d"), "src")
+            .select(F.col("dst").alias("id"), (F.col("d") + 1).alias("d"))
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("id")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint()
+        )
+    return dist

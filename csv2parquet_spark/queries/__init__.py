@@ -100,6 +100,7 @@ _DEFER_THIS_ROUND: set[str] = {
     "anomaly_days_seasonal_mad",
     "conformal_interval_daily",
     "zipf_fit_tokens",
+    "bfs_hops_copurchase",
 }
 
 # Within the deferred tier, these names sort FIRST (list order) so

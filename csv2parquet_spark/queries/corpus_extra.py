@@ -1169,3 +1169,75 @@ def lpa_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("size"), "community")
         .limit(20)
     )
+
+
+def _bfs_oracle(n_iter: int = 4) -> str:
+    """Generated DuckDB twin of operators/graph.bfs_hops over the
+    co-purchase graph from the minimum part key: one MATERIALIZED CTE
+    level per relaxation superstep."""
+    sql = """
+    WITH li AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e AS MATERIALIZED (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+    ), d0 AS MATERIALIZED (
+      SELECT CAST(min(src) AS BIGINT) AS id, CAST(0 AS BIGINT) AS d FROM e
+    )"""
+    for t in range(1, n_iter + 1):
+        sql += f"""
+    , d{t} AS MATERIALIZED (
+      SELECT id, CAST(min(d) AS BIGINT) AS d FROM (
+        SELECT id, d FROM d{t - 1}
+        UNION ALL
+        SELECT e.dst AS id, p.d + 1 AS d
+        FROM e JOIN d{t - 1} p ON p.id = e.src
+      ) GROUP BY id
+    )"""
+    sql += f"""
+    SELECT d AS hops, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(min(id) AS BIGINT) AS min_part
+    FROM d{n_iter} GROUP BY d
+    """
+    return sql
+
+
+@register("bfs_hops_copurchase", oracle=_bfs_oracle())
+def bfs_hops_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop-distance histogram from the lowest part key over the
+    co-purchase graph — "how many recommendation hops reach the rest
+    of the catalog" (the small-world diagnostic; with PageRank,
+    connected components and LPA this completes the graph family:
+    centrality / reachability / communities / DISTANCE).
+
+    4 synchronous min-relaxation supersteps of
+    :func:`~csv2parquet_spark.operators.graph.bfs_hops` — pure integer
+    state with min-groupBy merges, so the distances are exact and
+    engine-portable; the generated oracle mirrors each superstep as a
+    MATERIALIZED CTE. Edges are basket-bounded (see
+    lpa_copurchase_communities); per superstep the shuffle carries
+    (vertex, distance) only.
+    """
+    from csv2parquet_spark.operators.graph import bfs_hops
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    source = edges.agg(F.min("src")).collect()[0][0]
+    dist = bfs_hops(edges, int(source), n_iter=4)
+    return dist.groupBy(F.col("d").alias("hops")).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min("id").alias("min_part"),
+    )

@@ -1867,3 +1867,37 @@ def test_conformal_interval_coverage_property(spark, sf_dir):
     assert r.qhat_cents == resid[k - 1]
     covered = sum(1 for x in resid if x <= r.qhat_cents)
     assert covered >= 0.9 * n - 1
+
+
+def test_bfs_hops_matches_python_reference(spark):
+    """bfs_hops must equal a straight-line Python BFS on a fixed graph,
+    including the hop cap (vertices beyond n_iter hops are absent)."""
+    from collections import deque
+
+    from csv2parquet_spark.operators.graph import bfs_hops
+
+    edges = [
+        (1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7),
+        (1, 10), (10, 4),  # shortcut: 4 is at distance 2, not 3
+        (20, 21),          # disconnected from source
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.id: r.d for r in bfs_hops(df, source=1, n_iter=4).collect()}
+
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    want = {1: 0}
+    q = deque([1])
+    while q:
+        v = q.popleft()
+        if want[v] >= 4:
+            continue
+        for w in adj.get(v, []):
+            if w not in want:
+                want[w] = want[v] + 1
+                q.append(w)
+    assert got == want
+    assert got[4] == 2  # the shortcut wins over the chain path
+    assert 20 not in got and 21 not in got
+    assert 7 not in got  # 6 hops away, cap is 4
