@@ -101,6 +101,7 @@ _DEFER_THIS_ROUND: set[str] = {
     "conformal_interval_daily",
     "zipf_fit_tokens",
     "bfs_hops_copurchase",
+    "frequent_triples_apriori",
 }
 
 # Within the deferred tier, these names sort FIRST (list order) so

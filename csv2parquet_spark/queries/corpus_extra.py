@@ -1241,3 +1241,69 @@ def bfs_hops_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_parts"),
         F.min("id").alias("min_part"),
     )
+
+
+@register(
+    "frequent_triples_apriori",
+    oracle="""
+    WITH li AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), freq AS MATERIALIZED (
+      SELECT l_partkey FROM li GROUP BY l_partkey HAVING count(*) >= 3
+    ), li2 AS MATERIALIZED (
+      SELECT li.l_orderkey, li.l_partkey FROM li
+      JOIN freq USING (l_partkey)
+    ), tri AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, c.l_partkey AS pc,
+             CAST(count(*) AS BIGINT) AS support
+      FROM li2 a
+      JOIN li2 b ON b.l_orderkey = a.l_orderkey AND b.l_partkey > a.l_partkey
+      JOIN li2 c ON c.l_orderkey = a.l_orderkey AND c.l_partkey > b.l_partkey
+      GROUP BY 1, 2, 3
+      HAVING count(*) >= 2
+    )
+    SELECT pa, pb, pc, support FROM tri
+    ORDER BY support DESC, pa, pb, pc LIMIT 20
+    """,
+)
+def frequent_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets with the Apriori anti-monotone prune
+    (Agrawal & Srikant 1994): baskets are filtered to FREQUENT ITEMS
+    (support ≥ 3) before any triple is enumerated — a triple can't be
+    frequent if any member isn't, so the prune collapses the candidate
+    space before the expensive stage. Completes the pattern-mining rung
+    above ``part_pair_cooccurrence``.
+
+    Scale shape: the item-support pass is one partial-agg; the prune is
+    a broadcast semi-join; triple enumeration is keyed on the BASKET id
+    (C(lines,3) per order, lines bounded by the order schema — never
+    catalog³); the rollup partial-aggregates onto (a,b,c) keys, and
+    top-20 is TakeOrderedAndProject.
+    """
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    freq = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 3)
+        .select("l_partkey")
+    )
+    li2 = li.join(F.broadcast(freq), "l_partkey").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li2.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li2.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    c = li2.select("l_orderkey", F.col("l_partkey").alias("pc"))
+    tri = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pb") > F.col("pa"))
+        .join(c, "l_orderkey")
+        .filter(F.col("pc") > F.col("pb"))
+        .groupBy("pa", "pb", "pc")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    return tri.orderBy(F.desc("support"), "pa", "pb", "pc").limit(20)
