@@ -109,10 +109,13 @@ HEADLINE = [
     "mad_outlier_report",
     "rrf_fusion_hybrid",
     "mmr_diversify_topk",
-    # round-5 fifth wave (calibration / survival / communities)
+    # round-5 fifth wave (calibration / survival). The graph loops
+    # (lpa_copurchase_communities 8.2 s, bfs_hops_copurchase 6.0 s
+    # isolated at sf0.1) stay out of HEADLINE like textrank — the
+    # per-superstep materialization dominates and would own the bench;
+    # they remain driver-correctness-checked at sf0.01.
     "isotonic_calibration_exact",
     "km_reorder_survival",
-    "lpa_copurchase_communities",
 ]
 
 

@@ -185,9 +185,18 @@ def label_propagation(
     vertices and candidate labels, never the edge payload; same Pregel
     cost model as :func:`pagerank`.
     """
-    e = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
-    ).localCheckpoint()
+    # Partition the edge relation on the superstep JOIN key (dst) once —
+    # localCheckpoint preserves outputPartitioning, so every superstep's
+    # join exchanges only the (vertex, label) state, never the edges.
+    e = (
+        edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight).alias("w"),
+        )
+        .repartition("dst")
+        .localCheckpoint()
+    )
     labels = (
         e.select(F.col("src").alias("id")).distinct()
         .select("id", F.col("id").alias("lbl"))
@@ -230,9 +239,14 @@ def bfs_hops(
     (vertex, distance), never edges; same Pregel cost model as
     :func:`pagerank` / :func:`label_propagation`.
     """
-    e = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).localCheckpoint()
+    # Partitioned on the superstep join key (src) once; the checkpoint
+    # preserves the partitioning so only the distance state exchanges
+    # per round.
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .repartition("src")
+        .localCheckpoint()
+    )
     dist = (
         e.sparkSession.createDataFrame([(source, 0)], "id bigint, d bigint")
         .localCheckpoint()
