@@ -102,6 +102,9 @@ _DEFER_THIS_ROUND: set[str] = {
     "zipf_fit_tokens",
     "bfs_hops_copurchase",
     "frequent_triples_apriori",
+    "ks_test_two_sample",
+    "revenue_concentration_report",
+    "mutual_information_bands",
 }
 
 # Within the deferred tier, these names sort FIRST (list order) so

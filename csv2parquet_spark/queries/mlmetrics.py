@@ -1110,3 +1110,155 @@ def kendall_tau_b_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs_rows bigint, conc bigint, disc bigint, ties_x bigint, "
         "ties_y bigint, tau_b double",
     )
+
+
+@register(
+    "ks_test_two_sample",
+    oracle="""
+    WITH o AS (
+      SELECT CASE WHEN substr(md5(CAST(o_custkey AS VARCHAR)), 1, 1) < '8'
+                  THEN 1 ELSE 0 END AS grp_a,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ), g AS (
+      SELECT cents,
+             CAST(sum(grp_a) AS BIGINT) AS n_a,
+             CAST(count(*) - sum(grp_a) AS BIGINT) AS n_b
+      FROM o GROUP BY cents
+    ), c AS (
+      SELECT cents,
+             sum(n_a) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS ca,
+             sum(n_b) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cb,
+             sum(n_a) OVER () AS na, sum(n_b) OVER () AS nb
+      FROM g
+    )
+    SELECT CAST(max(na) AS BIGINT) AS na, CAST(max(nb) AS BIGINT) AS nb,
+           CAST(max(abs(ca * nb - cb * na)) AS BIGINT) AS d_num,
+           CAST(max(na) * max(nb) AS BIGINT) AS d_den,
+           round(CAST(max(abs(ca * nb - cb * na)) AS DOUBLE)
+                 / (CAST(max(na) AS DOUBLE) * max(nb))
+                 * sqrt(CAST(max(na) AS DOUBLE) * max(nb)
+                        / (max(na) + max(nb))), 6) AS ks_stat_scaled
+    FROM c
+    """,
+)
+def ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the md5
+    experiment arms of the order-value distribution — the third member
+    of the nonparametric family (Mann-Whitney detects location shift,
+    KS detects ANY distributional difference: spread, shape, tails).
+
+    The supremum gap is computed EXACTLY as an integer: at every
+    distinct value, |F_A − F_B| = |cum_a·n_b − cum_b·n_a| / (n_a·n_b),
+    so ``d_num = max |cum_a·n_b − cum_b·n_a|`` is a BIGINT both engines
+    agree on bit-for-bit (no float sup over thousands of candidates —
+    the classic cross-multiplication dodge). The scaled statistic
+    D·sqrt(n_a·n_b/(n_a+n_b)) is one closed-form double at the end.
+
+    Scale shape: one map-side-combining aggregate onto the value
+    domain, one cumsum pass over the compressed CDF, one max — no row
+    ever ranks, no partition ever holds the corpus.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        F.when(
+            F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 1) < "8", 1
+        )
+        .otherwise(0)
+        .alias("grp_a"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    g = o.groupBy("cents").agg(
+        F.sum("grp_a").alias("n_a"),
+        (F.count(F.lit(1)) - F.sum("grp_a")).alias("n_b"),
+    )
+    c = global_cumsum(g, keys=["cents"], weight_col="n_a", cum_col="ca")
+    c = global_cumsum(c, keys=["cents"], weight_col="n_b", cum_col="cb")
+    # totals are needed inside the per-row gap — broadcast them back
+    tot = c.agg(F.sum("n_a").alias("na"), F.sum("n_b").alias("nb"))
+    j = c.crossJoin(F.broadcast(tot))
+    gap = F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+    ks = j.agg(
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+        F.max(gap).alias("d_num"),
+        (F.max("na") * F.max("nb")).alias("d_den"),
+    )
+    scaled = (
+        F.col("d_num").cast("double")
+        / (F.col("na").cast("double") * F.col("nb"))
+        * F.sqrt(
+            F.col("na").cast("double") * F.col("nb")
+            / (F.col("na") + F.col("nb"))
+        )
+    )
+    return ks.select(
+        "na", "nb", "d_num", "d_den", F.round(scaled, 6).alias("ks_stat_scaled")
+    )
+
+
+@register(
+    "mutual_information_bands",
+    oracle="""
+    WITH rel AS (
+      SELECT CAST(o.o_totalprice AS BIGINT) // 50000 AS x,
+             CAST(floor(c.c_acctbal / 2000) AS BIGINT) AS y
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), cell AS (
+      SELECT x, y, CAST(count(*) AS BIGINT) AS m FROM rel GROUP BY x, y
+    ), rx AS (
+      SELECT x, CAST(sum(m) AS BIGINT) AS mx FROM cell GROUP BY x
+    ), ry AS (
+      SELECT y, CAST(sum(m) AS BIGINT) AS my FROM cell GROUP BY y
+    ), tot AS (
+      SELECT CAST(sum(m) AS BIGINT) AS n FROM cell
+    )
+    SELECT cell.x, cell.y, cell.m,
+           round(CAST(cell.m AS DOUBLE) / tot.n
+                 * ln(CAST(cell.m * tot.n AS DOUBLE)
+                      / CAST(rx.mx * ry.my AS DOUBLE)), 9) AS mi_term
+    FROM cell JOIN rx USING (x) JOIN ry USING (y), tot
+    """,
+)
+def mutual_information_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information terms between the order-value band and the
+    customer balance band — the information-theoretic dependence
+    measure next to Kendall tau-b (MI catches NON-monotone dependence
+    tau misses; Σ mi_term = I(X;Y) in nats, 0 iff independent). The
+    per-cell terms are emitted (the drill-down that shows WHICH cells
+    carry the dependence).
+
+    Parity: each term is (m/n)·ln(m·n/(mx·my)) — one ln of a ratio of
+    integer products (the PSI/DSIR discipline) times one division,
+    rounded at 9 dp. Scale shape: one broadcast dim join + ONE
+    partial-agg onto the band grid; marginals re-aggregate the grid
+    (~240 cells), never the fact table.
+    """
+    o = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    rel = o.join(
+        F.broadcast(cust.select("c_custkey", "c_acctbal")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(
+        F.expr("CAST(o_totalprice AS BIGINT) div 50000").alias("x"),
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("y"),
+    )
+    cell = rel.groupBy("x", "y").agg(F.count(F.lit(1)).alias("m")).localCheckpoint()
+    rx = cell.groupBy("x").agg(F.sum("m").alias("mx"))
+    ry = cell.groupBy("y").agg(F.sum("m").alias("my"))
+    tot = cell.agg(F.sum("m").alias("n"))
+    j = (
+        cell.join(F.broadcast(rx), "x")
+        .join(F.broadcast(ry), "y")
+        .crossJoin(F.broadcast(tot))
+    )
+    term = (
+        F.col("m").cast("double")
+        / F.col("n")
+        * F.log(
+            (F.col("m") * F.col("n")).cast("double")
+            / (F.col("mx") * F.col("my")).cast("double")
+        )
+    )
+    return j.select("x", "y", "m", F.round(term, 9).alias("mi_term"))

@@ -1162,3 +1162,85 @@ def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("violates_l3"),
     )
+
+
+@register(
+    "revenue_concentration_report",
+    oracle="""
+    WITH rel AS (
+      SELECT o_custkey AS c,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ), ranked AS (
+      SELECT c, rev,
+             CAST(row_number() OVER (ORDER BY rev, c) AS BIGINT) AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM rel
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_customers,
+           CAST(sum(rev) AS BIGINT) AS total_cents,
+           round(CAST(2 * sum(rn * rev) AS DOUBLE)
+                 / (CAST(max(n) AS DOUBLE) * sum(rev))
+                 - CAST(max(n) + 1 AS DOUBLE) / max(n), 6) AS gini,
+           round(CAST(sum(CAST(rev AS DECIMAL(38,0))
+                          * CAST(rev AS DECIMAL(38,0))) AS DOUBLE)
+                 / (CAST(sum(rev) AS DOUBLE) * sum(rev)), 6) AS hhi,
+           round(CAST(sum(CASE WHEN rn > max_n - max_n // 10
+                               THEN rev ELSE 0 END) AS DOUBLE)
+                 / sum(rev), 6) AS top_decile_share
+    FROM (SELECT *, max(n) OVER () AS max_n FROM ranked)
+    """,
+)
+def revenue_concentration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration readout over customers: exact Gini
+    coefficient (rank formula G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n on the
+    ascending-revenue order), Herfindahl-Hirschman index (Σ share²),
+    and the top-decile revenue share — the "how dependent are we on a
+    few whales" governance sheet, and the same math a data-mixture
+    report uses for source concentration.
+
+    Exactness: per-customer revenue in integer cents; the global rank
+    comes from the two-pass ``global_row_number`` (no single-partition
+    sort), Σ i·xᵢ and the top-decile numerator are BIGINT, Σ x² goes
+    through DECIMAL(38,0) (x² overflows int64 at whale magnitudes),
+    and each output is one closed-form double of those integers.
+
+    Scale shape: one partial-agg to the customer grain, one two-pass
+    ranking, one global aggregate.
+    """
+    from csv2parquet_spark.operators.ranking import global_row_number
+
+    o = table(spark, sf_dir, "orders")
+    rel = (
+        o.select(
+            F.col("o_custkey").alias("c"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("c")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    ranked, n = global_row_number(rel, keys=["rev", "c"])
+    gini = (
+        (2 * F.sum(F.col("rn") * F.col("rev"))).cast("double")
+        / (F.lit(float(n)) * F.sum("rev"))
+        - F.lit(float(n + 1)) / F.lit(float(n))
+    )
+    hhi = F.sum(
+        F.col("rev").cast("decimal(38,0)") * F.col("rev").cast("decimal(38,0)")
+    ).cast("double") / (F.sum("rev").cast("double") * F.sum("rev"))
+    cutoff = n - n // 10
+    top = (
+        F.sum(F.when(F.col("rn") > cutoff, F.col("rev")).otherwise(0))
+        .cast("double")
+        / F.sum("rev")
+    )
+    return ranked.agg(
+        F.lit(n).cast("long").alias("n_customers"),
+        F.sum("rev").alias("total_cents"),
+        F.round(gini, 6).alias("gini"),
+        F.round(hhi, 6).alias("hhi"),
+        F.round(top, 6).alias("top_decile_share"),
+    )

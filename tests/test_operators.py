@@ -1901,3 +1901,83 @@ def test_bfs_hops_matches_python_reference(spark):
     assert got[4] == 2  # the shortcut wins over the chain path
     assert 20 not in got and 21 not in got
     assert 7 not in got  # 6 hops away, cap is 4
+
+
+def test_ks_statistic_matches_direct_definition(spark, sf_dir):
+    """d_num/d_den must equal sup|F_A - F_B| computed directly."""
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from csv2parquet_spark.queries.mlmetrics import ks_test_two_sample
+    from csv2parquet_spark.tables import table
+
+    rows = (
+        table(spark, sf_dir, "orders")
+        .select(
+            F.when(
+                F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 1)
+                < "8",
+                1,
+            )
+            .otherwise(0)
+            .alias("a"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("c"),
+        )
+        .collect()
+    )
+    avals = sorted(r.c for r in rows if r.a)
+    bvals = sorted(r.c for r in rows if not r.a)
+    import bisect
+
+    na, nb = len(avals), len(bvals)
+    best = Fraction(0)
+    for x in sorted({*avals, *bvals}):
+        fa = Fraction(bisect.bisect_right(avals, x), na)
+        fb = Fraction(bisect.bisect_right(bvals, x), nb)
+        best = max(best, abs(fa - fb))
+
+    r = ks_test_two_sample(spark, sf_dir).collect()[0]
+    assert (r.na, r.nb) == (na, nb)
+    assert Fraction(r.d_num, r.d_den) == best
+
+
+def test_concentration_report_matches_python(spark, sf_dir):
+    """Gini / HHI / top-decile share must match direct computations on
+    the collected per-customer revenues."""
+    from pyspark.sql import functions as F
+
+    from csv2parquet_spark.queries.operational import (
+        revenue_concentration_report,
+    )
+    from csv2parquet_spark.tables import table
+
+    revs = [
+        r.rev
+        for r in (
+            table(spark, sf_dir, "orders")
+            .select(
+                F.col("o_custkey").alias("c"),
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                .cast("long")
+                .alias("cents"),
+            )
+            .groupBy("c")
+            .agg(F.sum("cents").alias("rev"))
+            .collect()
+        )
+    ]
+    xs = sorted(revs)
+    n, s = len(xs), sum(xs)
+    gini = 2 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * s) - (n + 1) / n
+    hhi = sum(x * x for x in xs) / (s * s)
+    top = sum(xs[n - n // 10 :]) / s
+
+    r = revenue_concentration_report(spark, sf_dir).collect()[0]
+    assert (r.n_customers, r.total_cents) == (n, s)
+    assert abs(r.gini - gini) < 2e-6
+    assert abs(r.hhi - hhi) < 2e-6
+    assert abs(r.top_decile_share - top) < 2e-6
+    assert 0 <= r.gini <= 1 and 0 < r.hhi <= 1
