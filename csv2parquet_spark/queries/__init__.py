@@ -105,6 +105,7 @@ _DEFER_THIS_ROUND: set[str] = {
     "ks_test_two_sample",
     "revenue_concentration_report",
     "mutual_information_bands",
+    "cuped_adjusted_ab_test",
 }
 
 # Within the deferred tier, these names sort FIRST (list order) so

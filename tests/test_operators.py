@@ -1981,3 +1981,58 @@ def test_concentration_report_matches_python(spark, sf_dir):
     assert abs(r.hhi - hhi) < 2e-6
     assert abs(r.top_decile_share - top) < 2e-6
     assert 0 <= r.gini <= 1 and 0 < r.hhi <= 1
+
+
+def test_cuped_matches_python_reference(spark, sf_dir):
+    """theta, the adjusted means, and the variance-reduction fraction
+    must match direct Python computations on the per-customer rows."""
+    from pyspark.sql import functions as F
+
+    from csv2parquet_spark.queries.mlmetrics import cuped_adjusted_ab_test
+    from csv2parquet_spark.tables import table
+
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    rows = (
+        table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_custkey").alias("c"),
+            F.when(
+                F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 1)
+                < "8",
+                1,
+            )
+            .otherwise(0)
+            .alias("a"),
+            F.when(F.col("o_orderdate") >= "1996-01-01", cents)
+            .otherwise(0)
+            .alias("yc"),
+            F.when(F.col("o_orderdate") < "1996-01-01", cents)
+            .otherwise(0)
+            .alias("xc"),
+        )
+        .groupBy("c", "a")
+        .agg(F.sum("yc").alias("y"), F.sum("xc").alias("x"))
+        .collect()
+    )
+    n = len(rows)
+    sx = sum(r.x for r in rows); sy = sum(r.y for r in rows)
+    sxx = sum(r.x * r.x for r in rows); sxy = sum(r.x * r.y for r in rows)
+    syy = sum(r.y * r.y for r in rows)
+    cov = sxy - sx * sy / n
+    varx = sxx - sx * sx / n
+    vary = syy - sy * sy / n
+    theta = cov / varx
+    got = {r.arm_a: r for r in cuped_adjusted_ab_test(spark, sf_dir).collect()}
+    assert set(got) == {0, 1}
+    for arm in (0, 1):
+        sub = [r for r in rows if r.a == arm]
+        my = sum(r.y for r in sub) / len(sub)
+        mx = sum(r.x for r in sub) / len(sub)
+        adj = my - theta * (mx - sx / n)
+        r = got[arm]
+        assert r.n_arm == len(sub)
+        assert abs(r.mean_y - my) < 2e-5
+        assert abs(r.mean_y_cuped - adj) < 2e-5
+        assert abs(r.theta - theta) < 2e-6
+        assert abs(r.var_reduction - cov * cov / (varx * vary)) < 2e-6
+        assert 0 <= r.var_reduction <= 1
