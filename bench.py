@@ -116,6 +116,10 @@ HEADLINE = [
     # they remain driver-correctness-checked at sf0.01.
     "isotonic_calibration_exact",
     "km_reorder_survival",
+    # round-5 eighth wave (inference completion)
+    "ks_test_two_sample",
+    "cuped_adjusted_ab_test",
+    "revenue_concentration_report",
 ]
 
 
