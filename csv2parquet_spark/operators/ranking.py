@@ -93,8 +93,8 @@ def global_row_number(
 def global_cumsum(
     df: DataFrame,
     keys: list[str],
-    weight_col: str,
-    cum_col: str = "cum",
+    weight_col: str | list[str],
+    cum_col: str | list[str] = "cum",
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Attach the INCLUSIVE global running sum of ``weight_col`` in
@@ -103,17 +103,28 @@ def global_cumsum(
     per-partition weight sums to the driver, broadcast offsets, map-only
     local cumsum. No single-partition stage; this is the scalable twin
     of ``sum(w) OVER (ORDER BY keys)``.
+
+    ``weight_col``/``cum_col`` may be LISTS of the same length: every
+    running sum shares ONE range sort, one checkpoint, and one offsets
+    job instead of re-running the whole two-pass machinery per column
+    (KS needs two CDFs, isotonic needs two prefix sums — one pass,
+    not two).
     """
     import numpy as np
     import pandas as pd  # noqa: F401
 
-    wtype = df.schema[weight_col].dataType.simpleString()
-    if wtype not in ("tinyint", "smallint", "int", "bigint"):
-        raise TypeError(
-            f"global_cumsum needs an integral weight column, got "
-            f"{weight_col!r}: {wtype} (fractional weights would be "
-            "silently truncated by the int64 batch kernel)"
-        )
+    wcols = [weight_col] if isinstance(weight_col, str) else list(weight_col)
+    ccols = [cum_col] if isinstance(cum_col, str) else list(cum_col)
+    if len(wcols) != len(ccols):
+        raise ValueError("weight_col and cum_col must have the same length")
+    for w in wcols:
+        wtype = df.schema[w].dataType.simpleString()
+        if wtype not in ("tinyint", "smallint", "int", "bigint"):
+            raise TypeError(
+                f"global_cumsum needs integral weight columns, got "
+                f"{w!r}: {wtype} (fractional weights would be "
+                "silently truncated by the int64 batch kernel)"
+            )
     part = df.repartitionByRange(
         num_partitions
         or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")),
@@ -123,37 +134,40 @@ def global_cumsum(
 
     sums = (
         part.groupBy(F.spark_partition_id().alias("pid"))
-        .agg(F.sum(weight_col).alias("s"))
+        .agg(*[F.sum(w).alias(f"s{i}") for i, w in enumerate(wcols)])
         .collect()
     )
-    if any(r["s"] is None for r in sums):
-        raise ValueError(
-            f"global_cumsum: NULL weights in {weight_col!r} "
-            "(a partition summed to NULL) — fill or filter first"
-        )
-    per = {r.pid: int(r["s"]) for r in sums}
-    offsets: dict[int, int] = {}
-    acc = 0
+    for i, w in enumerate(wcols):
+        if any(r[f"s{i}"] is None for r in sums):
+            raise ValueError(
+                f"global_cumsum: NULL weights in {w!r} "
+                "(a partition summed to NULL) — fill or filter first"
+            )
+    per = {r.pid: [int(r[f"s{i}"]) for i in range(len(wcols))] for r in sums}
+    offsets: dict[int, list[int]] = {}
+    acc = [0] * len(wcols)
     for pid in sorted(per):
-        offsets[pid] = acc
-        acc += per[pid]
+        offsets[pid] = list(acc)
+        acc = [a + s for a, s in zip(acc, per[pid])]
     bc = df.sparkSession.sparkContext.broadcast(offsets)
 
     from pyspark.sql.types import LongType, StructField, StructType
 
     out_schema = StructType(
-        list(part.schema.fields) + [StructField(cum_col, LongType())]
+        list(part.schema.fields)
+        + [StructField(c, LongType()) for c in ccols]
     )
 
     def accumulate(batches):
         pid = TaskContext.get().partitionId()
-        seen = bc.value.get(pid, 0)
+        seen = list(bc.value.get(pid, [0] * len(wcols)))
         for pdf in batches:
-            w = pdf[weight_col].to_numpy(dtype=np.int64)
-            c = np.cumsum(w) + seen
-            seen = int(c[-1]) if len(c) else seen
             pdf = pdf.copy()
-            pdf[cum_col] = c
+            for i, (w, c) in enumerate(zip(wcols, ccols)):
+                arr = pdf[w].to_numpy(dtype=np.int64)
+                cs = np.cumsum(arr) + seen[i]
+                seen[i] = int(cs[-1]) if len(cs) else seen[i]
+                pdf[c] = cs
             yield pdf
 
     return part.mapInPandas(accumulate, out_schema)

@@ -772,8 +772,9 @@ def isotonic_calibration_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("pos").cast("long").alias("p"),
         )
     )
-    c = global_cumsum(g, keys=["score"], weight_col="n", cum_col="cum_n")
-    c = global_cumsum(c, keys=["score"], weight_col="p", cum_col="cum_p")
+    c = global_cumsum(
+        g, keys=["score"], weight_col=["n", "p"], cum_col=["cum_n", "cum_p"]
+    )
     c = c.localCheckpoint()  # model-sized (≤201 rows), consumed twice
     k = c.select(
         F.col("score").alias("ks"), F.col("n").alias("kn"),
@@ -1173,8 +1174,9 @@ def ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("grp_a").alias("n_a"),
         (F.count(F.lit(1)) - F.sum("grp_a")).alias("n_b"),
     )
-    c = global_cumsum(g, keys=["cents"], weight_col="n_a", cum_col="ca")
-    c = global_cumsum(c, keys=["cents"], weight_col="n_b", cum_col="cb")
+    c = global_cumsum(
+        g, keys=["cents"], weight_col=["n_a", "n_b"], cum_col=["ca", "cb"]
+    )
     # totals are needed inside the per-row gap — broadcast them back
     tot = c.agg(F.sum("n_a").alias("na"), F.sum("n_b").alias("nb"))
     j = c.crossJoin(F.broadcast(tot))
