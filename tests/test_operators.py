@@ -2036,3 +2036,29 @@ def test_cuped_matches_python_reference(spark, sf_dir):
         assert abs(r.theta - theta) < 2e-6
         assert abs(r.var_reduction - cov * cov / (varx * vary)) < 2e-6
         assert 0 <= r.var_reduction <= 1
+
+
+def test_global_cumsum_multi_column_matches_window(spark):
+    """The list form must equal per-column global-window running sums
+    (shared sort, one kernel) including negative weights."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from csv2parquet_spark.operators.ranking import global_cumsum
+
+    rows = [(i, (i * 31) % 17 + 1, ((i * 7) % 11) - 5) for i in range(541)]
+    df = spark.createDataFrame(rows, ["k", "w1", "w2"]).repartition(9)
+    got = {
+        r.k: (r.c1, r.c2)
+        for r in global_cumsum(
+            df, ["k"], weight_col=["w1", "w2"], cum_col=["c1", "c2"]
+        ).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r.k: (r.c1, r.c2)
+        for r in df.withColumn("c1", F.sum("w1").over(w))
+        .withColumn("c2", F.sum("w2").over(w))
+        .collect()
+    }
+    assert got == want
