@@ -106,6 +106,7 @@ _DEFER_THIS_ROUND: set[str] = {
     "revenue_concentration_report",
     "mutual_information_bands",
     "cuped_adjusted_ab_test",
+    "spearman_rank_correlation",
 }
 
 # Within the deferred tier, these names sort FIRST (list order) so

@@ -1411,3 +1411,105 @@ def cuped_adjusted_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("var_reduction"),
     )
+
+
+@register(
+    "spearman_rank_correlation",
+    oracle="""
+    WITH rel AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS xv,
+             CAST(o_orderkey % 97 AS BIGINT) AS yv
+      FROM orders
+    ), gx AS (
+      SELECT xv, CAST(count(*) AS BIGINT) AS cnt FROM rel GROUP BY xv
+    ), mx AS (
+      SELECT xv, 2 * (sum(cnt) OVER (ORDER BY xv ROWS UNBOUNDED PRECEDING))
+                 - cnt + 1 AS mr2x
+      FROM gx
+    ), gy AS (
+      SELECT yv, CAST(count(*) AS BIGINT) AS cnt FROM rel GROUP BY yv
+    ), my AS (
+      SELECT yv, 2 * (sum(cnt) OVER (ORDER BY yv ROWS UNBOUNDED PRECEDING))
+                 - cnt + 1 AS mr2y
+      FROM gy
+    ), j AS (
+      SELECT mx.mr2x AS rx, my.mr2y AS ry
+      FROM rel JOIN mx USING (xv) JOIN my USING (yv)
+    ), mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+             CAST(sum(CAST(rx AS DECIMAL(38,0)) * CAST(rx AS DECIMAL(38,0)))
+                  AS DOUBLE) AS sxx,
+             CAST(sum(CAST(rx AS DECIMAL(38,0)) * CAST(ry AS DECIMAL(38,0)))
+                  AS DOUBLE) AS sxy,
+             CAST(sum(CAST(ry AS DECIMAL(38,0)) * CAST(ry AS DECIMAL(38,0)))
+                  AS DOUBLE) AS syy
+      FROM j
+    )
+    SELECT n,
+           round((sxy - CAST(sx AS DOUBLE) * sy / n)
+                 / sqrt((sxx - CAST(sx AS DOUBLE) * sx / n)
+                        * (syy - CAST(sy AS DOUBLE) * sy / n)), 6)
+             AS spearman_rho
+    FROM mom
+    """,
+)
+def spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation on RAW values (tie-corrected midranks)
+    between the order value and a synthetic periodic driver
+    (orderkey mod 97) — the monotone-dependence measure on unbanded
+    data, next to Kendall tau-b on the banded grid. Expected ≈ 0 on
+    this fixture (the driver is independent of price); the point is
+    the MACHINERY: exact midranks with no per-row ranking.
+
+    Midranks without a sort: on each value-compressed CDF, the midrank
+    of value v is cum(v) − cnt(v)/2 + 1/2 — DOUBLED to
+    ``mr2 = 2·cum − cnt + 1`` so ties stay integer. Rows join their
+    value's midrank back (two hash joins on the value domains), then
+    Spearman = Pearson on the doubled midranks — five pooled moments
+    through DECIMAL(38,0) products (Σ(2r)² ~ 4n³ overflows int64 past
+    ~1M rows), one closed-form double. Scale shape: two compressed
+    CDFs (window-free via global_cumsum), two joins, one aggregate.
+    """
+    o = table(spark, sf_dir, "orders")
+    rel = o.select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("xv"),
+        (F.col("o_orderkey") % 97).cast("long").alias("yv"),
+    ).localCheckpoint()  # consumed by both CDFs and the midrank join
+
+    def midranks(col):
+        g = rel.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        c = global_cumsum(g, keys=[col], weight_col="cnt", cum_col="cum")
+        return c.select(
+            col, (2 * F.col("cum") - F.col("cnt") + 1).alias(f"mr2{col}")
+        )
+
+    j = (
+        rel.join(midranks("xv"), "xv")
+        .join(midranks("yv"), "yv")
+        .select(F.col("mr2xv").alias("rx"), F.col("mr2yv").alias("ry"))
+    )
+    d38 = "decimal(38,0)"
+    mom = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx").cast(d38) * F.col("rx").cast(d38))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("rx").cast(d38) * F.col("ry").cast(d38))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.col("ry").cast(d38) * F.col("ry").cast(d38))
+        .cast("double")
+        .alias("syy"),
+    )
+    rho = (
+        F.col("sxy") - F.col("sx").cast("double") * F.col("sy") / F.col("n")
+    ) / F.sqrt(
+        (F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / F.col("n"))
+        * (F.col("syy") - F.col("sy").cast("double") * F.col("sy") / F.col("n"))
+    )
+    return mom.select("n", F.round(rho, 6).alias("spearman_rho"))

@@ -2062,3 +2062,52 @@ def test_global_cumsum_multi_column_matches_window(spark):
         .collect()
     }
     assert got == want
+
+
+def test_spearman_matches_scipy_style_reference(spark, sf_dir):
+    """rho must equal Pearson on tie-corrected midranks computed
+    directly in Python."""
+    from pyspark.sql import functions as F
+
+    from csv2parquet_spark.queries.mlmetrics import spearman_rank_correlation
+    from csv2parquet_spark.tables import table
+
+    rows = (
+        table(spark, sf_dir, "orders")
+        .select(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("x"),
+            (F.col("o_orderkey") % 97).cast("long").alias("y"),
+        )
+        .collect()
+    )
+
+    def midrank_map(vals):
+        from collections import Counter
+
+        cnt = Counter(vals)
+        out = {}
+        cum = 0
+        for v in sorted(cnt):
+            out[v] = cum + (cnt[v] + 1) / 2  # average rank of the tie run
+            cum += cnt[v]
+        return out
+
+    xs = [r.x for r in rows]
+    ys = [r.y for r in rows]
+    mx = midrank_map(xs)
+    my = midrank_map(ys)
+    rx = [mx[v] for v in xs]
+    ry = [my[v] for v in ys]
+    n = len(rows)
+    mxbar = sum(rx) / n
+    mybar = sum(ry) / n
+    cov = sum((a - mxbar) * (b - mybar) for a, b in zip(rx, ry))
+    vx = sum((a - mxbar) ** 2 for a in rx)
+    vy = sum((b - mybar) ** 2 for b in ry)
+    want = cov / (vx * vy) ** 0.5
+
+    r = spearman_rank_correlation(spark, sf_dir).collect()[0]
+    assert r.n == n
+    assert abs(r.spearman_rho - want) < 2e-6
