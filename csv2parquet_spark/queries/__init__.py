@@ -107,6 +107,7 @@ _DEFER_THIS_ROUND: set[str] = {
     "mutual_information_bands",
     "cuped_adjusted_ab_test",
     "spearman_rank_correlation",
+    "odds_ratio_2x2",
 }
 
 # Within the deferred tier, these names sort FIRST (list order) so

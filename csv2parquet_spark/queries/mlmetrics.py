@@ -1513,3 +1513,81 @@ def spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.col("syy") - F.col("sy").cast("double") * F.col("sy") / F.col("n"))
     )
     return mom.select("n", F.round(rho, 6).alias("spearman_rho"))
+
+
+@register(
+    "odds_ratio_2x2",
+    oracle="""
+    WITH rel AS (
+      SELECT CASE WHEN substr(md5(CAST(o_custkey AS VARCHAR)), 1, 1) < '8'
+                  THEN 1 ELSE 0 END AS exposed,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS outcome
+      FROM orders
+    ), t AS (
+      SELECT CAST(sum(exposed * outcome) AS BIGINT) AS a,
+             CAST(sum(exposed * (1 - outcome)) AS BIGINT) AS b,
+             CAST(sum((1 - exposed) * outcome) AS BIGINT) AS c,
+             CAST(sum((1 - exposed) * (1 - outcome)) AS BIGINT) AS d
+      FROM rel
+    )
+    SELECT a, b, c, d,
+           round(ln(CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE)), 6)
+             AS log_odds_ratio,
+           round(ln(CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE))
+                 - 1.959964 * sqrt(CAST(1 AS DOUBLE)/a + CAST(1 AS DOUBLE)/b
+                                   + CAST(1 AS DOUBLE)/c
+                                   + CAST(1 AS DOUBLE)/d), 6) AS ci_lo_log,
+           round(ln(CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE))
+                 + 1.959964 * sqrt(CAST(1 AS DOUBLE)/a + CAST(1 AS DOUBLE)/b
+                                   + CAST(1 AS DOUBLE)/c
+                                   + CAST(1 AS DOUBLE)/d), 6) AS ci_hi_log
+    FROM t
+    """,
+)
+def odds_ratio_2x2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2×2 odds ratio with the Katz log interval — exposure = the md5
+    experiment arm, outcome = urgent/high order priority. The
+    epidemiology-style effect readout (ln OR = ln(a·d/(b·c)),
+    SE = sqrt(1/a+1/b+1/c+1/d)) that complements the mean-based tests:
+    it speaks in odds of a BINARY outcome, not value shifts.
+
+    Exactness: the four cells are one map-side-combining aggregate of
+    integer indicator products; ln of a ratio of integer products (the
+    PSI discipline) and one sqrt of exact reciprocals — closed-form
+    doubles rounded at 6 dp. ONE pass over the fact table; everything
+    after is a single row.
+    """
+    o = table(spark, sf_dir, "orders")
+    rel = o.select(
+        F.when(
+            F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 1) < "8", 1
+        )
+        .otherwise(0)
+        .alias("exposed"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("outcome"),
+    )
+    t = rel.agg(
+        F.sum(F.col("exposed") * F.col("outcome")).alias("a"),
+        F.sum(F.col("exposed") * (1 - F.col("outcome"))).alias("b"),
+        F.sum((1 - F.col("exposed")) * F.col("outcome")).alias("c"),
+        F.sum((1 - F.col("exposed")) * (1 - F.col("outcome"))).alias("d"),
+    )
+    lor = F.log(
+        (F.col("a") * F.col("d")).cast("double")
+        / (F.col("b") * F.col("c")).cast("double")
+    )
+    se = F.sqrt(
+        F.lit(1.0) / F.col("a")
+        + F.lit(1.0) / F.col("b")
+        + F.lit(1.0) / F.col("c")
+        + F.lit(1.0) / F.col("d")
+    )
+    return t.select(
+        "a", "b", "c", "d",
+        F.round(lor, 6).alias("log_odds_ratio"),
+        F.round(lor - 1.959964 * se, 6).alias("ci_lo_log"),
+        F.round(lor + 1.959964 * se, 6).alias("ci_hi_log"),
+    )
