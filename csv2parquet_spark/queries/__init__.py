@@ -50,76 +50,25 @@ from csv2parquet_spark.queries import order_stats  # noqa: E402,F401
 # Queries that miss this round's window stay in tier 1/2 and surface
 # automatically next round once newly-proven names drop to tier 3.
 # ---------------------------------------------------------------------------
-# Round-5: the r4 re-proofs came back green (CORRECTNESS_r04.json).
-# One behavior-adjacent change this round: connected_components'
-# fixpoint check moved into the checkpoint materialization job
-# (observe-based — one pass per round instead of two); results are
-# property-test-identical but the executed plan changed, so the one
-# proven consumer re-proves.
-_FORCE_FIRST: list[str] = ["dedup_clusters"]
+# Round-6: cleared at round start per the rotation protocol (VERDICT r5
+# item 1) — the 38 never-driver-proven round-5 queries auto-promote to
+# tier 1 and fill this round's window (they fit in one window for the
+# first time). Behavior changes this round that require re-proof of
+# already-proven queries go in _FORCE_FIRST:
+#   - winnowing_fingerprints: routed through dedup._parallelize_scan
+#     (was a single-task per-char HOF stage on the one-file fixture
+#     scan — VERDICT r5 "What's wrong" #1); results identical, plan
+#     changed.
+_FORCE_FIRST: list[str] = ["winnowing_fingerprints"]
 
-# Round-5: cleared at round start per the rotation protocol (VERDICT r4
-# item 1) — the 44 never-driver-proven round-4 queries auto-promote to
-# tier 1 and fill this round's window. New round-5 registrations go
-# here so they can't displace the pending proofs; they fill trailing
-# slots if tier 0+1+2 < 50 and auto-promote next round.
-_DEFER_THIS_ROUND: set[str] = {
-    "dsir_importance_weights",
-    "dedup_keep_best_quality",
-    "stream_dedup_within_watermark",
-    "runtime_bloom_filter_join",
-    # second/third wave — behind the four above; auto-promote next round
-    "containment_near_dups",
-    "k_anonymity_report",
-    "crawl_budget_largest_remainder",
-    "content_defined_chunks",
-    "source_overlap_matrix",
-    "bootstrap_ci_revenue",
-    "ab_test_revenue_ztest",
-    "cusum_changepoint_daily",
-    "sessionize_dynamic_gap",
-    "psi_price_drift",
-    "backtest_seasonal_naive",
-    # fourth wave
-    "skyline_parts_frontier",
-    "mad_outlier_report",
-    "rrf_fusion_hybrid",
-    "mmr_diversify_topk",
-    "merge_schema_evolution_read",
-    "woe_iv_value_bins",
-    "l_diversity_report",
-    "stratified_sample_exact",
-    "lpa_copurchase_communities",
-    "isotonic_calibration_exact",
-    "jackknife_ratio_ci",
-    "km_reorder_survival",
-    "theil_sen_daily_trend",
-    "mann_whitney_u_test",
-    "kendall_tau_b_bands",
-    "acf_daily_revenue",
-    "anomaly_days_seasonal_mad",
-    "conformal_interval_daily",
-    "zipf_fit_tokens",
-    "bfs_hops_copurchase",
-    "frequent_triples_apriori",
-    "ks_test_two_sample",
-    "revenue_concentration_report",
-    "mutual_information_bands",
-    "cuped_adjusted_ab_test",
-    "spearman_rank_correlation",
-    "odds_ratio_2x2",
-}
+# New round-6 registrations go here so they can't displace the pending
+# round-5 proofs; they fill trailing slots if tier 0+1+2 < 50 and
+# auto-promote next round.
+_DEFER_THIS_ROUND: set[str] = set()
 
 # Within the deferred tier, these names sort FIRST (list order) so
-# trailing window slots go to the round's flagship additions. Tier 1
-# holds 45 names this round (the r4 backlog + the pca conversion), so
-# ~4 trailing slots reach these.
-_DEFER_PRIORITY: list[str] = [
-    "dsir_importance_weights",
-    "dedup_keep_best_quality",
-    "runtime_bloom_filter_join",
-    "stream_dedup_within_watermark",
-]
+# trailing window slots go to the round's flagship additions.
+_DEFER_PRIORITY: list[str] = []
 
 
 def _proven_from_driver_rounds() -> tuple[set[str], set[str]]:
