@@ -109,13 +109,19 @@ HEADLINE = [
     "mad_outlier_report",
     "rrf_fusion_hybrid",
     "mmr_diversify_topk",
-    # round-5 fifth wave (calibration / survival). The graph loops
-    # (lpa_copurchase_communities 8.2 s, bfs_hops_copurchase 6.0 s
-    # isolated at sf0.1) stay out of HEADLINE like textrank — the
-    # per-superstep materialization dominates and would own the bench;
-    # they remain driver-correctness-checked at sf0.01.
+    # round-5 fifth wave (calibration / survival)
     "isotonic_calibration_exact",
     "km_reorder_survival",
+    # round-6: graph loops promoted into HEADLINE after the superstep
+    # rework (VERDICT r5 item 3): map-side pair expansion + fused
+    # repartition/aggregate edge build, shuffle_hash state joins (a
+    # checkpointed state frame has no stats, so the planner re-SORTED
+    # the edges every superstep), observe-fused dangling mass
+    # (pagerank_fixed), and lineage checkpoints every 2+ supersteps.
+    # Isolated sf0.1: lpa 8.2→4.3, bfs 6.0→3.7, textrank 6.9→3.6.
+    "lpa_copurchase_communities",
+    "bfs_hops_copurchase",
+    "textrank_tokens",
     # round-5 eighth wave (inference completion)
     "ks_test_two_sample",
     "cuped_adjusted_ab_test",

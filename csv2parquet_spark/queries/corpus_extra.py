@@ -1139,27 +1139,24 @@ def lpa_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic/hash-provable because every superstep is integer
     arithmetic with total tie-breaks (max summed weight, then smallest
     label), mirrored CTE-for-CTE by the generated oracle. Scale shape:
-    edges are basket-bounded (C(lines,2) per order, never parts²); per
-    superstep the shuffled relation is (vertex, candidate label), not
-    edges; labels are checkpointed so the plan stays
-    iteration-count-independent.
+    edges are basket-bounded (C(lines,2) per order, never parts²) and
+    expanded map-side from per-order item arrays
+    (:func:`~csv2parquet_spark.operators.graph.copurchase_edges` — the
+    oracle keeps the equivalent self-join form); per superstep the
+    shuffled relation is (vertex, candidate label), not edges; labels
+    are checkpointed so the plan stays iteration-count-independent.
     """
-    from csv2parquet_spark.operators.graph import label_propagation
+    from csv2parquet_spark.operators.graph import copurchase_edges, label_propagation
 
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = copurchase_edges(
+        li, "l_orderkey", "l_partkey", weighted=True, partition_on="dst"
     )
-    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
-    labels = label_propagation(edges, n_iter=3)
+    # ckpt_every > n_iter: at 3 supersteps the whole propagation plus
+    # the community rollup below fits in ONE job with bounded lineage —
+    # per-superstep checkpoint materializations were the dominant
+    # constant (VERDICT r5 item 3).
+    labels = label_propagation(edges, n_iter=3, pre_partitioned=True, ckpt_every=4)
     return (
         labels.groupBy(F.col("lbl").alias("community"))
         .agg(
@@ -1216,27 +1213,20 @@ def bfs_hops_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`~csv2parquet_spark.operators.graph.bfs_hops` — pure integer
     state with min-groupBy merges, so the distances are exact and
     engine-portable; the generated oracle mirrors each superstep as a
-    MATERIALIZED CTE. Edges are basket-bounded (see
-    lpa_copurchase_communities); per superstep the shuffle carries
-    (vertex, distance) only.
+    MATERIALIZED CTE. Edges are basket-bounded and expanded map-side
+    from per-order item arrays (see lpa_copurchase_communities); per
+    superstep the shuffle carries (vertex, distance) only. The source
+    vertex (min part key) is taken from the CHECKPOINTED edge relation
+    inside :func:`bfs_hops` — the r5 shape collected it from the raw
+    edge plan, executing the expensive pair expansion twice.
     """
-    from csv2parquet_spark.operators.graph import bfs_hops
+    from csv2parquet_spark.operators.graph import bfs_hops, copurchase_edges
 
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = copurchase_edges(
+        li, "l_orderkey", "l_partkey", weighted=False, partition_on="src"
     )
-    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
-    source = edges.agg(F.min("src")).collect()[0][0]
-    dist = bfs_hops(edges, int(source), n_iter=4)
+    dist = bfs_hops(edges, None, n_iter=4, pre_partitioned=True)
     return dist.groupBy(F.col("d").alias("hops")).agg(
         F.count(F.lit(1)).alias("n_parts"),
         F.min("id").alias("min_part"),

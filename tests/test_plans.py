@@ -106,10 +106,15 @@ def test_knn_join_partial_window_group_limit(spark, sf_dir):
 
 
 def test_winnowing_is_map_only(spark, sf_dir):
-    """winnowing_fingerprints: pure per-row expressions — zero
-    exchanges at any scale."""
+    """winnowing_fingerprints: per-row kernel work — no KEYED exchange
+    at any scale. The only allowed exchange is the gated
+    ``_parallelize_scan`` ROUND-ROBIN rebalance, which fires on the
+    single-file test fixture (one scan task otherwise serializes the
+    CPU-bound stage) and is a no-op on a real many-split scan."""
     plan = _plan(REGISTRY["winnowing_fingerprints"].fn(spark, sf_dir))
-    assert "Exchange" not in plan
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert plan.count("Exchange") <= 1
 
 
 def test_q21_single_fact_aggregation_chain(spark, sf_dir):
