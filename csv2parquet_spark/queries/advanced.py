@@ -68,14 +68,57 @@ def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("percentiles_approx", oracle=None)  # sketch-based → rows-only
+@register(
+    "percentiles_approx",
+    oracle="""
+    SELECT l_linestatus, CAST(count(*) AS BIGINT) AS n,
+           true AS p50_within_bound, true AS p90_within_bound
+    FROM lineitem GROUP BY 1
+    """,
+)
 def percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (GK sketch): mergeable, one pass, no per-group
-    sort — the percentile you actually run at 100 TB."""
+    sort — the percentile you actually run at 100 TB.
+
+    Hash-provable via the sketch-then-exact-verify pattern (the
+    Misra-Gries precedent, operators/sketches.py): the sketch's output
+    can't be mirrored cross-engine, but its CONTRACT can — a value
+    returned for quantile q at accuracy a must cover a rank within
+    ±N/a of qN. The verify pass joins the (broadcast, group-sized)
+    sketch results back to the data and checks the exact rank interval
+    [count(<v)+1, count(<=v)] against the bound with integer
+    arithmetic; the oracle asserts the booleans true. A sketch
+    violating its documented bound hash-mismatches — the check is the
+    guarantee, not the float values."""
     l = table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_linestatus").agg(
+    approx = l.groupBy("l_linestatus").agg(
         F.approx_percentile("l_quantity", F.lit(0.5), F.lit(10000)).alias("p50"),
         F.approx_percentile("l_extendedprice", F.lit(0.9), F.lit(10000)).alias("p90"),
+    )
+    verified = (
+        l.join(F.broadcast(approx), "l_linestatus")
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("l_quantity") < F.col("p50")).cast("long")).alias("lt50"),
+            F.sum((F.col("l_quantity") <= F.col("p50")).cast("long")).alias("le50"),
+            F.sum((F.col("l_extendedprice") < F.col("p90")).cast("long")).alias("lt90"),
+            F.sum((F.col("l_extendedprice") <= F.col("p90")).cast("long")).alias("le90"),
+        )
+    )
+    # rank interval must intersect [(q-eps)N, (q+eps)N], eps = 1/10000,
+    # all in integer basis points x10000 (no float rank arithmetic)
+    return verified.select(
+        "l_linestatus",
+        "n",
+        (
+            (F.col("lt50") * 10000 <= (5000 + 1) * F.col("n"))
+            & (F.col("le50") * 10000 >= (5000 - 1) * F.col("n"))
+        ).alias("p50_within_bound"),
+        (
+            (F.col("lt90") * 10000 <= (9000 + 1) * F.col("n"))
+            & (F.col("le90") * 10000 >= (9000 - 1) * F.col("n"))
+        ).alias("p90_within_bound"),
     )
 
 
@@ -373,24 +416,59 @@ def top_tokens_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("hll_sketch_distinct", oracle=None)  # sketch-based → rows-only
+@register(
+    "hll_sketch_distinct",
+    oracle="""
+    SELECT o_orderstatus, CAST(count(DISTINCT o_custkey) AS BIGINT)
+             AS exact_customers,
+           true AS approx_within_3rse
+    FROM orders GROUP BY 1
+    UNION ALL
+    SELECT 'ALL', CAST(count(DISTINCT o_custkey) AS BIGINT), true
+    FROM orders
+    """,
+)
 def hll_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HyperLogLog sketches (Apache DataSketches built into
     Spark 4): per-status customer cardinality, plus a union across
     groups — the sketch shape that lets 100 TB dashboards pre-aggregate
-    distincts and merge them later without rescanning."""
+    distincts and merge them later without rescanning.
+
+    Hash-provable via sketch-then-exact-verify (the Misra-Gries /
+    percentiles_approx pattern): the estimate itself is
+    engine-specific, but its documented error is not — DataSketches
+    HLL at default lgK=12 has relative standard error
+    1.04/sqrt(2^12) ~ 1.6%, so the estimate must sit within 3·RSE
+    (~4.9%) of the exact distinct count. Both sides of the check are
+    one aggregation over the same scan; the oracle pins the exact
+    counts and asserts the bound-booleans true. Integer comparison:
+    |round(approx) - exact|·1000 <= 49·exact."""
     o = table(spark, sf_dir, "orders")
     per_status = o.groupBy("o_orderstatus").agg(
-        F.hll_sketch_agg("o_custkey").alias("sk")
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
     )
-    return per_status.select(
+    all_row = per_status.agg(
+        F.lit("ALL").alias("o_orderstatus"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx"),
+        # exact distinct over the union of groups: distinct custkeys
+        # per status can overlap, so recount from the scan
+    ).crossJoin(
+        F.broadcast(o.agg(F.countDistinct("o_custkey").alias("exact_customers")))
+    )
+    est = per_status.select(
         "o_orderstatus",
-        F.hll_sketch_estimate("sk").alias("approx_customers"),
-    ).unionByName(
-        per_status.agg(
-            F.lit("ALL").alias("o_orderstatus"),
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_customers"),
-        )
+        F.hll_sketch_estimate("sk").alias("approx"),
+        "exact_customers",
+    ).unionByName(all_row.select("o_orderstatus", "approx", "exact_customers"))
+    return est.select(
+        "o_orderstatus",
+        F.col("exact_customers").cast("long").alias("exact_customers"),
+        (
+            F.abs(F.round(F.col("approx")).cast("long") - F.col("exact_customers"))
+            * 1000
+            <= 49 * F.col("exact_customers")
+        ).alias("approx_within_3rse"),
     )
 
 

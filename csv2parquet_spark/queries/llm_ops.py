@@ -748,7 +748,10 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_features", oracle=None)  # mapInPandas → rows-only
+# r6: registry entry retired — superseded by the hash-proven REAL
+# multimodal ops (multimodal_resize_real / audio_features_real /
+# video_frame_sample_real / image_features_real); the plumbing stays
+# unit-tested in tests/test_operators.py without spending registry mass.
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload → fixed-dim float feature vector via mapInPandas
     (deterministic stub standing in for an embedding model forward
@@ -771,7 +774,10 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_resize_plan", oracle=None)  # mapInPandas → rows-only
+# r6: registry entry retired — superseded by the hash-proven REAL
+# multimodal ops (multimodal_resize_real / audio_features_real /
+# video_frame_sample_real / image_features_real); the plumbing stays
+# unit-tested in tests/test_operators.py without spending registry mass.
 def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aspect-preserving resize planning (shorter side → 224) over the
     decoded metadata — codecless stub, real fan-in shape."""
@@ -783,7 +789,10 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_metadata(d)
 
 
-@register("multimodal_frame_sample", oracle=None)  # mapInPandas → rows-only
+# r6: registry entry retired — superseded by the hash-proven REAL
+# multimodal ops (multimodal_resize_real / audio_features_real /
+# video_frame_sample_real / image_features_real); the plumbing stays
+# unit-tested in tests/test_operators.py without spending registry mass.
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-frame sampling stub: mapInPandas emitting N rows per input
     payload (the generator fan-out shape a real ffmpeg decode uses)."""
@@ -795,7 +804,10 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(d)
 
 
-@register("multimodal_decode_stub", oracle=None)  # mapInPandas → rows-only
+# r6: registry entry retired — superseded by the hash-proven REAL
+# multimodal ops (multimodal_resize_real / audio_features_real /
+# video_frame_sample_real / image_features_real); the plumbing stays
+# unit-tested in tests/test_operators.py without spending registry mass.
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract plumbing for binary media via mapInPandas.
 
