@@ -529,6 +529,24 @@ def minhash_near_dups_exprs(
     Output: (id_a, id_b, common, sz_a, sz_b, jaccard) for pairs with
     exact Jaccard ≥ threshold among band-sharing candidates.
     """
+    cand = minhash_candidates_exprs(df, perm_hashers, bands, text_col, id_col, k)
+    dsa = doc_shingle_arrays(df, text_col, id_col, k).localCheckpoint()
+    return _verify_jaccard(cand, dsa, threshold)
+
+
+def minhash_candidates_exprs(
+    df: DataFrame,
+    perm_hashers,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """The CANDIDATE stage of :func:`minhash_near_dups_exprs` —
+    signatures over the explicit permutation-hash family, tuple-keyed
+    banding, distinct band-sharing (id_a < id_b) pairs, NO Jaccard
+    verify. Split out so recall/precision audits can measure the raw
+    candidate set against exact ground truth."""
     n = len(perm_hashers)
     # DISTINCT shingles per doc: the per-perm min is set semantics, so
     # duplicate occurrences only repeat hash work — array_distinct in
@@ -544,9 +562,7 @@ def minhash_near_dups_exprs(
         .agg(*[F.min(h(F.col("s"))).alias(f"m{i}") for i, h in enumerate(perm_hashers)])
         .select("id", F.array(*[f"m{i}" for i in range(n)]).alias("sig"))
     )
-    cand = minhash_lsh_candidates(sigs, num_perm=n, bands=bands, bucket_mode="tuple")
-    dsa = doc_shingle_arrays(df, text_col, id_col, k).localCheckpoint()
-    return _verify_jaccard(cand, dsa, threshold)
+    return minhash_lsh_candidates(sigs, num_perm=n, bands=bands, bucket_mode="tuple")
 
 
 def connected_components(

@@ -67,12 +67,33 @@ _FORCE_FIRST: list[str] = ["winnowing_fingerprints", "textrank_tokens"]
 
 # New round-6 registrations go here so they can't displace the pending
 # round-5 proofs; they fill trailing slots if tier 0+1+2 < 50 and
-# auto-promote next round.
-_DEFER_THIS_ROUND: set[str] = set()
+# auto-promote next round. Window arithmetic this round: 2 force-first
+# re-proofs + 38 r5-backlog tier-1 + 2 rows-only→oracle conversions
+# (percentiles_approx, hll_sketch_distinct) = 42, so exactly 8 trailing
+# slots — the 8 new r6 queries below fill them in priority order.
+_DEFER_THIS_ROUND: set[str] = {
+    "minhash_recall_audit",
+    "cohort_retention_weekly",
+    "peak_concurrency_daily",
+    "event_transition_bigrams",
+    "basket_lift_pairs",
+    "price_qty_slope_by_nation",
+    "lang_id_agreement_kappa",
+    "label_centroid_separation",
+}
 
 # Within the deferred tier, these names sort FIRST (list order) so
 # trailing window slots go to the round's flagship additions.
-_DEFER_PRIORITY: list[str] = []
+_DEFER_PRIORITY: list[str] = [
+    "minhash_recall_audit",
+    "cohort_retention_weekly",
+    "peak_concurrency_daily",
+    "basket_lift_pairs",
+    "event_transition_bigrams",
+    "price_qty_slope_by_nation",
+    "lang_id_agreement_kappa",
+    "label_centroid_separation",
+]
 
 
 def _proven_from_driver_rounds() -> tuple[set[str], set[str]]:

@@ -1297,3 +1297,65 @@ def frequent_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("support") >= 2)
     )
     return tri.orderBy(F.desc("support"), "pa", "pb", "pc").limit(20)
+
+
+@register(
+    "basket_lift_pairs",
+    oracle="""
+    WITH li AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e AS MATERIALIZED (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst,
+             CAST(count(*) AS BIGINT) AS w
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+    ), c AS MATERIALIZED (
+      SELECT l_partkey AS item, CAST(count(*) AS BIGINT) AS cnt FROM li GROUP BY 1
+    ), nn AS (
+      SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM li
+    )
+    SELECT src, dst, w, ca.cnt AS c_src, cb.cnt AS c_dst,
+           CAST((nn.n * w * 1000000) // (ca.cnt * cb.cnt) AS BIGINT) AS lift_ppm
+    FROM e JOIN c ca ON ca.item = e.src JOIN c cb ON cb.item = e.dst, nn
+    WHERE w >= 2
+    ORDER BY lift_ppm DESC, src, dst
+    LIMIT 20
+    """,
+)
+def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift: top-20 part pairs by
+    lift = N·P(a,b)/(P(a)·P(b)), i.e. how much more often two parts
+    co-occur in an order than independence predicts — the association
+    metric behind "frequently bought together" (Apriori's confidence
+    cousin, but symmetric).
+
+    Reuses :func:`~csv2parquet_spark.operators.graph.copurchase_edges`
+    (map-side basket-bounded pair expansion, one pair shuffle); item
+    frequencies broadcast onto the edges (parts is the dimension), N is
+    a 1-row broadcast. The ratio is emitted in INTEGER ppm
+    ((N·w·10^6) DIV (c_a·c_b)) so ordering and hashing never touch
+    float division."""
+    from csv2parquet_spark.operators.graph import copurchase_edges
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = copurchase_edges(li, "l_orderkey", "l_partkey", weighted=True)
+    lid = li.distinct()
+    icnt = lid.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    n1 = lid.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        edges.filter(F.col("w") >= 2)
+        .join(F.broadcast(icnt.select(F.col("item").alias("src"), F.col("cnt").alias("c_src"))), "src")
+        .join(F.broadcast(icnt.select(F.col("item").alias("dst"), F.col("cnt").alias("c_dst"))), "dst")
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "src", "dst", "w", "c_src", "c_dst",
+            F.expr("n * w * 1000000 DIV (c_src * c_dst)").alias("lift_ppm"),
+        )
+        .orderBy(F.desc("lift_ppm"), "src", "dst")
+        .limit(20)
+    )

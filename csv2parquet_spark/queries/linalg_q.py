@@ -467,3 +467,119 @@ def kmeans_train_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("mm").cast("decimal(18,6)")).cast("double").alias("checksum")
     )
     return counts.join(ck, "cluster").select("cluster", "n_vecs", "checksum")
+
+
+@register(
+    "label_centroid_separation",
+    oracle="""
+    WITH ex AS MATERIALIZED (
+      SELECT vec_id, label, i - 1 AS pos,
+             CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings,
+           LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
+    ), cent AS MATERIALIZED (
+      SELECT label AS clabel, pos,
+             CAST(sum(CAST(v AS DECIMAL(20, 10))) AS DOUBLE) / count(*) AS c
+      FROM ex GROUP BY label, pos
+    ), cn AS MATERIALIZED (
+      SELECT clabel,
+             CAST(sum(CAST(c * c AS DECIMAL(28, 14))) AS DOUBLE) AS c2
+      FROM cent GROUP BY clabel
+    ), vn AS MATERIALIZED (
+      SELECT vec_id,
+             CAST(sum(CAST(v * v AS DECIMAL(28, 14))) AS DOUBLE) AS v2
+      FROM ex GROUP BY vec_id
+    ), dots AS MATERIALIZED (
+      SELECT ex.vec_id, ex.label, cent.clabel,
+             CAST(sum(CAST(ex.v * cent.c AS DECIMAL(28, 14))) AS DOUBLE) AS dot
+      FROM ex JOIN cent USING (pos)
+      GROUP BY ex.vec_id, ex.label, cent.clabel
+    ), d2 AS MATERIALIZED (
+      SELECT d.vec_id, d.label, d.clabel,
+             round(vn.v2 - 2 * d.dot + cn.c2, 6) AS dist
+      FROM dots d JOIN cn USING (clabel) JOIN vn USING (vec_id)
+    ), pv AS MATERIALIZED (
+      SELECT vec_id, label,
+             min(CASE WHEN clabel = label THEN dist END) AS d_own,
+             min(CASE WHEN clabel <> label THEN dist END) AS d_other
+      FROM d2 GROUP BY 1, 2
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN d_own < d_other THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_separated,
+           round(CAST(sum(CAST(d_own AS DECIMAL(18, 6))) AS DOUBLE), 6)
+             AS sum_d_own,
+           round(CAST(sum(CAST(d_other AS DECIMAL(18, 6))) AS DOUBLE), 6)
+             AS sum_d_other
+    FROM pv GROUP BY label
+    """,
+)
+def label_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space class-separation audit (the scalable cousin of a
+    silhouette score): per label, how many vectors sit closer to their
+    OWN label centroid than to the nearest other centroid, plus the
+    summed squared distances each way — the go/no-go check before
+    trusting labels (or centroids) for semantic dedup, NCM filtering,
+    or contrastive sampling.
+
+    Same decimal-stabilized machinery as the proven
+    ``ncm_confusion_matrix``: centroid fit is a (label, pos) aggregate
+    (model-sized), per-vector distances come from ||v||² − 2v·c + ||c||²
+    with every float accumulation decimal-cast (bit-identical across
+    engines), distances rounded to 6dp before the compare/sum so the
+    hashed output carries no raw float arithmetic. Fan-out per vector is
+    n_classes, never corpus×corpus."""
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "vf")
+    ).select("vec_id", "label", "pos", F.col("vf").cast("double").alias("v"))
+    cent = ex.groupBy(F.col("label").alias("clabel"), "pos").agg(
+        (
+            F.sum(F.col("v").cast("decimal(20,10)")).cast("double") / F.count("*")
+        ).alias("c")
+    )
+    cn = cent.groupBy("clabel").agg(
+        F.sum((F.col("c") * F.col("c")).cast("decimal(28,14)"))
+        .cast("double")
+        .alias("c2")
+    )
+    vn = ex.groupBy("vec_id").agg(
+        F.sum((F.col("v") * F.col("v")).cast("decimal(28,14)"))
+        .cast("double")
+        .alias("v2")
+    )
+    dots = (
+        ex.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.sum((F.col("v") * F.col("c")).cast("decimal(28,14)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    d2 = (
+        dots.join(F.broadcast(cn), "clabel")
+        .join(vn, "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            "clabel",
+            F.round(F.col("v2") - 2 * F.col("dot") + F.col("c2"), 6).alias("dist"),
+        )
+    )
+    pv = d2.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("clabel") == F.col("label"), F.col("dist"))).alias("d_own"),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("dist"))).alias(
+            "d_other"
+        ),
+    )
+    return pv.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum((F.col("d_own") < F.col("d_other")).cast("long")).alias("n_separated"),
+        F.round(
+            F.sum(F.col("d_own").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("sum_d_own"),
+        F.round(
+            F.sum(F.col("d_other").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("sum_d_other"),
+    )

@@ -266,6 +266,101 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_recall_oracle() -> str:
+    """Recall/precision audit oracle: the md5-slice LSH candidate CTEs
+    (same construction as ``_minhash_lsh_oracle``) measured against the
+    exact 3-gram-Jaccard ground truth (same form as the
+    ``ngram_jaccard_near_dups`` oracle), reduced to integer counts and
+    ppm ratios — no floats in the hashed output."""
+    mins = [f"min(substr(md5(s), {1 + 4 * j}, 4)) AS m{j}" for j in range(8)]
+    band_keys = " ".join(
+        f"WHEN {b} THEN m{2 * b} || ',' || m{2 * b + 1}" for b in range(4)
+    )
+    return f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS MATERIALIZED (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)
+    ), mins AS MATERIALIZED (
+      SELECT doc_id, {", ".join(mins)} FROM sh GROUP BY doc_id
+    ), bands AS MATERIALIZED (
+      SELECT doc_id, b.band, CASE b.band {band_keys} END AS key
+      FROM mins, (VALUES (0), (1), (2), (3)) AS b(band)
+    ), cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM bands a JOIN bands c
+        ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id
+    ), sz AS MATERIALIZED (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), common AS MATERIALIZED (
+      SELECT a.doc_id AS id_a, b2.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b2 ON a.s = b2.s AND a.doc_id < b2.doc_id
+      GROUP BY 1, 2
+    ), truth AS MATERIALIZED (
+      SELECT id_a, id_b
+      FROM common JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+      WHERE round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) >= 0.8
+    ), hits AS MATERIALIZED (
+      SELECT cand.id_a FROM cand JOIN truth
+        ON cand.id_a = truth.id_a AND cand.id_b = truth.id_b
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+           (SELECT CAST(count(*) AS BIGINT) FROM hits) AS n_hits,
+           CAST((SELECT count(*) FROM hits) * 1000000
+                // greatest((SELECT count(*) FROM truth), 1) AS BIGINT)
+             AS recall_ppm,
+           CAST((SELECT count(*) FROM hits) * 1000000
+                // greatest((SELECT count(*) FROM cand), 1) AS BIGINT)
+             AS precision_ppm
+    """
+
+
+@register("minhash_recall_audit", oracle=_minhash_recall_oracle())
+def minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-quality audit: recall AND precision of the MinHash-LSH
+    CANDIDATE set against exact 3-gram-Jaccard ≥ 0.8 ground truth —
+    the measurement that justifies running the sketch instead of the
+    exact PPJoin at 100 TB (and the knob-tuning loop for bands/perms).
+
+    Reuses both proven pipelines as-is:
+    :func:`~csv2parquet_spark.operators.dedup.minhash_candidates_exprs`
+    (the md5-slice family of the hash-proven minhash_near_dups, pre-
+    verify) and ``ngram_jaccard_pairs`` (the hash-proven exact PPJoin).
+    Both pair sets are corpus-bounded (prefix-filter / band-bucketed,
+    never all-pairs); the audit adds one pair-keyed join plus three
+    1-row aggregates, so it costs what the two pipelines cost. Output
+    is one row of integer counts + ppm ratios (count·10^6 DIV total) —
+    no float division in the hash."""
+    docs = table(spark, sf_dir, "documents")
+    hashers = [
+        (lambda j: (lambda s: F.substring(F.md5(s), 1 + 4 * j, 4)))(j)
+        for j in range(8)
+    ]
+    cand = D.minhash_candidates_exprs(docs, hashers, bands=4).localCheckpoint()
+    truth = (
+        D.ngram_jaccard_pairs(docs, threshold=0.8, order="hash")
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    hits = cand.join(truth, ["id_a", "id_b"])
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_truth"))
+        .crossJoin(F.broadcast(cand.agg(F.count(F.lit(1)).alias("n_candidates"))))
+        .crossJoin(F.broadcast(hits.agg(F.count(F.lit(1)).alias("n_hits"))))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hits",
+            F.expr("n_hits * 1000000 DIV greatest(n_truth, 1)").alias("recall_ppm"),
+            F.expr("n_hits * 1000000 DIV greatest(n_candidates, 1)").alias(
+                "precision_ppm"
+            ),
+        )
+    )
+
+
 def _simhash_oracle() -> str:
     """48-bit md5-slice SimHash: per-token hash, per-bit ±1 majority,
     bit-pack, 4×12-bit band blocking, bit_count(xor) Hamming verify.

@@ -1591,3 +1591,137 @@ def odds_ratio_2x2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(lor - 1.959964 * se, 6).alias("ci_lo_log"),
         F.round(lor + 1.959964 * se, 6).alias("ci_hi_log"),
     )
+
+
+@register(
+    "price_qty_slope_by_nation",
+    oracle="""
+    WITH j AS MATERIALIZED (
+      SELECT n.n_name AS nation, CAST(l.l_quantity AS BIGINT) AS x,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+    ), m AS (
+      SELECT nation, CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM j GROUP BY 1
+    )
+    SELECT nation, n,
+      CAST((n*sxy - sx*sy) // (n*sxx - sx*sx) AS BIGINT) AS slope_int,
+      CAST((((n*sxy - sx*sy) % (n*sxx - sx*sx)) * 10000) // (n*sxx - sx*sx)
+           AS BIGINT) AS slope_frac4
+    FROM m
+    """,
+)
+def price_qty_slope_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped OLS: the closed-form regression slope of extended price
+    (cents) on quantity per supplier nation — the feature-vs-target
+    screen a modeling pipeline runs before committing to training.
+
+    slope = (nΣxy − ΣxΣy)/(nΣxx − Σx²) entirely in INTEGER moments
+    (prices as cents, quantities integral), emitted as truncated
+    integer part + 4-digit fraction via DIV/% — both engines truncate
+    toward zero on their wide-integer types (DuckDB HUGEINT //, Spark
+    DECIMAL DIV), so there is no float anywhere. Spark accumulates the
+    moments in DECIMAL(38,0) (a BIGINT Σxy overflows ~40× beyond sf1);
+    one partial-aggregated groupBy after two dimension broadcasts is
+    the whole plan."""
+    l = table(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity", "l_extendedprice")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("l_quantity").cast("bigint").alias("x"),
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+        )
+    )
+    m = j.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(28,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(28,0)")).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(28,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,0)")).alias("sxx"),
+    )
+    return m.select(
+        "nation",
+        "n",
+        F.expr("(n*sxy - sx*sy) DIV (n*sxx - sx*sx)").alias("slope_int"),
+        F.expr("(((n*sxy - sx*sy) % (n*sxx - sx*sx)) * 10000)"
+               " DIV (n*sxx - sx*sx)").alias("slope_frac4"),
+    )
+
+
+def _kappa_oracle() -> str:
+    """Cohen's kappa over the lang-ID confusion matrix: the proven
+    lang_id_heuristic oracle nests as a CTE (its own WITH-chain is a
+    legal subquery body), then kappa reduces to integer marginals."""
+    from csv2parquet_spark.queries.registry import REGISTRY
+
+    conf_sql = REGISTRY["lang_id_heuristic"].oracle
+    return f"""
+    WITH conf AS MATERIALIZED ({conf_sql}),
+    rows_m AS (SELECT lang AS k, sum(n_docs) AS r FROM conf GROUP BY 1),
+    cols_m AS (SELECT predicted AS k, sum(n_docs) AS c FROM conf GROUP BY 1),
+    tot AS (
+      SELECT sum(n_docs) AS nn,
+             sum(CASE WHEN lang = predicted THEN n_docs ELSE 0 END) AS agree
+      FROM conf
+    ),
+    pe AS (
+      SELECT coalesce(sum(r * c), 0) AS pe_num
+      FROM rows_m JOIN cols_m USING (k)
+    )
+    SELECT CAST(nn AS BIGINT) AS n_docs, CAST(agree AS BIGINT) AS n_agree,
+           CAST(nn * agree - pe_num AS BIGINT) AS kappa_num,
+           CAST(nn * nn - pe_num AS BIGINT) AS kappa_den,
+           CAST(((nn * agree - pe_num) * 1000000) // (nn * nn - pe_num)
+                AS BIGINT) AS kappa_ppm
+    FROM tot, pe
+    """
+
+
+@register("lang_id_agreement_kappa", oracle=_kappa_oracle())
+def lang_id_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the learned lang-ID predictions and the
+    corpus's labeled ``lang`` column — chance-corrected agreement, the
+    label-quality gate for classifier-assisted data curation (raw
+    accuracy is inflated when one language dominates; kappa is not).
+
+    Reuses the hash-proven ``lang_id_heuristic`` confusion matrix
+    verbatim (its oracle nests as a CTE); kappa is then pure integer
+    arithmetic on the k×k confusion counts:
+    κ = (N·Σdiag − Σₖrowₖ·colₖ)/(N² − Σₖrowₖ·colₖ), emitted as exact
+    num/den BIGINTs plus a truncated ppm ratio. N² needs a wide type
+    beyond ~3e9 rows — here the confusion relation is k² ≤ 25 rows, so
+    every aggregate after the (already-proven) vote pipeline is
+    driver-trivial."""
+    from csv2parquet_spark.queries.llm_ops import lang_id_heuristic
+
+    conf = lang_id_heuristic(spark, sf_dir).localCheckpoint()
+    rows_m = conf.groupBy(F.col("lang").alias("k")).agg(F.sum("n_docs").alias("r"))
+    cols_m = conf.groupBy(F.col("predicted").alias("k")).agg(
+        F.sum("n_docs").alias("c")
+    )
+    tot = conf.agg(
+        F.sum("n_docs").alias("nn"),
+        F.sum(F.when(F.col("lang") == F.col("predicted"), F.col("n_docs")).otherwise(0)).alias("agree"),
+    )
+    pe = rows_m.join(cols_m, "k").agg(
+        F.coalesce(F.sum(F.col("r") * F.col("c")), F.lit(0)).alias("pe_num")
+    )
+    return (
+        tot.crossJoin(F.broadcast(pe))
+        .select(
+            F.col("nn").cast("long").alias("n_docs"),
+            F.col("agree").cast("long").alias("n_agree"),
+            (F.col("nn") * F.col("agree") - F.col("pe_num")).cast("long").alias("kappa_num"),
+            (F.col("nn") * F.col("nn") - F.col("pe_num")).cast("long").alias("kappa_den"),
+            F.expr("(nn * agree - pe_num) * 1000000 DIV (nn * nn - pe_num)")
+            .cast("long")
+            .alias("kappa_ppm"),
+        )
+    )

@@ -1855,3 +1855,161 @@ def conformal_interval_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("qhat_cents"),
     )
+
+
+@register(
+    "cohort_retention_weekly",
+    oracle="""
+    WITH act AS MATERIALIZED (
+      SELECT DISTINCT user_id,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+                  AS BIGINT) AS w
+      FROM events
+    ), coh AS MATERIALIZED (
+      SELECT user_id, min(w) AS cw FROM act GROUP BY 1
+    )
+    SELECT cw AS cohort_week,
+      CAST(count(DISTINCT CASE WHEN a.w - c.cw = 0 THEN a.user_id END) AS BIGINT) AS w0,
+      CAST(count(DISTINCT CASE WHEN a.w - c.cw = 1 THEN a.user_id END) AS BIGINT) AS w1,
+      CAST(count(DISTINCT CASE WHEN a.w - c.cw = 2 THEN a.user_id END) AS BIGINT) AS w2,
+      CAST(count(DISTINCT CASE WHEN a.w - c.cw = 3 THEN a.user_id END) AS BIGINT) AS w3,
+      CAST(count(DISTINCT CASE WHEN a.w - c.cw = 4 THEN a.user_id END) AS BIGINT) AS w4
+    FROM act a JOIN coh c USING (user_id)
+    GROUP BY 1
+    """,
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention triangle: users bucketed by their FIRST
+    active week (integer weeks since the corpus epoch — no engine
+    week-of-year semantics), counted distinct again at offsets +0..+4.
+
+    Scale shape: the corpus-sized work is ONE distinct over (user,
+    week); the cohort join is user-keyed; the retention rollup runs on
+    the user×week activity relation (dimension-sized). The five offset
+    columns are conditional count-distincts in one aggregate (a single
+    Expand, not five scans)."""
+    e = table(spark, sf_dir, "events")
+    act = e.select(
+        "user_id",
+        (F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) / 7)
+        .cast("bigint")
+        .alias("w"),
+    ).distinct()
+    coh = act.groupBy("user_id").agg(F.min("w").alias("cw"))
+    j = act.join(coh, "user_id").select("user_id", "cw", (F.col("w") - F.col("cw")).alias("off"))
+    return j.groupBy(F.col("cw").alias("cohort_week")).agg(
+        *[
+            F.countDistinct(F.when(F.col("off") == k, F.col("user_id"))).alias(f"w{k}")
+            for k in range(5)
+        ]
+    )
+
+
+@register(
+    "peak_concurrency_daily",
+    oracle="""
+    WITH iv AS MATERIALIZED (
+      SELECT event_id, ts AS s, CAST(ts AS DATE) AS day,
+             least(ts + (60 * (1 + event_id % 5)) * INTERVAL 1 SECOND,
+                   CAST(CAST(ts AS DATE) + 1 AS TIMESTAMP)) AS e
+      FROM events
+    ), deltas AS MATERIALIZED (
+      SELECT day, s AS t, 1 AS delta FROM iv
+      UNION ALL
+      SELECT day, e AS t, -1 AS delta FROM iv
+    ), cum AS (
+      SELECT day, delta,
+             sum(delta) OVER (PARTITION BY day ORDER BY t, delta
+                              ROWS UNBOUNDED PRECEDING) AS c
+      FROM deltas
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+           CAST(max(c) AS BIGINT) AS peak_concurrency
+    FROM cum GROUP BY 1
+    """,
+)
+def peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day via the classic sweep-line:
+    each event opens a [start, start+dur) interval (deterministic
+    duration 60·(1 + id%5) s, clamped to midnight so the partition key
+    is exact), intervals become ±1 deltas, a per-day running sum's max
+    is the answer — NO interval self-join (the naive overlap join is
+    quadratic per day; the sweep is one sort per day-partition).
+
+    Tie rule: at equal timestamps the -1 sorts first (ORDER BY t,
+    delta), i.e. half-open intervals — back-to-back sessions never
+    double-count. Scale: the window partitions by day; a hotter
+    per-day volume shards further by (day, bucket) with per-bucket
+    carry like global_cumsum."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").alias("s"), F.to_date("ts").alias("day")
+    )
+    iv = e.select(
+        "day",
+        "s",
+        F.least(
+            F.expr("s + make_interval(0, 0, 0, 0, 0, 0, 60 * (1 + event_id % 5))"),
+            F.date_add("day", 1).cast("timestamp"),
+        ).alias("e"),
+    )
+    deltas = iv.select("day", F.col("s").alias("t"), F.lit(1).alias("delta")).unionAll(
+        iv.select("day", F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = deltas.withColumn("c", F.sum("delta").over(w))
+    return cum.groupBy(F.date_format("day", "yyyy-MM-dd").alias("day")).agg(
+        F.sum((F.col("delta") == 1).cast("long")).alias("n_events"),
+        F.max("c").cast("long").alias("peak_concurrency"),
+    )
+
+
+@register(
+    "event_transition_bigrams",
+    oracle="""
+    WITH nxt AS (
+      SELECT event_type AS src_event,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS dst_event,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nts,
+             ts
+      FROM events
+    )
+    SELECT src_event, dst_event, CAST(count(*) AS BIGINT) AS n_transitions
+    FROM nxt
+    WHERE dst_event IS NOT NULL
+      AND date_diff('second', ts, nts) <= 1800
+    GROUP BY 1, 2
+    ORDER BY n_transitions DESC, src_event, dst_event
+    LIMIT 20
+    """,
+)
+def event_transition_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey mining: top-20 event-type transitions (consecutive
+    events by the same user within 30 minutes) — the Markov-chain edge
+    counts behind funnel discovery and next-action models.
+
+    One window partitioned by user (high-cardinality key, single
+    exchange), one 25-cell aggregate, TakeOrdered top-k — no self-join
+    on the event stream."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = e.select(
+        F.col("event_type").alias("src_event"),
+        F.lead("event_type").over(w).alias("dst_event"),
+        F.col("ts").cast("long").alias("tsec"),
+        F.lead(F.col("ts").cast("long")).over(w).alias("ntsec"),
+    )
+    return (
+        nxt.filter(
+            F.col("dst_event").isNotNull() & (F.col("ntsec") - F.col("tsec") <= 1800)
+        )
+        .groupBy("src_event", "dst_event")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy(F.desc("n_transitions"), "src_event", "dst_event")
+        .limit(20)
+    )

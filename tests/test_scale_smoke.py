@@ -235,3 +235,48 @@ def test_containment_at_100k(spark, big_docs):
     ).collect()[0]
     assert agg.n == 2 * (N_DOCS // 10)
     assert agg.cmin == 1.0
+
+
+def test_order_statistics_machinery_at_1m(spark):
+    """The value-compressed order-statistics machinery (exact_median /
+    global_cumsum / global_running_max — the engine under MAD, Theil-
+    Sen, KS, Mann-Whitney, conformal, skyline) at 1M rows, ~20× the
+    sf0.1 relation it was built on: answers stay EXACT (known closed
+    forms for the generated data) and the job count stays FLAT — the
+    two-pass shape spends a fixed number of driver round-trips (each a
+    P-sized scalar/offset collect), never one per group or per row.
+    """
+    from csv2parquet_spark.operators.ranking import (
+        exact_median,
+        global_cumsum,
+        global_running_max,
+    )
+
+    sc = spark.sparkContext
+
+    def run(n: int) -> int:
+        """Run the three consumers at n rows; return the job count."""
+        # values 0..9999 each appearing n/10000×: median = (4999+5000)/2
+        df = (
+            spark.range(n)
+            .repartition(32)
+            .select((F.col("id") % 10_000).alias("v"))
+            .localCheckpoint()
+        )
+        before = len(sc.statusTracker().getJobIdsForGroup(None) or [])
+        med, cnt = exact_median(df, "v")
+        assert cnt == n
+        assert med == 4999.5
+        g = df.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+        cum = global_cumsum(g, keys=["v"], weight_col="cnt", cum_col="cum")
+        assert cum.agg(F.max("cum")).collect()[0][0] == n
+        rm = global_running_max(g, keys=["v"], value_col="v", out_col="rm")
+        assert rm.filter(F.col("rm") != F.col("v")).count() == 0
+        return len(sc.statusTracker().getJobIdsForGroup(None) or []) - before
+
+    # job-count flatness: the two-pass machinery spends a FIXED number
+    # of jobs (P-sized offset collects), independent of row count — 10×
+    # the rows must not add jobs (± AQE stage-split jitter).
+    jobs_small = run(100_000)
+    jobs_big = run(1_000_000)
+    assert jobs_big <= jobs_small + 2, (jobs_small, jobs_big)
