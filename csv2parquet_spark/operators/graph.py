@@ -258,6 +258,7 @@ def label_propagation(
     weight: str = "w",
     pre_partitioned: bool = False,
     ckpt_every: int = 2,
+    symmetric: bool = False,
 ) -> DataFrame:
     """Synchronous weighted Label Propagation (Raghavan et al. 2007)
     community detection, ``n_iter`` fixed supersteps — deterministic by
@@ -291,26 +292,34 @@ def label_propagation(
     if not pre_partitioned:
         e = e.repartition("dst")
     e = e.localCheckpoint()
-    labels = (
-        e.select(F.col("src").alias("id")).distinct()
-        .select("id", F.col("id").alias("lbl"))
-        .localCheckpoint()
-    )
+    labels = None
+    if not symmetric:
+        labels = (
+            e.select(F.col("src").alias("id")).distinct()
+            .select("id", F.col("id").alias("lbl"))
+            .localCheckpoint()
+        )
     for it in range(n_iter):
-        # shuffle_hash on the state side: a checkpointed frame loses
-        # stats, so the planner falls back to sort-merge and re-SORTS
-        # the edge relation every superstep (measured 2.5× the whole
-        # superstep). Hash-building on (vertex, label) is the right
-        # strategy at every scale — the state is vertex-sized, the
-        # probe side keeps e's partitioning, nothing sorts.
-        nbr = (
-            e.join(
+        # Initial labels are the identity (lbl(v) = v), so on a
+        # SYMMETRIC graph — every dst also appears as a src, which the
+        # caller asserts with ``symmetric=True`` — superstep 1's state
+        # join is the identity projection lbl = dst: no init relation,
+        # no distinct, no join. (On a general digraph the join also
+        # FILTERS to dst ∈ src-set, so the shortcut would be wrong.)
+        if it == 0 and symmetric:
+            joined = e.select("src", F.col("dst").alias("lbl"), "w")
+        else:
+            # shuffle_hash on the state side: a checkpointed frame loses
+            # stats, so the planner falls back to sort-merge and re-SORTS
+            # the edge relation every superstep (measured 2.5× the whole
+            # superstep). Hash-building on (vertex, label) is the right
+            # strategy at every scale — the state is vertex-sized, the
+            # probe side keeps e's partitioning, nothing sorts.
+            joined = e.join(
                 labels.select(F.col("id").alias("dst"), "lbl").hint("shuffle_hash"),
                 "dst",
             )
-            .groupBy("src", "lbl")
-            .agg(F.sum("w").alias("tw"))
-        )
+        nbr = joined.groupBy("src", "lbl").agg(F.sum("w").alias("tw"))
         # Lexicographic struct max = (max weight, ties to SMALLEST
         # label via the negated key). Labels are non-negative ids, so
         # the negation is loss-free.
