@@ -72,6 +72,9 @@ _FORCE_FIRST: list[str] = ["winnowing_fingerprints", "textrank_tokens"]
 # (percentiles_approx, hll_sketch_distinct) = 42, so exactly 8 trailing
 # slots — the 8 new r6 queries below fill them in priority order.
 _DEFER_THIS_ROUND: set[str] = {
+    # r7-bound second wave (beyond this round's 8 trailing slots)
+    "pps_systematic_sample",
+    "dedup_savings_by_source",
     "minhash_recall_audit",
     "cohort_retention_weekly",
     "peak_concurrency_daily",

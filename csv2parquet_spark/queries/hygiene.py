@@ -961,3 +961,96 @@ def stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("lang", "doc_id", "sample_key")
     )
+
+
+@register(
+    "pps_systematic_sample",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, n_chars,
+             sum(n_chars) OVER (ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents
+    ), t AS (SELECT max(cum) AS total FROM g)
+    SELECT doc_id, n_chars, CAST(cum AS BIGINT) AS cum,
+           CAST((cum * 97) // total AS BIGINT) AS bucket
+    FROM g, t
+    WHERE (cum * 97) // total > ((cum - n_chars) * 97) // total
+    """,
+)
+def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size SYSTEMATIC sample: walk the
+    doc_id-ordered cumulative char mass and take the document at every
+    1/97th crossing — each doc's selection probability is proportional
+    to its size, with zero randomness (deterministic, reproducible,
+    engine-portable) and exactly one pass. This is the sampling shape
+    for building size-weighted eval/calibration subsets from a 100 TB
+    corpus: a k-crossing is `floor(cum·k/total) > floor((cum−w)·k/total)`
+    — pure BIGINT arithmetic, no float inverse-CDF.
+
+    The running sum uses the scalable two-pass ``global_cumsum`` (range
+    partition + broadcast offsets), not a single-partition window; the
+    oracle states the same prefix sum as ANSI window SQL. 97 is prime
+    so bucket boundaries never alias periodic doc-size patterns."""
+    from csv2parquet_spark.operators.ranking import global_cumsum
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    cum = global_cumsum(d, keys=["doc_id"], weight_col="n_chars", cum_col="cum")
+    total = int(cum.agg(F.max("cum")).collect()[0][0])  # scalar
+    return (
+        cum.filter(
+            F.expr(f"(cum * 97) DIV {total}")
+            > F.expr(f"((cum - n_chars) * 97) DIV {total}")
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            F.col("cum").cast("long").alias("cum"),
+            F.expr(f"(cum * 97) DIV {total}").cast("long").alias("bucket"),
+        )
+    )
+
+
+@register(
+    "dedup_savings_by_source",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id, source, n_chars,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           CAST(sum(n_chars) AS BIGINT) AS bytes_total,
+           CAST(sum(CASE WHEN doc_id <> keep_id THEN n_chars ELSE 0 END)
+                AS BIGINT) AS bytes_saved
+    FROM k GROUP BY source
+    """,
+)
+def dedup_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup accounting: per source, how many documents exact-dedup
+    would drop (keep-first by md5, the ``exact_dedup`` rule) and how
+    many bytes that saves — the cost-justification rollup a pipeline
+    owner reads before turning dedup on, and the per-source skew
+    signal (one crawl source re-serving its corpus shows up here).
+
+    One hash-partitioned window over (md5 → min doc_id) — the same
+    single-shuffle keep-decision shape as exact dedup — then a
+    source-keyed aggregate. No join-back: the window carries the keep
+    id alongside the row."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text"))
+    k = d.select(
+        "doc_id", "source", "n_chars", F.min("doc_id").over(w).alias("keep_id")
+    )
+    dropped = F.col("doc_id") != F.col("keep_id")
+    return k.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(dropped.cast("long")).alias("n_dropped"),
+        F.sum("n_chars").cast("long").alias("bytes_total"),
+        F.sum(F.when(dropped, F.col("n_chars")).otherwise(0)).cast("long").alias("bytes_saved"),
+    )
