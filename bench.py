@@ -122,6 +122,9 @@ HEADLINE = [
     "lpa_copurchase_communities",
     "bfs_hops_copurchase",
     "textrank_tokens",
+    # round-6: winnowing promoted after the 38 s single-task fix
+    # (gated scan rebalance + vectorized numpy kernel → 0.72 s).
+    "winnowing_fingerprints",
     # round-5 eighth wave (inference completion)
     "ks_test_two_sample",
     "cuped_adjusted_ab_test",

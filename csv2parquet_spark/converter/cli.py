@@ -11,6 +11,7 @@ Usage: ``python -m csv2parquet_spark.converter.cli [OPTIONS] <CSV> <PARQUET>``
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from csv2parquet_spark.converter.convert import ConvertOptions, convert
@@ -109,6 +110,14 @@ def build_parser() -> argparse.ArgumentParser:
         "(one subdirectory per distinct value — the layout partition "
         "pruning and DPP read from); output is a directory, not a file",
     )
+    p.add_argument(
+        "--incremental-manifest", default=None, metavar="MANIFEST.json",
+        help="engine extension: treat CSV as an input DIRECTORY and "
+        "PARQUET as a dataset root; convert only files not yet recorded "
+        "in the manifest (by size+mtime), writing each run under "
+        "batch=<n>/ and committing the manifest atomically — the "
+        "continuous-ingestion mode",
+    )
     return p
 
 
@@ -161,6 +170,29 @@ def main(argv: list[str] | None = None) -> int:
         ),
         single_file=not args.partition_by,
     )
+    if args.incremental_manifest:
+        if not os.path.isdir(args.csv):
+            print(
+                "--incremental-manifest requires the input to be a directory",
+                file=sys.stderr,
+            )
+            return 2
+        from csv2parquet_spark.converter.incremental import convert_incremental
+        from csv2parquet_spark.session import get_spark
+
+        res = convert_incremental(
+            get_spark("csv2parquet-cli"),
+            args.csv,
+            args.parquet,
+            args.incremental_manifest,
+            opts,
+        )
+        print(
+            f"batch={res.batch} converted={len(res.converted)} "
+            f"skipped={res.skipped}",
+            file=sys.stderr,
+        )
+        return 0
     fmt = args.format
     if fmt == "auto":
         # Strip transparent-compression suffixes first: Spark's text

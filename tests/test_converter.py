@@ -743,3 +743,55 @@ def test_cli_partition_by_writes_hive_layout(tmp_path):
     assert got == [("g0", 100, 14850), ("g1", 100, 14950), ("g2", 100, 15050)]
     # mutual exclusion with clustering fails fast, before any Spark job
     assert main(["--partition-by", "grp", "--sort-by", "v", str(src), out]) == 2
+
+
+def test_incremental_manifest_conversion(spark, tmp_path):
+    """convert_incremental: first run converts everything into batch=0
+    and commits the manifest; adding one file converts ONLY it (batch=1);
+    a no-change rerun converts nothing. The combined dataset reads back
+    as the union of the inputs (DuckDB oracle over batch=*/)."""
+    import duckdb
+
+    from csv2parquet_spark.converter.incremental import convert_incremental
+
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    src.mkdir()
+    (src / "a.csv").write_text("k,v\n1,x\n2,y\n")
+    (src / "b.csv").write_text("k,v\n3,z\n")
+    manifest = str(tmp_path / "manifest.json")
+
+    r0 = convert_incremental(spark, str(src), str(out), manifest)
+    assert r0.batch == 0 and len(r0.converted) == 2 and r0.skipped == 0
+
+    # no-change rerun: nothing converts, no new batch dir
+    r1 = convert_incremental(spark, str(src), str(out), manifest)
+    assert r1.batch is None and r1.converted == [] and r1.skipped == 2
+
+    (src / "c.csv").write_text("k,v\n4,w\n5,q\n")
+    r2 = convert_incremental(spark, str(src), str(out), manifest)
+    assert r2.batch == 1 and [os.path.basename(p) for p in r2.converted] == ["c.csv"]
+    assert r2.skipped == 2
+
+    rows = duckdb.sql(
+        f"SELECT k, v FROM read_parquet('{out}/batch=*/*.parquet/*.parquet') ORDER BY k"
+    ).fetchall()
+    assert rows == [(1, "x"), (2, "y"), (3, "z"), (4, "w"), (5, "q")]
+
+
+def test_incremental_manifest_detects_changed_file(spark, tmp_path):
+    """A file whose size/mtime changed reconverts in a NEW batch (the
+    manifest keys on size:mtime_ns, not just presence)."""
+    from csv2parquet_spark.converter.incremental import convert_incremental
+
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    src.mkdir()
+    f = src / "a.csv"
+    f.write_text("k,v\n1,x\n")
+    manifest = str(tmp_path / "manifest.json")
+    assert convert_incremental(spark, str(src), str(out), manifest).batch == 0
+
+    f.write_text("k,v\n1,x\n2,y\n")  # grows: size changes
+    r = convert_incremental(spark, str(src), str(out), manifest)
+    assert r.batch == 1 and len(r.converted) == 1
