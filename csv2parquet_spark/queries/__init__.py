@@ -72,30 +72,27 @@ _FORCE_FIRST: list[str] = ["winnowing_fingerprints", "textrank_tokens"]
 # (percentiles_approx, hll_sketch_distinct) = 42, so exactly 8 trailing
 # slots — the 8 new r6 queries below fill them in priority order.
 _DEFER_THIS_ROUND: set[str] = {
-    # r7-bound second wave (beyond this round's 8 trailing slots)
-    "pps_systematic_sample",
-    "dedup_savings_by_source",
     "minhash_recall_audit",
-    "cohort_retention_weekly",
     "peak_concurrency_daily",
     "event_transition_bigrams",
     "basket_lift_pairs",
-    "price_qty_slope_by_nation",
     "lang_id_agreement_kappa",
     "label_centroid_separation",
+    "pps_systematic_sample",
+    "dedup_savings_by_source",
 }
 
 # Within the deferred tier, these names sort FIRST (list order) so
 # trailing window slots go to the round's flagship additions.
 _DEFER_PRIORITY: list[str] = [
     "minhash_recall_audit",
-    "cohort_retention_weekly",
     "peak_concurrency_daily",
     "basket_lift_pairs",
     "event_transition_bigrams",
-    "price_qty_slope_by_nation",
     "lang_id_agreement_kappa",
     "label_centroid_separation",
+    "pps_systematic_sample",
+    "dedup_savings_by_source",
 ]
 
 

@@ -1331,8 +1331,11 @@ def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket lift: top-20 part pairs by
     lift = N·P(a,b)/(P(a)·P(b)), i.e. how much more often two parts
     co-occur in an order than independence predicts — the association
-    metric behind "frequently bought together" (Apriori's confidence
-    cousin, but symmetric).
+    metric behind "frequently bought together". Complements
+    ``part_pair_cooccurrence`` (raw support top-k): support surfaces
+    POPULAR pairs, lift surfaces SURPRISING ones (a pair of rare parts
+    always bought together tops lift but never support) — a
+    recommender wants both lists.
 
     Reuses :func:`~csv2parquet_spark.operators.graph.copurchase_edges`
     (map-side basket-bounded pair expansion, one pair shuffle); item

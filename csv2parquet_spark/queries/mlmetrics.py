@@ -1593,68 +1593,6 @@ def odds_ratio_2x2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "price_qty_slope_by_nation",
-    oracle="""
-    WITH j AS MATERIALIZED (
-      SELECT n.n_name AS nation, CAST(l.l_quantity AS BIGINT) AS x,
-             CAST(round(l.l_extendedprice * 100) AS BIGINT) AS y
-      FROM lineitem l
-      JOIN supplier s ON s.s_suppkey = l.l_suppkey
-      JOIN nation n ON n.n_nationkey = s.s_nationkey
-    ), m AS (
-      SELECT nation, CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
-             sum(x * y) AS sxy, sum(x * x) AS sxx
-      FROM j GROUP BY 1
-    )
-    SELECT nation, n,
-      CAST((n*sxy - sx*sy) // (n*sxx - sx*sx) AS BIGINT) AS slope_int,
-      CAST((((n*sxy - sx*sy) % (n*sxx - sx*sx)) * 10000) // (n*sxx - sx*sx)
-           AS BIGINT) AS slope_frac4
-    FROM m
-    """,
-)
-def price_qty_slope_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped OLS: the closed-form regression slope of extended price
-    (cents) on quantity per supplier nation — the feature-vs-target
-    screen a modeling pipeline runs before committing to training.
-
-    slope = (nΣxy − ΣxΣy)/(nΣxx − Σx²) entirely in INTEGER moments
-    (prices as cents, quantities integral), emitted as truncated
-    integer part + 4-digit fraction via DIV/% — both engines truncate
-    toward zero on their wide-integer types (DuckDB HUGEINT //, Spark
-    DECIMAL DIV), so there is no float anywhere. Spark accumulates the
-    moments in DECIMAL(38,0) (a BIGINT Σxy overflows ~40× beyond sf1);
-    one partial-aggregated groupBy after two dimension broadcasts is
-    the whole plan."""
-    l = table(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity", "l_extendedprice")
-    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    j = (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .select(
-            F.col("n_name").alias("nation"),
-            F.col("l_quantity").cast("bigint").alias("x"),
-            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
-        )
-    )
-    m = j.groupBy("nation").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("x").cast("decimal(28,0)")).alias("sx"),
-        F.sum(F.col("y").cast("decimal(28,0)")).alias("sy"),
-        F.sum((F.col("x") * F.col("y")).cast("decimal(28,0)")).alias("sxy"),
-        F.sum((F.col("x") * F.col("x")).cast("decimal(28,0)")).alias("sxx"),
-    )
-    return m.select(
-        "nation",
-        "n",
-        F.expr("(n*sxy - sx*sy) DIV (n*sxx - sx*sx)").alias("slope_int"),
-        F.expr("(((n*sxy - sx*sy) % (n*sxx - sx*sx)) * 10000)"
-               " DIV (n*sxx - sx*sx)").alias("slope_frac4"),
-    )
-
-
 def _kappa_oracle() -> str:
     """Cohen's kappa over the lang-ID confusion matrix: the proven
     lang_id_heuristic oracle nests as a CTE (its own WITH-chain is a

@@ -1858,54 +1858,6 @@ def conformal_interval_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "cohort_retention_weekly",
-    oracle="""
-    WITH act AS MATERIALIZED (
-      SELECT DISTINCT user_id,
-             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
-                  AS BIGINT) AS w
-      FROM events
-    ), coh AS MATERIALIZED (
-      SELECT user_id, min(w) AS cw FROM act GROUP BY 1
-    )
-    SELECT cw AS cohort_week,
-      CAST(count(DISTINCT CASE WHEN a.w - c.cw = 0 THEN a.user_id END) AS BIGINT) AS w0,
-      CAST(count(DISTINCT CASE WHEN a.w - c.cw = 1 THEN a.user_id END) AS BIGINT) AS w1,
-      CAST(count(DISTINCT CASE WHEN a.w - c.cw = 2 THEN a.user_id END) AS BIGINT) AS w2,
-      CAST(count(DISTINCT CASE WHEN a.w - c.cw = 3 THEN a.user_id END) AS BIGINT) AS w3,
-      CAST(count(DISTINCT CASE WHEN a.w - c.cw = 4 THEN a.user_id END) AS BIGINT) AS w4
-    FROM act a JOIN coh c USING (user_id)
-    GROUP BY 1
-    """,
-)
-def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weekly cohort-retention triangle: users bucketed by their FIRST
-    active week (integer weeks since the corpus epoch — no engine
-    week-of-year semantics), counted distinct again at offsets +0..+4.
-
-    Scale shape: the corpus-sized work is ONE distinct over (user,
-    week); the cohort join is user-keyed; the retention rollup runs on
-    the user×week activity relation (dimension-sized). The five offset
-    columns are conditional count-distincts in one aggregate (a single
-    Expand, not five scans)."""
-    e = table(spark, sf_dir, "events")
-    act = e.select(
-        "user_id",
-        (F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) / 7)
-        .cast("bigint")
-        .alias("w"),
-    ).distinct()
-    coh = act.groupBy("user_id").agg(F.min("w").alias("cw"))
-    j = act.join(coh, "user_id").select("user_id", "cw", (F.col("w") - F.col("cw")).alias("off"))
-    return j.groupBy(F.col("cw").alias("cohort_week")).agg(
-        *[
-            F.countDistinct(F.when(F.col("off") == k, F.col("user_id"))).alias(f"w{k}")
-            for k in range(5)
-        ]
-    )
-
-
-@register(
     "peak_concurrency_daily",
     oracle="""
     WITH iv AS MATERIALIZED (
@@ -1991,7 +1943,13 @@ def peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 def event_transition_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-journey mining: top-20 event-type transitions (consecutive
     events by the same user within 30 minutes) — the Markov-chain edge
-    counts behind funnel discovery and next-action models.
+    counts behind funnel discovery and next-action models. Differs from
+    ``top_event_trigrams`` (whole-sequence path census) in two ways
+    that matter at scale: adjacency is GAP-BOUNDED (a transition across
+    a day-long absence is noise, not behavior), and the plan is a pure
+    window-lead — no per-user sequence array is ever materialized, so a
+    single hyperactive user cannot blow executor memory the way a
+    collect_list-based path census can.
 
     One window partitioned by user (high-cardinality key, single
     exchange), one 25-cell aggregate, TakeOrdered top-k — no self-join
