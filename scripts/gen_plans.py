@@ -138,6 +138,18 @@ SHOWCASE = [
      "Runtime bloom filter: `bloom_filter_agg` over the selective side "
      "becomes a `BloomFilterMightContain` predicate on the fact scan — "
      "non-matching rows die map-side, BEFORE the shuffle."),
+    ("winnowing_fingerprints",
+     "Winnowing fingerprints (r6): vectorized numpy kernel via "
+     "mapInPandas over the gated round-robin rebalance — NO keyed "
+     "exchange; on a real many-split scan the rebalance is a no-op and "
+     "the whole operator is map-only."),
+    ("lpa_copurchase_communities",
+     "LPA communities (r6 rework): basket-bounded pair edges expanded "
+     "map-side, the pair aggregation REUSES the repartition(dst) "
+     "exchange (HashPartitioning(dst) satisfies the (src,dst) "
+     "clustering), supersteps probe the checkpointed edges with "
+     "SHUFFLE_HASH state joins — the edges are never re-sorted or "
+     "re-exchanged."),
     ("dsir_importance_weights",
      "DSIR scoring: map-side bigram bucketing, a 256-row feature-model "
      "aggregate broadcast back, one per-doc rollup — the corpus never "
