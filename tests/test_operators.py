@@ -2111,3 +2111,103 @@ def test_spearman_matches_scipy_style_reference(spark, sf_dir):
     r = spearman_rank_correlation(spark, sf_dir).collect()[0]
     assert r.n == n
     assert abs(r.spearman_rho - want) < 2e-6
+
+
+def test_pps_sample_crossing_invariants(spark, sf_dir):
+    """PPS systematic sampling: ≤97 rows (one per crossed bucket),
+    buckets strictly increasing in doc order, every bucket in [1, 97],
+    and each selected doc's char mass actually contains its crossing
+    (floor((cum−w)·97/total) < bucket ≤ floor(cum·97/total))."""
+    import duckdb
+
+    from csv2parquet_spark.queries import REGISTRY
+
+    rows = (
+        REGISTRY["pps_systematic_sample"].fn(spark, sf_dir)
+        .orderBy("doc_id")
+        .collect()
+    )
+    total = duckdb.sql(
+        f"SELECT sum(n_chars) FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    assert 1 <= len(rows) <= 97
+    buckets = [r.bucket for r in rows]
+    assert buckets == sorted(buckets) and len(set(buckets)) == len(buckets)
+    for r in rows:
+        lo = (r.cum - r.n_chars) * 97 // total
+        hi = r.cum * 97 // total
+        assert lo < r.bucket <= hi, r
+
+
+def test_peak_concurrency_matches_bruteforce(spark, sf_dir):
+    """Sweep-line peak concurrency equals a brute-force per-event scan
+    (half-open [s, e) intervals) on the fixture data."""
+    from collections import defaultdict
+
+    from csv2parquet_spark.queries import REGISTRY
+    from csv2parquet_spark.tables import table
+
+    got = {
+        r.day: (r.n_events, r.peak_concurrency)
+        for r in REGISTRY["peak_concurrency_daily"].fn(spark, sf_dir).collect()
+    }
+    ev = table(spark, sf_dir, "events").select("event_id", "ts").collect()
+    per_day = defaultdict(list)
+    for r in ev:
+        day = r.ts.date()
+        import datetime
+
+        e = min(
+            r.ts + datetime.timedelta(seconds=60 * (1 + r.event_id % 5)),
+            datetime.datetime.combine(
+                day + datetime.timedelta(days=1), datetime.time()
+            ),
+        )
+        per_day[day].append((r.ts, e))
+    for day, ivs in per_day.items():
+        # brute force: concurrency at each interval start
+        peak = max(
+            sum(1 for (s2, e2) in ivs if s2 <= s < e2) for (s, _) in ivs
+        )
+        key = day.strftime("%Y-%m-%d")
+        assert got[key] == (len(ivs), peak), (day, got[key], len(ivs), peak)
+
+
+def test_lang_id_kappa_matches_direct_python(spark, sf_dir):
+    """κ from the registered query equals the direct computation over
+    the confusion matrix (Fraction-exact, then the same truncation)."""
+    from fractions import Fraction
+
+    from csv2parquet_spark.queries import REGISTRY
+    from csv2parquet_spark.queries.llm_ops import lang_id_heuristic
+
+    conf = lang_id_heuristic(spark, sf_dir).collect()
+    n = sum(r.n_docs for r in conf)
+    agree = sum(r.n_docs for r in conf if r.lang == r.predicted)
+    rows, cols = {}, {}
+    for r in conf:
+        rows[r.lang] = rows.get(r.lang, 0) + r.n_docs
+        cols[r.predicted] = cols.get(r.predicted, 0) + r.n_docs
+    pe = sum(rows.get(k, 0) * cols.get(k, 0) for k in set(rows) & set(cols))
+    got = REGISTRY["lang_id_agreement_kappa"].fn(spark, sf_dir).collect()[0]
+    assert got.n_docs == n and got.n_agree == agree
+    assert got.kappa_num == n * agree - pe
+    assert got.kappa_den == n * n - pe
+    want_ppm = Fraction(n * agree - pe, 1) * 1_000_000 / Fraction(n * n - pe)
+    # truncation toward zero (both engines' integer division)
+    trunc = int(want_ppm) if want_ppm >= 0 else -int(-want_ppm)
+    assert got.kappa_ppm == trunc
+
+
+def test_minhash_recall_audit_bounds(spark, sf_dir):
+    """Audit sanity: hits ≤ min(truth, candidates); verified pairs
+    (minhash_near_dups output) == hits, because verify keeps exactly
+    the candidates that meet the exact-Jaccard threshold."""
+    from csv2parquet_spark.queries import REGISTRY
+
+    a = REGISTRY["minhash_recall_audit"].fn(spark, sf_dir).collect()[0]
+    assert a.n_hits <= min(a.n_truth, a.n_candidates)
+    assert 0 <= a.recall_ppm <= 1_000_000
+    assert 0 <= a.precision_ppm <= 1_000_000
+    verified = REGISTRY["minhash_near_dups"].fn(spark, sf_dir).count()
+    assert verified == a.n_hits
