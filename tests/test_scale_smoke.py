@@ -280,3 +280,50 @@ def test_order_statistics_machinery_at_1m(spark):
     jobs_small = run(100_000)
     jobs_big = run(1_000_000)
     assert jobs_big <= jobs_small + 2, (jobs_small, jobs_big)
+
+
+def test_label_propagation_cliques_at_720k_edges(spark):
+    """The r6 LPA rework (map-side edge reuse, shuffle-hash state
+    joins, fused argmax, ckpt_every) at ~720k directed edges: 20k
+    disjoint 6-cliques, where 3 supersteps provably converge every
+    vertex to its clique's MIN vertex id (ss1: all but the min take
+    the min, the min takes the runner-up; ss2: majority flips everyone
+    to the min; ss3: stable). Exact, closed-form, size-independent."""
+    from csv2parquet_spark.operators.graph import label_propagation
+
+    k, m = 20_000, 6
+    v = spark.range(k * m).select(
+        (F.col("id") / m).cast("long").alias("c"), F.col("id").alias("src")
+    )
+    pairs = (
+        v.alias("a")
+        .join(v.alias("b"), "c")
+        .filter(F.col("a.src") != F.col("b.src"))
+        .select(F.col("a.src").alias("src"), F.col("b.src").alias("dst"))
+        .withColumn("w", F.lit(1))
+    )
+    labels = label_propagation(
+        pairs, n_iter=3, symmetric=True, ckpt_every=2
+    )
+    bad = labels.filter(
+        F.col("lbl") != (F.col("id") / m).cast("long") * m
+    ).count()
+    assert bad == 0
+    assert labels.count() == k * m
+
+
+def test_bfs_chain_at_1m_vertices(spark):
+    """The r6 BFS rework on a 1M-vertex directed chain: 4 relaxation
+    supersteps (checkpointed every 2) reach exactly vertices 0..4 at
+    distances 0..4 — the iteration count bounds the frontier no matter
+    the graph size, and the million-edge relation partitions on src
+    once."""
+    from csv2parquet_spark.operators.graph import bfs_hops
+
+    n = 1_000_000
+    chain = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    dist = bfs_hops(chain, source=0, n_iter=4)
+    got = {r.id: r.d for r in dist.collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
