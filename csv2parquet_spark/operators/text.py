@@ -134,6 +134,8 @@ def winnow_fingerprint_digests(
         for pdf in batches:
             n_fp, digests = [], []
             for s in pdf[text_col]:
+                if not isinstance(s, str):  # NULL text → empty set
+                    s = ""
                 codes = np.frombuffer(
                     s.encode("utf-32-le"), dtype=np.uint32
                 ).astype(np.int64)
