@@ -2211,3 +2211,24 @@ def test_minhash_recall_audit_bounds(spark, sf_dir):
     assert 0 <= a.precision_ppm <= 1_000_000
     verified = REGISTRY["minhash_near_dups"].fn(spark, sf_dir).count()
     assert verified == a.n_hits
+
+
+def test_winnow_digests_null_and_short_text(spark):
+    """The vectorized winnowing kernel: NULL text → empty fingerprint
+    set (md5 of ''), sub-k text → empty, exactly-k text → one
+    fingerprint; digest matches the Catalyst variant's convention."""
+    import hashlib
+
+    from csv2parquet_spark.operators.text import winnow_fingerprint_digests
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "abc"), (3, "abcde")], "doc_id bigint, text string"
+    )
+    got = {r.doc_id: (r.n_fp, r.fp_digest) for r in
+           winnow_fingerprint_digests(df).collect()}
+    empty = hashlib.md5(b"").hexdigest()
+    assert got[1] == (0, empty)
+    assert got[2] == (0, empty)
+    h = ((((ord("a") * 257 + ord("b")) * 257 + ord("c")) * 257
+          + ord("d")) * 257 + ord("e"))
+    assert got[3] == (1, hashlib.md5(str(h).encode()).hexdigest())
