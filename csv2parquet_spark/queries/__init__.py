@@ -72,6 +72,9 @@ _FORCE_FIRST: list[str] = ["winnowing_fingerprints", "textrank_tokens"]
 # (percentiles_approx, hll_sketch_distinct) = 42, so exactly 8 trailing
 # slots — the 8 new r6 queries below fill them in priority order.
 _DEFER_THIS_ROUND: set[str] = {
+    # r7-bound: converted rows-only → error-bound oracle late in r6;
+    # deferring keeps it from displacing the 8 priority additions.
+    "agg_approx_distinct",
     "minhash_recall_audit",
     "peak_concurrency_daily",
     "event_transition_bigrams",

@@ -365,17 +365,43 @@ def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct", oracle=None)  # sketch-based → rows-only check
+@register(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           true AS orders_within_3rsd, true AS parts_within_3rsd
+    FROM lineitem GROUP BY 1
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct — the 100 TB path for cardinality estimation.
+    """HyperLogLog++ distinct — the 100 TB path for cardinality
+    estimation.
 
-    No oracle: DuckDB's approx_count_distinct uses a different sketch, so
-    values legitimately differ; the driver records a rows-only check.
-    """
+    DuckDB's approx_count_distinct uses a different sketch, so the
+    VALUES legitimately differ — but the documented error bound does
+    not: at rsd=0.01 the estimate must land within 3·rsd of the exact
+    count, which the plan verifies against exact countDistincts over
+    the same scan (one Expand aggregate) — the sketch-then-exact-verify
+    pattern that upgraded percentiles_approx / hll_sketch_distinct from
+    rows-only to hash-proven. A sketch violating its bound mismatches.
+    Integer comparison: |approx − exact|·100 ≤ 3·exact."""
     l = table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+    a = l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("ao"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("ap"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    return a.select(
+        "l_returnflag",
+        "exact_orders",
+        "exact_parts",
+        (F.abs(F.col("ao") - F.col("exact_orders")) * 100
+         <= 3 * F.col("exact_orders")).alias("orders_within_3rsd"),
+        (F.abs(F.col("ap") - F.col("exact_parts")) * 100
+         <= 3 * F.col("exact_parts")).alias("parts_within_3rsd"),
     )
 
 
