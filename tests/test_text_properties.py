@@ -213,3 +213,49 @@ def test_content_defined_chunks_match_reference(spark, texts):
     }
     for i, t in enumerate(texts):
         assert got[i] == ref_cuts(t), (t, got[i], ref_cuts(t))
+
+
+def test_winnow_kernel_equals_catalyst_variant(spark):
+    """The vectorized numpy winnowing kernel (the registered query's
+    path since r6) must agree with the Catalyst HOF variant
+    (`winnow_fingerprints`) on every document — same fingerprint count
+    and same sorted-distinct digest — over a mixed corpus of edge
+    shapes: empty-ish, sub-k, exactly-k, window-boundary lengths,
+    repeated chars (min ties), and long mixed text."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from csv2parquet_spark.operators.text import (
+        winnow_fingerprint_digests,
+        winnow_fingerprints,
+    )
+
+    texts = [
+        "a", "ab", "abcd", "abcde", "abcdef",
+        "aaaaaaaaaaaaaaaa",              # all-equal hashes: distinct → 1
+        "abcde" * 4,                     # periodic
+        "the quick brown fox jumps over the lazy dog",
+        "x" * 11 + "y",                  # exactly hashes == w boundary
+        "x" * 12 + "y",                  # hashes == w+1
+        " ".join(f"tok{i}" for i in range(40)),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    fps = winnow_fingerprints("text")
+    want = {
+        r.doc_id: (r.n, r.digest)
+        for r in df.select(
+            "doc_id",
+            F.size(fps).cast("bigint").alias("n"),
+            F.md5(
+                F.concat_ws(",", F.transform(fps, lambda x: x.cast("string")))
+            ).alias("digest"),
+        ).collect()
+    }
+    got = {
+        r.doc_id: (r.n_fp, r.fp_digest)
+        for r in winnow_fingerprint_digests(df).collect()
+    }
+    assert got == want
