@@ -75,6 +75,7 @@ _DEFER_THIS_ROUND: set[str] = {
     # r7-bound: converted rows-only → error-bound oracle late in r6;
     # deferring keeps it from displacing the 8 priority additions.
     "agg_approx_distinct",
+    "dedup_threshold_sensitivity",
     "minhash_recall_audit",
     "peak_concurrency_daily",
     "event_transition_bigrams",

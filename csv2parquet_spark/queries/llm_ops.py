@@ -2083,3 +2083,102 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_containment"),
         )
     )
+
+
+def _dedup_threshold_oracle() -> str:
+    """Threshold-sweep oracle: ONE shared shingle/overlap computation,
+    then per-threshold pair filters, recursive-CTE closures, and
+    cluster rollups, unioned. Thresholds are emitted as integer
+    percents so the hashed output carries no floats."""
+    shared = """
+    WITH RECURSIVE toks AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS MATERIALIZED (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)
+    ), sz AS MATERIALIZED (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), common AS MATERIALIZED (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(CAST(count(*) AS DOUBLE)
+                   / (any_value(sa.sz) + any_value(sb.sz) - count(*)), 6) AS j
+      FROM sh a
+      JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      JOIN sz sa ON sa.doc_id = a.doc_id
+      JOIN sz sb ON sb.doc_id = b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )"""
+    blocks, selects = [], []
+    for pct in (70, 80, 90):
+        t = pct / 100
+        blocks.append(f"""
+    , pairs{pct} AS MATERIALIZED (
+      SELECT id_a, id_b FROM common WHERE j >= {t}
+    ), edges{pct} AS MATERIALIZED (
+      SELECT id_a AS a, id_b AS b FROM pairs{pct}
+      UNION SELECT id_b, id_a FROM pairs{pct}
+    ), reach{pct} AS (
+      SELECT a, b FROM edges{pct}
+      UNION
+      SELECT r.a, e.b FROM reach{pct} r JOIN edges{pct} e ON r.b = e.a
+    ), comp{pct} AS MATERIALIZED (
+      SELECT a AS id, least(a, min(b)) AS component
+      FROM reach{pct} GROUP BY a
+    )""")
+        selects.append(f"""
+    SELECT CAST({pct} AS INT) AS threshold_pct,
+           (SELECT CAST(count(*) AS BIGINT) FROM pairs{pct}) AS n_pairs,
+           CAST(count(*) AS BIGINT) AS n_docs_in_clusters,
+           CAST(count(DISTINCT component) AS BIGINT) AS n_clusters,
+           CAST(coalesce(max(csz), 0) AS BIGINT) AS max_cluster
+    FROM comp{pct}
+    JOIN (SELECT component AS c2, count(*) AS csz
+          FROM comp{pct} GROUP BY 1) m ON m.c2 = comp{pct}.component""")
+    return shared + "".join(blocks) + (" UNION ALL ".join(selects))
+
+
+@register("dedup_threshold_sensitivity", oracle=_dedup_threshold_oracle())
+def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup knob-tuning audit: how the near-dup cluster structure
+    moves as the Jaccard threshold sweeps 0.7 → 0.8 → 0.9 — pair
+    count, docs absorbed into clusters, cluster count, and largest
+    cluster per setting. This is the sensitivity table a pipeline owner
+    reads before committing to a threshold (a cliff between two rows
+    means the corpus has a near-dup band right at that similarity).
+
+    ONE PPJoin pass at the loosest threshold computes every pair once
+    (pairs at 0.8/0.9 are subsets — filter, don't recompute); each
+    threshold then runs connected components over its (small) pair
+    graph. The corpus-sized work is paid once; the sweep costs three
+    CC closures over pair-graph-sized relations."""
+    docs = table(spark, sf_dir, "documents")
+    base = (
+        D.ngram_jaccard_pairs(docs, threshold=0.7, order="hash")
+        .select("id_a", "id_b", "jaccard")
+        .localCheckpoint()
+    )
+    outs = []
+    for pct in (70, 80, 90):
+        pairs = base.filter(F.col("jaccard") >= pct / 100).select("id_a", "id_b")
+        comp = D.connected_components(pairs)
+        sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("csz"))
+        outs.append(
+            comp.join(sizes, "component")
+            .agg(
+                F.lit(pct).cast("int").alias("threshold_pct"),
+                F.count(F.lit(1)).alias("n_docs_in_clusters"),
+                F.countDistinct("component").alias("n_clusters"),
+                F.coalesce(F.max("csz"), F.lit(0)).cast("long").alias("max_cluster"),
+            )
+            .crossJoin(
+                F.broadcast(pairs.agg(F.count(F.lit(1)).alias("n_pairs")))
+            )
+            .select(
+                "threshold_pct", "n_pairs", "n_docs_in_clusters",
+                "n_clusters", "max_cluster",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
