@@ -43,13 +43,31 @@ class IncrementalResult:
 
 
 def _load_manifest(path: str) -> dict:
+    """Missing manifest = a fresh dataset (start at batch 0). A manifest
+    that EXISTS but cannot be parsed is corruption, not freshness —
+    silently resetting to ``next_batch: 0`` would reconvert the whole
+    corpus into ``batch=0`` alongside the committed ``batch=1..n`` dirs,
+    and every ``batch=*/`` reader would see full duplicates (ADVICE r6).
+    Raise and make the operator decide (restore the manifest or wipe the
+    output dir)."""
+    if not os.path.exists(path):
+        return {"files": {}, "next_batch": 0}
     try:
         with open(path) as f:
             m = json.load(f)
-    except (OSError, json.JSONDecodeError):
-        return {"files": {}, "next_batch": 0}
-    if not isinstance(m, dict) or "files" not in m:
-        return {"files": {}, "next_batch": 0}
+    except (OSError, json.JSONDecodeError) as exc:
+        raise ValueError(
+            f"incremental manifest {path!r} exists but is unreadable or "
+            f"not valid JSON ({exc}); refusing to reset next_batch — "
+            "restore the manifest or remove it together with the output "
+            "batch=* directories"
+        ) from exc
+    if not isinstance(m, dict) or not isinstance(m.get("files"), dict):
+        raise ValueError(
+            f"incremental manifest {path!r} parsed but lacks the "
+            "expected {'files': {...}, 'next_batch': n} shape; refusing "
+            "to reset next_batch"
+        )
     m.setdefault("next_batch", 0)
     return m
 

@@ -299,6 +299,16 @@ def label_propagation(
             .select("id", F.col("id").alias("lbl"))
             .localCheckpoint()
         )
+    elif n_iter <= 0:
+        # Zero supersteps on the symmetric path: the loop (whose first
+        # iteration normally materializes the identity projection)
+        # never runs, so return identity labels explicitly — on a
+        # symmetric graph the src set IS the vertex set (ADVICE r6:
+        # the superstep-1 shortcut left this returning None).
+        labels = (
+            e.select(F.col("src").alias("id")).distinct()
+            .select("id", F.col("id").alias("lbl"))
+        )
     for it in range(n_iter):
         # Initial labels are the identity (lbl(v) = v), so on a
         # SYMMETRIC graph — every dst also appears as a src, which the

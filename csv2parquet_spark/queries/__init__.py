@@ -50,54 +50,29 @@ from csv2parquet_spark.queries import order_stats  # noqa: E402,F401
 # Queries that miss this round's window stay in tier 1/2 and surface
 # automatically next round once newly-proven names drop to tier 3.
 # ---------------------------------------------------------------------------
-# Round-6: cleared at round start per the rotation protocol (VERDICT r5
-# item 1) — the 38 never-driver-proven round-5 queries auto-promote to
-# tier 1 and fill this round's window (they fit in one window for the
-# first time). Behavior changes this round that require re-proof of
+# Round-7: cleared at round start per the rotation protocol (VERDICT r6
+# item 1) — both r6 re-proofs landed green in CORRECTNESS_r06.json and
+# the r6 deferral set auto-promotes: agg_approx_distinct (error-bound
+# oracle landed post-gate r6) and dedup_threshold_sensitivity enter
+# tier 1 first. Behavior changes this round that require re-proof of
 # already-proven queries go in _FORCE_FIRST:
-#   - winnowing_fingerprints: routed through dedup._parallelize_scan
-#     (was a single-task per-char HOF stage on the one-file fixture
-#     scan — VERDICT r5 "What's wrong" #1); results identical, plan
-#     changed (vectorized numpy kernel, 38 → 0.7 s isolated).
-#   - textrank_tokens: pagerank_fixed's dangling mass now rides the
-#     checkpoint materialization via observe and enters the next
-#     iteration as a literal (VERDICT r5 item 3 pattern); exact same
-#     integer recurrence, different executed plan (6.9 → 3.6 s).
-_FORCE_FIRST: list[str] = ["winnowing_fingerprints", "textrank_tokens"]
+#   - lang_id_agreement_kappa: kappa_ppm now floor-divides on BOTH
+#     sides (ADVICE r6: DuckDB `//` floors, Spark DIV truncates toward
+#     zero — divergent iff kappa_num < 0); fixture value unchanged,
+#     executed expression changed.
+_FORCE_FIRST: list[str] = ["lang_id_agreement_kappa"]
 
-# New round-6 registrations go here so they can't displace the pending
-# round-5 proofs; they fill trailing slots if tier 0+1+2 < 50 and
-# auto-promote next round. Window arithmetic this round: 2 force-first
-# re-proofs + 38 r5-backlog tier-1 + 2 rows-only→oracle conversions
-# (percentiles_approx, hll_sketch_distinct) = 42, so exactly 8 trailing
-# slots — the 8 new r6 queries below fill them in priority order.
-_DEFER_THIS_ROUND: set[str] = {
-    # r7-bound: converted rows-only → error-bound oracle late in r6;
-    # deferring keeps it from displacing the 8 priority additions.
-    "agg_approx_distinct",
-    "dedup_threshold_sensitivity",
-    "minhash_recall_audit",
-    "peak_concurrency_daily",
-    "event_transition_bigrams",
-    "basket_lift_pairs",
-    "lang_id_agreement_kappa",
-    "label_centroid_separation",
-    "pps_systematic_sample",
-    "dedup_savings_by_source",
-}
+# New round-7 registrations go here so they can't displace the pending
+# proofs; they fill trailing slots if tier 0+1+2 < 50 and auto-promote
+# next round. Window arithmetic this round: 1 force-first re-proof +
+# 2 r6-deferred tier-1 + 4 rows-only→oracle conversions (IVF/PQ probe
+# bounds, seeded-sample Chernoff bounds) leaves ~43 trailing slots for
+# the r7 additions below.
+_DEFER_THIS_ROUND: set[str] = set()
 
 # Within the deferred tier, these names sort FIRST (list order) so
 # trailing window slots go to the round's flagship additions.
-_DEFER_PRIORITY: list[str] = [
-    "minhash_recall_audit",
-    "peak_concurrency_daily",
-    "basket_lift_pairs",
-    "event_transition_bigrams",
-    "lang_id_agreement_kappa",
-    "label_centroid_separation",
-    "pps_systematic_sample",
-    "dedup_savings_by_source",
-]
+_DEFER_PRIORITY: list[str] = []
 
 
 def _proven_from_driver_rounds() -> tuple[set[str], set[str]]:

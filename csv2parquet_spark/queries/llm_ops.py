@@ -2152,8 +2152,14 @@ def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph. The corpus-sized work is paid once; the sweep costs three
     CC closures over pair-graph-sized relations."""
     docs = table(spark, sf_dir, "documents")
+    # The PPJoin pass runs a hair BELOW 0.70 so the per-tier filters on
+    # the ROUNDED jaccard column match the oracle's round(j,6) >= t
+    # predicate at every tier, including 70 (ADVICE r6: thresholding the
+    # base at unrounded 0.7 dropped pairs within 5e-7 below 0.7 that the
+    # oracle's rounded predicate admits; the 80/90 tiers were already
+    # rounded-to-rounded).
     base = (
-        D.ngram_jaccard_pairs(docs, threshold=0.7, order="hash")
+        D.ngram_jaccard_pairs(docs, threshold=0.7 - 1e-6, order="hash")
         .select("id_a", "id_b", "jaccard")
         .localCheckpoint()
     )

@@ -1658,7 +1658,17 @@ def lang_id_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("agree").cast("long").alias("n_agree"),
             (F.col("nn") * F.col("agree") - F.col("pe_num")).cast("long").alias("kappa_num"),
             (F.col("nn") * F.col("nn") - F.col("pe_num")).cast("long").alias("kappa_den"),
-            F.expr("(nn * agree - pe_num) * 1000000 DIV (nn * nn - pe_num)")
+            # FLOOR division on both sides (ADVICE r6): DuckDB `//`
+            # floors while Spark DIV truncates toward zero — divergent
+            # by 1 iff kappa_num < 0 (agreement below chance). The
+            # denominator N² − Σr·c is always ≥ 0 (Σₖrₖcₖ ≤ N²), so
+            # x − pmod(x, den) is the largest multiple of den ≤ x and
+            # the exact DIV equals floor(x/den) for either sign of x.
+            F.expr(
+                "((nn * agree - pe_num) * 1000000"
+                " - pmod((nn * agree - pe_num) * 1000000, nn * nn - pe_num))"
+                " DIV (nn * nn - pe_num)"
+            )
             .cast("long")
             .alias("kappa_ppm"),
         )

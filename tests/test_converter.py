@@ -795,3 +795,79 @@ def test_incremental_manifest_detects_changed_file(spark, tmp_path):
     f.write_text("k,v\n1,x\n2,y\n")  # grows: size changes
     r = convert_incremental(spark, str(src), str(out), manifest)
     assert r.batch == 1 and len(r.converted) == 1
+
+
+def test_incremental_manifest_crash_recovery(spark, tmp_path):
+    """The crash contract (VERDICT r6 #5): a run that dies AFTER writing
+    its batch dir but BEFORE the manifest commit leaves an orphan
+    ``batch=n`` dir and an unchanged manifest. The re-run must re-derive
+    the SAME batch number, overwrite the orphan, and the ``batch=*/``
+    read-back must contain no duplicate rows."""
+    import duckdb
+
+    from csv2parquet_spark.converter.incremental import convert_incremental
+
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    src.mkdir()
+    (src / "a.csv").write_text("k,v\n1,x\n2,y\n")
+    manifest = str(tmp_path / "manifest.json")
+    assert convert_incremental(spark, str(src), str(out), manifest).batch == 0
+
+    # Simulate the crash: run the delta conversion with the manifest
+    # commit suppressed — batch=1 lands on disk, manifest still claims
+    # next_batch=1 with b.csv unseen.
+    (src / "b.csv").write_text("k,v\n3,z\n")
+    manifest_before = open(manifest).read()
+    import csv2parquet_spark.converter.incremental as inc
+
+    real_commit = inc._commit_manifest
+
+    def dying_commit(path, m):
+        raise RuntimeError("simulated crash before manifest commit")
+
+    inc._commit_manifest = dying_commit
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            convert_incremental(spark, str(src), str(out), manifest)
+    finally:
+        inc._commit_manifest = real_commit
+    assert open(manifest).read() == manifest_before  # nothing claimed
+    assert (out / "batch=1").exists()  # the orphan
+
+    # Recovery run: same batch number re-derived, orphan overwritten,
+    # manifest now commits; the dataset reads back duplicate-free.
+    r = convert_incremental(spark, str(src), str(out), manifest)
+    assert r.batch == 1 and [os.path.basename(p) for p in r.converted] == ["b.csv"]
+    rows = duckdb.sql(
+        f"SELECT k, v FROM read_parquet('{out}/batch=*/*.parquet/*.parquet') ORDER BY k"
+    ).fetchall()
+    assert rows == [(1, "x"), (2, "y"), (3, "z")]
+    # idempotent after recovery
+    r2 = convert_incremental(spark, str(src), str(out), manifest)
+    assert r2.batch is None and r2.skipped == 2
+
+
+def test_incremental_manifest_corrupt_raises(spark, tmp_path):
+    """A manifest that EXISTS but is unparseable (or mis-shapen) raises
+    instead of silently resetting to batch 0 — a reset would reconvert
+    the corpus into batch=0 next to the committed batch dirs and
+    readers of batch=*/ would see full duplicates (ADVICE r6)."""
+    from csv2parquet_spark.converter.incremental import convert_incremental
+
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    src.mkdir()
+    (src / "a.csv").write_text("k,v\n1,x\n")
+    manifest = str(tmp_path / "manifest.json")
+    assert convert_incremental(spark, str(src), str(out), manifest).batch == 0
+
+    with open(manifest, "w") as f:
+        f.write("{not json")
+    with pytest.raises(ValueError, match="not valid JSON"):
+        convert_incremental(spark, str(src), str(out), manifest)
+
+    with open(manifest, "w") as f:
+        f.write('{"wrong": "shape"}')
+    with pytest.raises(ValueError, match="expected .'files'"):
+        convert_incremental(spark, str(src), str(out), manifest)

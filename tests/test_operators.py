@@ -1549,6 +1549,20 @@ def test_label_propagation_two_cliques(spark):
     assert lbl[1] != lbl[10]  # the bridge must not merge the cliques
 
 
+def test_label_propagation_zero_iterations(spark):
+    """n_iter=0 returns identity labels on BOTH paths (ADVICE r6: the
+    symmetric superstep-1 shortcut left the zero-iteration case
+    returning None instead of the initial state)."""
+    from csv2parquet_spark.operators.graph import label_propagation
+
+    edges = [(1, 2, 1), (2, 1, 1), (2, 3, 1), (3, 2, 1)]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    for sym in (False, True):
+        out = label_propagation(df, n_iter=0, symmetric=sym)
+        got = {r.id: r.lbl for r in out.collect()}
+        assert got == {1: 1, 2: 2, 3: 3}, (sym, got)
+
+
 def test_isotonic_calibration_matches_pava(spark, sf_dir):
     """The minimax closed form must equal the classic sequential
     pool-adjacent-violators fit (exact Fractions), and be monotone."""
@@ -2193,10 +2207,14 @@ def test_lang_id_kappa_matches_direct_python(spark, sf_dir):
     assert got.n_docs == n and got.n_agree == agree
     assert got.kappa_num == n * agree - pe
     assert got.kappa_den == n * n - pe
+    import math
+
     want_ppm = Fraction(n * agree - pe, 1) * 1_000_000 / Fraction(n * n - pe)
-    # truncation toward zero (both engines' integer division)
-    trunc = int(want_ppm) if want_ppm >= 0 else -int(-want_ppm)
-    assert got.kappa_ppm == trunc
+    # FLOOR on both sides: DuckDB `//` floors and the Spark expression
+    # is the floor-consistent (x - pmod(x, den)) DIV den (ADVICE r6 —
+    # plain Spark DIV truncates toward zero and would differ by 1 on
+    # below-chance agreement, kappa_num < 0).
+    assert got.kappa_ppm == math.floor(want_ppm)
 
 
 def test_minhash_recall_audit_bounds(spark, sf_dir):
