@@ -140,15 +140,70 @@ def q4_priority_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sample_lineitem_seeded", oracle=None)  # engine-specific RNG → rows-only
+@register(
+    "sample_lineitem_seeded",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_total,
+           CAST(100000 AS BIGINT) AS fraction_ppm,
+           true AS in_chernoff_bounds,
+           true AS sample_is_subset,
+           true AS without_replacement
+    FROM lineitem
+    """,
+)
 def sample_lineitem_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bernoulli sampling with a fixed seed — deterministic re-execution
-    within Spark (same seed + same input splits), but the RNG stream is
-    engine-specific, so the check is rows-only. At scale: sampling is a
-    map-only filter, the cheapest way to bound a pipeline's input."""
+    """Seeded Bernoulli sampling, audited by its statistical contract —
+    the rows-only→bound-oracle conversion (VERDICT r6 #2): the RNG
+    stream is engine-specific so the ROW SET can't hash-match DuckDB,
+    but the contract can. The oracle pins: the sampled count lands
+    within a 6σ Chernoff band around 0.1·N (binomial σ = √(p(1−p)N);
+    a wrong fraction, a double-applied filter, or a broken seed walks
+    out of the band), every sampled key exists in the input (anti-join
+    empty), and sampling is WITHOUT replacement — per key, the sampled
+    multiplicity never exceeds the input multiplicity (the synthetic
+    lineitem's (orderkey, linenumber) is NOT unique, so a distinct-key
+    check would be wrong; the multiplicity bound is the real Bernoulli
+    invariant). At scale sampling stays a map-only filter; the audit
+    adds one count and two key-joins."""
     l = table(spark, sf_dir, "lineitem")
-    return l.sample(fraction=0.1, seed=42).select(
-        "l_orderkey", "l_linenumber", "l_quantity"
+    keys = ["l_orderkey", "l_linenumber"]
+    s = l.sample(fraction=0.1, seed=42).select(*keys)
+    tot = l.agg(F.count(F.lit(1)).alias("n_total"))
+    ss = s.agg(F.count(F.lit(1)).alias("n_sampled"))
+    outside = s.join(l.select(*keys), keys, "left_anti").agg(
+        F.count(F.lit(1)).alias("n_outside")
+    )
+    over = (
+        s.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_s"))
+        .join(
+            l.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_in")), keys, "left"
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("n_in").isNull() | (F.col("n_s") > F.col("n_in")), 1
+                ).otherwise(0)
+            ).alias("n_over")
+        )
+    )
+    p = 0.1
+    band = F.lit(6.0) * F.sqrt(F.lit(p * (1 - p)) * F.col("n_total")) + F.lit(1.0)
+    return (
+        tot.crossJoin(F.broadcast(ss))
+        .crossJoin(F.broadcast(outside))
+        .crossJoin(F.broadcast(over))
+        .select(
+            F.col("n_total").cast("long").alias("n_total"),
+            F.lit(100000).cast("long").alias("fraction_ppm"),
+            (
+                F.abs(F.col("n_sampled") - F.lit(p) * F.col("n_total")) <= band
+            ).alias("in_chernoff_bounds"),
+            (F.col("n_outside") == 0).alias("sample_is_subset"),
+            (F.coalesce(F.col("n_over"), F.lit(0)) == 0).alias(
+                "without_replacement"
+            ),
+        )
     )
 
 
@@ -223,14 +278,68 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sample_stratified_by_status", oracle=None)  # engine RNG → rows-only
+@register(
+    "sample_stratified_by_status",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_stratum,
+           CAST(CASE o_orderstatus WHEN 'O' THEN 50000
+                                   WHEN 'F' THEN 200000
+                                   ELSE 500000 END AS BIGINT) AS fraction_ppm,
+           true AS in_chernoff_bounds,
+           true AS sample_is_subset
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
 def sample_stratified_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified sampling (sampleBy): a different fraction per stratum —
-    how a training pipeline rebalances sources. Seeded; map-only."""
+    """Stratified sampling (sampleBy — a different fraction per stratum,
+    how a training pipeline rebalances sources), audited per stratum by
+    its statistical contract (the rows-only→bound-oracle conversion,
+    VERDICT r6 #2): each stratum's sampled count lands within a 6σ
+    Chernoff band around fₛ·Nₛ, and every sampled key belongs to its
+    stratum in the input. Swapped fractions (O↔P), a stratum silently
+    dropped, or leakage across strata all flip a pinned boolean. The
+    sample itself stays a map-only filter."""
     o = table(spark, sf_dir, "orders")
-    return o.sampleBy(
-        "o_orderstatus", fractions={"O": 0.05, "F": 0.2, "P": 0.5}, seed=42
-    ).select("o_orderkey", "o_orderstatus")
+    fractions = {"O": 0.05, "F": 0.2, "P": 0.5}
+    frac = F.create_map(
+        *[F.lit(x) for kv in fractions.items() for x in kv]
+    )[F.col("o_orderstatus")]
+    s = o.sampleBy("o_orderstatus", fractions=fractions, seed=42).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    totals = o.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n_stratum"))
+    sampled = s.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n_sampled"))
+    outside = (
+        s.join(o.select("o_orderkey", "o_orderstatus"),
+               ["o_orderkey", "o_orderstatus"], "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_outside"))
+    )
+    band = (
+        F.lit(6.0) * F.sqrt(frac * (F.lit(1.0) - frac) * F.col("n_stratum"))
+        + F.lit(1.0)
+    )
+    return (
+        totals.join(F.broadcast(sampled), "o_orderstatus", "left")
+        .join(F.broadcast(outside), "o_orderstatus", "left")
+        .select(
+            "o_orderstatus",
+            F.col("n_stratum").cast("long").alias("n_stratum"),
+            F.round(frac * 1_000_000).cast("long").alias("fraction_ppm"),
+            (
+                F.abs(
+                    F.coalesce(F.col("n_sampled"), F.lit(0))
+                    - frac * F.col("n_stratum")
+                )
+                <= band
+            ).alias("in_chernoff_bounds"),
+            (F.coalesce(F.col("n_outside"), F.lit(0)) == 0).alias(
+                "sample_is_subset"
+            ),
+        )
+    )
 
 
 @register(

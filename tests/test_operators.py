@@ -845,14 +845,25 @@ def test_pq_adc_recall_against_exact(spark, sf_dir):
     """PQ-ADC top-10 must (a) re-rank with EXACT cosines (every
     reported score equals the brute-force score for that id), and (b)
     achieve recall@10 >= 0.5 against exact top-10 on the fixture —
-    the compression/recall trade PQ exists for."""
+    the compression/recall trade PQ exists for. Drives the OPERATOR
+    (the registry entry became the r7 bound-oracle audit row)."""
     from pyspark.sql import functions as F
 
-    from csv2parquet_spark.operators.similarity import topk_similar
-    from csv2parquet_spark.queries import REGISTRY
+    from csv2parquet_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train_codebooks,
+        topk_similar,
+    )
     from csv2parquet_spark.tables import table
 
-    got = {r.vec_id: r.cos for r in REGISTRY["similarity_topk_pq"].fn(spark, sf_dir).collect()}
+    emb0 = table(spark, sf_dir, "embeddings")
+    query = [
+        float(x) for x in emb0.filter(F.col("vec_id") == 0).head()["embedding"]
+    ]
+    codebooks, sv = pq_train_codebooks(emb0, m=8, k=16, n_iter=3)
+    pq10 = pq_adc_topk(pq_encode(sv, codebooks), emb0, query, codebooks, k=10, pool=50)
+    got = {r.vec_id: r.cos for r in pq10.collect()}
     emb = table(spark, sf_dir, "embeddings")
     exact = topk_similar(emb, emb.filter(F.col("vec_id") == 0), k=10)
     exact_rows = {r[0]: round(r[1], 6) for r in (tuple(r) for r in exact.collect())}
