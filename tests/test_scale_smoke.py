@@ -296,6 +296,117 @@ def test_order_statistics_machinery_at_1m(spark):
     assert jobs_big <= jobs_small + 2, (jobs_small, jobs_big)
 
 
+def _make_docs(spark, n: int):
+    """n docs of 40 md5-derived 8-char tokens; docs 10k/10k+1 share a
+    seed (planted exact duplicates), everything else ~disjoint — the
+    big_docs recipe at a parameterized size."""
+    seed = F.when((F.col("id") % 10 == 1), F.col("id") - 1).otherwise(F.col("id"))
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(40)),
+            lambda j: F.substring(
+                F.md5(F.concat(seed.cast("string"), F.lit(":"), j.cast("string"))),
+                1,
+                8,
+            ),
+        ),
+    )
+    return (
+        spark.range(n)
+        .repartition(16)
+        .select(F.col("id").alias("doc_id"), text.alias("text"))
+        .localCheckpoint()
+    )
+
+
+def _sum_shuffle_records(df) -> int:
+    """Sum of 'shuffle records written' across every Exchange in the
+    df's OWN executed plan (post-collect; AQE query stages included)."""
+    total = 0
+
+    def walk(node):
+        nonlocal total
+        name = node.getClass().getSimpleName()
+        if "ShuffleExchange" in name:
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "shuffleRecordsWritten":
+                    total += kv._2().value()
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+        if "QueryStage" in name:
+            walk(node.plan())
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return total
+
+
+def test_ppjoin_lsh_cc_flatness_at_10x(spark):
+    """The flagship dedup path (PPJoin exact pair join → MinHash-LSH
+    banding → connected components) at 10k vs 100k docs — the VERDICT
+    r6 item-3 smoke, same pattern as the order-statistics probe:
+
+    * job count FLAT across the 10× size jump (the pipeline spends a
+      fixed number of driver round-trips — checkpoint materializations
+      and the CC convergence loop on a diameter-1 pair graph — never
+      one per doc or per group);
+    * PPJoin shuffle-record volume sub-quadratic (≤ 30× for 10× docs;
+      a quadratic candidate stage would be ~100×);
+    * the LSH banded self-join emits EXACTLY the planted candidate
+      pairs (bucket fan-out linear in docs, no hot-bucket blowup);
+    * outputs EXACT at both sizes (n/10 pairs, n/10 two-doc components).
+    """
+    from csv2parquet_spark.operators.dedup import (
+        _signatures_from_arrays,
+        connected_components,
+        doc_shingle_arrays,
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    sc = spark.sparkContext
+
+    def run(n: int) -> tuple[int, int]:
+        docs = _make_docs(spark, n)
+        group = f"dedup-smoke-{n}"
+        sc.setJobGroup(group, "PPJoin->LSH->CC flatness probe")
+        try:
+            pairs = ngram_jaccard_pairs(docs, threshold=0.9, order="hash")
+            rows = pairs.collect()
+            assert len(rows) == n // 10
+            shuffled = _sum_shuffle_records(pairs)
+
+            # LSH leg: the banded self-join must emit exactly the
+            # planted duplicate pairs — candidate volume linear in docs.
+            dsa = doc_shingle_arrays(docs, "text", "doc_id", 3).localCheckpoint()
+            sig = _signatures_from_arrays(dsa, 32, "pandas").localCheckpoint()
+            cand = minhash_lsh_candidates(sig, 32, 8)
+            assert cand.count() == n // 10
+
+            comp = connected_components(
+                spark.createDataFrame(
+                    [(r.id_a, r.id_b) for r in rows], ["id_a", "id_b"]
+                )
+            )
+            sizes = comp.groupBy("component").count()
+            agg = sizes.agg(
+                F.count(F.lit(1)).alias("n_comp"), F.max("count").alias("mx")
+            ).collect()[0]
+            assert agg.n_comp == n // 10 and agg.mx == 2
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return len(sc.statusTracker().getJobIdsForGroup(group) or []), shuffled
+
+    jobs_small, rec_small = run(10_000)
+    jobs_big, rec_big = run(100_000)
+    assert jobs_big <= jobs_small + 2, (jobs_small, jobs_big)
+    assert rec_big <= 30 * rec_small, (rec_small, rec_big)
+
+
 def test_label_propagation_cliques_at_720k_edges(spark):
     """The r6 LPA rework (map-side edge reuse, shuffle-hash state
     joins, fused argmax, ckpt_every) at ~720k directed edges: 20k
