@@ -60,7 +60,12 @@ from csv2parquet_spark.queries import order_stats  # noqa: E402,F401
 #     sides (ADVICE r6: DuckDB `//` floors, Spark DIV truncates toward
 #     zero — divergent iff kappa_num < 0); fixture value unchanged,
 #     executed expression changed.
-_FORCE_FIRST: list[str] = ["lang_id_agreement_kappa"]
+#   - peak_concurrency_daily: rewired through the new
+#     sweep_line_daily_peaks operator whose shard_buckets mode is the
+#     implemented skew hatch (VERDICT r6 #4); results identical, the
+#     executed plan changed (groupBy on date then format, was groupBy
+#     on the formatted string).
+_FORCE_FIRST: list[str] = ["lang_id_agreement_kappa", "peak_concurrency_daily"]
 
 # New round-7 registrations go here so they can't displace the pending
 # proofs; they fill trailing slots if tier 0+1+2 < 50 and auto-promote

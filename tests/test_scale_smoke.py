@@ -452,3 +452,66 @@ def test_bfs_chain_at_1m_vertices(spark):
     dist = bfs_hops(chain, source=0, n_iter=4)
     got = {r.id: r.d for r in dist.collect()}
     assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
+
+
+def test_peak_concurrency_skew_hatch(spark):
+    """The sweep-line skew hatch (VERDICT r6 #4): on a designed-skew
+    corpus — ONE viral day holding 90% of 200k intervals — the
+    (day, bucket) shard-with-carry variant returns EXACTLY the plain
+    per-day-window answer, and a closed-form day checks both: 1000
+    nested intervals opening before any closes → peak 1000."""
+    from csv2parquet_spark.operators.ranking import sweep_line_daily_peaks
+
+    n = 200_000
+    hot = int(n * 0.9)
+    # hot day 2024-03-01: md5-scattered starts through the day;
+    # cold days 2024-03-02..11 share the remaining 10%.
+    base = spark.range(n).select(
+        F.when(F.col("id") < hot, F.lit("2024-03-01").cast("date"))
+        .otherwise(
+            F.date_add(
+                F.lit("2024-03-02").cast("date"), (F.col("id") % 10).cast("int")
+            )
+        )
+        .alias("day"),
+        (
+            F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % 86000
+        ).alias("sod"),
+        (60 + F.col("id") % 600).alias("dur"),
+    )
+    iv = base.select(
+        "day",
+        (F.col("day").cast("timestamp").cast("long") + F.col("sod"))
+        .cast("timestamp")
+        .alias("s"),
+        F.least(
+            (F.col("day").cast("timestamp").cast("long") + F.col("sod") + F.col("dur"))
+            .cast("timestamp"),
+            F.date_add("day", 1).cast("timestamp"),
+        ).alias("e"),
+    ).localCheckpoint()
+
+    plain = {
+        r.day: (r.n_events, r.peak_concurrency)
+        for r in sweep_line_daily_peaks(iv).collect()
+    }
+    sharded = {
+        r.day: (r.n_events, r.peak_concurrency)
+        for r in sweep_line_daily_peaks(iv, shard_buckets=48).collect()
+    }
+    assert plain == sharded
+    assert sum(v[0] for v in plain.values()) == n
+
+    # closed form: 1000 intervals all covering [12:00:00, 12:01:40) on
+    # one day -> peak exactly 1000, in both shapes (and the nest spans
+    # a bucket boundary at B=48: 12:00 is bucket edge 24).
+    nest = spark.range(1000).select(
+        F.lit("2024-04-01").cast("date").alias("day"),
+        F.lit("2024-04-01 12:00:00").cast("timestamp").alias("s"),
+        F.lit("2024-04-01 12:01:40").cast("timestamp").alias("e"),
+    )
+    for kwargs in ({}, {"shard_buckets": 48}):
+        got = sweep_line_daily_peaks(nest, **kwargs).collect()
+        assert len(got) == 1 and got[0].peak_concurrency == 1000, (kwargs, got)
