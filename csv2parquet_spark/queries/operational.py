@@ -1244,3 +1244,153 @@ def revenue_concentration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(hhi, 6).alias("hhi"),
         F.round(top, 6).alias("top_decile_share"),
     )
+
+
+@register(
+    "t_closeness_report",
+    oracle="""
+    WITH rel AS MATERIALIZED (
+      SELECT c.c_nationkey, c.c_mktsegment,
+             CAST(floor(c.c_acctbal / 4000) AS BIGINT) AS bal_band,
+             o.o_orderpriority AS sens
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    ), gdist AS MATERIALIZED (
+      SELECT sens, count(*) AS cq,
+             sum(count(*)) OVER (ORDER BY sens
+                                 ROWS UNBOUNDED PRECEDING) AS cqc
+      FROM rel GROUP BY sens
+    ), tot AS (
+      SELECT sum(cq) AS n, count(*) AS m FROM gdist
+    ), cell AS MATERIALIZED (
+      SELECT c_nationkey, c_mktsegment, bal_band, sens, count(*) AS cp
+      FROM rel GROUP BY 1, 2, 3, 4
+    ), classes AS (
+      SELECT c_nationkey, c_mktsegment, bal_band, sum(cp) AS n_c
+      FROM cell GROUP BY 1, 2, 3
+    ), grid AS (
+      SELECT cl.c_nationkey, cl.c_mktsegment, cl.bal_band, cl.n_c,
+             g.sens, g.cqc, coalesce(ce.cp, 0) AS cp
+      FROM classes cl
+      CROSS JOIN gdist g
+      LEFT JOIN cell ce
+        ON ce.c_nationkey = cl.c_nationkey
+       AND ce.c_mktsegment = cl.c_mktsegment
+       AND ce.bal_band = cl.bal_band AND ce.sens = g.sens
+    ), cums AS (
+      SELECT c_nationkey, c_mktsegment, bal_band, n_c, cqc,
+             sum(cp) OVER (PARTITION BY c_nationkey, c_mktsegment, bal_band
+                           ORDER BY sens ROWS UNBOUNDED PRECEDING) AS cpc
+      FROM grid
+    )
+    SELECT c_nationkey, c_mktsegment, bal_band,
+           CAST(n_c AS BIGINT) AS class_size,
+           CAST((1000000 * sum(abs(cpc * n - cqc * n_c)))
+                // ((m - 1) * n_c * n) AS BIGINT) AS t_ppm,
+           CAST(CASE WHEN (1000000 * sum(abs(cpc * n - cqc * n_c)))
+                          // ((m - 1) * n_c * n) > 200000
+                     THEN 1 ELSE 0 END AS BIGINT) AS violates_t02
+    FROM cums, tot
+    GROUP BY c_nationkey, c_mktsegment, bal_band, n_c, n, m
+    """,
+)
+def t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness — the third classic anonymity measure, completing
+    the governance family next to ``k_anonymity_report`` (class size)
+    and ``l_diversity_report`` (distinct sensitive values): l-diversity
+    still leaks when a class's sensitive DISTRIBUTION is skewed far
+    from the corpus's (the skewness attack — "5 distinct priorities,
+    but 90% URGENT" is itself disclosure). Per quasi-identifier class
+    (nation, segment, balance band — the family's shared grid), report
+    the ordered-EMD distance between the class's priority distribution
+    and the global one:
+
+        t = (1/(m−1)) · Σᵢ |CumPᵢ − CumQᵢ|
+
+    computed as EXACT integer arithmetic (the kappa pattern): each
+    term is |cpcᵢ·N − cqcᵢ·n_c| / (n_c·N), so t_ppm floor-divides one
+    BIGINT sum — no float drift across engines (products need a wider
+    type beyond ~3e9 rows; here both factors are corpus counts).
+    Output is the full governance sheet with the t > 0.2 flag.
+
+    Scale shape: one broadcast-dim join + ONE partial-aggregated
+    groupBy to the (class × 5)-cell grid; the per-class cumsum windows
+    over the CLASS GRID (generalization space, never row count); the
+    5-row global CDF is collected driver-side (model-sized) and enters
+    the plan as literals — no single-partition window anywhere."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    rel = o.join(
+        F.broadcast(
+            c.select(
+                "c_custkey",
+                "c_nationkey",
+                "c_mktsegment",
+                F.floor(F.col("c_acctbal") / 4000).alias("bal_band"),
+            )
+        ),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(
+        "c_nationkey", "c_mktsegment", "bal_band",
+        F.col("o_orderpriority").alias("sens"),
+    )
+    cell = rel.groupBy("c_nationkey", "c_mktsegment", "bal_band", "sens").agg(
+        F.count(F.lit(1)).alias("cp")
+    ).localCheckpoint()
+    # Global sensitive CDF: m (=5) rows — driver-side, enters as literals.
+    grows = sorted(
+        rel.groupBy("sens").agg(F.count(F.lit(1)).alias("cq")).collect(),
+        key=lambda r: r.sens,
+    )
+    n_total = sum(r.cq for r in grows)
+    m = len(grows)
+    run, cq_cum = 0, {}
+    for r in grows:
+        run += r.cq
+        cq_cum[r.sens] = run
+    cqc_map = F.create_map(
+        *[F.lit(x) for s, v in cq_cum.items() for x in (s, v)]
+    )
+    sens_all = F.array(*[F.lit(r.sens) for r in grows])
+    classes = cell.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.sum("cp").alias("n_c")
+    )
+    # Dense (class × sens) grid so absent cells still advance the CDF.
+    grid = (
+        classes.select(
+            "c_nationkey", "c_mktsegment", "bal_band", "n_c",
+            F.explode(sens_all).alias("sens"),
+        )
+        .join(cell, ["c_nationkey", "c_mktsegment", "bal_band", "sens"], "left")
+        .withColumn("cp", F.coalesce(F.col("cp"), F.lit(0)))
+    )
+    w = (
+        Window.partitionBy("c_nationkey", "c_mktsegment", "bal_band")
+        .orderBy("sens")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cums = grid.withColumn("cpc", F.sum("cp").over(w)).withColumn(
+        "term",
+        F.abs(
+            F.col("cpc") * F.lit(n_total) - cqc_map[F.col("sens")] * F.col("n_c")
+        ),
+    )
+    # t_ppm = floor(1e6·Σterm / ((m−1)·n_c·N)); every operand is a
+    # non-negative BIGINT, so Spark DIV (truncate) == DuckDB // (floor).
+    t_ppm = (F.sum("term") * F.lit(1_000_000)).cast("long").alias("tn")
+    return (
+        cums.groupBy("c_nationkey", "c_mktsegment", "bal_band", "n_c")
+        .agg(t_ppm)
+        .select(
+            "c_nationkey", "c_mktsegment", "bal_band",
+            F.col("n_c").cast("long").alias("class_size"),
+            F.expr(f"tn DIV ({m - 1} * n_c * {n_total})")
+            .cast("long")
+            .alias("t_ppm"),
+            F.when(
+                F.expr(f"tn DIV ({m - 1} * n_c * {n_total})") > 200_000, 1
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("violates_t02"),
+        )
+    )

@@ -625,3 +625,113 @@ def join_right_outer_part_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_lines"
         ),
     )
+
+
+def _hash_coord_sql(salt: str, key: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{salt}:' || CAST({key} AS VARCHAR)), 1, 8))"
+        f" AS BIGINT) % 100000"
+    )
+
+
+@register(
+    "spatial_radius_join_grid",
+    oracle=f"""
+    WITH cust AS MATERIALIZED (
+      SELECT c_custkey,
+             {_hash_coord_sql('cx', 'c_custkey')} AS x,
+             {_hash_coord_sql('cy', 'c_custkey')} AS y
+      FROM customer
+    ), sup AS MATERIALIZED (
+      SELECT s_suppkey,
+             {_hash_coord_sql('sx', 's_suppkey')} AS x,
+             {_hash_coord_sql('sy', 's_suppkey')} AS y
+      FROM supplier
+    )
+    SELECT s.s_suppkey,
+           CAST(count(*) AS BIGINT) AS n_within,
+           CAST(min((s.x - c.x) * (s.x - c.x) + (s.y - c.y) * (s.y - c.y))
+                AS BIGINT) AS min_dist2
+    FROM sup s JOIN cust c
+      ON (s.x - c.x) * (s.x - c.x) + (s.y - c.y) * (s.y - c.y) <= 100000000
+    GROUP BY s.s_suppkey
+    """,
+)
+def spatial_radius_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius join via GRID-CELL bucketing — the geospatial
+    instance of the blocked-join family (interval buckets for time,
+    LSH buckets for vectors, grid cells for space): customers within
+    10 km of each supplier, on deterministic md5-derived integer
+    coordinates in a 100 km square (integer plane, not lat/lon, so the
+    distance predicate is EXACT int64 arithmetic — no cross-engine
+    trig/float drift; the bucketing argument is identical for
+    haversine with cells sized in degrees).
+
+    Scale shape: points bucket once into R-sized cells (map-only);
+    only the SUPPLIER side replicates ×9 (its cell + 8 neighbors — a
+    radius-R disc cannot leave that patch, so candidates are provably
+    complete); the join is a plain shuffled EQUI join on the cell key
+    + an exact residual filter. Candidate volume = Σ cell-pair
+    occupancies, never suppliers × customers; a hot cell splits under
+    AQE like any skewed equi key. The oracle brute-forces the same
+    result through the quadratic theta join — same rows, a plan only
+    viable at fixture scale (suppliers with no neighbor in range
+    produce no row, in both plans)."""
+    R, CELL = 10_000, 10_000
+
+    def pts(df: DataFrame, key: str, sx: str, sy: str) -> DataFrame:
+        coord = lambda salt: (  # noqa: E731
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(salt + ":"), F.col(key).cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100_000
+        )
+        return df.select(
+            F.col(key), coord(sx).alias("x"), coord(sy).alias("y")
+        )
+
+    cust = pts(table(spark, sf_dir, "customer"), "c_custkey", "cx", "cy").select(
+        "c_custkey",
+        F.col("x").alias("cx"),
+        F.col("y").alias("cy"),
+        F.expr(f"x DIV {CELL}").alias("gx"),
+        F.expr(f"y DIV {CELL}").alias("gy"),
+    )
+    sup = pts(table(spark, sf_dir, "supplier"), "s_suppkey", "sx", "sy")
+    neighbors = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    sup9 = sup.select(
+        "s_suppkey",
+        F.col("x").alias("sx"),
+        F.col("y").alias("sy"),
+        F.explode(neighbors).alias("nb"),
+    ).select(
+        "s_suppkey",
+        "sx",
+        "sy",
+        (F.expr(f"sx DIV {CELL}") + F.col("nb.dx")).alias("gx"),
+        (F.expr(f"sy DIV {CELL}") + F.col("nb.dy")).alias("gy"),
+    )
+    d2 = (F.col("sx") - F.col("cx")) * (F.col("sx") - F.col("cx")) + (
+        F.col("sy") - F.col("cy")
+    ) * (F.col("sy") - F.col("cy"))
+    return (
+        sup9.join(cust, ["gx", "gy"])
+        .filter(d2 <= F.lit(R * R))
+        .groupBy("s_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_within"),
+            F.min(d2).cast("long").alias("min_dist2"),
+        )
+    )
