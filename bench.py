@@ -129,6 +129,12 @@ HEADLINE = [
     "ks_test_two_sample",
     "cuped_adjusted_ab_test",
     "revenue_concentration_report",
+    # round-7 additions: continuous-ingestion reconcile over the
+    # incremental converter's batch=*/ output, the t-closeness
+    # governance sheet, and the grid-bucketed spatial radius join.
+    "incremental_ingest_latest",
+    "t_closeness_report",
+    "spatial_radius_join_grid",
 ]
 
 
