@@ -173,6 +173,21 @@ SHOWCASE = [
     ("mad_outlier_report",
      "Value-compressed robust stats: both median passes walk the "
      "(group, value)→count CDF — the windows never see raw rows."),
+    ("spatial_radius_join_grid",
+     "Grid-bucketed radius join: both sides bucket into R-sized cells "
+     "(query side ×9 neighbor cells map-side), then a plain shuffled "
+     "EQUI join on the cell key + exact int64 residual filter — no "
+     "BroadcastNestedLoopJoin, candidates bounded by cell occupancy."),
+    ("incremental_ingest_latest",
+     "Continuous-ingestion reconcile: batch identity parsed from the "
+     "file path (no data column), winner set is a file-count-sized "
+     "aggregate broadcast back into the scan-sized relation — "
+     "last-batch-wins without a data-wide window."),
+    ("t_closeness_report",
+     "t-closeness EMD: one broadcast dim join + one partial aggregate "
+     "to the (class × 5) grid; cumsum windows partition on the QI "
+     "class; the 5-row global CDF is literal — no single-partition "
+     "stage."),
 ]
 
 
