@@ -676,10 +676,15 @@ def spatial_radius_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE like any skewed equi key. The oracle brute-forces the same
     result through the quadratic theta join — same rows, a plan only
     viable at fixture scale (suppliers with no neighbor in range
-    produce no row, in both plans)."""
-    R, CELL = 10_000, 10_000
+    produce no row, in both plans). The grid machinery is
+    ``operators/spatial.grid_radius_join``, property-tested against a
+    brute-force reference on arbitrary point sets (cell-edge and
+    exact-radius boundary cases included)."""
+    from csv2parquet_spark.operators.spatial import grid_radius_join
 
-    def pts(df: DataFrame, key: str, sx: str, sy: str) -> DataFrame:
+    R = 10_000
+
+    def pts(df: DataFrame, key: str, sx: str, sy: str, out) -> DataFrame:
         coord = lambda salt: (  # noqa: E731
             F.conv(
                 F.substring(
@@ -693,45 +698,25 @@ def spatial_radius_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 100_000
         )
         return df.select(
-            F.col(key), coord(sx).alias("x"), coord(sy).alias("y")
+            F.col(key).alias(out[0]),
+            coord(sx).alias(out[1]),
+            coord(sy).alias(out[2]),
         )
 
-    cust = pts(table(spark, sf_dir, "customer"), "c_custkey", "cx", "cy").select(
-        "c_custkey",
-        F.col("x").alias("cx"),
-        F.col("y").alias("cy"),
-        F.expr(f"x DIV {CELL}").alias("gx"),
-        F.expr(f"y DIV {CELL}").alias("gy"),
+    sup = pts(
+        table(spark, sf_dir, "supplier"), "s_suppkey", "sx", "sy",
+        ("s_suppkey", "xl", "yl"),
     )
-    sup = pts(table(spark, sf_dir, "supplier"), "s_suppkey", "sx", "sy")
-    neighbors = F.array(
-        *[
-            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-            for dx in (-1, 0, 1)
-            for dy in (-1, 0, 1)
-        ]
+    cust = pts(
+        table(spark, sf_dir, "customer"), "c_custkey", "cx", "cy",
+        ("c_custkey", "xr", "yr"),
     )
-    sup9 = sup.select(
-        "s_suppkey",
-        F.col("x").alias("sx"),
-        F.col("y").alias("sy"),
-        F.explode(neighbors).alias("nb"),
-    ).select(
-        "s_suppkey",
-        "sx",
-        "sy",
-        (F.expr(f"sx DIV {CELL}") + F.col("nb.dx")).alias("gx"),
-        (F.expr(f"sy DIV {CELL}") + F.col("nb.dy")).alias("gy"),
+    pairs = grid_radius_join(
+        sup, cust, radius=R,
+        left_cols=("s_suppkey", "xl", "yl"),
+        right_cols=("c_custkey", "xr", "yr"),
     )
-    d2 = (F.col("sx") - F.col("cx")) * (F.col("sx") - F.col("cx")) + (
-        F.col("sy") - F.col("cy")
-    ) * (F.col("sy") - F.col("cy"))
-    return (
-        sup9.join(cust, ["gx", "gy"])
-        .filter(d2 <= F.lit(R * R))
-        .groupBy("s_suppkey")
-        .agg(
-            F.count(F.lit(1)).alias("n_within"),
-            F.min(d2).cast("long").alias("min_dist2"),
-        )
+    return pairs.groupBy("s_suppkey").agg(
+        F.count(F.lit(1)).alias("n_within"),
+        F.min("dist2").cast("long").alias("min_dist2"),
     )
