@@ -2261,3 +2261,76 @@ def test_winnow_digests_null_and_short_text(spark):
     h = ((((ord("a") * 257 + ord("b")) * 257 + ord("c")) * 257
           + ord("d")) * 257 + ord("e"))
     assert got[3] == (1, hashlib.md5(str(h).encode()).hexdigest())
+
+
+def test_t_closeness_matches_fraction_reference(spark, sf_dir):
+    """t_ppm from the registered query equals the Fraction-exact
+    ordered-EMD computed straight from the (class, sens) counts —
+    floor semantics included (the kappa pattern)."""
+    from fractions import Fraction
+    import math
+
+    from pyspark.sql import functions as F
+
+    from csv2parquet_spark.queries import REGISTRY
+    from csv2parquet_spark.tables import table
+
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    rel = o.join(
+        c.select(
+            "c_custkey", "c_nationkey", "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 4000).alias("bal_band"),
+        ),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select("c_nationkey", "c_mktsegment", "bal_band", "o_orderpriority")
+    cells = rel.groupBy(
+        "c_nationkey", "c_mktsegment", "bal_band", "o_orderpriority"
+    ).count().collect()
+
+    sens = sorted({r.o_orderpriority for r in cells})
+    glob = {s: 0 for s in sens}
+    classes: dict = {}
+    for r in cells:
+        key = (r.c_nationkey, r.c_mktsegment, r.bal_band)
+        classes.setdefault(key, {s: 0 for s in sens})[r.o_orderpriority] += r["count"]
+        glob[r.o_orderpriority] += r["count"]
+    n = sum(glob.values())
+    m = len(sens)
+
+    want = {}
+    for key, dist in classes.items():
+        n_c = sum(dist.values())
+        cp = cq = 0
+        acc = Fraction(0)
+        for s in sens:
+            cp += dist[s]
+            cq += glob[s]
+            acc += abs(Fraction(cp, n_c) - Fraction(cq, n))
+        want[key] = (n_c, math.floor(acc / (m - 1) * 1_000_000))
+
+    got = {
+        (r.c_nationkey, r.c_mktsegment, r.bal_band): (r.class_size, r.t_ppm)
+        for r in REGISTRY["t_closeness_report"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_incremental_ingest_latest_content(spark):
+    """The reconciled dataset is exactly what the fixture's three
+    converter runs imply: b and c rows from their only batches, file
+    a's rows ONLY from batch 2 (the changed-file reconvert) with the
+    changed values — no batch-0 leftovers."""
+    from csv2parquet_spark.queries import REGISTRY
+
+    rows = {
+        (r.source, r.batch, r.k, r.v)
+        for r in REGISTRY["incremental_ingest_latest"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert rows == {
+        ("b", 0, 4, 40), ("b", 0, 5, 50),
+        ("c", 1, 6, 60), ("c", 1, 7, 70),
+        ("a", 2, 1, 11), ("a", 2, 2, 22), ("a", 2, 3, 33), ("a", 2, 8, 88),
+    }
