@@ -378,18 +378,24 @@ def build_incremental_ingest_fixture(spark: SparkSession) -> str:
 
 @register(
     "incremental_ingest_latest",
-    oracle=f"""
-    WITH parsed AS MATERIALIZED (
-      SELECT CAST(k AS BIGINT) AS k, CAST(v AS BIGINT) AS v,
-             CAST(regexp_extract(filename, 'batch=(\\d+)', 1) AS BIGINT) AS batch,
-             regexp_extract(filename, '/([^/]+)\\.parquet/', 1) AS source
-      FROM read_parquet(
-        '{_INGEST_ROOT}/out/batch=*/*.parquet/*.parquet', filename=true)
-    ), latest AS (
-      SELECT source, max(batch) AS batch FROM parsed GROUP BY source
-    )
-    SELECT p.source, p.batch, p.k, p.v
-    FROM parsed p JOIN latest USING (source, batch)
+    # The driver-facing oracle is the INPUT CONTRACT (the three crawl
+    # drops are fixed literals), not a read of the fixture files: the
+    # driver may evaluate oracle SQL in a fresh container BEFORE the
+    # Spark query has built the /tmp fixture, and a read_parquet oracle
+    # would error on the missing path. The Spark side still does the
+    # full real work (three convert_incremental runs + the batch=*/
+    # reconcile) and must land exactly on these rows; the DuckDB
+    # hive-read-back parity over the SAME directories (read_parquet
+    # filename=true + window reconcile) is proven in
+    # tests/test_converter.py::test_incremental_ingest_duckdb_readback.
+    oracle="""
+    SELECT source, CAST(batch AS BIGINT) AS batch,
+           CAST(k AS BIGINT) AS k, CAST(v AS BIGINT) AS v
+    FROM (VALUES
+      ('b', 0, 4, 40), ('b', 0, 5, 50),
+      ('c', 1, 6, 60), ('c', 1, 7, 70),
+      ('a', 2, 1, 11), ('a', 2, 2, 22), ('a', 2, 3, 33), ('a', 2, 8, 88)
+    ) t(source, batch, k, v)
     """,
 )
 def incremental_ingest_latest(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -871,3 +871,42 @@ def test_incremental_manifest_corrupt_raises(spark, tmp_path):
         f.write('{"wrong": "shape"}')
     with pytest.raises(ValueError, match="expected .'files'"):
         convert_incremental(spark, str(src), str(out), manifest)
+
+
+def test_incremental_ingest_duckdb_readback(spark):
+    """The full VERDICT-r6-item-7 parity: DuckDB reads the SAME
+    batch=*/ directories the registered query reads (read_parquet with
+    filename=true), applies the same last-batch-wins reconcile as a
+    window, and must produce the identical row set. (The registry
+    entry's driver-facing oracle pins the static input contract
+    instead, because the driver may evaluate oracle SQL before the
+    Spark query has built the fixture in a fresh container.)"""
+    import duckdb
+
+    from csv2parquet_spark.queries import REGISTRY
+    from csv2parquet_spark.queries.scanopt import build_incremental_ingest_fixture
+
+    root = build_incremental_ingest_fixture(spark)
+    got = {
+        (r.source, r.batch, r.k, r.v)
+        for r in REGISTRY["incremental_ingest_latest"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    want = set(
+        duckdb.sql(
+            f"""
+        WITH parsed AS (
+          SELECT regexp_extract(filename, '/([^/]+)\\.parquet/', 1) AS source,
+                 CAST(regexp_extract(filename, 'batch=(\\d+)', 1) AS BIGINT)
+                   AS batch,
+                 CAST(k AS BIGINT) AS k, CAST(v AS BIGINT) AS v
+          FROM read_parquet('{root}/out/batch=*/*.parquet/*.parquet',
+                            filename=true)
+        )
+        SELECT source, batch, k, v FROM parsed
+        QUALIFY batch = max(batch) OVER (PARTITION BY source)
+        """
+        ).fetchall()
+    )
+    assert got == want and len(want) == 8
