@@ -1000,3 +1000,55 @@ def test_dynamic_session_stream_equals_batch_twin(spark, sf_dir):
         .select("user_id", "session_start_ms", "n_events")
     )
     assert got == want
+
+
+def test_stream_follows_incremental_converter_batches(spark, tmp_path):
+    """The continuous-ingestion tail end-to-end: Structured Streaming's
+    file source follows the incremental converter's append-only
+    batch=n/ output. Run 1 converts a.csv into batch=0; an
+    AvailableNow pass over batch=*/ drains exactly those rows. Run 2
+    converts b.csv into batch=1; a SECOND pass sharing the SAME
+    checkpoint processes ONLY the new batch's files — the immutable-
+    batch contract is precisely what makes the file source's
+    seen-files log correct (nothing is ever rewritten in place)."""
+    import os
+
+    from csv2parquet_spark.converter.incremental import convert_incremental
+
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    (src / "a.csv").write_text("k,v\n1,10\n2,20\n")
+    manifest = str(tmp_path / "manifest.json")
+    assert convert_incremental(spark, str(src), str(out), manifest).batch == 0
+
+    sink = str(tmp_path / "sink")
+
+    def drain() -> list[tuple]:
+        # parquet sink + shared checkpoint: the file SINK supports
+        # checkpoint recovery (the memory sink does not), so each
+        # AvailableNow pass appends exactly the not-yet-seen files.
+        stream = spark.readStream.schema("k bigint, v bigint").parquet(
+            f"{out}/batch=*/*.parquet"
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(
+            map(tuple, spark.read.parquet(sink).select("k", "v").collect())
+        )
+
+    assert drain() == [(1, 10), (2, 20)]
+
+    (src / "b.csv").write_text("k,v\n3,30\n")
+    assert convert_incremental(spark, str(src), str(out), manifest).batch == 1
+    # same checkpoint: the seen-files log admits only batch=1's files,
+    # so the sink grows by exactly b.csv's rows (no reprocessing of
+    # batch=0 — exactly-once across restarts).
+    assert drain() == [(1, 10), (2, 20), (3, 30)]
