@@ -59,6 +59,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-row-group-size", type=int, default=None)
     p.add_argument("--created-by", default=None)  # W10: documented gap
     p.add_argument("--dictionary", action="store_true", default=False)
+    # W3: "none" disables column statistics (parquet-mr 1.16
+    # parquet.column.statistics.enabled); chunk/page = writer default
+    # (chunk/page distinction not separable in parquet-mr — documented).
     p.add_argument("--statistics", choices=["none", "chunk", "page"], default=None)
     p.add_argument("--max-statistics-size", type=int, default=None)
     p.add_argument(
@@ -147,6 +150,7 @@ def main(argv: list[str] | None = None) -> int:
         write_batch_size=args.write_batch_size,
         max_row_group_size=args.max_row_group_size,
         max_statistics_size=args.max_statistics_size,
+        statistics=args.statistics,
         bloom_filter_columns=(
             [c.strip() for c in args.bloom_filter_columns.split(",") if c.strip()]
             if args.bloom_filter_columns

@@ -55,6 +55,14 @@ class ConvertOptions:
     write_batch_size: int | None = None     # W8 (approx: page row-count limit)
     max_row_group_size: int | None = None   # W9 (rows; see note below)
     max_statistics_size: int | None = None  # W4
+    # W3 (main.rs:104-106): "none" disables column statistics entirely
+    # via parquet-mr 1.16's parquet.column.statistics.enabled (this WAS
+    # a documented gap when the engine was pinned to older writers —
+    # re-probed and closed in round 7). "chunk"/"page" both map to the
+    # parquet-mr default (row-group stats + column indexes; parquet-mr
+    # exposes no switch that drops ONLY the page-level indexes, so the
+    # chunk/page distinction is the remaining documented approximation).
+    statistics: str | None = None
     # W2 approximation (main.rs:25-35,206-218): the reference sets ONE
     # default encoding for every column via arrow-rs WriterProperties.
     # parquet-mr exposes no per-encoding switch, but its nearest knobs
@@ -190,8 +198,10 @@ def read_csv(spark: SparkSession, csv_path: str, opts: ConvertOptions) -> DataFr
 def _apply_writer_conf(spark: SparkSession, opts: ConvertOptions) -> dict[str, str | None]:
     """W1-W9 → parquet-mr Hadoop confs; returns prior values to restore.
 
-    W2 (forced column encodings), W3 statistics=none, W10 created_by are
-    unreachable through parquet-mr — documented gaps (SURVEY §2.1).
+    W2 (forced column encodings) and W10 created_by remain unreachable
+    through parquet-mr — documented gaps (SURVEY §2.1). W3
+    statistics=none became reachable with parquet-mr 1.16
+    (parquet.column.statistics.enabled) and is wired below.
     """
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     dictionary = opts.dictionary
@@ -211,6 +221,7 @@ def _apply_writer_conf(spark: SparkSession, opts: ConvertOptions) -> dict[str, s
         "parquet.dictionary.page.size": str(opts.dictionary_pagesize_limit) if opts.dictionary_pagesize_limit else None,  # W7
         "parquet.page.row.count.limit": str(opts.write_batch_size) if opts.write_batch_size else None,  # W8 approx
         "parquet.statistics.truncate.length": str(opts.max_statistics_size) if opts.max_statistics_size else None,  # W4
+        "parquet.column.statistics.enabled": "false" if opts.statistics == "none" else None,  # W3
     }
     # Record None for keys that were UNSET so restore can conf.unset()
     # them — restoring as "" would make a later parquet write in the same

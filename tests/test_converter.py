@@ -910,3 +910,32 @@ def test_incremental_ingest_duckdb_readback(spark):
         ).fetchall()
     )
     assert got == want and len(want) == 8
+
+
+def test_writer_statistics_none_drops_footer_stats(spark, tmp):
+    """W3: --statistics none now fully reachable (parquet-mr 1.16's
+    parquet.column.statistics.enabled — this was a documented gap on
+    older writers): NO column chunk carries min/max/null stats, while
+    the default write does. Asserted from the actual footers."""
+    src = _write(
+        tmp, "w3.csv", "i,s\n" + "\n".join(f"{n},x{n}" for n in range(100)) + "\n"
+    )
+    out_none = os.path.join(tmp, "w3_none.parquet")
+    out_def = os.path.join(tmp, "w3_def.parquet")
+    convert(spark, src, out_none, ConvertOptions(statistics="none"))
+    convert(spark, src, out_def, ConvertOptions())
+
+    def stats_set(p):
+        md = pq.ParquetFile(p).metadata
+        return [
+            md.row_group(g).column(c).is_stats_set
+            for g in range(md.num_row_groups)
+            for c in range(md.num_columns)
+        ]
+
+    assert not any(stats_set(out_none))
+    assert all(stats_set(out_def))
+    # the conf restore leaves later writes unaffected (default again)
+    out_after = os.path.join(tmp, "w3_after.parquet")
+    convert(spark, src, out_after, ConvertOptions())
+    assert all(stats_set(out_after))
