@@ -259,3 +259,63 @@ def test_winnow_kernel_equals_catalyst_variant(spark):
         for r in winnow_fingerprint_digests(df).collect()
     }
     assert got == want
+
+
+NEAR_DUP_VOCAB = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+
+NEAR_DUP_DOCS = st.lists(
+    st.lists(st.sampled_from(NEAR_DUP_VOCAB), min_size=0, max_size=12).map(
+        " ".join
+    ),
+    min_size=2,
+    max_size=18,
+)
+
+
+@given(
+    docs=NEAR_DUP_DOCS,
+    threshold=st.sampled_from([0.34, 0.5, 0.75]),
+)
+@SETTINGS
+def test_ngram_jaccard_pairs_match_brute_force(spark, docs, threshold):
+    """The PPJoin prefix-filtered exact Jaccard join — BOTH shingle
+    orders and the unfiltered path — must return exactly the
+    brute-force pair set with the same similarity values on arbitrary
+    low-entropy corpora (tiny shared vocab forces heavy overlap, the
+    regime where a wrong prefix length or position-filter bound drops
+    a qualifying pair)."""
+    import re
+
+    from csv2parquet_spark.operators.dedup import ngram_jaccard_pairs
+
+    def sset(text: str) -> frozenset:
+        toks = re.split(r"\s+", text)
+        return frozenset(
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        )
+
+    sets = {i: sset(t) for i, t in enumerate(docs)}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] and sets[b]:
+                inter = len(sets[a] & sets[b])
+                j = inter / (len(sets[a]) + len(sets[b]) - inter)
+                if j >= threshold:
+                    want[(a, b)] = round(j, 6)
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    for kwargs in (
+        {"prefix_filter": True, "order": "rare_first"},
+        {"prefix_filter": True, "order": "hash"},
+        {"prefix_filter": False},
+    ):
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(df, threshold=threshold, **kwargs)
+            .select("id_a", "id_b", "jaccard")
+            .collect()
+        }
+        assert got == want, (kwargs, got, want)
