@@ -319,3 +319,65 @@ def test_ngram_jaccard_pairs_match_brute_force(spark, docs, threshold):
             .collect()
         }
         assert got == want, (kwargs, got, want)
+
+
+SUBSTR_DOCS = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=26).map(
+        " ".join
+    ),
+    min_size=2,
+    max_size=10,
+)
+
+
+@given(docs=SUBSTR_DOCS)
+@SETTINGS
+def test_exact_substr_spans_match_coverage_sets(spark, docs):
+    """ExactSubstr duplicate coverage vs an INDEPENDENT formulation:
+    the operator (and its DuckDB oracle) compute gaps-and-islands over
+    duplicated 8-token window start positions; the reference here
+    computes the UNION OF COVERED TOKEN POSITIONS directly — dup_tokens
+    must equal the union's size and n_spans its number of contiguous
+    runs. A 3-token vocabulary makes cross-doc verbatim windows dense,
+    including windows duplicated at MANY positions within one doc."""
+    from collections import defaultdict
+
+    from csv2parquet_spark.queries.corpus_extra import _K
+
+    toks = {i: t.split(" ") for i, t in enumerate(docs)}
+    wins: dict[tuple, set] = defaultdict(set)   # window -> docs containing it
+    pos: dict[int, list] = defaultdict(list)    # doc -> window start indices
+    for d, ts in toks.items():
+        for i in range(len(ts) - _K + 1):
+            w = tuple(ts[i : i + _K])
+            wins[w].add(d)
+            pos[d].append((i, w))
+    want = {}
+    for d, ts in toks.items():
+        covered = set()
+        for i, w in pos[d]:
+            if len(wins[w]) >= 2:
+                covered.update(range(i, i + _K))
+        if covered:
+            runs = sum(
+                1 for p in covered if p - 1 not in covered
+            )
+            want[d] = (len(ts), len(covered), runs)
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    # drive the registered query's exact pipeline on this frame via its
+    # module internals: swap the table read for the synthetic frame
+    from csv2parquet_spark.queries import corpus_extra as CE
+
+    orig = CE.table
+    CE.table = lambda spark_, sf_, name: df  # noqa: E731
+    try:
+        got_rows = CE.exact_substr_dup_spans(spark, "unused").collect()
+    finally:
+        CE.table = orig
+    got = {r.doc_id: (r.n_tokens, r.dup_tokens, r.n_spans) for r in got_rows}
+    assert got == want
+    for r in got_rows:
+        assert abs(r.dup_frac - r.dup_tokens / r.n_tokens) < 1e-5
