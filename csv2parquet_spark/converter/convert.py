@@ -223,6 +223,18 @@ def _apply_writer_conf(spark: SparkSession, opts: ConvertOptions) -> dict[str, s
         "parquet.statistics.truncate.length": str(opts.max_statistics_size) if opts.max_statistics_size else None,  # W4
         "parquet.column.statistics.enabled": "false" if opts.statistics == "none" else None,  # W3
     }
+    if opts.statistics in ("chunk", "page"):
+        # parquet-mr has no chunk-vs-page statistics granularity knob;
+        # both levels are written by default. Say so at run time, not
+        # only in the docstring (ADVICE r7).
+        import warnings
+
+        warnings.warn(
+            f"statistics={opts.statistics!r} has no parquet-mr "
+            "equivalent; falling back to the default (statistics at "
+            "both chunk and page level)",
+            stacklevel=3,
+        )
     # Record None for keys that were UNSET so restore can conf.unset()
     # them — restoring as "" would make a later parquet write in the same
     # JVM feed Hadoop's Configuration.getInt an empty string (NFE).
@@ -348,6 +360,7 @@ def write_parquet(
                     conf.unset(k)
                 else:
                     conf.set(k, v)
+        _verify_statistics_dropped(parquet_path, opts)
         return
     df = _clustered(df, opts)
     if opts.sort_by or opts.zorder_by:
@@ -387,6 +400,41 @@ def write_parquet(
                 conf.unset(k)
             else:
                 conf.set(k, v)
+    _verify_statistics_dropped(parquet_path, opts)
+
+
+def _verify_statistics_dropped(parquet_path: str, opts: ConvertOptions) -> None:
+    """Runtime guard for ``statistics='none'`` (ADVICE r7):
+    ``parquet.column.statistics.enabled`` exists only in parquet-mr
+    >= 1.16 — an older bundled writer silently ignores the conf and
+    keeps writing stats. Rather than probing a version string, read
+    back ONE written footer (metadata-only, no data pages) and fail
+    loudly if any column chunk still carries statistics."""
+    if opts.statistics != "none":
+        return
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(parquet_path):
+        parts = sorted(
+            glob.glob(os.path.join(parquet_path, "**", "part-*.parquet"),
+                      recursive=True)
+        )
+        if not parts:  # empty dataset: nothing was written, nothing leaks
+            return
+        probe = parts[0]
+    else:
+        probe = parquet_path
+    meta = pq.ParquetFile(probe).metadata
+    for rg in range(meta.num_row_groups):
+        row_group = meta.row_group(rg)
+        for col in range(row_group.num_columns):
+            if row_group.column(col).statistics is not None:
+                raise RuntimeError(
+                    "statistics='none' was requested but the bundled "
+                    "parquet writer wrote column statistics anyway "
+                    "(parquet.column.statistics.enabled needs "
+                    f"parquet-mr >= 1.16); offending file: {probe}"
+                )
 
 
 def _run_write(spark, writer, opts: ConvertOptions, parquet_path: str) -> None:

@@ -50,29 +50,31 @@ from csv2parquet_spark.queries import order_stats  # noqa: E402,F401
 # Queries that miss this round's window stay in tier 1/2 and surface
 # automatically next round once newly-proven names drop to tier 3.
 # ---------------------------------------------------------------------------
-# Round-7: cleared at round start per the rotation protocol (VERDICT r6
-# item 1) — both r6 re-proofs landed green in CORRECTNESS_r06.json and
-# the r6 deferral set auto-promotes: agg_approx_distinct (error-bound
-# oracle landed post-gate r6) and dedup_threshold_sensitivity enter
-# tier 1 first. Behavior changes this round that require re-proof of
-# already-proven queries go in _FORCE_FIRST:
-#   - lang_id_agreement_kappa: kappa_ppm now floor-divides on BOTH
-#     sides (ADVICE r6: DuckDB `//` floors, Spark DIV truncates toward
-#     zero — divergent iff kappa_num < 0); fixture value unchanged,
-#     executed expression changed.
-#   - peak_concurrency_daily: rewired through the new
-#     sweep_line_daily_peaks operator whose shard_buckets mode is the
-#     implemented skew hatch (VERDICT r6 #4); results identical, the
-#     executed plan changed (groupBy on date then format, was groupBy
-#     on the formatted string).
-_FORCE_FIRST: list[str] = ["lang_id_agreement_kappa", "peak_concurrency_daily"]
+# Round-8: cleared at round start per the rotation protocol — both r7
+# _FORCE_FIRST re-proofs (lang_id_agreement_kappa,
+# peak_concurrency_daily) landed green in CORRECTNESS_r07.json, and as
+# of r7 every registered query is driver-hash-proven (284/284), so
+# tier 1 and tier 2 are empty and the window is all re-proofs.
+# Behavior changes this round that alter the executed plan of an
+# already-proven query go in _FORCE_FIRST:
+#   - t_closeness_report: the 5-row global sensitive CDF is now
+#     derived from the localCheckpointed class grid (sum of class
+#     counts per sensitive value) instead of re-executing the full
+#     customer⋈orders pass a second time (ADVICE r7); the report
+#     values are identical, the executed plan lost one corpus-scale
+#     join.
+#   - incremental_ingest_latest: the write-once fixture moved from the
+#     fixed world-readable /tmp/csv2parquet_spark_ingest to a per-uid
+#     subdirectory with ownership validation (ADVICE r7); same data,
+#     different path in the scan.
+# Window arithmetic this round: 2 force-first re-proofs + the new r8
+# registrations in tier 1 (seeded epoch shuffle, ingest-after-GC) fill
+# the head; the remaining ~46 slots re-prove already-green queries in
+# registration order.
+_FORCE_FIRST: list[str] = ["t_closeness_report", "incremental_ingest_latest"]
 
-# New round-7 registrations go here so they can't displace the pending
-# proofs; they fill trailing slots if tier 0+1+2 < 50 and auto-promote
-# next round. Window arithmetic this round: 1 force-first re-proof +
-# 2 r6-deferred tier-1 + 4 rows-only→oracle conversions (IVF/PQ probe
-# bounds, seeded-sample Chernoff bounds) leaves ~43 trailing slots for
-# the r7 additions below.
+# New registrations that must NOT displace pending proofs go here; they
+# fill trailing slots if tier 0+1+2 < 50 and auto-promote next round.
 _DEFER_THIS_ROUND: set[str] = set()
 
 # Within the deferred tier, these names sort FIRST (list order) so

@@ -1337,8 +1337,10 @@ def t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cp")
     ).localCheckpoint()
     # Global sensitive CDF: m (=5) rows — driver-side, enters as literals.
+    # Derived from the already-materialized cell grid (Σcp per sens), so
+    # the customer⋈orders pass runs ONCE, not twice (ADVICE r7).
     grows = sorted(
-        rel.groupBy("sens").agg(F.count(F.lit(1)).alias("cq")).collect(),
+        cell.groupBy("sens").agg(F.sum("cp").alias("cq")).collect(),
         key=lambda r: r.sens,
     )
     n_total = sum(r.cq for r in grows)

@@ -327,7 +327,18 @@ def merge_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Continuous ingestion: the --incremental-manifest contract as a QUERY
 # ---------------------------------------------------------------------------
-_INGEST_ROOT = "/tmp/csv2parquet_spark_ingest/v1"
+def _ingest_root() -> str:
+    """Per-uid fixture root (ADVICE r7): the old fixed
+    /tmp/csv2parquet_spark_ingest lived under a world-writable parent,
+    so on a shared host a stale or foreign-planted directory with a
+    _DONE marker would be silently read. Scoping by uid and verifying
+    ownership before trusting _DONE closes that."""
+    import tempfile
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"csv2parquet_spark_ingest_uid{os.getuid()}"
+    )
+    return os.path.join(base, "v1")
 
 
 def build_incremental_ingest_fixture(spark: SparkSession) -> str:
@@ -343,12 +354,20 @@ def build_incremental_ingest_fixture(spark: SparkSession) -> str:
     carry the absolute path."""
     import shutil
 
-    done = os.path.join(_INGEST_ROOT, "_DONE")
+    root = _ingest_root()
+    done = os.path.join(root, "_DONE")
     if os.path.exists(done):
-        return _INGEST_ROOT
+        st = os.stat(root)
+        if st.st_uid != os.getuid():
+            raise RuntimeError(
+                f"ingest fixture {root} exists but is owned by uid "
+                f"{st.st_uid}, not {os.getuid()} — refusing to trust a "
+                "foreign _DONE marker"
+            )
+        return root
     from csv2parquet_spark.converter.incremental import convert_incremental
 
-    staging = f"{_INGEST_ROOT}.staging.{os.getpid()}"
+    staging = f"{root}.staging.{os.getpid()}"
     shutil.rmtree(staging, ignore_errors=True)
     src = os.path.join(staging, "in")
     out = os.path.join(staging, "out")
@@ -368,12 +387,12 @@ def build_incremental_ingest_fixture(spark: SparkSession) -> str:
     convert_incremental(spark, src, out, manifest)          # batch 2
     with open(os.path.join(staging, "_DONE"), "w") as f:
         f.write("ok\n")
-    os.makedirs(os.path.dirname(_INGEST_ROOT), exist_ok=True)
+    os.makedirs(os.path.dirname(root), mode=0o700, exist_ok=True)
     try:
-        os.rename(staging, _INGEST_ROOT)
+        os.rename(staging, root)
     except OSError:
         shutil.rmtree(staging, ignore_errors=True)  # lost an identical race
-    return _INGEST_ROOT
+    return root
 
 
 @register(
