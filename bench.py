@@ -138,6 +138,119 @@ HEADLINE = [
 ]
 
 
+# ---------------------------------------------------------------------------
+# Canary calibration (VERDICT r7 item 1): the r7 driver bench drifted
+# +9.6% like-for-like with every worst key in r7-untouched code — box
+# drift and a real regression were indistinguishable because the bench
+# had no in-run yardstick. These keys are FROZEN trivial queries
+# (scan+filter, top-k sort, exact dedup, running-sum window, JSON
+# funcs — code untouched since r1/r2); their per-round driver times are
+# pinned below, so every future run carries its own box-speed ratio:
+#   normalized_ratio(key, rN) = (t_now/t_rN) / canary_ratio_vs_rN.
+# A normalized ratio ≈1 with a high raw ratio = box drift; a high
+# normalized ratio = a real regression. Medians, not means — any one
+# canary can catch a contended scheduler slot.
+CANARY_KEYS = [
+    "filter_project",
+    "topk_orders_by_price",
+    "dedup_exact",
+    "window_running_sum",
+    "json_funcs",
+]
+# Driver-measured seconds at sf0.1 (BENCH_DETAIL.json as committed by
+# the driver each round; r6 = commit 859528f, r7 = commit 710cbed).
+CANARY_REF = {
+    "r6": {
+        "filter_project": 0.287,
+        "topk_orders_by_price": 0.158,
+        "dedup_exact": 0.217,
+        "window_running_sum": 0.682,
+        "json_funcs": 0.420,
+    },
+    "r7": {
+        "filter_project": 0.357,
+        "topk_orders_by_price": 0.157,
+        "dedup_exact": 0.233,
+        "window_running_sum": 0.582,
+        "json_funcs": 0.542,
+    },
+}
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def canary_section(times: dict[str, float]) -> dict:
+    """Per-reference-round box-speed ratio from this run's canary times."""
+    out: dict = {"keys": CANARY_KEYS, "ref": CANARY_REF}
+    for rnd, ref in CANARY_REF.items():
+        ratios = {
+            k: round(times[k] / ref[k], 3)
+            for k in CANARY_KEYS
+            if k in times and ref.get(k)
+        }
+        out[f"ratios_vs_{rnd}"] = ratios
+        out[f"box_ratio_vs_{rnd}"] = round(_median(list(ratios.values())), 3)
+    return out
+
+
+def _bench_round() -> int:
+    """This run's driver round = one past the newest recorded bench."""
+    import glob as _glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(p.rsplit("_r", 1)[1].split(".")[0])
+        for p in _glob.glob(os.path.join(here, "BENCH_r*.json"))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def bench_rotation(spark, sf_dir: str, headline: list[str]) -> dict:
+    """Rotating perf tier (VERDICT r7 item 2): HEADLINE covers 74 keys;
+    the other ~210 registered queries had NO recorded wall time, so a
+    constant-factor regression there (AQE flip, stray exchange with
+    unchanged operators) was invisible between correctness rounds. Each
+    round times a ~30-key slice of the non-HEADLINE registry in stable
+    alphabetical order, keyed off the round number — every registered
+    query gets a recorded time within any 7-round span. Warm once +
+    best-of-2 (cheaper than HEADLINE's adaptive best-of-N: this tier
+    exists to catch step-function regressions, not to be a precision
+    yardstick)."""
+    slice_size = int(os.environ.get("SPARK_GRAFT_ROTATION_KEYS", "30"))
+    if slice_size <= 0:
+        return {}
+    rest = sorted(n for n in REGISTRY if n not in set(headline))
+    if not rest:
+        return {}
+    rnd = _bench_round()
+    start = ((rnd - 8) * slice_size) % len(rest)  # r8 = first slice
+    picked = [rest[(start + i) % len(rest)] for i in range(min(slice_size, len(rest)))]
+    times: dict[str, float] = {}
+    for name in picked:
+        fn = REGISTRY[name].fn
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            times[name] = round(best, 3)
+        except Exception as exc:  # pragma: no cover — never lose the round
+            times[name] = -1.0
+            print(f"rotation {name} failed: {exc!r}", file=sys.stderr)
+    return {
+        "round": rnd,
+        "start_index": start,
+        "of_total": len(rest),
+        "keys": times,
+    }
+
+
 def bench_conversion(spark, sf_dir: str) -> dict:
     """The reference's actual workload: CSV→Parquet, timed both in CLI
     parity mode (single output file, full-pass schema inference — the
@@ -286,8 +399,22 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    # Conversion benches are long and I/O-bound; a failure there must not
-    # cost the round its query numbers.
+    # The calibration and rotation tiers must never cost the round its
+    # headline numbers; same for the long I/O-bound conversion benches.
+    try:
+        # Reference times are sf0.1 (the driver's bench SF) — at any
+        # other SF the ratios would be meaningless.
+        canary = (
+            canary_section(times)
+            if sf_val == 0.1
+            else {"skipped": f"canary refs are sf0.1, ran sf{sf_val}"}
+        )
+    except Exception as exc:  # pragma: no cover - defensive
+        canary = {"error": repr(exc)}
+    try:
+        rotation = bench_rotation(spark, sf_dir, HEADLINE)
+    except Exception as exc:  # pragma: no cover - defensive
+        rotation = {"error": repr(exc)}
     try:
         conv = bench_conversion(spark, sf_dir)
         conv_big = bench_conversion_big(spark, sf_dir)
@@ -302,6 +429,8 @@ def main() -> None:
         "spread": spread,
         "n_runs": nruns,
         "sf": sf_val,
+        "canary": canary,
+        "rotation": rotation,
         "csv_to_parquet": conv,
         "csv_to_parquet_big": conv_big,
     }
