@@ -135,6 +135,11 @@ HEADLINE = [
     "incremental_ingest_latest",
     "t_closeness_report",
     "spatial_radius_join_grid",
+    # round-8 additions: deterministic seeded epoch shuffle (two-pass
+    # global ranking over md5 order) and the compaction+GC'd ingest
+    # layout readback.
+    "epoch_shuffle_seeded",
+    "incremental_ingest_after_gc",
 ]
 
 

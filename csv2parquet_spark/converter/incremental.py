@@ -143,3 +143,133 @@ def convert_incremental(
     manifest["next_batch"] = batch + 1
     _commit_manifest(manifest_path, manifest)
     return IncrementalResult(batch=batch, converted=converted, skipped=skipped)
+
+
+# ---------------------------------------------------------------------------
+# Compaction + retention GC (VERDICT r7 "Next round" #7): the append-only
+# batch=*/ layout grows forever — a changed input leaves its superseded
+# rows in old batches, and a long-running ingest accumulates thousands
+# of small batch dirs (the classic small-file problem at 100 TB).
+# Compaction rewrites the reconciled LATEST state into one fresh batch;
+# GC then drops the superseded dirs, with reader-safety coming from the
+# layout's own last-batch-wins contract:
+#
+#   - The compacted batch gets the NEXT batch number, so for every
+#     source it is the maximum batch and wins reconciliation. While old
+#     and compacted batches coexist, a last-batch-wins reader sees
+#     IDENTICAL data before, during, and after compaction — there is no
+#     moment where the dataset is wrong, only a window where it is
+#     stored twice.
+#   - GC deletes only batches at or below a compaction point that the
+#     MANIFEST has committed (`compacted_upto`). A crash after writing
+#     the compacted dir but before the manifest commit leaves an orphan
+#     that the next compact() re-derives and overwrites (the existing
+#     convert_incremental crash contract); GC never acts on it.
+#   - `min_age_sec` is the in-flight-reader grace period: a reader that
+#     planned its scan before compaction still holds paths into old
+#     batch dirs; deleting them mid-scan fails the read. Retaining
+#     superseded dirs for longer than the longest expected scan is the
+#     standard snapshot-expiry tradeoff (Iceberg/Delta vacuum semantics).
+#   - Same single-writer assumption as convert_incremental: writers
+#     (ingest runs, compact, gc) are serialized by the caller.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class CompactResult:
+    batch: int | None        # the compacted batch number; None = nothing to do
+    covers_upto: int | None  # highest batch folded into it
+    sources: list[str]       # source stems rewritten
+
+
+def _batch_dirs(output_dir: str) -> dict[int, str]:
+    out: dict[int, str] = {}
+    if not os.path.isdir(output_dir):
+        return out
+    for name in os.listdir(output_dir):
+        if name.startswith("batch=") and name[6:].isdigit():
+            out[int(name[6:])] = os.path.join(output_dir, name)
+    return out
+
+
+def compact_incremental(
+    spark: SparkSession,
+    output_dir: str,
+    manifest_path: str,
+) -> CompactResult:
+    """Fold every committed batch into ONE new batch holding the
+    reconciled latest state (per source stem, the rows of its highest
+    batch — exactly what a last-batch-wins reader computes), then record
+    the compaction point in the manifest. Superseded dirs become GC
+    candidates; they are NOT deleted here (see :func:`gc_batches`).
+
+    Scale shape: the winner map is a directory listing (file-count-
+    sized, driver-side); each winner stem is rewritten with one
+    parallel read→write, which also coalesces each source's small
+    incremental parts into full-size files (the actual point of
+    compaction at scale)."""
+    manifest = _load_manifest(manifest_path)
+    committed_upto = int(manifest["next_batch"]) - 1
+    if committed_upto < 0:
+        return CompactResult(batch=None, covers_upto=None, sources=[])
+    already = int(manifest.get("compacted_upto", -1))
+    dirs = _batch_dirs(output_dir)
+    live = {b: d for b, d in dirs.items() if b <= committed_upto}
+    if not live or set(live) == {committed_upto} and already == committed_upto - 1:
+        # only the previous compaction's own output remains — idempotent
+        return CompactResult(batch=None, covers_upto=None, sources=[])
+
+    # winner per source stem = its highest committed batch
+    winners: dict[str, tuple[int, str]] = {}
+    for b in sorted(live):
+        d = live[b]
+        for entry in sorted(os.listdir(d)):
+            if entry.endswith(".parquet"):
+                winners[entry[: -len(".parquet")]] = (b, os.path.join(d, entry))
+    if not winners:
+        return CompactResult(batch=None, covers_upto=None, sources=[])
+
+    batch = int(manifest["next_batch"])
+    batch_dir = os.path.join(output_dir, f"batch={batch}")
+    os.makedirs(batch_dir, exist_ok=True)
+    for stem, (_, src) in sorted(winners.items()):
+        # per-source rewrite: schemas differ across sources, so each
+        # stem is its own (parallel) read→write job
+        spark.read.parquet(src).write.mode("overwrite").parquet(
+            os.path.join(batch_dir, f"{stem}.parquet")
+        )
+    manifest["next_batch"] = batch + 1
+    manifest["compacted_upto"] = committed_upto
+    _commit_manifest(manifest_path, manifest)
+    return CompactResult(
+        batch=batch, covers_upto=committed_upto, sources=sorted(winners)
+    )
+
+
+def gc_batches(
+    output_dir: str,
+    manifest_path: str,
+    min_age_sec: float = 0.0,
+) -> list[str]:
+    """Delete batch dirs superseded by a COMMITTED compaction point
+    (``batch <= compacted_upto``), returning the deleted paths. A dir
+    younger than ``min_age_sec`` (mtime) is retained this pass — the
+    in-flight-reader grace period. With no compaction recorded, nothing
+    is eligible and this is a no-op."""
+    import shutil
+    import time
+
+    manifest = _load_manifest(manifest_path)
+    upto = int(manifest.get("compacted_upto", -1))
+    if upto < 0:
+        return []
+    now = time.time()
+    deleted: list[str] = []
+    for b, d in sorted(_batch_dirs(output_dir).items()):
+        if b > upto:
+            continue
+        if min_age_sec > 0 and now - os.stat(d).st_mtime < min_age_sec:
+            continue
+        shutil.rmtree(d)
+        deleted.append(d)
+    return deleted

@@ -447,3 +447,113 @@ def incremental_ingest_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.join(F.broadcast(latest), ["source", "batch"]).select(
         "source", "batch", "k", "v"
     )
+
+
+def build_compacted_ingest_fixture(spark: SparkSession) -> str:
+    """The v1 ingest fixture's crawl history + compaction + GC: the same
+    three convert_incremental runs (a+b → c → changed a), then
+    ``compact_incremental`` folds batches 0–2 into batch=3 (the
+    reconciled latest state, one dir) and ``gc_batches`` deletes the
+    superseded dirs. Write-once + atomic rename, per-uid scoped, like
+    the v1 fixture."""
+    import shutil
+
+    root = os.path.join(os.path.dirname(_ingest_root()), "v2_compacted")
+    done = os.path.join(root, "_DONE")
+    if os.path.exists(done):
+        st = os.stat(root)
+        if st.st_uid != os.getuid():
+            raise RuntimeError(
+                f"ingest fixture {root} exists but is owned by uid "
+                f"{st.st_uid}, not {os.getuid()} — refusing to trust a "
+                "foreign _DONE marker"
+            )
+        return root
+    from csv2parquet_spark.converter.incremental import (
+        compact_incremental,
+        convert_incremental,
+        gc_batches,
+    )
+
+    staging = f"{root}.staging.{os.getpid()}"
+    shutil.rmtree(staging, ignore_errors=True)
+    src = os.path.join(staging, "in")
+    out = os.path.join(staging, "out")
+    manifest = os.path.join(staging, "manifest.json")
+    os.makedirs(src, exist_ok=True)
+
+    def drop(name: str, rows: list[tuple[int, int]]) -> None:
+        with open(os.path.join(src, name), "w") as f:
+            f.write("k,v\n" + "".join(f"{k},{v}\n" for k, v in rows))
+
+    drop("a.csv", [(1, 10), (2, 20), (3, 30)])
+    drop("b.csv", [(4, 40), (5, 50)])
+    convert_incremental(spark, src, out, manifest)          # batch 0
+    drop("c.csv", [(6, 60), (7, 70)])
+    convert_incremental(spark, src, out, manifest)          # batch 1
+    drop("a.csv", [(1, 11), (2, 22), (3, 33), (8, 88)])     # changed
+    convert_incremental(spark, src, out, manifest)          # batch 2
+    res = compact_incremental(spark, out, manifest)         # batch 3
+    assert res.batch == 3 and res.covers_upto == 2
+    gc_batches(out, manifest)                               # drops 0-2
+    with open(os.path.join(staging, "_DONE"), "w") as f:
+        f.write("ok\n")
+    os.makedirs(os.path.dirname(root), mode=0o700, exist_ok=True)
+    try:
+        os.rename(staging, root)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)  # lost an identical race
+    return root
+
+
+@register(
+    "incremental_ingest_after_gc",
+    # Static input contract, same rationale as incremental_ingest_latest:
+    # the expected rows are the v1 crawl history's reconciled latest
+    # state, REHOMED to the compacted batch number (3) — after
+    # compaction every source's winner IS the compacted batch. The
+    # filesystem-level assertions (superseded dirs actually deleted, raw
+    # glob == reconciled state, pre-GC == post-GC data) live in
+    # tests/test_converter.py.
+    oracle="""
+    SELECT source, CAST(batch AS BIGINT) AS batch,
+           CAST(k AS BIGINT) AS k, CAST(v AS BIGINT) AS v
+    FROM (VALUES
+      ('a', 3, 1, 11), ('a', 3, 2, 22), ('a', 3, 3, 33), ('a', 3, 8, 88),
+      ('b', 3, 4, 40), ('b', 3, 5, 50),
+      ('c', 3, 6, 60), ('c', 3, 7, 70)
+    ) t(source, batch, k, v)
+    """,
+)
+def incremental_ingest_after_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention GC for the continuous-ingestion layout (VERDICT r7
+    "Next round" #7): after ``compact_incremental`` folds the crawl
+    history into one fresh batch and ``gc_batches`` drops the
+    superseded dirs, the SAME last-batch-wins reader must land on the
+    identical logical state — now with every source's winner being the
+    compacted batch, and the raw ``batch=*/`` glob containing no
+    duplicate rows at all.
+
+    Reader safety is the layout's own contract: the compacted batch has
+    the maximum batch number, so reconciling readers see identical data
+    before, during, and after the compaction+GC window; GC only deletes
+    dirs at or below a manifest-COMMITTED compaction point, with an
+    mtime grace period for in-flight scans (Iceberg/Delta vacuum
+    semantics). At 100 TB this is the difference between a bounded
+    store and one that keeps every superseded byte forever.
+
+    Scale shape: identical to incremental_ingest_latest — path-derived
+    identity, file-count-sized winner aggregate broadcast back."""
+    root = build_compacted_ingest_fixture(spark)
+    raw = spark.read.parquet(f"{root}/out/batch=*/*.parquet")
+    f = F.input_file_name()
+    parsed = raw.select(
+        F.regexp_extract(f, r"/([^/]+)\.parquet/", 1).alias("source"),
+        F.regexp_extract(f, r"batch=(\d+)", 1).cast("long").alias("batch"),
+        F.col("k").cast("long").alias("k"),
+        F.col("v").cast("long").alias("v"),
+    )
+    latest = parsed.groupBy("source").agg(F.max("batch").alias("batch"))
+    return parsed.join(F.broadcast(latest), ["source", "batch"]).select(
+        "source", "batch", "k", "v"
+    )

@@ -945,3 +945,166 @@ def test_writer_statistics_none_drops_footer_stats(spark, tmp):
     out_after = os.path.join(tmp, "w3_after.parquet")
     convert(spark, src, out_after, ConvertOptions())
     assert all(stats_set(out_after))
+
+
+# ---------------------------------------------------------------------------
+# Compaction + retention GC for the incremental layout (round 8)
+# ---------------------------------------------------------------------------
+
+
+def _ingest_history(spark, tmp_path):
+    """The canonical 3-run crawl history (a+b → c → changed a) used by
+    both ingest fixtures; returns (out_dir, manifest_path)."""
+    from csv2parquet_spark.converter.incremental import convert_incremental
+
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    src.mkdir()
+    (src / "a.csv").write_text("k,v\n1,10\n2,20\n3,30\n")
+    (src / "b.csv").write_text("k,v\n4,40\n5,50\n")
+    manifest = str(tmp_path / "manifest.json")
+    assert convert_incremental(spark, str(src), str(out), manifest).batch == 0
+    (src / "c.csv").write_text("k,v\n6,60\n7,70\n")
+    assert convert_incremental(spark, str(src), str(out), manifest).batch == 1
+    (src / "a.csv").write_text("k,v\n1,11\n2,22\n3,33\n8,88\n")
+    assert convert_incremental(spark, str(src), str(out), manifest).batch == 2
+    return str(out), manifest
+
+
+def _reconciled(out):
+    """Last-batch-wins reconcile in DuckDB (the reader contract)."""
+    import duckdb
+
+    return set(
+        duckdb.sql(
+            f"""
+        WITH parsed AS (
+          SELECT regexp_extract(filename, '/([^/]+)\\.parquet/', 1) AS source,
+                 CAST(regexp_extract(filename, 'batch=(\\d+)', 1) AS BIGINT) AS b,
+                 k, v
+          FROM read_parquet('{out}/batch=*/*.parquet/*.parquet', filename=true)
+        )
+        SELECT source, k, v FROM parsed
+        QUALIFY b = max(b) OVER (PARTITION BY source)
+        """
+        ).fetchall()
+    )
+
+
+def _raw_rows(out):
+    import duckdb
+
+    return sorted(
+        duckdb.sql(
+            f"SELECT k, v FROM read_parquet('{out}/batch=*/*.parquet/*.parquet')"
+        ).fetchall()
+    )
+
+
+def test_compact_then_gc_preserves_reconciled_state(spark, tmp_path):
+    """The reader-safety contract end-to-end: the reconciled state is
+    IDENTICAL before compaction, with old+compacted batches coexisting,
+    and after GC — and after GC the raw (non-reconciling) glob holds no
+    superseded rows at all: raw == reconciled."""
+    import json
+
+    from csv2parquet_spark.converter.incremental import (
+        compact_incremental,
+        gc_batches,
+    )
+
+    out, manifest = _ingest_history(spark, tmp_path)
+    before = _reconciled(out)
+    assert len(before) == 8 and len(_raw_rows(out)) == 11  # 3 superseded
+
+    res = compact_incremental(spark, out, manifest)
+    assert res.batch == 3 and res.covers_upto == 2
+    assert res.sources == ["a", "b", "c"]
+    # coexistence window: reconciling readers see the same data
+    assert _reconciled(out) == before
+
+    deleted = gc_batches(out, manifest)
+    assert [os.path.basename(d) for d in deleted] == [
+        "batch=0", "batch=1", "batch=2",
+    ]
+    assert sorted(os.listdir(out)) == ["batch=3"]
+    assert _reconciled(out) == before
+    assert _raw_rows(out) == sorted((r[1], r[2]) for r in before)
+    assert json.load(open(manifest))["compacted_upto"] == 2
+
+
+def test_gc_is_noop_without_committed_compaction(spark, tmp_path):
+    from csv2parquet_spark.converter.incremental import gc_batches
+
+    out, manifest = _ingest_history(spark, tmp_path)
+    assert gc_batches(out, manifest) == []
+    assert sorted(os.listdir(out)) == ["batch=0", "batch=1", "batch=2"]
+
+
+def test_gc_min_age_grace_period(spark, tmp_path):
+    """In-flight-reader retention: freshly superseded dirs survive a GC
+    pass whose min_age_sec exceeds their age."""
+    from csv2parquet_spark.converter.incremental import (
+        compact_incremental,
+        gc_batches,
+    )
+
+    out, manifest = _ingest_history(spark, tmp_path)
+    compact_incremental(spark, out, manifest)
+    assert gc_batches(out, manifest, min_age_sec=3600) == []
+    assert len(os.listdir(out)) == 4  # everything retained
+    assert len(gc_batches(out, manifest)) == 3  # age=0: eligible now
+
+
+def test_compact_idempotent_and_resumes_after_new_batches(spark, tmp_path):
+    """A second compact over an already-compacted layout is a no-op;
+    post-compaction ingest batches survive GC and fold into the NEXT
+    compaction."""
+    from csv2parquet_spark.converter.incremental import (
+        compact_incremental,
+        convert_incremental,
+        gc_batches,
+    )
+
+    out, manifest = _ingest_history(spark, tmp_path)
+    compact_incremental(spark, out, manifest)
+    gc_batches(out, manifest)
+    assert compact_incremental(spark, out, manifest).batch is None
+
+    (tmp_path / "in" / "d.csv").write_text("k,v\n9,90\n")
+    r = convert_incremental(spark, str(tmp_path / "in"), out, manifest)
+    assert r.batch == 4
+    assert gc_batches(out, manifest) == []  # 3,4 both above the point
+    assert sorted(os.listdir(out)) == ["batch=3", "batch=4"]
+
+    res = compact_incremental(spark, out, manifest)
+    assert res.batch == 5 and res.covers_upto == 4
+    assert len(gc_batches(out, manifest)) == 2
+    assert sorted(os.listdir(out)) == ["batch=5"]
+    got = _reconciled(out)
+    assert (("d", 9, 90) in got) and len(got) == 9
+
+
+def test_compact_crash_before_commit_rederives_same_batch(spark, tmp_path):
+    """The convert_incremental crash contract extends to compaction: a
+    compacted dir whose manifest commit never landed is an orphan that
+    the retried compact re-derives (same batch number) and overwrites;
+    GC never touches anything without the committed point."""
+    from csv2parquet_spark.converter.incremental import (
+        compact_incremental,
+        gc_batches,
+    )
+
+    out, manifest = _ingest_history(spark, tmp_path)
+    before = _reconciled(out)
+    pre_crash = open(manifest).read()
+    compact_incremental(spark, out, manifest)
+    with open(manifest, "w") as f:  # roll back the commit = the crash
+        f.write(pre_crash)
+    assert gc_batches(out, manifest) == []  # nothing committed → no GC
+
+    res = compact_incremental(spark, out, manifest)  # retry
+    assert res.batch == 3 and res.covers_upto == 2
+    gc_batches(out, manifest)
+    assert sorted(os.listdir(out)) == ["batch=3"]
+    assert _reconciled(out) == before
