@@ -375,6 +375,12 @@ def _mix64(x: int) -> int:
     return x ^ (x >> 31)
 
 
+# Highest base pattern whose pairwise aHash separation the suite has
+# verified (see synth_patterned_image's guard). 16384 bases covers
+# doc_ids up to 65535 — beyond the sf1 scaling dataset's 50k docs.
+_IMAGE_BASE_ENVELOPE = 16384
+
+
 def synth_patterned_image(doc_id: int) -> bytes:
     """Deterministic 24-bpp BMP whose CONTENT is an 8×8-cell black/white
     pattern — the near-dup fixture for perceptual hashing.
@@ -396,13 +402,17 @@ def synth_patterned_image(doc_id: int) -> bytes:
     # patterns sits > max_hamming + 2 = 5 bits apart (each variant can
     # spend 1 bit). tests/test_operators.py::
     # test_ahash_fixture_base_patterns_well_separated verifies exactly
-    # that for bases 0..1999; refusing to synthesize beyond the verified
-    # envelope makes the separation hold BY CONSTRUCTION, not by
-    # splitmix64 luck, if a future dataset outgrows the fixture range.
-    if base >= 2000:
+    # that for every base below _IMAGE_BASE_ENVELOPE (min pairwise
+    # Hamming over all 16384² pairs is 11); refusing to synthesize
+    # beyond the verified envelope makes the separation hold BY
+    # CONSTRUCTION, not by splitmix64 luck, if a future dataset
+    # outgrows the fixture range. (Round 8 raised it 2000 → 16384 when
+    # the sf1 scaling dataset's 50k docs = 12.5k bases hit the gate.)
+    if base >= _IMAGE_BASE_ENVELOPE:
         raise ValueError(
             f"doc_id {doc_id}: base {base} outside the separation-verified "
-            "range [0, 2000) — extend the pairwise-Hamming test first"
+            f"range [0, {_IMAGE_BASE_ENVELOPE}) — extend the "
+            "pairwise-Hamming test first"
         )
     bits = _mix64(base)
     if variant:

@@ -67,11 +67,21 @@ from csv2parquet_spark.queries import order_stats  # noqa: E402,F401
 #     fixed world-readable /tmp/csv2parquet_spark_ingest to a per-uid
 #     subdirectory with ownership validation (ADVICE r7); same data,
 #     different path in the scan.
-# Window arithmetic this round: 2 force-first re-proofs + the new r8
+#   - image_ahash_near_dups / multimodal_resize_real: the patterned-BMP
+#     synth's separation-verified envelope was raised 2000 → 16384
+#     bases (the sf1 scaling dataset's 50k docs hit the old gate);
+#     in-envelope payloads are bit-identical, but the guard constant is
+#     on these queries' executed path, so re-prove deliberately.
+# Window arithmetic this round: 4 force-first re-proofs + the new r8
 # registrations in tier 1 (seeded epoch shuffle, ingest-after-GC) fill
-# the head; the remaining ~46 slots re-prove already-green queries in
+# the head; the remaining ~44 slots re-prove already-green queries in
 # registration order.
-_FORCE_FIRST: list[str] = ["t_closeness_report", "incremental_ingest_latest"]
+_FORCE_FIRST: list[str] = [
+    "t_closeness_report",
+    "incremental_ingest_latest",
+    "image_ahash_near_dups",
+    "multimodal_resize_real",
+]
 
 # New registrations that must NOT displace pending proofs go here; they
 # fill trailing slots if tier 0+1+2 < 50 and auto-promote next round.

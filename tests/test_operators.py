@@ -1137,27 +1137,32 @@ def test_ahash_fixture_base_patterns_well_separated():
     within Hamming <= 3 of each other (variants flip one bit per side,
     so a cross-base pair needs base distance <= 5 to sneak under the
     max_hamming=3 verify). Assert that margin LOUDLY for every base any
-    tested scale factor can reach (sf0.1 has 5000 docs = 1250 bases;
-    check 2000 bases for headroom) so a future dataset size fails here,
-    not as a silent oracle gap."""
+    tested scale factor can reach (sf1 has 50000 docs = 12500 bases;
+    check 16384 for headroom — the synth guard in multimodal.py refuses
+    anything beyond this verified envelope) so a future dataset size
+    fails here, not as a silent oracle gap. Chunked float32 matmul:
+    0/1 bit matrices are exact in float32 (values ≤ 64) and BLAS makes
+    the 16384² pair sweep take ~a second where the int32 path took 20."""
     import numpy as np
 
-    from csv2parquet_spark.operators.multimodal import _mix64
+    from csv2parquet_spark.operators.multimodal import _IMAGE_BASE_ENVELOPE, _mix64
 
-    bits = np.array([_mix64(b) for b in range(2000)], dtype=np.uint64)
+    n = _IMAGE_BASE_ENVELOPE
+    bits = np.array([_mix64(b) for b in range(n)], dtype=np.uint64)
     # pairwise XOR popcount without Python loops: 8 bytes per value
-    bytes_view = bits.view(np.uint8).reshape(-1, 8)
-    popcnt = np.unpackbits(bytes_view, axis=1).astype(np.int32)
-    # d(i,j) = sum over bit positions of a_xor_b; compute via matmul:
-    # hamming = ones@ones where differ = p_i + p_j - 2*p_i*p_j per bit
-    p = popcnt  # (n, 64) of 0/1
-    same = p @ p.T  # bits set in both
-    tot = p.sum(axis=1)
-    hamming = tot[:, None] + tot[None, :] - 2 * same
-    np.fill_diagonal(hamming, 99)
-    assert int(hamming.min()) > 5, (
-        f"base patterns too close: min pairwise Hamming {int(hamming.min())}"
+    p = np.unpackbits(bits.view(np.uint8).reshape(-1, 8), axis=1).astype(
+        np.float32
     )
+    tot = p.sum(axis=1)
+    mind = 64.0
+    chunk = 2048
+    for i in range(0, n, chunk):
+        rows = p[i : i + chunk]
+        # d(i,j) = tot_i + tot_j - 2*(bits set in both)
+        d = tot[i : i + chunk][:, None] + tot[None, :] - 2.0 * (rows @ p.T)
+        d[np.arange(rows.shape[0]), np.arange(i, i + rows.shape[0])] = 99.0
+        mind = min(mind, float(d.min()))
+    assert mind > 5, f"base patterns too close: min pairwise Hamming {mind}"
 
 
 def test_resize_images_per_row_targets(spark):
