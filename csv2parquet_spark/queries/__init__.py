@@ -72,15 +72,22 @@ from csv2parquet_spark.queries import order_stats  # noqa: E402,F401
 #     bases (the sf1 scaling dataset's 50k docs hit the old gate);
 #     in-envelope payloads are bit-identical, but the guard constant is
 #     on these queries' executed path, so re-prove deliberately.
-# Window arithmetic this round: 4 force-first re-proofs + the new r8
+#   - agg_approx_distinct: the sketch and exact-distinct sides are now
+#     separate aggregations joined on the 3-row key — the mixed agg
+#     dragged the rsd=0.01 HLL++ buffer through the countDistinct
+#     Expand's per-row partial groups (12.2 s → 1.7 s at sf0.1; the r8
+#     rotation bench tier caught it scaling 12× at sf1). Values
+#     identical, plan changed.
+# Window arithmetic this round: 5 force-first re-proofs + the new r8
 # registrations in tier 1 (seeded epoch shuffle, ingest-after-GC) fill
-# the head; the remaining ~44 slots re-prove already-green queries in
+# the head; the remaining ~43 slots re-prove already-green queries in
 # registration order.
 _FORCE_FIRST: list[str] = [
     "t_closeness_report",
     "incremental_ingest_latest",
     "image_ahash_near_dups",
     "multimodal_resize_real",
+    "agg_approx_distinct",
 ]
 
 # New registrations that must NOT displace pending proofs go here; they

@@ -382,18 +382,32 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's approx_count_distinct uses a different sketch, so the
     VALUES legitimately differ — but the documented error bound does
     not: at rsd=0.01 the estimate must land within 3·rsd of the exact
-    count, which the plan verifies against exact countDistincts over
-    the same scan (one Expand aggregate) — the sketch-then-exact-verify
-    pattern that upgraded percentiles_approx / hll_sketch_distinct from
-    rows-only to hash-proven. A sketch violating its bound mismatches.
-    Integer comparison: |approx − exact|·100 ≤ 3·exact."""
+    count, which the plan verifies against exact countDistincts — the
+    sketch-then-exact-verify pattern that upgraded percentiles_approx /
+    hll_sketch_distinct from rows-only to hash-proven. A sketch
+    violating its bound mismatches. Integer comparison:
+    |approx − exact|·100 ≤ 3·exact.
+
+    The sketch and exact sides are SEPARATE aggregations joined on the
+    3-row group key, not one mixed agg: two countDistincts on different
+    columns plan an Expand whose partial aggregate groups by
+    (flag, orderkey, partkey, gid) — per-ROW cardinality — and a mixed
+    plan drags the rsd=0.01 HLL++ buffer (2^14 registers, ~16 KB) into
+    every one of those millions of partial groups. Measured at sf0.1:
+    mixed 12.2 s, separated 1.7 s; at sf1 the mixed shape scaled 12×
+    (the r8 rotation tier caught it). Splitting costs one extra scan —
+    at 100 TB the exact audit is the expensive side by design, and the
+    sketch pass stays a clean 3-group partial aggregate."""
     l = table(spark, sf_dir, "lineitem")
-    a = l.groupBy("l_returnflag").agg(
+    sketch = l.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", 0.01).alias("ao"),
         F.approx_count_distinct("l_partkey", 0.01).alias("ap"),
+    )
+    exact = l.groupBy("l_returnflag").agg(
         F.countDistinct("l_orderkey").alias("exact_orders"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
+    a = exact.join(F.broadcast(sketch), "l_returnflag")
     return a.select(
         "l_returnflag",
         "exact_orders",
