@@ -78,9 +78,13 @@ from csv2parquet_spark.queries import order_stats  # noqa: E402,F401
 #     Expand's per-row partial groups (12.2 s → 1.7 s at sf0.1; the r8
 #     rotation bench tier caught it scaling 12× at sf1). Values
 #     identical, plan changed.
-# Window arithmetic this round: 5 force-first re-proofs + the new r8
+#   - bootstrap_ci_revenue: the ×32 explode+md5 stage now routes
+#     through the gated _parallelize_scan rebalance (the r8 rotation
+#     tier showed it running the CPU-bound stage as ONE task on the
+#     single-file local input). Values identical, plan changed.
+# Window arithmetic this round: 6 force-first re-proofs + the new r8
 # registrations in tier 1 (seeded epoch shuffle, ingest-after-GC) fill
-# the head; the remaining ~43 slots re-prove already-green queries in
+# the head; the remaining ~42 slots re-prove already-green queries in
 # registration order.
 _FORCE_FIRST: list[str] = [
     "t_closeness_report",
@@ -88,6 +92,7 @@ _FORCE_FIRST: list[str] = [
     "image_ahash_near_dups",
     "multimodal_resize_real",
     "agg_approx_distinct",
+    "bootstrap_ci_revenue",
 ]
 
 # New registrations that must NOT displace pending proofs go here; they
