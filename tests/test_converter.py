@@ -1108,3 +1108,84 @@ def test_compact_crash_before_commit_rederives_same_batch(spark, tmp_path):
     gc_batches(out, manifest)
     assert sorted(os.listdir(out)) == ["batch=3"]
     assert _reconciled(out) == before
+
+
+def test_compact_gc_random_history_matches_model(spark, tmp_path):
+    """Model-based check over a longer, messier crawl history than the
+    hand-written cases: 5 ingest runs over 6 files with seeded-random
+    creates/changes, a mid-history compact+GC, more ingest, a final
+    compact+GC — at every stage the DuckDB last-batch-wins reconcile
+    must equal a plain Python dict replaying the same drops (latest
+    content per file wins), and after each GC the raw glob must hold
+    exactly the model's rows."""
+    import random
+
+    from csv2parquet_spark.converter.incremental import (
+        compact_incremental,
+        convert_incremental,
+        gc_batches,
+    )
+
+    rng = random.Random(42)
+    src = tmp_path / "in"
+    out = str(tmp_path / "out")
+    src.mkdir()
+    manifest = str(tmp_path / "manifest.json")
+    model: dict[str, list[tuple[int, int]]] = {}  # stem -> latest rows
+    next_k = [1]
+
+    def drop(stem: str) -> None:
+        rows = [(next_k[0] + i, (next_k[0] + i) * 10) for i in range(rng.randint(1, 4))]
+        next_k[0] += len(rows)
+        (src / f"{stem}.csv").write_text(
+            "k,v\n" + "".join(f"{k},{v}\n" for k, v in rows)
+        )
+        model[stem] = rows
+
+    def check() -> None:
+        want = sorted((k, v) for rows in model.values() for k, v in rows)
+        got = _raw_recon(out)
+        assert got == want, f"reconcile != model: {got} vs {want}"
+
+    def _raw_recon(out_dir: str):
+        import duckdb
+
+        return sorted(
+            duckdb.sql(
+                f"""
+            WITH parsed AS (
+              SELECT regexp_extract(filename, '/([^/]+)\\.parquet/', 1) AS s,
+                     CAST(regexp_extract(filename, 'batch=(\\d+)', 1) AS BIGINT) AS b,
+                     k, v
+              FROM read_parquet('{out_dir}/batch=*/*.parquet/*.parquet',
+                                filename=true)
+            )
+            SELECT k, v FROM parsed
+            QUALIFY b = max(b) OVER (PARTITION BY s)
+            """
+            ).fetchall()
+        )
+
+    stems = ["a", "b", "c", "d", "e", "f"]
+    for run in range(5):
+        for stem in stems:
+            if rng.random() < 0.5:
+                drop(stem)
+        convert_incremental(spark, str(src), out, manifest)
+        check()
+    compact_incremental(spark, out, manifest)
+    check()
+    gc_batches(out, manifest)
+    check()
+    assert _raw_rows(out) == [
+        (k, v) for k, v in sorted((k, v) for r in model.values() for k, v in r)
+    ]
+    for stem in stems:
+        if rng.random() < 0.5:
+            drop(stem)
+    convert_incremental(spark, str(src), out, manifest)
+    check()
+    compact_incremental(spark, out, manifest)
+    gc_batches(out, manifest)
+    check()
+    assert len(os.listdir(out)) == 1  # only the final compacted batch
