@@ -15,12 +15,16 @@ cardinalities scale linearly:
   volumes grow 10× while the date range is fixed (what real traffic
   growth looks like; sessionization and windows scale in users).
 - documents: doc_id offset; for replica i>0 the token order is ROTATED
-  by a replica-dependent stride. Plain replication would plant 10
+  by a replica-dependent stride AND every 3rd token gets a
+  replica-suffix substitution. Plain replication would plant 10
   exact near-dup copies of every doc and blow the candidate-pair count
   up ~100× (quadratic in copies) — an artifact, not scale. Rotation
-  preserves token counts, lengths, and vocabulary (token-stats /
-  tfidf / packing queries scale honestly) while scrambling the shingle
-  sets, so dedup workloads grow ~linearly as they would on real data.
+  scrambles SHINGLE sets (MinHash/Jaccard/fingerprint workloads scale
+  honestly) but preserves the token SET exactly, which still plants
+  100%-containment duplicates for set-similarity operators (caught
+  when containment_near_dups went 10× superlinear sf1→sf3); the 1/3
+  substitution pushes replica-pair containment to ~0.67, under any
+  dedup threshold, while keeping token counts and lengths.
 - embeddings: vec_id offset; for replica i>0 the vector is circularly
   shifted by i — norms and component distributions are preserved but
   cosine structure is broken, avoiding the same planted-near-dup
@@ -75,12 +79,17 @@ STRIDE_OF = {
 }
 
 
-def rotate_text(text: str, stride: int) -> str:
+def rotate_text(text: str, stride: int, rep: int) -> str:
     toks = text.split(" ")
     if len(toks) < 2:
         return text
     k = stride % len(toks)
-    return " ".join(toks[k:] + toks[:k])
+    toks = toks[k:] + toks[:k]
+    # substitute every 3rd token so replica token SETS differ (~1/3),
+    # not just their order — see module docstring
+    return " ".join(
+        f"{t}r{rep}" if j % 3 == 0 else t for j, t in enumerate(toks)
+    )
 
 
 def main() -> None:
@@ -112,7 +121,7 @@ def main() -> None:
                 )
             if tbl == "documents" and i > 0:
                 texts = piece["text"].to_pylist()
-                rotated = [rotate_text(s, 7 * i + 3) for s in texts]
+                rotated = [rotate_text(s, 7 * i + 3, i) for s in texts]
                 idx = piece.schema.get_field_index("text")
                 piece = piece.set_column(
                     idx, piece.schema.field("text"), pa.array(rotated, type=pa.string())
@@ -128,7 +137,15 @@ def main() -> None:
                 )
             pieces.append(piece)
         out = pa.concat_tables(pieces)
-        pq.write_table(out, os.path.join(OUT, f"{tbl}.parquet"))
+        # 256k-row row groups: pyarrow's ~1M-row default makes Spark's
+        # byte-range splits mostly EMPTY (a split yields rows only if a
+        # row-group midpoint lands in it), silently capping scan
+        # parallelism — an sf3 orders scan planned 17 splits but
+        # executed as 5 non-empty tasks. Finer groups keep the derived
+        # dataset's scan layout faithful to a real multi-file table.
+        pq.write_table(
+            out, os.path.join(OUT, f"{tbl}.parquet"), row_group_size=262144
+        )
         print(f"{tbl}: {t.num_rows} -> {out.num_rows}")
 
 
