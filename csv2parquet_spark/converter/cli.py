@@ -57,7 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dictionary-pagesize-limit", type=int, default=None)
     p.add_argument("--write-batch-size", type=int, default=None)
     p.add_argument("--max-row-group-size", type=int, default=None)
-    p.add_argument("--created-by", default=None)  # W10: documented gap
+    # W10: applied as a post-write footer patch (parquet-mr exposes no
+    # writer property; the field is footer-resident — see footer.py).
+    p.add_argument("--created-by", default=None)
     p.add_argument("--dictionary", action="store_true", default=False)
     # W3: "none" disables column statistics (parquet-mr 1.16
     # parquet.column.statistics.enabled); chunk/page = writer default

@@ -73,7 +73,9 @@ class ConvertOptions:
     # pages). "rle"/"bit-packed" are level encodings parquet-mr always
     # chooses itself — accepted and ignored, the residual gap.
     encoding: str | None = None
-    created_by: str | None = None           # W10 — documented gap (not settable)
+    # W10: parquet-mr hardcodes its own created_by, but the field is
+    # footer-resident — set by a post-write metadata patch (footer.py).
+    created_by: str | None = None
     # Engine extension (no reference counterpart): write a parquet
     # BLOOM FILTER for each named column (parquet-mr
     # parquet.bloom.filter.enabled#col) — the point-lookup data-skipping
@@ -198,8 +200,10 @@ def read_csv(spark: SparkSession, csv_path: str, opts: ConvertOptions) -> DataFr
 def _apply_writer_conf(spark: SparkSession, opts: ConvertOptions) -> dict[str, str | None]:
     """W1-W9 → parquet-mr Hadoop confs; returns prior values to restore.
 
-    W2 (forced column encodings) and W10 created_by remain unreachable
-    through parquet-mr — documented gaps (SURVEY §2.1). W3
+    W2 (forced column encodings) maps to parquet-mr's nearest knobs
+    (writer version + dictionary toggle) — residual gaps documented on
+    ConvertOptions.encoding. W10 created_by is handled post-write by a
+    footer patch (_apply_created_by), not a writer conf. W3
     statistics=none became reachable with parquet-mr 1.16
     (parquet.column.statistics.enabled) and is wired below.
     """
@@ -361,6 +365,7 @@ def write_parquet(
                 else:
                     conf.set(k, v)
         _verify_statistics_dropped(parquet_path, opts)
+        _apply_created_by(parquet_path, opts)
         return
     df = _clustered(df, opts)
     if opts.sort_by or opts.zorder_by:
@@ -401,6 +406,31 @@ def write_parquet(
             else:
                 conf.set(k, v)
     _verify_statistics_dropped(parquet_path, opts)
+    _apply_created_by(parquet_path, opts)
+
+
+def _output_parquet_files(parquet_path: str) -> list[str]:
+    """All part files of a directory output, or the single file itself."""
+    if os.path.isdir(parquet_path):
+        return sorted(
+            glob.glob(os.path.join(parquet_path, "**", "part-*.parquet"),
+                      recursive=True)
+        )
+    return [parquet_path]
+
+
+def _apply_created_by(parquet_path: str, opts: ConvertOptions) -> None:
+    """W10: set FileMetaData.created_by on every written file
+    (reference ``--created-by``, main.rs:98,240-241). parquet-mr offers
+    no writer property, but the field is footer-resident, so a
+    metadata-only post-write patch reaches it — O(footer) per file,
+    no data pages read (:mod:`csv2parquet_spark.converter.footer`)."""
+    if opts.created_by is None:
+        return
+    from csv2parquet_spark.converter.footer import patch_created_by
+
+    for path in _output_parquet_files(parquet_path):
+        patch_created_by(path, opts.created_by)
 
 
 def _verify_statistics_dropped(parquet_path: str, opts: ConvertOptions) -> None:
