@@ -182,6 +182,34 @@ CANARY_REF = {
 }
 
 
+def _inter_key_cleanup(spark) -> None:
+    """JMH-style forced GC between benchmark keys — OFF by default
+    (SPARK_GRAFT_BENCH_GC=1 opts in); kept as a documented NEGATIVE
+    result from the round-8 late-suite-heat investigation.
+
+    Hypothesis: queries leave localCheckpoint blocks/broadcasts that
+    ContextCleaner only releases after a JVM GC, so late-suite keys
+    inherit predecessor heap debt. One A/B on this box supported it
+    dramatically (probes after 40 un-collected keys: tfidf 2.6→1.0 s,
+    bfs 8.8→3.8 s with forced GC). But the effect did NOT reproduce:
+    a same-protocol re-run hours later measured the no-cleanup arm at
+    the GOOD numbers (tfidf 0.88, bfs 4.6), and two full-bench runs
+    WITH inter-key GC (83.3, 86.4 s) came out slower than the
+    committed no-GC run (76.3 s) — a System.gc() full GC shrinks the
+    G1 heap and drops soft-referenced caches, so each next key repays
+    heap growth inside its timed runs. Verdict: the original A/B
+    caught a contended host phase, not a mechanism; box-phase noise
+    (the canary section's job) dominates any cleanup effect. Default
+    stays off so driver rounds remain methodology-comparable."""
+    import gc as _gc
+
+    _gc.collect()  # drop py4j refs so the JVM side becomes collectable
+    spark.sparkContext._jvm.System.gc()
+
+
+_GC_BETWEEN_KEYS = os.environ.get("SPARK_GRAFT_BENCH_GC", "0") == "1"
+
+
 def _median(xs: list[float]) -> float:
     s = sorted(xs)
     n = len(s)
@@ -248,6 +276,8 @@ def bench_rotation(spark, sf_dir: str, headline: list[str]) -> dict:
         except Exception as exc:  # pragma: no cover — never lose the round
             times[name] = -1.0
             print(f"rotation {name} failed: {exc!r}", file=sys.stderr)
+        if _GC_BETWEEN_KEYS:
+            _inter_key_cleanup(spark)
     return {
         "round": rnd,
         "start_index": start,
@@ -401,6 +431,8 @@ def main() -> None:
         times[name] = round(s[0], 3)
         spread[name] = round(s[1] - s[0], 3)
         nruns[name] = len(runs)
+        if _GC_BETWEEN_KEYS:
+            _inter_key_cleanup(spark)
 
     total = round(sum(times.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -434,6 +466,10 @@ def main() -> None:
         "spread": spread,
         "n_runs": nruns,
         "sf": sf_val,
+        # Records whether the opt-in inter-key forced GC ran (default
+        # off — see _inter_key_cleanup for the negative result that
+        # keeps it off). All driver rounds compare like-for-like.
+        "gc_between_keys": _GC_BETWEEN_KEYS,
         "canary": canary,
         "rotation": rotation,
         "csv_to_parquet": conv,
