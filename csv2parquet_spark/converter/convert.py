@@ -70,8 +70,11 @@ class ConvertOptions:
     # auto-picks DELTA_BINARY_PACKED for ints / DELTA_BYTE_ARRAY for
     # byte arrays); rle-dictionary → dictionary on (v2 dictionary data
     # pages ARE RLE_DICTIONARY); plain → dictionary off, v1 (PLAIN data
-    # pages). "rle"/"bit-packed" are level encodings parquet-mr always
-    # chooses itself — accepted and ignored, the residual gap.
+    # pages); rle → format v2 with dictionary off (BOOLEAN data pages
+    # become RLE — the one physical type arrow-rs accepts RLE for as a
+    # data encoding, footer-probed round 8). "bit-packed" is a
+    # deprecated level encoding parquet-mr always chooses itself —
+    # accepted and ignored, the residual gap.
     encoding: str | None = None
     # W10: parquet-mr hardcodes its own created_by, but the field is
     # footer-resident — set by a post-write metadata patch (footer.py).
@@ -212,6 +215,9 @@ def _apply_writer_conf(spark: SparkSession, opts: ConvertOptions) -> dict[str, s
     writer_version = None
     if opts.encoding in {
         "delta-binary-packed", "delta-length-byte-array", "delta-byte-array",
+        # rle: v2 writes BOOLEAN data pages as RLE (the one physical
+        # type the reference's set_encoding(RLE) applies to)
+        "rle",
     }:
         writer_version, dictionary = "v2", False
     elif opts.encoding == "rle-dictionary":

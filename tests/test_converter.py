@@ -213,6 +213,18 @@ def test_writer_encoding_approximations(spark, tmp):
     assert "PLAIN" in encodings(out, 1)
     assert not any("DICTIONARY" in e for e in encodings(out, 1))
 
+    # rle → v2 writer: BOOLEAN data pages are RLE (the one physical
+    # type the reference's set_encoding(RLE) is valid for; probed
+    # round 8 — v1 booleans carry PLAIN data pages instead)
+    src_b = _write(
+        tmp,
+        "encb.csv",
+        "flag,i\n" + "\n".join(f"{n % 3 == 0},{n}".lower() for n in range(300)) + "\n",
+    )
+    out = os.path.join(tmp, "e_rle.parquet")
+    convert(spark, src_b, out, ConvertOptions(encoding="rle"))
+    assert encodings(out, 0) == {"RLE"}
+
 
 def test_multi_part_output(spark, tmp):
     """single_file=False → directory of part files (the 100 TB path)."""
