@@ -28,6 +28,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import SparkSession
@@ -87,6 +88,49 @@ def _commit_manifest(path: str, manifest: dict) -> None:
         raise
 
 
+@contextmanager
+def _writer_lock(manifest_path: str, timeout: float):
+    """Mutual exclusion for layout writers (ingest / compact / GC).
+
+    Two concurrent ingest runs that both load ``next_batch = n`` would
+    race Spark ``overwrite`` writes inside the SAME ``batch=n/`` dir —
+    interleaved delete/write of part files can leave a corrupt mix of
+    both runs' parts that READERS then see (the manifest race itself is
+    benign: last-batch-wins absorbs a lost record as one redundant
+    reconversion). An exclusive ``flock`` on a sidecar ``.lock`` file
+    serializes writers; the lock is its OWN file because the manifest
+    inode is replaced on every commit (``os.replace``), which would
+    strand a lock held on the old inode.
+
+    Advisory and local-FS scoped — the right tool for this engine's
+    single-box layout. On object storage there is no flock; a real
+    deployment serializes writers by scheduling or a coordination
+    service (the same assumption Delta/Iceberg place on their commit
+    protocol's atomic-rename/conditional-put primitive)."""
+    import fcntl
+    import time as _time
+
+    lock_path = manifest_path + ".lock"
+    fd = os.open(lock_path, os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        deadline = _time.monotonic() + timeout
+        while True:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                break
+            except OSError:
+                if _time.monotonic() >= deadline:
+                    raise TimeoutError(
+                        f"another writer holds {lock_path!r} (waited "
+                        f"{timeout:.0f} s) — ingest/compact/gc runs on one "
+                        "dataset must not overlap"
+                    ) from None
+                _time.sleep(0.05)
+        yield
+    finally:
+        os.close(fd)  # closing the fd releases the flock
+
+
 def _file_key(path: str) -> str:
     st = os.stat(path)
     return f"{st.st_size}:{st.st_mtime_ns}"
@@ -99,6 +143,7 @@ def convert_incremental(
     manifest_path: str,
     opts: ConvertOptions | None = None,
     extensions: tuple[str, ...] = (".csv", ".jsonl", ".json", ".xml", ".orc", ".parquet"),
+    lock_timeout: float = 600.0,
 ) -> IncrementalResult:
     """Convert every not-yet-seen input file under ``input_dir`` into
     ``output_dir/batch=<n>/<stem>.parquet``; record conversions in the
@@ -107,8 +152,24 @@ def convert_incremental(
     Inputs convert through the ordinary :func:`convert` path (schema
     inference / schema file / all write knobs in ``opts`` apply), in
     multi-part mode per file so each conversion parallelizes across the
-    file's splits.
+    file's splits. Writers on one dataset are serialized by
+    :func:`_writer_lock` — a concurrent run blocks up to
+    ``lock_timeout`` seconds, then raises.
     """
+    with _writer_lock(manifest_path, lock_timeout):
+        return _convert_incremental_locked(
+            spark, input_dir, output_dir, manifest_path, opts, extensions
+        )
+
+
+def _convert_incremental_locked(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    manifest_path: str,
+    opts: ConvertOptions | None,
+    extensions: tuple[str, ...],
+) -> IncrementalResult:
     opts = opts or ConvertOptions()
     manifest = _load_manifest(manifest_path)
     seen: dict = manifest["files"]
@@ -170,8 +231,8 @@ def convert_incremental(
 #     batch dirs; deleting them mid-scan fails the read. Retaining
 #     superseded dirs for longer than the longest expected scan is the
 #     standard snapshot-expiry tradeoff (Iceberg/Delta vacuum semantics).
-#   - Same single-writer assumption as convert_incremental: writers
-#     (ingest runs, compact, gc) are serialized by the caller.
+#   - Writers (ingest runs, compact, gc) are serialized by the shared
+#     flock in _writer_lock — a concurrent run blocks, then times out.
 # ---------------------------------------------------------------------------
 
 
@@ -196,6 +257,7 @@ def compact_incremental(
     spark: SparkSession,
     output_dir: str,
     manifest_path: str,
+    lock_timeout: float = 600.0,
 ) -> CompactResult:
     """Fold every committed batch into ONE new batch holding the
     reconciled latest state (per source stem, the rows of its highest
@@ -208,6 +270,13 @@ def compact_incremental(
     parallel read→write, which also coalesces each source's small
     incremental parts into full-size files (the actual point of
     compaction at scale)."""
+    with _writer_lock(manifest_path, lock_timeout):
+        return _compact_incremental_locked(spark, output_dir, manifest_path)
+
+
+def _compact_incremental_locked(
+    spark: SparkSession, output_dir: str, manifest_path: str
+) -> CompactResult:
     manifest = _load_manifest(manifest_path)
     committed_upto = int(manifest["next_batch"]) - 1
     if committed_upto < 0:
@@ -250,12 +319,20 @@ def gc_batches(
     output_dir: str,
     manifest_path: str,
     min_age_sec: float = 0.0,
+    lock_timeout: float = 600.0,
 ) -> list[str]:
     """Delete batch dirs superseded by a COMMITTED compaction point
     (``batch <= compacted_upto``), returning the deleted paths. A dir
     younger than ``min_age_sec`` (mtime) is retained this pass — the
     in-flight-reader grace period. With no compaction recorded, nothing
     is eligible and this is a no-op."""
+    with _writer_lock(manifest_path, lock_timeout):
+        return _gc_batches_locked(output_dir, manifest_path, min_age_sec)
+
+
+def _gc_batches_locked(
+    output_dir: str, manifest_path: str, min_age_sec: float
+) -> list[str]:
     import shutil
     import time
 

@@ -1327,3 +1327,85 @@ def test_footer_patch_insert_and_boundaries(tmp):
         f.write(b"x" * 64)
     with pytest.raises(ValueError, match="magic"):
         fm.patch_created_by(bad, "nope")
+
+
+# ---------------------------------------------------------------------------
+# Concurrent-writer safety for the incremental layout (round 8): without
+# mutual exclusion, two ingest runs that both load next_batch=n race
+# Spark overwrite writes inside the SAME batch=n/ dir.
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_concurrent_writers_serialize(spark, tmp_path):
+    """Two convert_incremental runs racing on one dataset serialize via
+    the manifest flock: the result equals SOME serial order — distinct
+    batch numbers, every input recorded once, the reconciled readback
+    complete and duplicate-free."""
+    import threading
+
+    from csv2parquet_spark.converter.incremental import convert_incremental
+
+    src = tmp_path / "in"
+    out = str(tmp_path / "out")
+    src.mkdir()
+    for i in range(4):
+        (src / f"f{i}.csv").write_text(
+            "k,v\n" + "\n".join(f"{i * 100 + j},{j}" for j in range(50)) + "\n"
+        )
+    manifest = str(tmp_path / "manifest.json")
+
+    results, errors = [], []
+
+    def run():
+        try:
+            results.append(
+                convert_incremental(spark, str(src), out, manifest,
+                                    lock_timeout=120.0)
+            )
+        except Exception as exc:  # pragma: no cover - fail loudly below
+            errors.append(exc)
+
+    threads = [threading.Thread(target=run) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    # one run converted everything; the other saw a committed manifest
+    # and had nothing to do (batch=None) — never the same batch twice
+    batches = sorted(r.batch for r in results if r.batch is not None)
+    assert batches == [0]
+    assert sum(len(r.converted) for r in results) == 4
+    got = duckdb.sql(
+        f"SELECT count(*), count(DISTINCT k) "
+        f"FROM read_parquet('{out}/batch=*/*.parquet/*.parquet')"
+    ).fetchone()
+    assert got == (200, 200)
+
+
+def test_incremental_writer_lock_times_out(spark, tmp_path):
+    """A writer that cannot acquire the lock within lock_timeout raises
+    instead of proceeding into a shared batch dir."""
+    import fcntl
+
+    from csv2parquet_spark.converter.incremental import convert_incremental
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.csv").write_text("k,v\n1,1\n")
+    manifest = str(tmp_path / "manifest.json")
+    holder = os.open(manifest + ".lock", os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(holder, fcntl.LOCK_EX)
+        with pytest.raises(TimeoutError, match="another writer"):
+            convert_incremental(
+                spark, str(src), str(tmp_path / "out"), manifest,
+                lock_timeout=0.3,
+            )
+    finally:
+        os.close(holder)
+    # lock released → the same call now succeeds
+    res = convert_incremental(
+        spark, str(src), str(tmp_path / "out"), manifest, lock_timeout=5.0
+    )
+    assert res.batch == 0 and len(res.converted) == 1
