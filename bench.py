@@ -226,7 +226,14 @@ def canary_section(times: dict[str, float]) -> dict:
             if k in times and ref.get(k)
         }
         out[f"ratios_vs_{rnd}"] = ratios
-        out[f"box_ratio_vs_{rnd}"] = round(_median(list(ratios.values())), 3)
+        # guard: a HEADLINE edit that drops canary keys must degrade to
+        # an explicit marker, not crash the whole canary section
+        out[f"box_ratio_vs_{rnd}"] = (
+            round(_median(list(ratios.values())), 3) if ratios else None
+        )
+    missing = [k for k in CANARY_KEYS if k not in times]
+    if missing:
+        out["missing_keys"] = missing
     return out
 
 

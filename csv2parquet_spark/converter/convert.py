@@ -437,6 +437,16 @@ def _apply_created_by(parquet_path: str, opts: ConvertOptions) -> None:
 
     for path in _output_parquet_files(parquet_path):
         patch_created_by(path, opts.created_by)
+        # Hadoop's local ChecksumFileSystem writes a ".<name>.crc"
+        # sidecar per part file; the in-place footer rewrite invalidates
+        # it and a Spark read-back then aborts with ChecksumException
+        # (pyarrow/DuckDB ignore sidecars, so only Hadoop readers saw
+        # it). A missing sidecar is legal — drop it.
+        crc = os.path.join(
+            os.path.dirname(path), "." + os.path.basename(path) + ".crc"
+        )
+        if os.path.exists(crc):
+            os.remove(crc)
 
 
 def _verify_statistics_dropped(parquet_path: str, opts: ConvertOptions) -> None:
@@ -450,16 +460,10 @@ def _verify_statistics_dropped(parquet_path: str, opts: ConvertOptions) -> None:
         return
     import pyarrow.parquet as pq
 
-    if os.path.isdir(parquet_path):
-        parts = sorted(
-            glob.glob(os.path.join(parquet_path, "**", "part-*.parquet"),
-                      recursive=True)
-        )
-        if not parts:  # empty dataset: nothing was written, nothing leaks
-            return
-        probe = parts[0]
-    else:
-        probe = parquet_path
+    parts = _output_parquet_files(parquet_path)
+    if not parts:  # empty dataset: nothing was written, nothing leaks
+        return
+    probe = parts[0]
     meta = pq.ParquetFile(probe).metadata
     for rg in range(meta.num_row_groups):
         row_group = meta.row_group(rg)

@@ -118,7 +118,12 @@ def _writer_lock(manifest_path: str, timeout: float):
             try:
                 fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
                 break
-            except OSError:
+            # ONLY lock-held (EWOULDBLOCK/EAGAIN → BlockingIOError) is
+            # worth retrying; a filesystem without flock support
+            # (ENOTSUP/ENOLCK on some NFS/overlay mounts) must raise
+            # immediately, not spin out the timeout and then blame a
+            # phantom concurrent writer.
+            except BlockingIOError:
                 if _time.monotonic() >= deadline:
                     raise TimeoutError(
                         f"another writer holds {lock_path!r} (waited "
@@ -129,6 +134,15 @@ def _writer_lock(manifest_path: str, timeout: float):
         yield
     finally:
         os.close(fd)  # closing the fd releases the flock
+
+
+def _clear_dir(path: str) -> None:
+    """Fresh empty dir at ``path`` (removing any crashed-run orphan)."""
+    import shutil
+
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    os.makedirs(path)
 
 
 def _file_key(path: str) -> str:
@@ -187,7 +201,12 @@ def _convert_incremental_locked(
 
     batch = int(manifest["next_batch"])
     batch_dir = os.path.join(output_dir, f"batch={batch}")
-    os.makedirs(batch_dir, exist_ok=True)
+    # A pre-existing dir is an orphan from a crashed uncommitted run.
+    # CLEAR it rather than write alongside: the orphan may hold stems
+    # this run won't rewrite (input deleted since), and committing the
+    # batch would make those never-committed rows permanently visible
+    # to last-batch-wins readers.
+    _clear_dir(batch_dir)
     from dataclasses import replace
 
     multi = replace(opts, single_file=False, print_schema=False, dry=False)
@@ -300,15 +319,25 @@ def _compact_incremental_locked(
 
     batch = int(manifest["next_batch"])
     batch_dir = os.path.join(output_dir, f"batch={batch}")
-    os.makedirs(batch_dir, exist_ok=True)
+    # Same orphan contract as ingest: a crashed UNCOMMITTED run may have
+    # left this dir with stems that are not winners; clearing it keeps
+    # never-committed rows out of the committed compacted batch.
+    _clear_dir(batch_dir)
     for stem, (_, src) in sorted(winners.items()):
         # per-source rewrite: schemas differ across sources, so each
         # stem is its own (parallel) read→write job
         spark.read.parquet(src).write.mode("overwrite").parquet(
             os.path.join(batch_dir, f"{stem}.parquet")
         )
+    import time as _time
+
     manifest["next_batch"] = batch + 1
     manifest["compacted_upto"] = committed_upto
+    # GC's in-flight-reader grace period anchors HERE — the moment the
+    # old batches became superseded — not on dir mtimes (a week-old
+    # batch dir would otherwise be "old enough" the instant compaction
+    # lands, defeating the grace entirely).
+    manifest["compacted_at"] = _time.time()
     _commit_manifest(manifest_path, manifest)
     return CompactResult(
         batch=batch, covers_upto=committed_upto, sources=sorted(winners)
@@ -322,10 +351,14 @@ def gc_batches(
     lock_timeout: float = 600.0,
 ) -> list[str]:
     """Delete batch dirs superseded by a COMMITTED compaction point
-    (``batch <= compacted_upto``), returning the deleted paths. A dir
-    younger than ``min_age_sec`` (mtime) is retained this pass — the
-    in-flight-reader grace period. With no compaction recorded, nothing
-    is eligible and this is a no-op."""
+    (``batch <= compacted_upto``), returning the deleted paths. If the
+    compaction landed less than ``min_age_sec`` ago (the manifest's
+    ``compacted_at``), everything is retained this pass — the
+    in-flight-reader grace period, anchored on when the dirs became
+    SUPERSEDED (a reader that planned its scan just before compaction
+    still holds paths into them; their own mtimes say nothing about
+    that). With no compaction recorded, nothing is eligible and this
+    is a no-op."""
     with _writer_lock(manifest_path, lock_timeout):
         return _gc_batches_locked(output_dir, manifest_path, min_age_sec)
 
@@ -341,6 +374,14 @@ def _gc_batches_locked(
     if upto < 0:
         return []
     now = time.time()
+    if min_age_sec > 0:
+        # Grace anchored on the compaction COMMIT (when the dirs became
+        # superseded). A manifest from before the field existed falls
+        # back to dir mtimes below — strictly more conservative only
+        # for freshly written dirs, so keep both checks.
+        compacted_at = float(manifest.get("compacted_at", now))
+        if now - compacted_at < min_age_sec:
+            return []
     deleted: list[str] = []
     for b, d in sorted(_batch_dirs(output_dir).items()):
         if b > upto:

@@ -1387,7 +1387,7 @@ _SHUFFLE_SHARDS = 32
              md5('{_SHUFFLE_SEED}:' || CAST(e.epoch AS VARCHAR) || ':'
                  || CAST(d.doc_id AS VARCHAR)) AS h
       FROM documents d
-      CROSS JOIN (VALUES (1), (2)) e(epoch)
+      CROSS JOIN (VALUES {", ".join(f"({e})" for e in range(1, _SHUFFLE_EPOCHS + 1))}) e(epoch)
     )
     SELECT CAST(epoch AS BIGINT) AS epoch,
            CAST(row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id)

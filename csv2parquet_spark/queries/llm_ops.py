@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from csv2parquet_spark.operators import dedup as D
+from csv2parquet_spark.operators import scan as SCAN
 from csv2parquet_spark.operators import similarity as S
 from csv2parquet_spark.operators import text as T
 from csv2parquet_spark.queries.helpers import sql_davg, sql_dsum
@@ -506,7 +507,7 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side Catalyst expressions — zero shuffles at any scale; the
     polynomial hash (no modulus, exact in BIGINT) reproduces bit-for-bit
     in DuckDB. Two r6 perf fixes (VERDICT r5 "What's wrong" #1): the
-    input routes through the gated ``_parallelize_scan`` rebalance (the
+    input routes through the gated ``parallelize_scan`` rebalance (the
     single-file fixture scan ran the whole CPU-bound stage on ONE task —
     38 s isolated at sf0.1; a no-op at scale where the scan already
     yields thousands of splits), and the per-character fold runs as the
@@ -514,7 +515,7 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     invocations/doc; 4.65 s → sub-second). The Catalyst-expression
     variant remains in ``operators/text.winnow_fingerprints`` for
     consumers that need the raw fingerprint arrays inline."""
-    docs = D._parallelize_scan(table(spark, sf_dir, "documents"))
+    docs = SCAN.parallelize_scan(table(spark, sf_dir, "documents"))
     return T.winnow_fingerprint_digests(docs, "text", "doc_id")
 
 
@@ -2135,7 +2136,7 @@ def content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     overflow at 5 ASCII chars) — zero KEY shuffles, and the output
     carries an md5 digest of the cut positions so the oracle hash bites
     on every boundary, not just the counts. The input goes through the
-    gated round-robin rebalance (``dedup._parallelize_scan``): the
+    gated round-robin rebalance (``operators.scan.parallelize_scan``): the
     per-char HOF work is CPU-bound, and the single-file local fixture
     otherwise runs the whole stage on ONE task (6 s → ~0.6 s on 32
     cores); at scale the scan already has thousands of tasks and the
@@ -2161,7 +2162,7 @@ def content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ends = F.concat(cuts, F.array(n.cast("bigint")))
     starts = F.concat(F.array(F.lit(0).cast("bigint")), cuts)
     clens = F.zip_with(ends, starts, lambda a, b: a - b)
-    d = D._parallelize_scan(table(spark, sf_dir, "documents"))
+    d = SCAN.parallelize_scan(table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.size(clens).cast("long").alias("n_chunks"),

@@ -323,14 +323,14 @@ def bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     join), ONE partial-aggregated groupBy(rep) to 32 decimal-summed
     replica means, then a 32-element array sort for the percentile
     pick. Nothing but the (rep, sum, count) cells ever shuffles. The
-    scan routes through the gated ``_parallelize_scan`` rebalance: the
+    scan routes through the gated ``parallelize_scan`` rebalance: the
     explode multiplies per-row md5 work ×32, and a single-file local
     input would otherwise run that entire CPU-bound stage as ONE task
     (12.3 s → ~1 s at sf0.1); at real scale the scan already splits and
     the gate never fires."""
-    from csv2parquet_spark.operators.dedup import _parallelize_scan
+    from csv2parquet_spark.operators.scan import parallelize_scan
 
-    o = _parallelize_scan(
+    o = parallelize_scan(
         table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     )
     reps = o.select(

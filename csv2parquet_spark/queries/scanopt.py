@@ -338,6 +338,13 @@ def _ingest_root() -> str:
     base = os.path.join(
         tempfile.gettempdir(), f"csv2parquet_spark_ingest_uid{os.getuid()}"
     )
+    # Create the base HERE, before any staging path nests under it —
+    # makedirs(mode=0o700) at rename time was a no-op because staging
+    # had already created the dir with umask perms (review r8). chmod
+    # makes it umask- and pre-existing-dir-proof, and fails loudly
+    # (EPERM) if the path is squatted by another uid.
+    os.makedirs(base, mode=0o700, exist_ok=True)
+    os.chmod(base, 0o700)
     return os.path.join(base, "v1")
 
 
@@ -387,9 +394,8 @@ def build_incremental_ingest_fixture(spark: SparkSession) -> str:
     convert_incremental(spark, src, out, manifest)          # batch 2
     with open(os.path.join(staging, "_DONE"), "w") as f:
         f.write("ok\n")
-    os.makedirs(os.path.dirname(root), mode=0o700, exist_ok=True)
     try:
-        os.rename(staging, root)
+        os.rename(staging, root)  # base dir created 0o700 by _ingest_root
     except OSError:
         shutil.rmtree(staging, ignore_errors=True)  # lost an identical race
     return root
@@ -498,9 +504,8 @@ def build_compacted_ingest_fixture(spark: SparkSession) -> str:
     gc_batches(out, manifest)                               # drops 0-2
     with open(os.path.join(staging, "_DONE"), "w") as f:
         f.write("ok\n")
-    os.makedirs(os.path.dirname(root), mode=0o700, exist_ok=True)
     try:
-        os.rename(staging, root)
+        os.rename(staging, root)  # base dir created 0o700 by _ingest_root
     except OSError:
         shutil.rmtree(staging, ignore_errors=True)  # lost an identical race
     return root

@@ -1409,3 +1409,104 @@ def test_incremental_writer_lock_times_out(spark, tmp_path):
         spark, str(src), str(tmp_path / "out"), manifest, lock_timeout=5.0
     )
     assert res.batch == 0 and len(res.converted) == 1
+
+
+# ---------------------------------------------------------------------------
+# Round-8 review fixes: crc sidecars, orphan-stem leak, GC grace anchor
+# ---------------------------------------------------------------------------
+
+
+def test_created_by_patched_output_readable_by_spark(spark, tmp):
+    """The in-place footer rewrite invalidates Hadoop's .crc sidecars;
+    they must be dropped or SPARK (a ChecksumFileSystem reader) aborts
+    reading its own multi-part output — pyarrow/DuckDB ignore sidecars
+    and masked this."""
+    src = _write(
+        tmp, "crc.csv", "i,s\n" + "\n".join(f"{n},x{n}" for n in range(500)) + "\n"
+    )
+    out = os.path.join(tmp, "crc_multi.parquet")
+    convert(spark, src, out,
+            ConvertOptions(created_by="probe/1", single_file=False))
+    assert spark.read.parquet(out).count() == 500  # would ChecksumException
+    import glob as _glob
+
+    # part-file sidecars dropped; the untouched _SUCCESS keeps its own
+    assert not _glob.glob(os.path.join(out, ".*part-*.parquet.crc"))
+
+
+def test_orphan_batch_stems_never_commit(spark, tmp_path):
+    """A crashed UNCOMMITTED run's leftover stems must not leak into the
+    next committed batch: both ingest and compaction clear a
+    pre-existing batch dir before writing into it."""
+    from csv2parquet_spark.converter.incremental import (
+        compact_incremental,
+        convert_incremental,
+    )
+
+    src = tmp_path / "in"
+    out = str(tmp_path / "out")
+    src.mkdir()
+    (src / "a.csv").write_text("k,v\n1,10\n")
+    manifest = str(tmp_path / "manifest.json")
+    convert_incremental(spark, str(src), out, manifest)  # batch 0
+
+    # simulate a crashed run: batch=1 exists with stem z, manifest
+    # still says next_batch=1, and z.csv has since been DELETED
+    orphan = os.path.join(out, "batch=1", "z.parquet")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-00000.parquet"), "wb") as f:
+        f.write(b"garbage")
+
+    # retried ingest with a different new file reuses batch=1 — the
+    # orphan stem must be gone from the committed batch
+    (src / "y.csv").write_text("k,v\n2,20\n")
+    res = convert_incremental(spark, str(src), out, manifest)
+    assert res.batch == 1
+    assert sorted(os.listdir(os.path.join(out, "batch=1"))) == ["y.parquet"]
+
+    # same contract for compaction stealing an orphaned number
+    orphan2 = os.path.join(out, "batch=2", "zz.parquet")
+    os.makedirs(orphan2)
+    with open(os.path.join(orphan2, "part-00000.parquet"), "wb") as f:
+        f.write(b"garbage")
+    res = compact_incremental(spark, out, manifest)
+    assert res.batch == 2 and sorted(res.sources) == ["a", "y"]
+    assert sorted(os.listdir(os.path.join(out, "batch=2"))) == [
+        "a.parquet", "y.parquet",
+    ]
+
+
+def test_gc_grace_anchored_on_compaction_commit(spark, tmp_path):
+    """min_age_sec counts from the compaction COMMIT (when dirs became
+    superseded), not from dir mtimes — a week-old batch dir must NOT be
+    GC-eligible the instant compaction lands."""
+    import json as _json
+
+    from csv2parquet_spark.converter.incremental import (
+        compact_incremental,
+        convert_incremental,
+        gc_batches,
+    )
+
+    src = tmp_path / "in"
+    out = str(tmp_path / "out")
+    src.mkdir()
+    (src / "a.csv").write_text("k,v\n1,10\n")
+    manifest = str(tmp_path / "manifest.json")
+    convert_incremental(spark, str(src), out, manifest)   # batch 0
+    (src / "b.csv").write_text("k,v\n2,20\n")
+    convert_incremental(spark, str(src), out, manifest)   # batch 1
+    # age the batch dirs a week into the past (the old, broken anchor)
+    olds = [os.path.join(out, "batch=0"), os.path.join(out, "batch=1")]
+    for old in olds:
+        week_ago = os.stat(old).st_mtime - 7 * 86400
+        os.utime(old, (week_ago, week_ago))
+    compact_incremental(spark, out, manifest)  # just now
+    assert gc_batches(out, manifest, min_age_sec=3600.0) == []  # grace holds
+    assert all(os.path.isdir(o) for o in olds)
+    # grace expired (backdate the recorded commit) → now eligible
+    m = _json.load(open(manifest))
+    m["compacted_at"] -= 7200
+    _json.dump(m, open(manifest, "w"))
+    deleted = gc_batches(out, manifest, min_age_sec=3600.0)
+    assert sorted(deleted) == olds
