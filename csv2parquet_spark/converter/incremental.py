@@ -303,8 +303,16 @@ def _compact_incremental_locked(
     already = int(manifest.get("compacted_upto", -1))
     dirs = _batch_dirs(output_dir)
     live = {b: d for b, d in dirs.items() if b <= committed_upto}
-    if not live or set(live) == {committed_upto} and already == committed_upto - 1:
-        # only the previous compaction's own output remains — idempotent
+    if not live or (
+        # only the previous compaction's own output remains — idempotent.
+        # `already >= 0` is load-bearing: with NO prior compaction a
+        # single-ingest-batch dataset (committed_upto=0, already=-1)
+        # would false-match and never compact, losing the small-part
+        # coalescing that is compaction's actual point at scale.
+        already >= 0
+        and set(live) == {committed_upto}
+        and already == committed_upto - 1
+    ):
         return CompactResult(batch=None, covers_upto=None, sources=[])
 
     # winner per source stem = its highest committed batch

@@ -1510,3 +1510,33 @@ def test_gc_grace_anchored_on_compaction_commit(spark, tmp_path):
     _json.dump(m, open(manifest, "w"))
     deleted = gc_batches(out, manifest, min_age_sec=3600.0)
     assert sorted(deleted) == olds
+
+
+def test_compact_single_batch_dataset(spark, tmp_path):
+    """A dataset with exactly ONE committed ingest batch must still
+    compact (the point at scale is coalescing small parts) — the
+    idempotence early-return used to false-match it (already=-1,
+    committed_upto=0). A second compact with nothing new IS a no-op."""
+    from csv2parquet_spark.converter.incremental import (
+        compact_incremental,
+        convert_incremental,
+        gc_batches,
+    )
+
+    src = tmp_path / "in"
+    out = str(tmp_path / "out")
+    src.mkdir()
+    (src / "a.csv").write_text("k,v\n1,10\n2,20\n")
+    manifest = str(tmp_path / "manifest.json")
+    convert_incremental(spark, str(src), out, manifest)     # batch 0
+    res = compact_incremental(spark, out, manifest)
+    assert res.batch == 1 and res.covers_upto == 0 and res.sources == ["a"]
+    assert gc_batches(out, manifest) == [os.path.join(out, "batch=0")]
+    # idempotent second pass: only the compaction's own output remains
+    res2 = compact_incremental(spark, out, manifest)
+    assert res2.batch is None
+    got = duckdb.sql(
+        f"SELECT count(*), sum(k) "
+        f"FROM read_parquet('{out}/batch=*/*.parquet/*.parquet')"
+    ).fetchone()
+    assert got == (2, 3)
