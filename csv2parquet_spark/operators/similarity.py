@@ -52,6 +52,16 @@ def topk_similar(
     """Exact brute-force top-k: cross-join the (tiny, broadcast) query
     against every vector, score, take top-k. Returns (vec_id, sim).
 
+    CONTRACT: ``query`` must be ONE row (same for ``lsh_topk`` /
+    ``ivf_topk``). The output carries no query id, so a multi-row
+    query would silently blend scores from different queries into one
+    meaningless top-k; multi-query workloads belong on
+    :func:`knn_join`, which keys results by query id. A runtime count
+    guard is deliberately omitted — it would add an aggregate to every
+    caller's plan to catch a misuse the signature already states
+    (:func:`probe_ivf_index` DOES raise, because that audit path
+    collects the query vector anyway and the check is free there).
+
     Norms are computed once per side (a projection), so the per-pair
     work is a single dot fold — same arithmetic as dot/(|a|·|b|),
     just not recomputed N times.

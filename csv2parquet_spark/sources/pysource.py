@@ -38,6 +38,8 @@ _WORDS = (
 
 
 class _Range(InputPartition):
+    """Half-open row-index range; shared by the batch and stream readers."""
+
     def __init__(self, start: int, end: int):
         self.start = start
         self.end = end
@@ -49,6 +51,10 @@ class _Reader(DataSourceReader):
         self.n_parts = int(options.get("partitions", 8))
 
     def partitions(self):
+        if self.n_docs <= 0:
+            # n_docs=0 is a legal empty corpus; without the guard the
+            # ceil-div yields step 0 and range() raises at plan time.
+            return [_Range(0, 0)]
         per = -(-self.n_docs // self.n_parts)
         return [
             _Range(i, min(i + per, self.n_docs))
@@ -79,12 +85,6 @@ class SyntheticDocsDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return _Reader(schema, self.options)
-
-
-class _StreamRange(InputPartition):
-    def __init__(self, start: int, end: int):
-        self.start = start
-        self.end = end
 
 
 class _StreamReader(DataSourceStreamReader):
@@ -130,11 +130,11 @@ class _StreamReader(DataSourceStreamReader):
         # burning ticks climbing back.
         self._latest = max(self._latest, s, e)
         if s >= e:
-            return [_StreamRange(s, s)]
+            return [_Range(s, s)]
         per = -(-(e - s) // self.n_parts)
-        return [_StreamRange(i, min(i + per, e)) for i in range(s, e, per)]
+        return [_Range(i, min(i + per, e)) for i in range(s, e, per)]
 
-    def read(self, part: _StreamRange):
+    def read(self, part: _Range):
         for i in range(part.start, part.end):
             h = (i * 2654435761) & 0xFFFFFFFF
             yield (i, h % 100, float(h % 1000) / 10.0)
@@ -172,8 +172,9 @@ class _JsonlArrowWriter(DataSourceArrowWriter):
     writes ONE temp-named JSONL file and reports (path, rows) in its
     commit message; nothing is visible until commit()."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, overwrite: bool = False):
         self.path = path
+        self.overwrite = overwrite
 
     def write(self, iterator):
         import json as _json
@@ -196,13 +197,24 @@ class _JsonlArrowWriter(DataSourceArrowWriter):
         return _JsonlCommit(final, n)
 
     def commit(self, messages):
+        import glob as _glob
         import json as _json
         import os
 
+        files = sorted(
+            os.path.basename(m.path) for m in messages if m is not None
+        )
+        if self.overwrite:
+            # mode("overwrite") must actually clear prior data, or a
+            # glob reader sees old+new while the manifest claims only
+            # new (review r8). Deferred to COMMIT so an aborted
+            # overwrite leaves the previous data intact.
+            keep = set(files)
+            for p in _glob.glob(os.path.join(self.path, "part-*.jsonl")):
+                if os.path.basename(p) not in keep:
+                    os.remove(p)
         manifest = {
-            "files": sorted(
-                os.path.basename(m.path) for m in messages if m is not None
-            ),
+            "files": files,
             "n_rows": sum(m.n_rows for m in messages if m is not None),
         }
         with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
@@ -234,12 +246,18 @@ class _JsonlStreamWriter(DataSourceStreamWriter):
 
         os.makedirs(self.path, exist_ok=True)
         pid = TaskContext.get().partitionId()
-        final = os.path.join(self.path, f"part-{pid:05d}-{uuid.uuid4().hex}.jsonl")
+        # dot-tmp + rename, same as the batch writer: a task killed
+        # mid-write must not leave a half-written file under a VISIBLE
+        # part name (its commit message never reaches abort(), so
+        # nothing else would clean it up — review r8).
+        tmp = os.path.join(self.path, f".part-{pid}-{uuid.uuid4().hex}.jsonl")
         n = 0
-        with open(final, "w") as f:
+        with open(tmp, "w") as f:
             for row in iterator:
                 f.write(_json.dumps(row.asDict(), default=str) + "\n")
                 n += 1
+        final = os.path.join(self.path, f"part-{pid:05d}-{uuid.uuid4().hex}.jsonl")
+        os.rename(tmp, final)
         return _JsonlCommit(final, n)
 
     def commit(self, messages, batchId):
@@ -283,7 +301,7 @@ class JsonlAuditDataSource(DataSource):
         return "jsonl_audit"
 
     def writer(self, schema: StructType, overwrite: bool):
-        return _JsonlArrowWriter(self.options["path"])
+        return _JsonlArrowWriter(self.options["path"], overwrite)
 
     def streamWriter(self, schema: StructType, overwrite: bool):
         return _JsonlStreamWriter(self.options["path"])

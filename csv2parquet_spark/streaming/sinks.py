@@ -109,10 +109,19 @@ def _swap_in(root: str, version: int) -> None:
     with open(tmp, "w") as f:
         f.write(f"v{version}")
     os.replace(tmp, os.path.join(root, _MANIFEST))  # atomic repoint
-    # GC superseded snapshots (keep current + previous for readers)
-    for d in os.listdir(root):
-        if d.startswith("v") and d[1:].isdigit() and int(d[1:]) < version - 1:
-            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    # GC superseded snapshots: keep the two HIGHEST retained versions,
+    # not `>= version - 1` — per-partition versions are global batch
+    # ids, so a partition touched at batches 3 and 9 has versions
+    # {3, 9}; numeric version-1 arithmetic would delete v3 (the
+    # just-superseded snapshot a concurrent reader may have resolved an
+    # instant ago) at the v9 swap (review r8).
+    versions = sorted(
+        int(d[1:])
+        for d in os.listdir(root)
+        if d.startswith("v") and d[1:].isdigit() and int(d[1:]) <= version
+    )
+    for v in versions[:-2]:
+        shutil.rmtree(os.path.join(root, f"v{v}"), ignore_errors=True)
 
 
 def _current_version(root: str) -> int | None:
@@ -163,10 +172,19 @@ def upsert_batch(
             r[0] for r in batch.select(partition_col).distinct().collect()
         ]
         for val in sorted(touched, key=str):
-            sub = batch.filter(F.col(partition_col) == F.lit(val))
+            # eqNullSafe, NOT ==: a NULL partition value makes the plain
+            # equality filter NULL for every row, silently dropping the
+            # whole NULL sub-batch (review r8). NULLs get their own
+            # sub-snapshot under the hive-style default-partition name.
+            sub = batch.filter(F.col(partition_col).eqNullSafe(F.lit(val)))
+            dirname = (
+                f"{partition_col}=__HIVE_DEFAULT_PARTITION__"
+                if val is None
+                else f"{partition_col}={val}"
+            )
             upsert_batch(
                 spark,
-                os.path.join(root, f"{partition_col}={val}"),
+                os.path.join(root, dirname),
                 sub,
                 key,
                 version,

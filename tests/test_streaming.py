@@ -1052,3 +1052,135 @@ def test_stream_follows_incremental_converter_batches(spark, tmp_path):
     # so the sink grows by exactly b.csv's rows (no reprocessing of
     # batch=0 — exactly-once across restarts).
     assert drain() == [(1, 10), (2, 20), (3, 30)]
+
+
+# ---------------------------------------------------------------------------
+# Round-8 review fixes: NULL partitions, gapped-version GC, committed
+# restart, jsonl_audit overwrite
+# ---------------------------------------------------------------------------
+
+
+def test_partitioned_upsert_null_partition_value(spark, tmp_path):
+    """Rows whose partition column is NULL must land in their own
+    sub-snapshot (hive default-partition name), not be silently dropped
+    by a `col == lit(None)` filter that is never true."""
+    from csv2parquet_spark.streaming.sinks import read_snapshot, upsert_batch
+
+    root = str(tmp_path / "snap")
+    batch = spark.createDataFrame(
+        [(1, "a", 10), (2, None, 20), (3, "a", 30)], "k int, d string, v int"
+    )
+    upsert_batch(spark, root, batch, key="k", version=1, partition_col="d")
+    got = {(r.k, r.d, r.v) for r in read_snapshot(spark, root).collect()}
+    assert got == {(1, "a", 10), (2, None, 20), (3, "a", 30)}
+    assert os.path.isdir(os.path.join(root, "d=__HIVE_DEFAULT_PARTITION__"))
+    # upsert into the NULL partition works like any other
+    batch2 = spark.createDataFrame([(2, None, 25)], "k int, d string, v int")
+    upsert_batch(spark, root, batch2, key="k", version=2, partition_col="d")
+    got = {(r.k, r.v) for r in read_snapshot(spark, root).collect()}
+    assert got == {(1, 10), (2, 25), (3, 30)}
+
+
+def test_snapshot_gc_keeps_predecessor_with_gapped_versions(spark, tmp_path):
+    """Per-partition versions are global batch ids (gaps are normal):
+    after a swap to v9 over {v3}, v3 is the PREDECESSOR and must be
+    retained — numeric version-1 arithmetic used to delete it, breaking
+    the documented reader guarantee."""
+    from csv2parquet_spark.streaming.sinks import read_snapshot, upsert_batch
+
+    root = str(tmp_path / "snap")
+    df = spark.createDataFrame([(1, 10)], "k int, v int")
+    upsert_batch(spark, root, df, key="k", version=3)
+    upsert_batch(
+        spark, root, spark.createDataFrame([(1, 11)], "k int, v int"),
+        key="k", version=9,
+    )
+    assert os.path.isdir(os.path.join(root, "v3"))  # predecessor retained
+    assert [r.v for r in read_snapshot(spark, root, version=3).collect()] == [10]
+    # a third swap drops the oldest, keeps the new current+predecessor
+    upsert_batch(
+        spark, root, spark.createDataFrame([(1, 12)], "k int, v int"),
+        key="k", version=15,
+    )
+    assert not os.path.isdir(os.path.join(root, "v3"))
+    assert os.path.isdir(os.path.join(root, "v9"))
+    assert os.path.isdir(os.path.join(root, "v15"))
+
+
+def test_python_stream_datasource_committed_restart_exactly_once(spark, tmp_path):
+    """END-TO-END committed-restart: run the stream to completion with a
+    file sink + checkpoint, stop, restart with a higher max_rows (fresh
+    reader instance, in-memory counter back at 0). Every sequence
+    number arrives exactly once across both runs — the offset-clamping
+    recovery path proven at the unit level holds under the real
+    engine's restart protocol."""
+    from csv2parquet_spark.sources import SyntheticEventsStreamDataSource
+
+    spark.dataSource.register(SyntheticEventsStreamDataSource)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(max_rows):
+        stream = (
+            spark.readStream.format("synthetic_events_stream")
+            .option("rows_per_batch", 100)
+            .option("max_rows", max_rows)
+            .option("partitions", 4)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run(300)
+    assert spark.read.parquet(out).count() == 300
+    run(600)
+    seqs = sorted(r.seq for r in spark.read.parquet(out).collect())
+    assert seqs == list(range(600)), "dup/gap across committed restart"
+
+
+def test_jsonl_audit_overwrite_clears_prior_parts(spark, tmp_path):
+    """mode('overwrite') must remove prior part files at commit so the
+    manifest view and a directory-glob view agree."""
+    import glob as _glob
+    import json as _json
+
+    from csv2parquet_spark.sources import JsonlAuditDataSource
+
+    spark.dataSource.register(JsonlAuditDataSource)
+    path = str(tmp_path / "audit")
+    spark.range(10).write.format("jsonl_audit").option("path", path).mode(
+        "append"
+    ).save()
+    first = set(_glob.glob(os.path.join(path, "part-*.jsonl")))
+    assert first
+    spark.range(5).write.format("jsonl_audit").option("path", path).mode(
+        "overwrite"
+    ).save()
+    after = _glob.glob(os.path.join(path, "part-*.jsonl"))
+    assert not (set(after) & first)  # old parts gone
+    with open(os.path.join(path, "_MANIFEST.json")) as f:
+        manifest = _json.load(f)
+    assert manifest["n_rows"] == 5
+    assert sorted(os.path.basename(p) for p in after) == manifest["files"]
+    total = sum(
+        1 for p in after for _ in open(p)
+    )
+    assert total == 5  # glob view == manifest view
+
+
+def test_synthetic_docs_empty_corpus(spark):
+    """n_docs=0 is a legal empty corpus, not a plan-time range() crash."""
+    from csv2parquet_spark.sources import SyntheticDocsDataSource
+
+    spark.dataSource.register(SyntheticDocsDataSource)
+    df = (
+        spark.read.format("synthetic_docs").option("n_docs", 0).load()
+    )
+    assert df.count() == 0
