@@ -48,6 +48,10 @@ def pagerank(
         .localCheckpoint()
     )
     n = vertices.count()  # scalar: one number to the driver
+    if n == 0:
+        # empty graph (e.g. everything filtered upstream): an empty
+        # rank relation, not ZeroDivisionError at 1/n (review r8)
+        return vertices.withColumn("rank", F.lit(0.0).alias("rank"))
     out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     # Edge relation with degree attached, partitioned once and reused
     # every superstep (checkpoint pins it; nothing recomputes).
@@ -148,6 +152,9 @@ def pagerank_fixed(
         .localCheckpoint()
     )
     n = vertices.count()  # scalar: one number to the driver
+    if n == 0:
+        # empty graph: empty ranks, not a ZeroDivisionError (review r8)
+        return vertices.select("id", F.lit(0).cast("long").alias("rank_fp"))
     ed = e.join(out_deg, "src").localCheckpoint()
 
     base = ((damp_den - damp_num) * scale) // (damp_den * n)
@@ -388,6 +395,10 @@ def bfs_hops(
     e = e.localCheckpoint()
     if source is None:
         source = e.agg(F.min("src")).collect()[0][0]  # scalar from the checkpoint
+        if source is None:
+            # empty edge relation: no source exists — empty distances,
+            # not int(None) (review r8)
+            return e.sparkSession.createDataFrame([], "id bigint, d bigint")
     dist = (
         e.sparkSession.createDataFrame([(int(source), 0)], "id bigint, d bigint")
         .localCheckpoint()

@@ -33,7 +33,16 @@ def grouped_zscore(
 
         std = pdf[value_col].std(ddof=1)
         mean = pdf[value_col].mean()
-        z = ((pdf[value_col] - mean) / std).round(6)
+        # SQL semantics, not pandas': stddev_samp is NULL for a
+        # single-row group and 0/0 is NULL, never NaN — a NaN here
+        # round-trips through Arrow as double NaN and diverges from
+        # the windowed-SQL twin (review r8).
+        if pd.isna(std) or std == 0:
+            # nullable Float64 with pd.NA crosses Arrow as NULL;
+            # np.nan in a plain float64 column would stay NaN
+            z = pd.array([pd.NA] * len(pdf), dtype="Float64")
+        else:
+            z = ((pdf[value_col] - mean) / std).round(6)
         return pd.DataFrame(
             {id_col: pdf[id_col], group_col: pdf[group_col], "z": z}
         )

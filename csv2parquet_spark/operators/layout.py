@@ -146,7 +146,15 @@ def rowgroup_prune_fraction(
             total += 1
             for c, (lo, hi) in predicates.items():
                 st = meta.row_group(rg).column(names[c]).statistics
-                if st is not None and (st.min > hi or st.max < lo):
+                # has_min_max: a stats object can exist WITHOUT min/max
+                # (all-NULL chunk, truncated binary stats) — st.min is
+                # then None and the comparison would TypeError; such a
+                # group is simply unprunable (review r8).
+                if (
+                    st is not None
+                    and st.has_min_max
+                    and (st.min > hi or st.max < lo)
+                ):
                     skipped += 1
                     break
     return skipped / total if total else 0.0
@@ -274,13 +282,29 @@ def compact_small_files(
     scale the groups run as one job over a file-to-group assignment,
     never a global shuffle of the table."""
     import os
+    import shutil
 
+    if os.path.realpath(out_dir) == os.path.realpath(in_dir):
+        # The lazily-planned group-0 read executes AFTER mode
+        # ("overwrite") has deleted the directory — in-place compaction
+        # would destroy the input before reading it (review r8).
+        raise ValueError(
+            "compact_small_files: out_dir must differ from in_dir "
+            "(write to a sibling dir, then swap)"
+        )
     files = [
         (os.path.join(in_dir, f), os.path.getsize(os.path.join(in_dir, f)))
         for f in sorted(os.listdir(in_dir))
         if f.endswith(".parquet")
     ]
     plan = compaction_plan(files, target_bytes)
+    if not plan:
+        # An empty plan must not leave a PREVIOUS compaction's files in
+        # out_dir while reporting n_output_files=0 (review r8).
+        if os.path.isdir(out_dir):
+            shutil.rmtree(out_dir)
+        os.makedirs(out_dir)
+        return {"n_input_files": 0, "n_output_files": 0, "plan": []}
     for i, group in enumerate(plan):
         (
             spark.read.parquet(*group)

@@ -552,6 +552,25 @@ def resize_images(
     import numpy as np
 
     per_row = target_w_col is not None
+    # Validate the target mode DRIVER-side: inconsistent/absent targets
+    # otherwise surface as per-task TypeErrors deep in the executor or
+    # a baffling analysis error from a None in the select list
+    # (review r8).
+    if per_row != (target_h_col is not None):
+        raise ValueError(
+            "resize_images: target_w_col and target_h_col must be "
+            "given together"
+        )
+    if per_row and (target_w is not None or target_h is not None):
+        raise ValueError(
+            "resize_images: constant targets and per-row target "
+            "columns are mutually exclusive"
+        )
+    if not per_row and (target_w is None or target_h is None):
+        raise ValueError(
+            "resize_images: give either constant target_w AND target_h "
+            "or per-row target_w_col AND target_h_col"
+        )
     cols = [id_col, payload_col] + (
         [target_w_col, target_h_col] if per_row else []
     )
@@ -661,6 +680,15 @@ def image_near_dups(
     bands) + exact bit_count(xor) verify in Catalyst. The self-join keys
     on (band_idx, band_value) — the image-dedup shape that survives a
     corpus: candidates are per-band buckets, never all-pairs."""
+    if max_hamming > 3:
+        # 4 bands pigeonhole ≤3 differing bits into ≥1 identical band;
+        # at radius 4 the diffs can hit all four bands and valid pairs
+        # silently vanish from the candidate set (review r8). Radius
+        # >3 needs more bands, not a silent recall cliff.
+        raise ValueError(
+            f"image_near_dups: max_hamming={max_hamming} exceeds the "
+            "4-band pigeonhole guarantee (complete only for <= 3)"
+        )
     sig = image_ahash(df, id_col, payload_col).localCheckpoint()
     bk = sig.select(
         "doc_id", "ahash", F.posexplode("bands").alias("band_idx", "band_val")

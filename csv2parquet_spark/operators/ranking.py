@@ -134,14 +134,23 @@ def global_cumsum(
 
     sums = (
         part.groupBy(F.spark_partition_id().alias("pid"))
-        .agg(*[F.sum(w).alias(f"s{i}") for i, w in enumerate(wcols)])
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[F.sum(w).alias(f"s{i}") for i, w in enumerate(wcols)],
+            # count(w) skips NULLs — comparing against count(*) detects
+            # MIXED null/non-null partitions, which a sum()-is-None
+            # check misses (sum also skips NULLs, so [5, NULL, 3] sums
+            # to 8 and the int64 kernel would then turn the NaN row
+            # into INT64_MIN silently — review r8).
+            *[F.count(w).alias(f"n{i}") for i, w in enumerate(wcols)],
+        )
         .collect()
     )
     for i, w in enumerate(wcols):
-        if any(r[f"s{i}"] is None for r in sums):
+        if any(r[f"n{i}"] != r["n_rows"] for r in sums):
             raise ValueError(
-                f"global_cumsum: NULL weights in {w!r} "
-                "(a partition summed to NULL) — fill or filter first"
+                f"global_cumsum: NULL weights in {w!r} — "
+                "fill or filter first"
             )
     per = {r.pid: [int(r[f"s{i}"]) for i in range(len(wcols))] for r in sums}
     offsets: dict[int, list[int]] = {}
@@ -211,10 +220,17 @@ def global_running_max(
 
     maxes = (
         part.groupBy(F.spark_partition_id().alias("pid"))
-        .agg(F.max(value_col).alias("m"))
+        .agg(
+            F.max(value_col).alias("m"),
+            # count-vs-count(*) detects MIXED null/non-null partitions;
+            # max() skips NULLs so a max-is-None check misses them and
+            # the int64 kernel would emit INT64_MIN rows (review r8).
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(value_col).alias("n_vals"),
+        )
         .collect()
     )
-    if any(r["m"] is None for r in maxes):
+    if any(r["n_vals"] != r["n_rows"] for r in maxes):
         raise ValueError(
             f"global_running_max: NULL values in {value_col!r} — "
             "fill or filter first"
@@ -270,7 +286,24 @@ def exact_median(df: DataFrame, col: str) -> tuple[float, int]:
     """
     g = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
     cum = global_cumsum(g, keys=[col], weight_col="cnt", cum_col="cum")
-    n = int(cum.agg(F.max("cum")).collect()[0][0])
+    # Detect (not filter) the failure modes in the SAME aggregate
+    # action: NULLs sort first in the CDF and could be PICKED as the
+    # median (float(None) → opaque TypeError), and an empty input has
+    # no median. A pre-groupBy isNotNull filter would be the obvious
+    # guard, but Catalyst pushes it into callers' join conditions where
+    # ANSI mode then evaluates guarded divisions early (measured:
+    # DIVIDE_BY_ZERO in the Theil-Sen pair join) — detection leaves
+    # every NULL-free caller's plan byte-identical.
+    probe = cum.agg(
+        F.max("cum").alias("n"),
+        F.max(F.col(col).isNull().cast("int")).alias("has_null"),
+    ).collect()[0]
+    if probe["n"] is None or probe["has_null"]:
+        raise ValueError(
+            f"exact_median: empty input or NULL values in {col!r} — "
+            "fill or filter first"
+        )
+    n = int(probe["n"])
     k1, k2 = (n + 1) // 2, (n + 2) // 2
 
     def pick(k: int) -> Column:

@@ -65,9 +65,14 @@ def grid_radius_join(
         (gcell(xl) + F.col("nb.dx")).alias("gx"),
         (gcell(yl) + F.col("nb.dy")).alias("gy"),
     )
-    d2 = (F.col(xl) - F.col(xr)) * (F.col(xl) - F.col(xr)) + (
-        F.col(yl) - F.col(yr)
-    ) * (F.col(yl) - F.col(yr))
+    # Squares in LONG regardless of input width: int32 coordinates with
+    # ~1e5 spread overflow at dx*dx (ANSI mode: job-killing
+    # ARITHMETIC_OVERFLOW; legacy mode: silent wraparound and wrong
+    # pairs) — the docstring's "exact int64 arithmetic" claim only
+    # holds if the cast happens before the multiply (review r8).
+    dx = (F.col(xl) - F.col(xr)).cast("long")
+    dy = (F.col(yl) - F.col(yr)).cast("long")
+    d2 = dx * dx + dy * dy
     return (
         l9.join(r9, ["gx", "gy"])
         .filter(d2 <= F.lit(int(radius) * int(radius)))

@@ -93,6 +93,23 @@ _FORCE_FIRST: list[str] = [
     "multimodal_resize_real",
     "agg_approx_distinct",
     "bootstrap_ci_revenue",
+    # r8 review-wave operator hardening — representative re-proofs, one
+    # per changed operator (every OTHER query routed through these was
+    # re-proven by the committed full-registry sf0.01 pre-flight,
+    # PREFLIGHT_r08.json):
+    #   global_cumsum NULL guard: the pass-1 partition agg now carries
+    #     count columns (mixed-NULL detection)
+    "ks_test_two_sample",
+    #   global_running_max: same guard change
+    "skyline_parts_frontier",
+    #   exact_median: NULLs filtered before the CDF (value-neutral on
+    #     NULL-free inputs; plan gains the filter)
+    "theil_sen_daily_trend",
+    #   grouped_zscore kernel: singleton/zero-variance groups now emit
+    #     NULL (SQL stddev_samp semantics), not NaN
+    "zscore_chars_by_lang",
+    #   grid_radius_join: dist2 squares in long (int32-overflow fix)
+    "spatial_radius_join_grid",
 ]
 
 # New registrations that must NOT displace pending proofs go here; they

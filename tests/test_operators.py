@@ -5,6 +5,7 @@ vs brute force, multimodal decode plumbing.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from csv2parquet_spark.operators import dedup as D
@@ -2339,3 +2340,143 @@ def test_incremental_ingest_latest_content(spark):
         ("c", 1, 6, 60), ("c", 1, 7, 70),
         ("a", 2, 1, 11), ("a", 2, 2, 22), ("a", 2, 3, 33), ("a", 2, 8, 88),
     }
+
+
+# ---------------------------------------------------------------------------
+# Round-8 third review wave: operator-library hardening
+# ---------------------------------------------------------------------------
+
+
+def test_global_cumsum_rejects_mixed_null_weights(spark):
+    """sum() skips NULLs, so [5, NULL, 3] used to pass the all-NULL
+    check and the int64 kernel turned the NaN row into INT64_MIN —
+    silent corruption. Mixed NULLs must raise."""
+    from csv2parquet_spark.operators.ranking import global_cumsum
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 3)], "k int, w int"
+    )
+    with pytest.raises(ValueError, match="NULL weights"):
+        global_cumsum(df, keys=["k"], weight_col="w").collect()
+
+
+def test_global_running_max_rejects_mixed_null_values(spark):
+    from csv2parquet_spark.operators.ranking import global_running_max
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 7)], "k int, v int"
+    )
+    with pytest.raises(ValueError, match="NULL values"):
+        global_running_max(df, keys=["k"], value_col="v").collect()
+
+
+def test_exact_median_empty_and_null_diagnostics(spark):
+    from csv2parquet_spark.operators.ranking import exact_median
+
+    empty = spark.createDataFrame([], "x double")
+    with pytest.raises(ValueError, match="empty input or NULL"):
+        exact_median(empty, "x")
+    with_null = spark.createDataFrame([(1.0,), (None,), (3.0,)], "x double")
+    with pytest.raises(ValueError, match="empty input or NULL"):
+        exact_median(with_null, "x")
+    # and the clean path still works
+    m, n = exact_median(
+        spark.createDataFrame([(1.0,), (2.0,), (9.0,)], "x double"), "x"
+    )
+    assert (m, n) == (2.0, 3)
+
+
+def test_grouped_zscore_singleton_and_constant_groups_null(spark):
+    """SQL stddev_samp semantics: singleton groups (stddev NULL) and
+    zero-variance groups (0/0) yield NULL z — pandas would give NaN,
+    which crosses Arrow as double NaN and diverges from the SQL twin."""
+    from csv2parquet_spark.operators.grouped import grouped_zscore
+
+    df = spark.createDataFrame(
+        [(1, "solo", 10), (2, "flat", 5), (3, "flat", 5),
+         (4, "ok", 1), (5, "ok", 3)],
+        "doc_id bigint, lang string, n_chars int",
+    )
+    rows = {r.doc_id: r.z for r in grouped_zscore(df).collect()}
+    assert rows[1] is None          # singleton → NULL, not NaN
+    assert rows[2] is None and rows[3] is None  # zero variance → NULL
+    assert rows[4] is not None and rows[4] == -rows[5]
+
+
+def test_grid_radius_join_int32_coordinates_no_overflow(spark):
+    """dist2 squares in long: int32 coordinates with ~1e5 spread used to
+    overflow at dx*dx (ANSI: job-killing ARITHMETIC_OVERFLOW)."""
+    from csv2parquet_spark.operators.spatial import grid_radius_join
+
+    left = spark.createDataFrame([(1, 0, 0)], "id_l int, xl int, yl int")
+    right = spark.createDataFrame(
+        [(10, 49_000, 0), (11, 80_000, 0)], "id_r int, xr int, yr int"
+    )
+    got = grid_radius_join(left, right, radius=50_000).collect()
+    assert [(r.id_r, r.dist2) for r in got] == [(10, 49_000 ** 2)]
+
+
+def test_image_near_dups_rejects_radius_beyond_pigeonhole(spark):
+    from csv2parquet_spark.operators.multimodal import image_near_dups
+
+    docs = spark.createDataFrame(
+        [(1, b"x")], "doc_id bigint, payload binary"
+    )
+    with pytest.raises(ValueError, match="pigeonhole"):
+        image_near_dups(docs, max_hamming=4)
+
+
+def test_resize_images_validates_target_mode(spark):
+    from csv2parquet_spark.operators.multimodal import resize_images
+
+    df = spark.createDataFrame([(1, b"x")], "doc_id bigint, payload binary")
+    with pytest.raises(ValueError, match="together"):
+        resize_images(df, target_w_col="tw")        # missing h col
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        resize_images(df, target_w=8, target_h=8,
+                      target_w_col="tw", target_h_col="th")
+    with pytest.raises(ValueError, match="constant target_w"):
+        resize_images(df)                           # no targets at all
+
+
+def test_graph_ops_empty_edges(spark):
+    """Empty edge relations return empty results, not ZeroDivisionError
+    / int(None) driver crashes."""
+    from csv2parquet_spark.operators.graph import bfs_hops, pagerank, pagerank_fixed
+
+    e = spark.createDataFrame([], "src bigint, dst bigint")
+    assert pagerank(e).count() == 0
+    assert pagerank_fixed(e).count() == 0
+    assert bfs_hops(e, None).count() == 0
+
+
+def test_compact_small_files_guards(spark, tmp_path):
+    """In-place compaction (out_dir == in_dir) would delete the input
+    before the lazy read executes — refused; an empty plan clears stale
+    output instead of leaving it under a 0-files report."""
+    from csv2parquet_spark.operators.layout import compact_small_files
+
+    d = tmp_path / "data"
+    d.mkdir()
+    spark.range(10).coalesce(1).write.mode("overwrite").parquet(str(d / "a.parquet"))
+    # parquet dirs aren't *.parquet FILES under in_dir listing — build
+    # single files via shutil move
+    import glob as _glob
+    import shutil
+
+    part = _glob.glob(str(d / "a.parquet" / "part-*.parquet"))[0]
+    shutil.move(part, str(d / "f1.parquet"))
+    shutil.rmtree(str(d / "a.parquet"))
+
+    with pytest.raises(ValueError, match="out_dir must differ"):
+        compact_small_files(spark, str(d), str(d))
+
+    out = tmp_path / "out"
+    res = compact_small_files(spark, str(d), str(out))
+    assert res["n_input_files"] == 1 and res["n_output_files"] == 1
+    # now empty input: prior output must be cleared, not survive
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    res = compact_small_files(spark, str(empty), str(out))
+    assert res == {"n_input_files": 0, "n_output_files": 0, "plan": []}
+    assert not _glob.glob(str(out / "*.parquet"))
