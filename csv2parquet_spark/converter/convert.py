@@ -477,17 +477,35 @@ def _verify_statistics_dropped(parquet_path: str, opts: ConvertOptions) -> None:
                 )
 
 
+def write_single_file(writer, out_path: str, part_glob: str) -> None:
+    """One output FILE (not a directory) from a single-partition writer:
+    write into a sibling tmp dir, move the part file over ``out_path``.
+    Shared by the CSV→Parquet path and the format-extension sinks
+    (formats.py re-implemented this dance until review r8)."""
+    tmp = tempfile.mkdtemp(
+        prefix="c2p_", dir=os.path.dirname(os.path.abspath(out_path)) or "."
+    )
+    try:
+        writer.save(os.path.join(tmp, "out"))
+        parts = glob.glob(os.path.join(tmp, "out", part_glob))
+        if not parts:
+            raise FileNotFoundError(
+                f"single-file write produced no {part_glob!r} part under "
+                f"{tmp!r} — unexpected sink behavior"
+            )
+        if os.path.isdir(out_path):
+            shutil.rmtree(out_path)
+        shutil.move(parts[0], out_path)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _run_write(spark, writer, opts: ConvertOptions, parquet_path: str) -> None:
     if opts.single_file:
-        # One output FILE (not a directory) for CLI parity.
-        tmp = tempfile.mkdtemp(prefix="c2p_", dir=os.path.dirname(os.path.abspath(parquet_path)) or ".")
-        try:
-            writer.mode("overwrite").parquet(os.path.join(tmp, "out"))
-            part = glob.glob(os.path.join(tmp, "out", "part-*.parquet"))[0]
-            if os.path.isdir(parquet_path):
-                shutil.rmtree(parquet_path)
-            shutil.move(part, parquet_path)
-        finally:
-            shutil.rmtree(tmp, ignore_errors=True)
+        write_single_file(
+            writer.mode("overwrite").format("parquet"),
+            parquet_path,
+            "part-*.parquet",
+        )
     else:
         writer.mode("overwrite").parquet(parquet_path)

@@ -19,26 +19,11 @@ same coalesce(1)+rename trick as the main converter; default False
 
 from __future__ import annotations
 
-import glob
-import os
-import shutil
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 
-
-def _write_single_file(writer, out_path: str, part_glob: str) -> None:
-    tmp = tempfile.mkdtemp(
-        prefix="c2p_fmt_", dir=os.path.dirname(os.path.abspath(out_path)) or "."
-    )
-    try:
-        writer.save(os.path.join(tmp, "out"))
-        part = glob.glob(os.path.join(tmp, "out", part_glob))[0]
-        if os.path.isdir(out_path):
-            shutil.rmtree(out_path)
-        shutil.move(part, out_path)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+from csv2parquet_spark.converter.convert import (
+    write_single_file as _write_single_file,
+)
 
 
 def jsonl_to_parquet(
@@ -102,7 +87,14 @@ def to_orc(
     if in_format == "parquet":
         df = spark.read.parquet(in_path)
     elif in_format == "csv":
-        df = spark.read.options(header=True, inferSchema=True).csv(in_path)
+        # The engine's canonical CSV read: FAILFAST parity + the
+        # arrow-lattice inference — the previous Spark-native
+        # inferSchema/PERMISSIVE read silently nulled malformed cells
+        # and produced a DIFFERENT schema than convert() for the same
+        # file (review r8).
+        from csv2parquet_spark.converter.convert import ConvertOptions, read_csv
+
+        df = read_csv(spark, in_path, ConvertOptions())
     else:
         raise ValueError(f"unsupported input format {in_format!r}")
     writer = (df.coalesce(1) if single_file else df).write.mode("overwrite").format(

@@ -20,7 +20,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # Regexes mirroring arrow-csv 32.0.0's inference lattice (SURVEY §1.2).
-BOOLEAN_RE = r"^(?i)(true|false)$"
+# Flag FIRST: Python 3.11+ re rejects mid-pattern (?i); Java regex
+# accepts both, so this spelling works under rlike AND re.compile.
+BOOLEAN_RE = r"(?i)^(true|false)$"
 INTEGER_RE = r"^-?(\d+)$"
 # Decimal or scientific float literal.
 FLOAT_RE = r"^-?(\d+\.\d+|\d+\.|\.\d+|\d+)([eE][-+]?\d+)?$"
@@ -66,7 +68,11 @@ def _classify_column(df: DataFrame, col: str) -> F.Column:
       cell. FLOAT keeps its regex: the optional-exponent grammar has no
       clean LIKE/translate form.
     """
-    c = F.col(col)
+    # Backtick-quote the RAW header name: a CSV header like `user.id`
+    # would otherwise parse as a nested-field reference and abort the
+    # whole conversion with UNRESOLVED_COLUMN (review r8); embedded
+    # backticks escape by doubling, per Spark identifier rules.
+    c = F.col("`" + col.replace("`", "``") + "`")
     nonnull = c.isNotNull() & (c != "")
     return F.coalesce(F.bit_or(F.when(nonnull, _value_class_bit(c))), F.lit(0)).alias(
         col

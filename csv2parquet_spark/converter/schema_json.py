@@ -64,7 +64,11 @@ def _data_type_to_spark(dt: Any) -> T.DataType:
         raise ValueError(f"unsupported arrow data_type {dt!r}")
     if isinstance(dt, dict):
         if "Timestamp" in dt:
-            return T.TimestampType()
+            # arrow Timestamp(unit, tz): tz null = naive → NTZ (the
+            # parquet/ORC rewrite surface produces these); tz present
+            # (or legacy docs omitting it) → session-tz TimestampType.
+            tz = dt["Timestamp"][1] if len(dt["Timestamp"]) > 1 else "UTC"
+            return T.TimestampNTZType() if tz is None else T.TimestampType()
         if "Decimal128" in dt or "Decimal256" in dt:
             precision, scale = dt.get("Decimal128", dt.get("Decimal256"))
             return T.DecimalType(precision, scale)
@@ -84,6 +88,15 @@ def _data_type_to_spark(dt: Any) -> T.DataType:
                     )
                     for f in dt["Struct"]
                 ]
+            )
+        if "Map" in dt:
+            # arrow Map(entries_field, keys_sorted): entries is a
+            # Struct of (key, value) fields.
+            entries = dt["Map"][0]["data_type"]["Struct"]
+            return T.MapType(
+                _data_type_to_spark(entries[0]["data_type"]),
+                _data_type_to_spark(entries[1]["data_type"]),
+                entries[1].get("nullable", True),
             )
         if "Dictionary" in dt:
             # Dictionary encoding is physical; logical type is the value type.
@@ -110,6 +123,11 @@ def _spark_dt_to_arrow(dt: T.DataType) -> Any:
     tf = type(dt)
     if tf in _SPARK_TO_SIMPLE:
         return _SPARK_TO_SIMPLE[tf]
+    if tf is T.TimestampNTZType:
+        # Naive timestamp (parquet/ORC rewrite inputs; Spark 4 surfaces
+        # TIMESTAMP(NANOS/MICROS isAdjustedToUTC=false) as NTZ) — the
+        # print-schema path used to crash on these (review r8).
+        return {"Timestamp": ["Microsecond", None]}
     if tf is T.DecimalType:
         return {"Decimal128": [dt.precision, dt.scale]}
     if tf is T.ArrayType:
@@ -125,6 +143,39 @@ def _spark_dt_to_arrow(dt: T.DataType) -> Any:
         }
     if tf is T.StructType:
         return {"Struct": [_field_to_arrow(f) for f in dt.fields]}
+    if tf is T.MapType:
+        return {
+            "Map": [
+                {
+                    "name": "entries",
+                    "data_type": {
+                        "Struct": [
+                            {
+                                "name": "key",
+                                "data_type": _spark_dt_to_arrow(dt.keyType),
+                                "nullable": False,
+                                "dict_id": 0,
+                                "dict_is_ordered": False,
+                                "metadata": {},
+                            },
+                            {
+                                "name": "value",
+                                "data_type": _spark_dt_to_arrow(dt.valueType),
+                                "nullable": dt.valueContainsNull,
+                                "dict_id": 0,
+                                "dict_is_ordered": False,
+                                "metadata": {},
+                            },
+                        ]
+                    },
+                    "nullable": False,
+                    "dict_id": 0,
+                    "dict_is_ordered": False,
+                    "metadata": {},
+                },
+                False,
+            ]
+        }
     raise ValueError(f"unsupported Spark type {dt}")
 
 

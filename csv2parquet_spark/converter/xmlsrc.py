@@ -31,7 +31,7 @@ def _infer_xml_schema(
         with open(opts.schema_file) as f:
             return arrow_json_to_struct(f.read())
     reader = spark.read.option("rowTag", row_tag)
-    if opts.max_read_records is not None and opts.max_read_records > 0:
+    if opts.max_read_records is not None and opts.max_read_records >= 0:
         # For XML the record cap is EFFECTIVELY BINARY, documented as
         # such: the native inference knob is samplingRatio (a fraction,
         # not a record count), and mapping count→ratio needs a total
@@ -41,12 +41,18 @@ def _infer_xml_schema(
         # JSON/CSV inference) a field that appears only in unsampled
         # records is absent from the schema and silently dropped from
         # the converted output; pass a schema file for full coverage.
-        # None = full-pass inference; 0 = all-strings parity mode.
+        # None = full-pass inference. 0 (all-strings parity mode) ALSO
+        # samples: it only needs column NAMES, and a full-pass parse
+        # purely to discover names made "skip inference" the most
+        # expensive path on a multi-GB corpus (review r8) — the
+        # missed-rare-field tradeoff above applies to names the same
+        # documented way.
         reader = reader.option("samplingRatio", "0.1")
     inferred = reader.xml(xml_path).schema
     if opts.max_read_records == 0:
-        # CSV-parity: 0 sampled records → all columns string (names come
-        # from the same parse the reader needs anyway).
+        # CSV-parity: 0 sampled records → all columns string; names
+        # come from the SAMPLED inference above (ratio 0.1), never a
+        # full-corpus parse.
         return T.StructType(
             [T.StructField(f.name, T.StringType()) for f in inferred]
         )

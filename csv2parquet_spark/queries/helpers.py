@@ -25,6 +25,14 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# Domain contract: |value| < 10^12 (DECIMAL(18,6)'s integral range).
+# Under Spark 4's default ANSI mode an out-of-range cast RAISES
+# (CAST_OVERFLOW) — same loud failure as DuckDB's cast — so the cliff
+# is never silent on this engine; only a deployment that explicitly
+# disables ANSI would see overflow→NULL rows vanish from the sum.
+# (18,6) is deliberate over (38,6): precision ≤ 18 keeps Tungsten's
+# compact-long decimal representation in the hot aggregation path;
+# widening would push every sum onto the byte-array BigDecimal path.
 DEC = "decimal(18,6)"
 
 

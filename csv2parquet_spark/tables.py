@@ -56,7 +56,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # long (spark.sql.legacy.parquet.nanosAsLong) → truncate to micros.
         # Data generated with TIMESTAMP(MICROS) arrives as a timestamp
         # already (handled by the NTZ cast above) and skips this.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # FLOOR division, not `ts div 1000`: DIV truncates toward zero,
+        # so pre-epoch nanos with a sub-microsecond remainder would
+        # round one microsecond LATE (review r8) — the pmod-subtract
+        # form is exact floor for either sign (the kappa/grid-cell
+        # pattern).
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) DIV 1000")),
+        )
     return df
 
 

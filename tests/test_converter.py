@@ -1540,3 +1540,108 @@ def test_compact_single_batch_dataset(spark, tmp_path):
         f"FROM read_parquet('{out}/batch=*/*.parquet/*.parquet')"
     ).fetchone()
     assert got == (2, 3)
+
+
+# ---------------------------------------------------------------------------
+# Round-8 fourth review wave: converter-surface hardening
+# ---------------------------------------------------------------------------
+
+
+def test_inference_dotted_and_backtick_headers(spark, tmp):
+    """CSV headers with dots (or backticks) are plain column names, not
+    nested-field references — inference used to abort with
+    UNRESOLVED_COLUMN on `user.id`."""
+    src = _write(
+        tmp, "dots.csv", "user.id,price.usd,weird`tick\n1,2.5,x\n3,4.5,y\n"
+    )
+    out = os.path.join(tmp, "dots.parquet")
+    convert(spark, src, out)
+    f = pq.ParquetFile(out)
+    assert f.schema_arrow.names == ["user.id", "price.usd", "weird`tick"]
+    got = duckdb.sql(
+        f'SELECT sum("user.id"), sum("price.usd") FROM read_parquet(\'{out}\')'
+    ).fetchone()
+    assert got == (4, 7.0)
+
+
+def test_schema_json_ntz_and_map_roundtrip(spark, tmp):
+    """The parquet-rewrite surface sees TIMESTAMP_NTZ and MAP columns;
+    --print-schema used to crash on both. Arrow serde: naive timestamp
+    = Timestamp with null tz; Map round-trips through the entries
+    struct."""
+    schema = T.StructType(
+        [
+            T.StructField("t", T.TimestampNTZType()),
+            T.StructField("m", T.MapType(T.StringType(), T.LongType())),
+        ]
+    )
+    doc = struct_to_arrow_json(schema)
+    parsed = json.loads(doc)
+    assert parsed["fields"][0]["data_type"] == {"Timestamp": ["Microsecond", None]}
+    assert arrow_json_to_struct(doc) == schema
+    # tz-present arrow timestamps still map to session-tz TimestampType
+    tz_doc = {"fields": [{"name": "t", "data_type": {"Timestamp": ["Microsecond", "UTC"]},
+                          "nullable": True}]}
+    assert arrow_json_to_struct(tz_doc)["t"].dataType == T.TimestampType()
+
+
+def test_boolean_re_compiles_under_python_re(spark):
+    """The exported lattice regexes are valid in BOTH engines: Java
+    rlike (used in the classifier twin) and Python re (the natural
+    consumer of a module-level constant)."""
+    import re
+
+    from csv2parquet_spark.converter import inference as I
+
+    for pat in (I.BOOLEAN_RE, I.INTEGER_RE, I.FLOAT_RE, I.DATE32_RE, I.DATE64_RE):
+        re.compile(pat)
+    assert re.match(I.BOOLEAN_RE, "TRUE")
+    assert not re.match(I.BOOLEAN_RE, "yes")
+
+
+def test_to_orc_csv_uses_engine_read_path(spark, tmp):
+    """to_orc's CSV branch goes through the engine's canonical CSV read:
+    FAILFAST on malformed rows (not PERMISSIVE nulls) and the
+    arrow-lattice schema, identical to convert()'s."""
+    from csv2parquet_spark.converter.formats import to_orc
+
+    src = _write(tmp, "ok.csv", TYPED_CSV)
+    out = os.path.join(tmp, "ok.orc")
+    to_orc(spark, src, out, in_format="csv")
+    back = spark.read.orc(out)
+    assert [f.dataType for f in back.schema.fields] == [
+        T.BooleanType(), T.LongType(), T.DoubleType(),
+        T.DateType(), T.TimestampType(), T.StringType(),
+    ]
+    bad = _write(tmp, "bad.csv", "i,j\n1,2\nx,y,z,w\n")
+    with pytest.raises(Exception):
+        to_orc(spark, bad, os.path.join(tmp, "bad.orc"), in_format="csv")
+
+
+def test_events_nanos_floor_division_negative(spark, tmp_path):
+    """Pre-epoch TIMESTAMP(NANOS) values floor (never truncate toward
+    zero) when reduced to micros: -1500 ns is -2 us, not -1 us."""
+    import pyarrow as pa
+
+    sf = tmp_path
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "user_id": pa.array([1, 1, 1], pa.int64()),
+        "event_type": pa.array(["a", "a", "a"]),
+        "value": pa.array([1.0, 1.0, 1.0]),
+        "ts": pa.array([-1500, 1500, -2000], pa.timestamp("ns")),
+    })
+    pq.write_table(t, str(sf / "events.parquet"))
+    from pyspark.sql import functions as F
+
+    from csv2parquet_spark.tables import table as load_table
+
+    df = load_table(spark, str(sf), "events")
+    micros = {
+        r.event_id: r.us
+        for r in df.select(
+            "event_id",
+            (F.unix_micros(F.col("ts").cast("timestamp"))).alias("us"),
+        ).collect()
+    }
+    assert micros == {1: -2, 2: 1, 3: -2}
