@@ -32,6 +32,13 @@ def gram_matrix(df: DataFrame, vec_col: str = "embedding", dim: int = 64) -> Dat
         for pdf in batches:
             if len(pdf):
                 V = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+                if V.shape[1] != dim:
+                    # clear diagnostic instead of a shape-mismatch crash
+                    # deep inside the matmul (review r8)
+                    raise ValueError(
+                        f"gram_matrix: {vec_col!r} vectors have dim "
+                        f"{V.shape[1]}, expected {dim}"
+                    )
                 acc += V.T @ V
                 seen = True
         if seen:
@@ -39,7 +46,14 @@ def gram_matrix(df: DataFrame, vec_col: str = "embedding", dim: int = 64) -> Dat
             jj = np.tile(np.arange(dim), dim)
             yield pd.DataFrame({"i": ii, "j": jj, "v": acc.ravel()})
 
-    parts = df.select(vec_col).mapInPandas(partials, "i int, j int, v double")
+    # NULL embeddings would die as an opaque np.asarray(None) TypeError
+    # per-task after substantial work; a NULL row contributes nothing
+    # to Σ x·xᵀ, so dropping it IS the math (review r8).
+    parts = (
+        df.select(vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .mapInPandas(partials, "i int, j int, v double")
+    )
     return parts.groupBy("i", "j").agg(F.sum("v").alias("v"))
 
 
@@ -87,7 +101,11 @@ def pca_project(
         P = V @ C
         return pd.Series(list(P))
 
-    out = df.select(F.col(id_col), project(F.col(vec_col)).alias("p"))
+    # NULL embeddings have no projection — drop them up front instead
+    # of crashing np.asarray(None) inside the UDF (review r8).
+    out = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), project(F.col(vec_col)).alias("p")
+    )
     return out.select(
         id_col, *[F.round(F.col("p")[i], 4).alias(f"p_{i}") for i in range(k)]
     )

@@ -122,6 +122,12 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style repetition signals per document: 2-gram count,
     duplicate-2-gram fraction, and top-2-gram fraction.
 
+    CONTRACT: documents with fewer than two tokens have no 2-grams and
+    are ABSENT from the output (the registered DuckDB oracle mirrors
+    this exactly — its range() emits no shingle rows for them). Callers
+    that need a row per document left-join the stats back and coalesce
+    n_2grams to 0, as quality_columns does with its when/otherwise.
+
     Two-level aggregation keyed by doc_id — partial aggregation runs
     map-side, and the per-doc group is bounded by document length, so
     no key can exceed one document's shingle count.
@@ -175,7 +181,20 @@ def mixture_keep(weight_permille: Column, id_col: str = "doc_id") -> Column:
     ``xxhash64(id) % 1000`` instead to decorrelate from structured id
     spaces; the arithmetic form is kept here so the DuckDB oracle can
     reproduce it bit-for-bit."""
-    return F.pmod(F.col(id_col) * F.lit(_MIX_MULT), F.lit(1000)) < weight_permille
+    return _mix_gate(id_col) < weight_permille
+
+
+def _mix_gate(id_col: str) -> Column:
+    """pmod(id·M, 1000) computed as pmod(pmod(id,1000)·M, 1000) — the
+    modular-multiplication identity keeps the product ≤ 999·M ≈ 2.65e12
+    (bigint-safe), where the direct form overflows int64 for ids above
+    ~3.47e9: an ANSI ARITHMETIC_OVERFLOW job failure, or a silent
+    per-mille-breaking wrap with ANSI off (review r8). Same value for
+    every id, so the DuckDB oracles (which compute the direct form in
+    int128) are unaffected."""
+    return F.pmod(
+        F.pmod(F.col(id_col), F.lit(1000)) * F.lit(_MIX_MULT), F.lit(1000)
+    )
 
 
 def mixture_weighted_sample(df: DataFrame, weight_permille: Column) -> DataFrame:
@@ -196,7 +215,7 @@ def split_assign(id_col: str = "doc_id", val_permille: int = 50, test_permille: 
     across runs, engines, and re-partitioning (no RNG state, unlike
     randomSplit). Gate arithmetic matches :func:`mixture_keep`; at
     scale swap the multiplicative hash for xxhash64(id) % 1000."""
-    gate = F.pmod(F.col(id_col) * F.lit(_MIX_MULT), F.lit(1000))
+    gate = _mix_gate(id_col)
     return (
         F.when(gate < val_permille, "val")
         .when(gate < val_permille + test_permille, "test")
@@ -217,6 +236,12 @@ def profile_columns(df, specs):
     approx_count_distinct in. k is caller-bounded here, so exactness
     wins (and the DuckDB oracle is exact too).
     """
+    def q(generated: str) -> Column:
+        # backtick-quote generated references: a spec NAME containing a
+        # dot (profiling a dotted source column) would otherwise parse
+        # as a struct-field access on re-read (review r8)
+        return F.col("`" + generated.replace("`", "``") + "`")
+
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for name, col in specs.items():
         aggs += [
@@ -233,10 +258,10 @@ def profile_columns(df, specs):
                     F.struct(
                         F.lit(name).alias("column"),
                         F.col("__rows").alias("n_rows"),
-                        F.col(f"__null_{name}").cast("long").alias("n_null"),
-                        F.col(f"__dist_{name}").alias("n_distinct"),
-                        F.col(f"__min_{name}").alias("min_repr"),
-                        F.col(f"__max_{name}").alias("max_repr"),
+                        q(f"__null_{name}").cast("long").alias("n_null"),
+                        q(f"__dist_{name}").alias("n_distinct"),
+                        q(f"__min_{name}").alias("min_repr"),
+                        q(f"__max_{name}").alias("max_repr"),
                     )
                     for name in specs
                 ]

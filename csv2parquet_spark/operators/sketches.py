@@ -27,6 +27,16 @@ CMS_WIDTH = 1024
 
 def cms_bucket(col: Column, k: int, width: int = CMS_WIDTH) -> Column:
     """Hash-k bucket id: 32-bit slice k of md5, mod width."""
+    if not 0 <= k <= 3:
+        # md5 has exactly four disjoint 8-hex slices; substring past
+        # char 32 is empty and conv('') is NULL — downstream that NULL
+        # silently dropped lookups and produced universal Bloom false
+        # negatives (review r8). More hash functions need a second
+        # hash source, not a silent NULL.
+        raise ValueError(
+            f"cms_bucket: hash index {k} out of range (md5 provides 4 "
+            "disjoint 32-bit slices, k must be 0..3)"
+        )
     return (
         F.conv(F.substring(F.md5(col), 1 + 8 * k, 8), 16, 10).cast("long") % width
     )
@@ -96,10 +106,15 @@ def cms_lookup(
             )
         ).alias("kb"),
     ).select(col, "kb.k", "kb.b")
+    # LEFT join + coalesce-to-0: the counter table is SPARSE (only
+    # touched cells exist), so an inner join silently dropped tokens
+    # whose cells were never incremented, and a token with SOME empty
+    # cells took its min over only the non-empty ones — inflating the
+    # estimate past the true sketch answer of 0 (review r8).
     return (
-        q.join(F.broadcast(sketch), ["k", "b"])
+        q.join(F.broadcast(sketch), ["k", "b"], "left")
         .groupBy(col)
-        .agg(F.min("c").alias("cms_estimate"))
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_estimate"))
     )
 
 
@@ -130,8 +145,13 @@ def hll_registers(df: DataFrame, col: str) -> DataFrame:
     rank = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
         F.lit(_HLL_WBITS + 1) - F.length(F.bin(w))
     )
+    # NULL values hash to a (NULL bucket, NULL rank) register row that
+    # hll_estimate's count('*') would count into nz, skewing both the
+    # raw estimator and linear counting (review r8); SQL COUNT DISTINCT
+    # ignores NULLs, so the sketch does too.
     return (
-        df.select(bucket.alias("bucket"), rank.alias("rank"))
+        df.filter(F.col(col).isNotNull())
+        .select(bucket.alias("bucket"), rank.alias("rank"))
         .groupBy("bucket")
         .agg(F.max("rank").alias("r"))
     )
@@ -152,7 +172,11 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
     float-association safety across engines."""
     m = float(HLL_M)
     agg = registers.agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("s"),
+        # coalesce: an EMPTY register table (no rows seen) must
+        # estimate 0 via linear counting, not return NULL (review r8)
+        F.coalesce(
+            F.sum(F.pow(F.lit(2.0), -F.col("r"))), F.lit(0.0)
+        ).alias("s"),
         F.count("*").alias("nz"),
     )
     zeros = F.lit(m) - F.col("nz")
@@ -261,7 +285,16 @@ def kmv_quantiles(
     from pyspark.sql.window import Window
 
     spark = sample.sparkSession
-    idx = [(float(q), 1 + int(q * (k - 1))) for q in qs]
+    # Index against the ACTUAL sample size, not the nominal k: a corpus
+    # with fewer than k rows yields a short sample, and ranks computed
+    # from k would point past it — the inner join then silently dropped
+    # those quantiles from the output (review r8). The count runs on
+    # the checkpointed model-sized sketch (also saving the later join
+    # a re-execution of the TakeOrdered).
+    sample = sample.localCheckpoint()
+    n_eff = max(1, min(k, sample.count()))  # 1: empty sample joins to
+    # nothing below, yielding an empty result with the caller's v type
+    idx = [(float(q), 1 + int(q * (n_eff - 1))) for q in qs]
     picks = F.broadcast(
         spark.createDataFrame(idx, "q double, rn int")
     )

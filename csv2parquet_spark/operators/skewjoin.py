@@ -101,6 +101,22 @@ def salted_join_hot(
     plan degenerates to the plain join plus a cheap empty leg.
     """
     keys = _check(big, small, key, how)
+    # NULL join keys are their own heavy hitter in real data (unknown
+    # users/ids): they match NOTHING in SQL join semantics, yet a
+    # shuffled join still hashes them all onto the one NULL partition —
+    # and the semi/anti hot split can't route them (NULL fails the semi
+    # match), so the straggler the function exists to remove survived
+    # (review r8). Route them around the join entirely: inner drops
+    # them; left emits them against an empty broadcast side (map-only,
+    # no shuffle).
+    import functools
+    import operator
+
+    any_null = functools.reduce(
+        operator.or_, [F.col(k).isNull() for k in keys]
+    )
+    bn = big.filter(any_null)
+    big = big.filter(~any_null)
     hot = (
         big.groupBy(*keys)
         .agg(F.count("*").alias("__n"))
@@ -112,4 +128,8 @@ def salted_join_hot(
     sh = small.join(F.broadcast(hot), keys, "left_semi")
     hot_part = salted_join(bh, sh, keys, r=r, how=how, salt_cols=salt_cols)
     cold_part = bc.join(small, keys, how)
-    return hot_part.unionByName(cold_part)
+    out = hot_part.unionByName(cold_part)
+    if how == "left":
+        null_part = bn.join(F.broadcast(small.limit(0)), keys, "left")
+        out = out.unionByName(null_part)
+    return out

@@ -110,6 +110,15 @@ _FORCE_FIRST: list[str] = [
     "zscore_chars_by_lang",
     #   grid_radius_join: dist2 squares in long (int32-overflow fix)
     "spatial_radius_join_grid",
+    # fifth wave (sketches/sampling/skew hardening), same pattern:
+    #   cms_lookup: sparse counter join is now LEFT + coalesce-0
+    "count_min_token_counts",
+    #   kmv_quantiles: ranks against the actual (checkpointed) sample
+    "kmv_quantile_sketch",
+    #   hll_registers: NULL values filtered before hashing
+    "hll_sketch_distinct",
+    #   mixture/split gate: modular-identity rewrite (bigint-safe)
+    "mixture_weighted_sample",
 ]
 
 # New registrations that must NOT displace pending proofs go here; they

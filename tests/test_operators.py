@@ -2480,3 +2480,114 @@ def test_compact_small_files_guards(spark, tmp_path):
     res = compact_small_files(spark, str(empty), str(out))
     assert res == {"n_input_files": 0, "n_output_files": 0, "plan": []}
     assert not _glob.glob(str(out / "*.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Round-8 fifth review wave: sketches / sampling gates / skew / linalg
+# ---------------------------------------------------------------------------
+
+
+def test_cms_lookup_absent_token_estimates_zero(spark):
+    """The counter table is sparse: a token whose cells were never
+    incremented must estimate 0 (left join + coalesce), not vanish or
+    inherit a colliding cell's count."""
+    from csv2parquet_spark.operators.sketches import cms_build, cms_lookup
+
+    toks = spark.createDataFrame([("a",)] * 5 + [("b",)] * 3, "token string")
+    sketch = cms_build(toks)
+    got = {
+        r.token: r.cms_estimate
+        for r in cms_lookup(
+            sketch, spark.createDataFrame([("a",), ("zzz_absent",)], "token string")
+        ).collect()
+    }
+    assert got["a"] >= 5           # upper bound, never undercounts
+    assert got["zzz_absent"] == 0  # present in output, estimate 0
+
+
+def test_cms_bucket_rejects_out_of_range_hash_index(spark):
+    from csv2parquet_spark.operators.sketches import bloom_build, cms_bucket
+
+    with pytest.raises(ValueError, match="k must be 0..3"):
+        cms_bucket(F.lit("x"), 4)
+    with pytest.raises(ValueError, match="k must be 0..3"):
+        bloom_build(spark.createDataFrame([("a",)], "k string"), "k", k=5)
+
+
+def test_hll_ignores_nulls_and_empty_estimates_zero(spark):
+    from csv2parquet_spark.operators.sketches import hll_estimate, hll_registers
+
+    vals = spark.createDataFrame(
+        [(str(i),) for i in range(200)] + [(None,)] * 10, "v string"
+    )
+    regs = hll_registers(vals, "v")
+    assert regs.filter(F.col("bucket").isNull()).count() == 0
+    est = hll_estimate(regs).collect()[0].hll_estimate
+    assert 150 <= est <= 260  # ~200 within HLL error at m=1024
+    empty = spark.createDataFrame([], "v string")
+    assert hll_estimate(hll_registers(empty, "v")).collect()[0].hll_estimate == 0.0
+
+
+def test_kmv_quantiles_small_sample(spark):
+    """A corpus smaller than k yields ranks within the ACTUAL sample;
+    every requested quantile appears (none silently dropped)."""
+    from csv2parquet_spark.operators.sketches import kmv_quantiles, kmv_sample
+
+    df = spark.createDataFrame(
+        [(float(i), i) for i in range(10)], "x double, id bigint"
+    )
+    sample = kmv_sample(df, "x", "id", k=500)
+    got = kmv_quantiles(sample, [0.0, 0.5, 0.95, 1.0], k=500).collect()
+    assert [r.q for r in got] == [0.0, 0.5, 0.95, 1.0]
+    by_q = {r.q: r.value for r in got}
+    assert by_q[0.0] == 0.0 and by_q[1.0] == 9.0
+
+
+def test_mixture_gate_large_ids_no_overflow(spark):
+    """The per-mille gate computes pmod(pmod(id,1000)*M, 1000) — the
+    modular identity keeps the product bigint-safe where id*M overflows
+    ANSI arithmetic above id ~3.47e9; values are unchanged (verified
+    against Python's exact arithmetic)."""
+    from csv2parquet_spark.operators.pipeline import _MIX_MULT, mixture_keep
+
+    ids = [1, 999, 123456, 3_470_000_000, 4_000_000_000, 2**62]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+    got = {
+        r.doc_id: r.keep
+        for r in df.select(
+            "doc_id", mixture_keep(F.lit(500)).alias("keep")
+        ).collect()
+    }
+    for i in ids:
+        assert got[i] == ((i * _MIX_MULT) % 1000 < 500), i
+
+
+def test_salted_join_hot_null_keys_routed(spark):
+    """NULL join keys match nothing but used to funnel through the one
+    NULL shuffle partition; they now bypass the join. Results stay
+    identical to the plain join for inner AND left."""
+    from csv2parquet_spark.operators.skewjoin import salted_join_hot
+
+    big = spark.createDataFrame(
+        [(1, "a")] * 50 + [(None, "n")] * 50 + [(2, "b")], "k int, v string"
+    )
+    small = spark.createDataFrame([(1, "X"), (2, "Y")], "k int, w string")
+    for how in ("inner", "left"):
+        got = sorted(
+            map(str, salted_join_hot(big, small, "k", r=4,
+                                     hot_threshold=10, how=how).collect())
+        )
+        want = sorted(map(str, big.join(small, "k", how).collect()))
+        assert got == want, how
+
+
+def test_linalg_null_embeddings_dropped(spark):
+    from csv2parquet_spark.operators.linalg import gram_matrix, pca_project
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 2.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    g = {(r.i, r.j): r.v for r in gram_matrix(df, dim=2).collect()}
+    assert g[(0, 0)] == 1.0 and g[(1, 1)] == 4.0  # null row contributed 0
+    assert pca_project(df, k=1, dim=2).count() == 2  # null row dropped
