@@ -681,8 +681,12 @@ def test_rank_stats_single_row_and_kmv_small_input(spark):
     assert s.count() == 10  # sample is the whole table when n < k
     got = kmv_quantiles(s, [0.0], k=100).collect()
     assert len(got) == 1 and got[0].value == 0.0  # rank 1 exists
-    # an index beyond the sample yields no row (documented contract)
-    assert kmv_quantiles(s, [0.95], k=100).count() == 0
+    # r8 contract change: ranks index the ACTUAL sample size, so upper
+    # quantiles are answered from the real sample instead of silently
+    # dropped (the r3 pin froze the nominal-k indexing accident —
+    # review r8 wave 5; see test_kmv_quantiles_small_sample)
+    got95 = kmv_quantiles(s, [0.95], k=100).collect()
+    assert len(got95) == 1 and got95[0].value == 8.0  # rank 1+int(.95*9)
 
 
 def test_pagerank_closed_forms(spark):
