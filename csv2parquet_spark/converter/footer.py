@@ -146,12 +146,41 @@ def _field_header(prev_fid: int, fid: int, ttype: int) -> bytes:
     return bytes([ttype]) + _varint(_zigzag_encode(fid))
 
 
+def _assert_no_more_created_by(w: "_Walker", last_fid: int) -> None:
+    """Walk the remaining top-level fields and raise on another field 6.
+
+    parquet-mr/arrow-rs serialize FileMetaData fields in ascending id
+    order, so once the splice point is passed a second field 6 should
+    be impossible — but a pathological writer emitting ids out of order
+    via long-form headers could smuggle one past the insertion branch
+    (ADVICE r8). Keep the splice loud rather than emit a duplicate
+    field the sanity re-parse would not detect.
+    """
+    while True:
+        head = w.byte()
+        if head == _STOP:
+            return
+        delta, ttype = head >> 4, head & 0x0F
+        if delta == 0:
+            last_fid = _zigzag_decode(w.varint())
+        else:
+            last_fid += delta
+        if last_fid == _CREATED_BY_FIELD_ID:
+            raise ValueError(
+                "FileMetaData serializes field 6 (created_by) out of "
+                "ascending field-id order; refusing to splice a duplicate"
+            )
+        w.skip_value(ttype, in_container=False)
+
+
 def _splice_created_by(footer: bytes, value: bytes) -> bytes:
     """Return a new FileMetaData buffer with field 6 set to ``value``.
 
     Replaces the field when present (parquet-mr always writes it);
     inserts it in field-id order otherwise, re-encoding the one
-    following field header whose delta changes.
+    following field header whose delta changes. Either way the walk
+    continues past the splice point so an out-of-order duplicate
+    field 6 raises instead of surviving silently.
     """
     w = _Walker(footer)
     last_fid = 0
@@ -179,17 +208,22 @@ def _splice_created_by(footer: bytes, value: bytes) -> bytes:
                 )
             value_pos = w.pos
             w.skip_value(ttype, in_container=False)
-            return footer[:value_pos] + new_value + footer[w.pos :]
+            end_pos = w.pos
+            _assert_no_more_created_by(w, fid)
+            return footer[:value_pos] + new_value + footer[end_pos:]
         if fid > _CREATED_BY_FIELD_ID:
             # insert before this field, re-encoding its header: the
             # delta is now relative to field 6 (w.pos sits at the start
             # of this field's VALUE — only the header is replaced).
+            value_pos = w.pos
+            w.skip_value(ttype, in_container=False)
+            _assert_no_more_created_by(w, fid)
             return (
                 footer[:header_pos]
                 + _field_header(last_fid, _CREATED_BY_FIELD_ID, _BINARY)
                 + new_value
                 + _field_header(_CREATED_BY_FIELD_ID, fid, ttype)
-                + footer[w.pos :]
+                + footer[value_pos:]
             )
         last_fid = fid
         w.skip_value(ttype, in_container=False)

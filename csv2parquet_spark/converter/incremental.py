@@ -384,10 +384,12 @@ def _gc_batches_locked(
     now = time.time()
     if min_age_sec > 0:
         # Grace anchored on the compaction COMMIT (when the dirs became
-        # superseded). A manifest from before the field existed falls
-        # back to dir mtimes below — strictly more conservative only
-        # for freshly written dirs, so keep both checks.
-        compacted_at = float(manifest.get("compacted_at", now))
+        # superseded). A manifest from before the field existed (ADVICE
+        # r8: defaulting it to `now` made this early return fire on
+        # EVERY pass, blocking GC indefinitely) defaults to 0.0 so it
+        # falls through to the per-dir mtime check below — strictly
+        # more conservative only for freshly written dirs.
+        compacted_at = float(manifest.get("compacted_at", 0.0))
         if now - compacted_at < min_age_sec:
             return []
     deleted: list[str] = []

@@ -48,6 +48,20 @@ def _infer_xml_schema(
         # missed-rare-field tradeoff above applies to names the same
         # documented way.
         reader = reader.option("samplingRatio", "0.1")
+    if opts.max_read_records is not None and opts.max_read_records >= 0:
+        # The data loss above is otherwise SILENT at runtime (ADVICE
+        # r8): make the sampled name/type discovery loud so users
+        # converting sparse-field corpora know to pass a schema file.
+        import warnings
+
+        warnings.warn(
+            "XML schema inference with --max-read-records samples at "
+            "ratio 0.1; fields present only in unsampled records are "
+            "dropped from the output. Pass --schema-file for full "
+            "coverage.",
+            UserWarning,
+            stacklevel=2,
+        )
     inferred = reader.xml(xml_path).schema
     if opts.max_read_records == 0:
         # CSV-parity: 0 sampled records → all columns string; names

@@ -50,75 +50,29 @@ from csv2parquet_spark.queries import order_stats  # noqa: E402,F401
 # Queries that miss this round's window stay in tier 1/2 and surface
 # automatically next round once newly-proven names drop to tier 3.
 # ---------------------------------------------------------------------------
-# Round-8: cleared at round start per the rotation protocol — both r7
-# _FORCE_FIRST re-proofs (lang_id_agreement_kappa,
-# peak_concurrency_daily) landed green in CORRECTNESS_r07.json, and as
-# of r7 every registered query is driver-hash-proven (284/284), so
-# tier 1 and tier 2 are empty and the window is all re-proofs.
+# Round-9: cleared at round start per the rotation protocol — all 10
+# r8 _FORCE_FIRST re-proofs landed green in CORRECTNESS_r08.json and
+# the full-registry PREFLIGHT_r08.json re-proved every other name at
+# the driver's own protocol, so tier 1 and tier 2 are empty and the
+# window head is free for deliberate re-proofs only.
+# Correction of the r8 comment drift (VERDICT r8 "What's wrong" #2):
+# the theil_sen_daily_trend entry described exact_median as "NULLs
+# filtered before the CDF; plan gains the filter" — the LANDED fix is
+# DETECTION-ONLY (counts added to the existing partial-agg action,
+# ranking.py:286-303); NULL-free plans are byte-identical. The filter
+# draft was reverted because Catalyst pushed the predicate into
+# callers' ANSI-evaluated join conditions (ROUND8.md §12).
 # Behavior changes this round that alter the executed plan of an
 # already-proven query go in _FORCE_FIRST:
-#   - t_closeness_report: the 5-row global sensitive CDF is now
-#     derived from the localCheckpointed class grid (sum of class
-#     counts per sensitive value) instead of re-executing the full
-#     customer⋈orders pass a second time (ADVICE r7); the report
-#     values are identical, the executed plan lost one corpus-scale
-#     join.
-#   - incremental_ingest_latest: the write-once fixture moved from the
-#     fixed world-readable /tmp/csv2parquet_spark_ingest to a per-uid
-#     subdirectory with ownership validation (ADVICE r7); same data,
-#     different path in the scan.
-#   - image_ahash_near_dups / multimodal_resize_real: the patterned-BMP
-#     synth's separation-verified envelope was raised 2000 → 16384
-#     bases (the sf1 scaling dataset's 50k docs hit the old gate);
-#     in-envelope payloads are bit-identical, but the guard constant is
-#     on these queries' executed path, so re-prove deliberately.
-#   - agg_approx_distinct: the sketch and exact-distinct sides are now
-#     separate aggregations joined on the 3-row key — the mixed agg
-#     dragged the rsd=0.01 HLL++ buffer through the countDistinct
-#     Expand's per-row partial groups (12.2 s → 1.7 s at sf0.1; the r8
-#     rotation bench tier caught it scaling 12× at sf1). Values
-#     identical, plan changed.
-#   - bootstrap_ci_revenue: the ×32 explode+md5 stage now routes
-#     through the gated _parallelize_scan rebalance (the r8 rotation
-#     tier showed it running the CPU-bound stage as ONE task on the
-#     single-file local input). Values identical, plan changed.
-# Window arithmetic this round: 6 force-first re-proofs + the new r8
-# registrations in tier 1 (seeded epoch shuffle, ingest-after-GC) fill
-# the head; the remaining ~42 slots re-prove already-green queries in
-# registration order.
+#   - fuzzy_join_levenshtein: the dim-contract size guard (VERDICT r8
+#     item 5) adds a LocalLimit count pre-action; the join plan itself
+#     is unchanged for dim-sized inputs, re-proof is belt-and-braces.
+#   - hard_negative_mining: the anchor panel is now FIXED (vec_id <
+#     2000, the sf0.1 ids — VERDICT r8 item 4); a no-op filter at the
+#     driver's SFs, values identical, plan gains the predicate.
 _FORCE_FIRST: list[str] = [
-    "t_closeness_report",
-    "incremental_ingest_latest",
-    "image_ahash_near_dups",
-    "multimodal_resize_real",
-    "agg_approx_distinct",
-    "bootstrap_ci_revenue",
-    # r8 review-wave operator hardening — representative re-proofs, one
-    # per changed operator (every OTHER query routed through these was
-    # re-proven by the committed full-registry sf0.01 pre-flight,
-    # PREFLIGHT_r08.json):
-    #   global_cumsum NULL guard: the pass-1 partition agg now carries
-    #     count columns (mixed-NULL detection)
-    "ks_test_two_sample",
-    #   global_running_max: same guard change
-    "skyline_parts_frontier",
-    #   exact_median: NULLs filtered before the CDF (value-neutral on
-    #     NULL-free inputs; plan gains the filter)
-    "theil_sen_daily_trend",
-    #   grouped_zscore kernel: singleton/zero-variance groups now emit
-    #     NULL (SQL stddev_samp semantics), not NaN
-    "zscore_chars_by_lang",
-    #   grid_radius_join: dist2 squares in long (int32-overflow fix)
-    "spatial_radius_join_grid",
-    # fifth wave (sketches/sampling/skew hardening), same pattern:
-    #   cms_lookup: sparse counter join is now LEFT + coalesce-0
-    "count_min_token_counts",
-    #   kmv_quantiles: ranks against the actual (checkpointed) sample
-    "kmv_quantile_sketch",
-    #   hll_registers: NULL values filtered before hashing
-    "hll_sketch_distinct",
-    #   mixture/split gate: modular-identity rewrite (bigint-safe)
-    "mixture_weighted_sample",
+    "fuzzy_join_levenshtein",
+    "hard_negative_mining",
 ]
 
 # New registrations that must NOT displace pending proofs go here; they

@@ -1725,7 +1725,7 @@ def image_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH q AS (
       SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
-      FROM embeddings WHERE vec_id % 250 = 0
+      FROM embeddings WHERE vec_id % 250 = 0 AND vec_id < 2000
     ), scored AS (
       SELECT q.query_id, v.vec_id,
              round({_sql_cosine('v.embedding', 'q.qv')}, 6) AS sim
@@ -1753,11 +1753,17 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     MAP-SIDE before anything shuffles — the shuffle carries at most
     k rows per anchor per partition, and the corpus×anchors product
     never materializes.
+
+    The anchor set is a FIXED PANEL (the sf0.1 anchor ids, vec_id <
+    2000 — a no-op filter at sf <= 0.1), not a corpus-proportional
+    sample: real mining fixes the anchor/eval panel while the corpus
+    grows, and a proportional panel made the operator look quadratic
+    at sf1 purely by fixture construction (VERDICT r8 item 4).
     """
     e = table(spark, sf_dir, "embeddings")
-    anchors = e.filter(F.col("vec_id") % 250 == 0).select(
-        F.col("vec_id").alias("query_id"), "embedding", "label"
-    )
+    anchors = e.filter(
+        (F.col("vec_id") % 250 == 0) & (F.col("vec_id") < 2000)
+    ).select(F.col("vec_id").alias("query_id"), "embedding", "label")
     return S.knn_join(
         e,
         anchors,

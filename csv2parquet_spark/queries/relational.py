@@ -557,6 +557,42 @@ def distinct_flag_status_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
 
 
+def fuzzy_dim_join(
+    probes: DataFrame,
+    dim: DataFrame,
+    probe_name_col: str,
+    dim_name_col: str,
+    max_dist: int = 2,
+    max_dim_rows: int = 5_000_000,
+) -> DataFrame:
+    """Edit-distance <= ``max_dist`` lookup of ``probes`` against a
+    broadcastable DIMENSION, with the dimension contract enforced.
+
+    The canonical entity-resolution shape: the dimension is small even
+    at 100 TB fact scale, so the plan is a BroadcastNestedLoopJoin with
+    a cheap length-band prefilter ahead of the Levenshtein — probes
+    stream map-side, nothing shuffles. The contract is ENFORCED, not
+    just documented (VERDICT r8 item 5): a ``dim`` side above
+    ``max_dim_rows`` raises before the quadratic job is even planned.
+    For corpus-x-corpus fuzzy matching use the blocked n-gram/MinHash
+    joins in operators/dedup.py instead; an all-pairs edit distance has
+    no scale path.
+    """
+    from csv2parquet_spark.operators.scan import assert_dim_sized
+
+    assert_dim_sized(
+        dim,
+        "fuzzy_dim_join",
+        max_dim_rows,
+        hint="for corpus-scale fuzzy matching use the blocked "
+        "n-gram/MinHash joins in operators/dedup.py",
+    )
+    cond = (
+        F.abs(F.length(probe_name_col) - F.length(dim_name_col)) <= max_dist
+    ) & (F.levenshtein(probe_name_col, dim_name_col) <= max_dist)
+    return probes.join(F.broadcast(dim), cond, "inner")
+
+
 @register(
     "fuzzy_join_levenshtein",
     oracle="""
@@ -576,14 +612,7 @@ def distinct_flag_status_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy dimension lookup: edit-distance <= 2 match of corrupted
     probe names (one char deterministically dropped per key) against the
-    supplier dimension.
-
-    The canonical entity-resolution shape: the dimension is small even
-    at 100 TB fact scale, so the plan is a BroadcastNestedLoopJoin with
-    a cheap length-band prefilter ahead of the Levenshtein — probes
-    stream map-side, nothing shuffles. For corpus-x-corpus fuzzy
-    matching use the blocked n-gram/MinHash joins in operators/dedup.py
-    instead; an all-pairs edit distance has no scale path.
+    supplier dimension, via the contract-enforced ``fuzzy_dim_join``.
     """
     s = table(spark, sf_dir, "supplier")
     probes = s.select(
@@ -593,10 +622,7 @@ def fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("substring(s_name, CAST(s_suppkey % 9 AS INT) + 2)"),
         ).alias("probe_name"),
     )
-    cond = (
-        F.abs(F.length("probe_name") - F.length("s_name")) <= 2
-    ) & (F.levenshtein("probe_name", "s_name") <= 2)
-    return probes.join(F.broadcast(s), cond, "inner").select(
+    return fuzzy_dim_join(probes, s, "probe_name", "s_name").select(
         "probe_key",
         "probe_name",
         "s_suppkey",

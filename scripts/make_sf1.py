@@ -6,11 +6,13 @@ dense per SF), so every join still resolves replica-locally and key
 cardinalities scale linearly:
 
 - region / nation: copied (fixed dimensions, exactly like TPC-H).
-- customer / supplier / part: 10 copies, primary key offset by
-  replica·max_key; nationkey dim refs untouched.
+- customer / part: 10 copies, primary key offset by replica·max_key;
+  nationkey dim refs untouched. supplier is COPIED (true dimension —
+  see OFFSET_COLS comment; r9, VERDICT r8 item 4).
 - orders: o_orderkey and o_custkey offset (orders reference the SAME
   replica's customers — selectivities per customer unchanged).
-- lineitem: l_orderkey / l_partkey / l_suppkey offset likewise.
+- lineitem: l_orderkey / l_partkey offset likewise; l_suppkey
+  untouched (all replicas reference the one supplier dimension).
 - events: event_id / user_id offset; timestamps untouched, so per-day
   volumes grow 10× while the date range is fixed (what real traffic
   growth looks like; sessionization and windows scale in users).
@@ -51,12 +53,20 @@ REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 OUT = os.environ.get("SF1_DIR", "/tmp/testdata_sf1")
 
 # (table, columns offset by replica * (max over that column))
+#
+# supplier is NOT here (VERDICT r8 item 4): it is a TRUE dimension —
+# scaling it 10x put 10x rows on BOTH sides of the dim-contract
+# operators (fuzzy_join_levenshtein went 68x wall purely by fixture)
+# while a real deployment grows facts against a dim-sized supplier.
+# It is copied like region/nation; lineitem.l_suppkey is left
+# unoffset, so every replica's facts reference the SAME supplier set —
+# per-supplier fan-in grows 10x, which is exactly what data growth
+# does to a dimension.
 OFFSET_COLS = {
     "customer": ["c_custkey"],
-    "supplier": ["s_suppkey"],
     "part": ["p_partkey"],
     "orders": ["o_orderkey", "o_custkey"],
-    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "lineitem": ["l_orderkey", "l_partkey"],
     "events": ["event_id", "user_id"],
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],
@@ -65,13 +75,11 @@ OFFSET_COLS = {
 # customer.c_custkey's max), so strides are keyed by the referenced pk
 STRIDE_OF = {
     "c_custkey": ("customer", "c_custkey"),
-    "s_suppkey": ("supplier", "s_suppkey"),
     "p_partkey": ("part", "p_partkey"),
     "o_orderkey": ("orders", "o_orderkey"),
     "o_custkey": ("customer", "c_custkey"),
     "l_orderkey": ("orders", "o_orderkey"),
     "l_partkey": ("part", "p_partkey"),
-    "l_suppkey": ("supplier", "s_suppkey"),
     "event_id": ("events", "event_id"),
     "user_id": ("events", "user_id"),
     "doc_id": ("documents", "doc_id"),
@@ -100,7 +108,7 @@ def main() -> None:
         # +1: 0-based id spaces would otherwise collide at the seam
         strides[(tbl, col)] = int(arr[col].to_numpy().max()) + 1
 
-    for tbl in ("region", "nation"):
+    for tbl in ("region", "nation", "supplier"):
         shutil.copy(
             os.path.join(SRC, f"{tbl}.parquet"), os.path.join(OUT, f"{tbl}.parquet")
         )

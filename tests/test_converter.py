@@ -589,11 +589,16 @@ def test_convert_xml_roundtrip_and_dry(spark, tmp_path):
     ).fetchall()
     assert rows == [(1, "hello", "en"), (2, "welt", "de")]
 
-    # string mode (max_read_records=0): scalar leaves land as strings
+    # string mode (max_read_records=0): scalar leaves land as strings,
+    # and the sampled name discovery is LOUD (ADVICE r8: silent field
+    # drop on sparse corpora) — the warning names the escape hatch.
+    import pytest as _pytest
+
     out0 = str(tmp_path / "recs0.parquet")
-    schema0 = convert_xml(
-        spark, str(src), out0, ConvertOptions(max_read_records=0)
-    )
+    with _pytest.warns(UserWarning, match="samples at"):
+        schema0 = convert_xml(
+            spark, str(src), out0, ConvertOptions(max_read_records=0)
+        )
     assert schema0["id"].dataType.typeName() == "string"
 
 
@@ -1645,3 +1650,34 @@ def test_events_nanos_floor_division_negative(spark, tmp_path):
         ).collect()
     }
     assert micros == {1: -2, 2: 1, 3: -2}
+
+
+def test_gc_legacy_manifest_without_compacted_at(spark, tmp_path):
+    """ADVICE r8: a manifest written before `compacted_at` existed
+    (compacted_upto set, field absent) must fall through to the per-dir
+    mtime check — the old default of `now` made the grace-period early
+    return fire on EVERY pass, blocking GC indefinitely."""
+    import json
+
+    from csv2parquet_spark.converter.incremental import (
+        compact_incremental,
+        gc_batches,
+    )
+
+    out, manifest = _ingest_history(spark, tmp_path)
+    compact_incremental(spark, out, manifest)
+    m = json.load(open(manifest))
+    assert "compacted_at" in m
+    del m["compacted_at"]  # simulate the legacy manifest
+    json.dump(m, open(manifest, "w"))
+
+    # superseded dirs aged past the grace window
+    old = __import__("time").time() - 7200
+    for name in ("batch=0", "batch=1", "batch=2"):
+        os.utime(os.path.join(out, name), (old, old))
+
+    deleted = gc_batches(out, manifest, min_age_sec=3600)
+    assert [os.path.basename(d) for d in deleted] == [
+        "batch=0", "batch=1", "batch=2",
+    ]
+    assert sorted(os.listdir(out)) == ["batch=3"]

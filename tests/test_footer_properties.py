@@ -167,3 +167,45 @@ def test_splice_rejects_non_binary_field6():
     buf = _encode_struct({6: 123})  # i64 at field 6
     with pytest.raises(ValueError, match="expected BINARY"):
         fm._splice_created_by(buf, b"v")
+
+
+def _long_form_field(fid: int, payload: bytes) -> bytes:
+    """Long-form BINARY field header (delta nibble 0 + zigzag fid) —
+    the escape hatch a pathological writer could use to emit field ids
+    out of ascending order."""
+    return bytes([fm._BINARY]) + _varint(_zigzag(fid)) + _varint(len(payload)) + payload
+
+
+def test_splice_raises_on_out_of_order_duplicate_field6():
+    """ADVICE r8: a writer emitting ids out of order via long-form
+    headers could smuggle a genuine field 6 PAST the insertion point,
+    yielding a duplicate the sanity re-parse can't see. The splice now
+    keeps walking and refuses loudly — both on the insert branch
+    (5, 8, then out-of-order 6) and the replace branch (6 twice)."""
+    import pytest
+
+    insert_case = (
+        _long_form_field(5, b"five")
+        + _long_form_field(8, b"eight")  # > 6: insertion point
+        + _long_form_field(6, b"smuggled")  # out-of-order genuine field 6
+        + bytes([fm._STOP])
+    )
+    with pytest.raises(ValueError, match="ascending"):
+        fm._splice_created_by(insert_case, b"v")
+
+    replace_case = (
+        _long_form_field(6, b"first")
+        + _long_form_field(9, b"nine")
+        + _long_form_field(6, b"second")
+        + bytes([fm._STOP])
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        fm._splice_created_by(replace_case, b"v")
+
+    # in-order structs keep splicing fine through the same walk
+    ok = _long_form_field(5, b"five") + _long_form_field(8, b"eight") + bytes(
+        [fm._STOP]
+    )
+    out = fm._splice_created_by(ok, b"v")
+    got, _ = _decode_struct(out)
+    assert got == {5: b"five", 6: b"v", 8: b"eight"}

@@ -2595,3 +2595,35 @@ def test_linalg_null_embeddings_dropped(spark):
     g = {(r.i, r.j): r.v for r in gram_matrix(df, dim=2).collect()}
     assert g[(0, 0)] == 1.0 and g[(1, 1)] == 4.0  # null row contributed 0
     assert pca_project(df, k=1, dim=2).count() == 2  # null row dropped
+
+
+def test_fuzzy_dim_join_enforces_dimension_contract(spark):
+    """VERDICT r8 item 5: a corpus-scale lookup side must RAISE, not run
+    a silent quadratic BroadcastNestedLoop; dim-sized sides still join.
+    The guard is a LocalLimit count, so the cap is exercised directly."""
+    import pytest
+
+    from csv2parquet_spark.operators.scan import assert_dim_sized
+    from csv2parquet_spark.queries.relational import fuzzy_dim_join
+
+    dim = spark.createDataFrame(
+        [(i, f"name{i:03d}") for i in range(50)], "s_suppkey int, s_name string"
+    )
+    probes = spark.createDataFrame(
+        [(1, "name001"), (2, "nam002")], "probe_key int, probe_name string"
+    )
+
+    # happy path: dim-sized side joins; the corrupted probe matches at
+    # dist<=2 and the exact probe at dist 0
+    out = fuzzy_dim_join(probes, dim, "probe_name", "s_name")
+    assert out.filter("probe_key = 2 AND s_suppkey = 2").count() == 1
+
+    # corpus-scale right side (simulated by the cap) raises loudly,
+    # pointing at the blocked joins
+    with pytest.raises(ValueError, match="dimension contract"):
+        fuzzy_dim_join(probes, dim, "probe_name", "s_name", max_dim_rows=10)
+
+    # the guard itself: passes through under the cap, raises above it
+    assert assert_dim_sized(dim, "t", max_rows=50) is dim
+    with pytest.raises(ValueError, match="no scale path"):
+        assert_dim_sized(dim, "t", max_rows=49)
