@@ -161,9 +161,33 @@ CANARY_KEYS = [
     "dedup_exact",
     "window_running_sum",
     "json_funcs",
+    # r9 widening (VERDICT r8 item 2): five keys was too few against
+    # 1.5-2.5x host-noise phases — the r8 canary median (0.914 vs r7)
+    # disagreed with the 74-shared-key median (1.09) by 19%. These five
+    # additions span the suite's RUN ORDER (positions ~9/27/43/56/72 of
+    # HEADLINE, vs the original five's 1-21) and the engine's execution
+    # families (streaming-twin agg, text kernel, Arrow/Pandas-UDF
+    # multimodal, dedup self-join, governance report), all code-frozen,
+    # all r7->r8 raw drift within 3% of the like-for-like median.
+    "stream_tumbling_window",
+    "token_entropy_quality",
+    "video_frame_sample_real",
+    "containment_near_dups",
+    "t_closeness_report",
 ]
 # Driver-measured seconds at sf0.1 (BENCH_DETAIL.json as committed by
-# the driver each round; r6 = commit 859528f, r7 = commit 710cbed).
+# the driver each round; r6 = commit 859528f, r7 = commit 710cbed,
+# r8 = commit ff40f08). The r6/r7 pins predate the r9 widening and
+# carry only the original five keys; r8 onward pins all ten.
+#
+# WHICH NORMALIZER IS AUTHORITATIVE (VERDICT r8 item 2): the canary
+# median over the ten frozen keys. The all-shared-keys median is the
+# CROSS-CHECK only — it includes every key that genuinely regressed,
+# so whenever a real regression exists it overestimates the box ratio
+# and under-flags the regression; the canaries are frozen code and
+# cannot regress. If the two disagree beyond ~5%, trust the canaries
+# and probe the disagreement (isolated quiet-box protocol, ROUND8.md
+# §1) rather than averaging the normalizers.
 CANARY_REF = {
     "r6": {
         "filter_project": 0.287,
@@ -179,6 +203,32 @@ CANARY_REF = {
         "window_running_sum": 0.582,
         "json_funcs": 0.542,
     },
+    "r8": {
+        "filter_project": 0.286,
+        "topk_orders_by_price": 0.144,
+        "dedup_exact": 0.213,
+        "window_running_sum": 0.652,
+        "json_funcs": 0.367,
+        "stream_tumbling_window": 0.338,
+        "token_entropy_quality": 0.428,
+        "video_frame_sample_real": 1.308,
+        "containment_near_dups": 1.984,
+        "t_closeness_report": 0.702,
+    },
+}
+
+# Conversion-path canary (VERDICT r8 item 2: the r8 driver run's 2.5x
+# big-conversion drift was unadjudicable because no conversion job had
+# a pinned reference). The small fixed fixture (the sf0.1 lineitem CSV,
+# ~39 MB) is the PINNED canary — it was stable across the very rounds
+# whose big-conversion times swung 2.5x (r7 3.250/2.017 s vs r8
+# 3.227/1.955 s single/parallel), which bounds how much of a big-path
+# swing can be code: the small and big paths execute the same plan, so
+# a code regression moves both, while page-cache/writeback phases hit
+# only the GB-scale job.
+CONV_CANARY_REF = {
+    "r7": {"single_file_sec": 3.250, "parallel_sec": 2.017},
+    "r8": {"single_file_sec": 3.227, "parallel_sec": 1.955},
 }
 
 
@@ -234,6 +284,26 @@ def canary_section(times: dict[str, float]) -> dict:
     missing = [k for k in CANARY_KEYS if k not in times]
     if missing:
         out["missing_keys"] = missing
+    return out
+
+
+def conv_canary_section(conv: dict) -> dict:
+    """Box I/O-speed ratios for the conversion path, from the pinned
+    small-fixture times (see CONV_CANARY_REF). Lives next to the query
+    canaries so a future big-conversion swing arrives pre-adjudicated:
+    conv canary moved too = box I/O phase; big path moved alone at
+    stable canary = real code/plan regression."""
+    out: dict = {"ref": CONV_CANARY_REF}
+    for rnd, ref in CONV_CANARY_REF.items():
+        ratios = {
+            k: round(conv[k] / ref[k], 3)
+            for k in ("single_file_sec", "parallel_sec")
+            if isinstance(conv.get(k), (int, float)) and ref.get(k)
+        }
+        out[f"ratios_vs_{rnd}"] = ratios
+        out[f"box_ratio_vs_{rnd}"] = (
+            round(_median(list(ratios.values())), 3) if ratios else None
+        )
     return out
 
 
@@ -333,22 +403,12 @@ def bench_conversion(spark, sf_dir: str) -> dict:
     }
 
 
-def bench_conversion_big(spark, sf_dir: str) -> dict:
-    """Conversion throughput at REAL size: a multi-GB CSV (cached across
-    rounds — generation is setup, not timed) so the MB/s figure measures
-    sustained parse+encode, not fixed JVM/job overhead (a 39 MB input is
-    overhead-dominated and says nothing about the 100 TB path).
-
-    The input is the sf lineitem CSV body replicated to
-    $SPARK_GRAFT_BENCH_BIG_MB (default 2048 MB; 0 skips). Timed once per
-    mode — at GB scale codegen warm-up is noise."""
+def _replicated_csv(sf_dir: str, target_mb: int) -> str:
+    """Deterministic CSV fixture: the sf lineitem CSV body replicated to
+    ~target_mb MB, cached in /tmp across runs (generation is setup, not
+    timed)."""
     import duckdb
 
-    from csv2parquet_spark.converter import ConvertOptions, convert
-
-    target_mb = int(os.environ.get("SPARK_GRAFT_BENCH_BIG_MB", "2048"))
-    if target_mb <= 0:
-        return {}
     work = "/tmp/spark_graft_bench"
     os.makedirs(work, exist_ok=True)
     base = os.path.join(work, f"lineitem_{os.path.basename(sf_dir)}.csv")
@@ -369,7 +429,77 @@ def bench_conversion_big(spark, sf_dir: str) -> dict:
             out.write(header + b"\n")
             for _ in range(reps):
                 out.write(body)
+    return big
+
+
+def _fs_settle() -> None:
+    """Flush dirty pages and give writeback a beat before a timed I/O
+    run. The r8 driver bench generated a 2 GB CSV immediately before
+    timing the first conversion over it — that run raced the kernel's
+    writeback of its own input (and each subsequent mode raced the
+    previous mode's parquet output), which is the leading mechanical
+    suspect for the r8 2.5x big-conversion swing on untouched code
+    (VERDICT r8 "What's missing" #1). sync() makes every timed mode
+    start from the same clean-page state."""
+    try:
+        os.sync()
+    except (AttributeError, OSError):  # pragma: no cover
+        pass
+    time.sleep(1.0)
+
+
+def bench_conversion_canary(spark, sf_dir: str) -> dict:
+    """FROZEN mid-size conversion canary (VERDICT r8 item 2): a fixed
+    ~128 MB replicated-lineitem CSV, single-file + parallel, warm +
+    best-of-2 with an fs-settle before every timed run. Large enough
+    that parse+encode dominates job overhead (the 39 MB pinned canary
+    is overhead-dominated), small enough that a timed run is seconds.
+    Driver-measured r9 times become the pinned reference for r10+ in
+    CONV_CANARY_REF / BASELINE.md."""
+    from csv2parquet_spark.converter import ConvertOptions, convert
+
+    path = _replicated_csv(sf_dir, 128)
+    size_mb = os.path.getsize(path) / 1e6
+    out = {"input_mb": round(size_mb, 1)}
+    for label, opts in (
+        ("single_file_sec", None),
+        ("parallel_sec", ConvertOptions(single_file=False)),
+    ):
+        dst = os.path.join("/tmp/spark_graft_bench", "canary_conv.parquet")
+        args = [spark, path, dst] + ([opts] if opts else [])
+        convert(*args)  # warm
+        best = float("inf")
+        for _ in range(2):
+            _fs_settle()
+            t0 = time.perf_counter()
+            convert(*args)
+            best = min(best, time.perf_counter() - t0)
+        out[label] = round(best, 3)
+    return out
+
+
+def bench_conversion_big(spark, sf_dir: str) -> dict:
+    """Conversion throughput at REAL size: a multi-GB CSV (cached across
+    rounds — generation is setup, not timed) so the MB/s figure measures
+    sustained parse+encode, not fixed JVM/job overhead (a 39 MB input is
+    overhead-dominated and says nothing about the 100 TB path).
+
+    The input is the sf lineitem CSV body replicated to
+    $SPARK_GRAFT_BENCH_BIG_MB (default 2048 MB; 0 skips). Timed once per
+    mode — at GB scale codegen warm-up is noise — but since r9 each
+    timed mode starts from a SETTLED filesystem (_fs_settle): the r8
+    protocol let mode N race the writeback of mode N-1's output (and
+    the first mode race its own input's generation), which made the
+    number partly measure kernel flush scheduling."""
+    from csv2parquet_spark.converter import ConvertOptions, convert
+
+    target_mb = int(os.environ.get("SPARK_GRAFT_BENCH_BIG_MB", "2048"))
+    if target_mb <= 0:
+        return {}
+    work = "/tmp/spark_graft_bench"
+    big = _replicated_csv(sf_dir, target_mb)
     size_mb = os.path.getsize(big) / 1e6
+    _fs_settle()
     t0 = time.perf_counter()
     convert(
         spark, big, os.path.join(work, "big_multi.parquet"), ConvertOptions(single_file=False)
@@ -377,6 +507,7 @@ def bench_conversion_big(spark, sf_dir: str) -> dict:
     t_multi = time.perf_counter() - t0
     # Sampled inference (the realistic at-scale knob: --max-read-records):
     # isolates the cost of the reference-default full-pass inference.
+    _fs_settle()
     t0 = time.perf_counter()
     convert(
         spark,
@@ -385,6 +516,7 @@ def bench_conversion_big(spark, sf_dir: str) -> dict:
         ConvertOptions(single_file=False, max_read_records=65536),
     )
     t_sampled = time.perf_counter() - t0
+    _fs_settle()
     t0 = time.perf_counter()
     convert(spark, big, os.path.join(work, "big_single.parquet"))
     t_single = time.perf_counter() - t0
@@ -415,6 +547,8 @@ def main() -> None:
     times: dict[str, float] = {}
     spread: dict[str, float] = {}
     nruns: dict[str, int] = {}
+    shuffle: dict[str, dict[str, int]] = {}
+    capture_shuffle = os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "1") == "1"
     for name in HEADLINE:
         fn = REGISTRY[name].fn
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # codegen warm
@@ -438,6 +572,20 @@ def main() -> None:
         times[name] = round(s[0], 3)
         spread[name] = round(s[1] - s[0], 3)
         nruns[name] = len(runs)
+        if capture_shuffle:
+            # Box-noise-IMMUNE plan signal (VERDICT r8 item 8): shuffle
+            # write volume is deterministic where wall time is not. One
+            # untimed extra execution per key, on a FRESH frame so the
+            # timed QEs above aren't double-counted. Never let a metric
+            # walk cost the round its timings.
+            try:
+                from csv2parquet_spark.planmetrics import (
+                    executed_shuffle_metrics,
+                )
+
+                shuffle[name] = executed_shuffle_metrics(fn(spark, sf_dir))
+            except Exception as exc:  # pragma: no cover - defensive
+                shuffle[name] = {"error": repr(exc)}  # type: ignore[dict-item]
         if _GC_BETWEEN_KEYS:
             _inter_key_cleanup(spark)
 
@@ -461,10 +609,20 @@ def main() -> None:
         rotation = {"error": repr(exc)}
     try:
         conv = bench_conversion(spark, sf_dir)
+        conv_canary = bench_conversion_canary(spark, sf_dir)
         conv_big = bench_conversion_big(spark, sf_dir)
     except Exception as exc:  # pragma: no cover - defensive
         conv = {"error": repr(exc)}
+        conv_canary = {}
         conv_big = {}
+    try:
+        conv_cal = (
+            conv_canary_section(conv)
+            if sf_val == 0.1 and "error" not in conv
+            else {"skipped": f"conv canary refs are sf0.1, ran sf{sf_val}"}
+        )
+    except Exception as exc:  # pragma: no cover - defensive
+        conv_cal = {"error": repr(exc)}
     detail = {
         "metric": "headline_query_wall_sec",
         "value": total,
@@ -478,8 +636,11 @@ def main() -> None:
         # keeps it off). All driver rounds compare like-for-like.
         "gc_between_keys": _GC_BETWEEN_KEYS,
         "canary": canary,
+        "shuffle": shuffle,
         "rotation": rotation,
         "csv_to_parquet": conv,
+        "csv_to_parquet_canary": conv_canary,
+        "csv_to_parquet_canary_calibration": conv_cal,
         "csv_to_parquet_big": conv_big,
     }
     detail_path = os.path.join(

@@ -1,0 +1,61 @@
+"""Executed-plan metric capture: the box-noise-immune perf signal.
+
+Wall-clock comparisons between rounds need canary normalization because
+the bench box drifts 1.5-2.5x between phases; shuffle VOLUME does not —
+records written through every Exchange are a pure function of plan
+shape and data, deterministic run-to-run (VERDICT r8 item 8). A key
+whose shuffle records grow round-over-round changed PLAN, full stop —
+this is the signal that would have flagged the r8 ``agg_approx_distinct``
+defect (a 16 KB sketch buffer dragged through per-row Expand partial
+groups) without needing the sf1 sweep to catch it by wall time.
+
+The noop-write timing path can't provide it: a ``df.write`` executes a
+DIFFERENT QueryExecution than ``df``'s own, so its metrics are not
+reachable from the handle (round-4 gotcha). Instead the capture runs
+the df's OWN executed plan once — ``executedPlan().execute().count()``
+drives the full pipeline JVM-side without transferring rows to Python —
+then walks that same plan tree (through AQE wrapper and query stages)
+summing the Exchange write metrics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def executed_shuffle_metrics(df: DataFrame) -> dict[str, int]:
+    """Execute ``df``'s own plan and return its total shuffle write
+    volume: ``{"records": N, "bytes": N}`` summed across every
+    ShuffleExchange (AQE query stages included).
+
+    Executes ONE full run of the query (JVM-side row count, no driver
+    transfer) — callers time their own runs separately; this pass is
+    for the metric, not the clock. Pass a FRESH DataFrame: metrics
+    accumulate per QueryExecution, so re-capturing a handle that
+    already ran double-counts.
+    """
+    rec = 0
+    byt = 0
+
+    def walk(node) -> None:
+        nonlocal rec, byt
+        name = node.getClass().getSimpleName()
+        if "ShuffleExchange" in name:
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "shuffleRecordsWritten":
+                    rec += kv._2().value()
+                elif kv._1() == "shuffleBytesWritten":
+                    byt += kv._2().value()
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+        if "QueryStage" in name:
+            walk(node.plan())
+
+    qe = df._jdf.queryExecution()
+    qe.executedPlan().execute().count()
+    walk(qe.executedPlan())
+    return {"records": int(rec), "bytes": int(byt)}

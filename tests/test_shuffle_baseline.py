@@ -1,0 +1,58 @@
+"""Shuffle-volume plan lint (VERDICT r8 item 8): the box-noise-immune
+plan-regression signal.
+
+Wall-time comparisons across rounds need canary normalization because
+the bench box drifts 1.5-2.5x between phases; shuffle RECORDS written
+do not — on frozen data they are a pure function of the plan. Every
+HEADLINE key's sf0.001 shuffle volume is pinned in
+SHUFFLE_BASELINE.json; a key growing >20% fails here, which is the
+signal that would have caught r8's ``agg_approx_distinct`` Expand
+pathology without the sf1 sweep. Regenerate the baseline ONLY for
+deliberate plan changes: ``python scripts/gen_shuffle_baseline.py
+<key ...>`` (and say so in the commit).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from csv2parquet_spark.planmetrics import executed_shuffle_metrics
+from csv2parquet_spark.queries.registry import REGISTRY
+
+_BASELINE_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "SHUFFLE_BASELINE.json",
+)
+with open(_BASELINE_PATH) as _f:
+    _BASELINE = json.load(_f)
+
+# Records tolerance: shuffle records are deterministic, but a handful
+# of keys legitimately wobble a little (seeded sampling feeding a
+# shuffle, AQE broadcast-vs-shuffle flips near the threshold). 20% is
+# the verdict's bar; genuine pathologies (the agg_approx_distinct case
+# was 170x at the Expand) clear it by orders of magnitude.
+_GROWTH = 1.20
+
+
+@pytest.mark.parametrize("name", sorted(_BASELINE["keys"]))
+def test_shuffle_volume_pinned(spark, name):
+    base = _BASELINE["keys"][name]
+    got = executed_shuffle_metrics(REGISTRY[name].fn(spark, _BASELINE["sf_dir"]))
+    assert got["records"] <= max(base["records"] * _GROWTH, base["records"] + 64), (
+        f"{name}: shuffle records grew {base['records']} -> {got['records']} "
+        f"(> {_GROWTH}x). If the plan change is DELIBERATE, regenerate with "
+        f"scripts/gen_shuffle_baseline.py {name} and say so in the commit."
+    )
+    # Shrink is an improvement, not a failure — but a silent >20% drop
+    # means the pinned number is stale; surface it without failing.
+    if got["records"] < base["records"] / _GROWTH - 64:
+        import warnings
+
+        warnings.warn(
+            f"{name}: shuffle records shrank {base['records']} -> "
+            f"{got['records']}; refresh SHUFFLE_BASELINE.json",
+            UserWarning,
+        )
