@@ -234,8 +234,19 @@ def copurchase_edges(
     the exchange and the OUTPUT is already partitioned on the superstep
     join key — one pair-sized shuffle total, where aggregate-then-
     repartition paid two (measured 2.8 → 0.5 s at sf0.1).
+
+    NULL group keys are dropped BEFORE grouping (review r9): the
+    equivalent relational formulation is a self-equi-join on the group
+    key, where ``NULL = NULL`` never matches and NULL-group rows
+    contribute no pairs — but ``groupBy`` lumps every NULL-key row into
+    ONE pseudo-basket, silently minting pairs the SQL shape never
+    produces AND detonating the basket-bounded m² expansion on the one
+    key real corpora are dirtiest in (same class as the r8
+    salted_join_hot NULL-routing fix). NULL items need no filter:
+    ``collect_set`` drops them, matching the self-join's NULL-never-
+    equal semantics.
     """
-    per_group = df.groupBy(group_col).agg(
+    per_group = df.filter(F.col(group_col).isNotNull()).groupBy(group_col).agg(
         F.collect_set(item_col).alias("items")
     )
     pair = F.explode(

@@ -70,9 +70,15 @@ from csv2parquet_spark.queries import order_stats  # noqa: E402,F401
 #   - hard_negative_mining: the anchor panel is now FIXED (vec_id <
 #     2000, the sf0.1 ids — VERDICT r8 item 4); a no-op filter at the
 #     driver's SFs, values identical, plan gains the predicate.
+#   - lpa_copurchase_communities: representative re-proof for the
+#     copurchase_edges NULL-group fix (review r9 — NULL basket keys
+#     now filtered to match self-equi-join semantics; value-neutral on
+#     NULL-free fixtures, plan gains the filter). Also covers
+#     bfs_hops_copurchase / pagerank paths through the same builder.
 _FORCE_FIRST: list[str] = [
     "fuzzy_join_levenshtein",
     "hard_negative_mining",
+    "lpa_copurchase_communities",
 ]
 
 # New registrations that must NOT displace pending proofs go here; they

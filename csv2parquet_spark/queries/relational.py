@@ -407,7 +407,14 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_orderkey").alias("exact_orders"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
-    a = exact.join(F.broadcast(sketch), "l_returnflag")
+    # NULL-SAFE rejoin (r9 NULL-twin audit): groupBy keeps a NULL
+    # group but a plain equi-join silently drops it, losing a row the
+    # oracle's single GROUP BY produces — the split-agg plan must not
+    # change grouping semantics. eqNullSafe keeps the BroadcastHashJoin.
+    sk = sketch.withColumnRenamed("l_returnflag", "__rf")
+    a = exact.join(
+        F.broadcast(sk), F.col("l_returnflag").eqNullSafe(F.col("__rf"))
+    ).drop("__rf")
     return a.select(
         "l_returnflag",
         "exact_orders",

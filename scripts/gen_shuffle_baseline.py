@@ -12,8 +12,9 @@ Rerun this script ONLY when a key's plan changes deliberately, and say
 so in the commit message — silently refreshing the baseline defeats the
 lint.
 
-Usage: python scripts/gen_shuffle_baseline.py [key ...]
-(no args = all HEADLINE keys; with args = update just those keys)
+Usage: python scripts/gen_shuffle_baseline.py [--all] [key ...]
+(no args = all HEADLINE keys; --all = every registered query; with
+key args = update just those keys)
 """
 
 from __future__ import annotations
@@ -36,7 +37,9 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 
 
 def main() -> None:
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    do_all = "--all" in args
+    only = {a for a in args if not a.startswith("--")}
     spark = get_spark(
         "shuffle_baseline",
         master="local[4]",
@@ -48,7 +51,13 @@ def main() -> None:
     if only and os.path.exists(OUT):
         with open(OUT) as f:
             baseline = json.load(f)
-    for name in HEADLINE:
+    # Registry-wide coverage (--all): HEADLINE gets its plan lint from
+    # r9; the other ~210 registered queries deserve the same continuous
+    # protection — the rotation tier gives them a wall time only once
+    # per 7 rounds, but shuffle volume is cheap and deterministic
+    # enough to pin for every key on every suite run.
+    names = sorted(REGISTRY) if do_all else HEADLINE
+    for name in names:
         if only and name not in only:
             continue
         try:

@@ -87,3 +87,34 @@ def test_bfs_hops_equals_truncated_bellman_ford(spark, edges, n_iter):
     df = spark.createDataFrame(edges, "src long, dst long, w long")
     got = {r.id: r.d for r in bfs_hops(df, source=None, n_iter=n_iter).collect()}
     assert got == dist
+
+
+def test_copurchase_edges_null_group_matches_self_join(spark):
+    """Review r9: NULL group keys must contribute NO pairs — the
+    relational formulation is a self-equi-join on the group key, where
+    NULL never equals NULL. groupBy would otherwise lump all NULL-key
+    rows into one pseudo-basket (silent extra pairs + an unbounded m²
+    basket on exactly the dirtiest key)."""
+    from csv2parquet_spark.operators.graph import copurchase_edges
+
+    df = spark.createDataFrame(
+        [(1, 10), (1, 11), (None, 12), (None, 13), (None, 14), (2, 10), (2, None)],
+        "g int, item int",
+    )
+    got = sorted(
+        (r.src, r.dst, r.w) for r in copurchase_edges(df, "g", "item").collect()
+    )
+    # self-join reference semantics
+    df.createOrReplaceTempView("b")
+    want = sorted(
+        (r.src, r.dst, r.w)
+        for r in spark.sql(
+            """
+            SELECT a.item AS src, c.item AS dst, count(DISTINCT a.g) AS w
+            FROM b a JOIN b c ON a.g = c.g AND a.item <> c.item
+            GROUP BY a.item, c.item
+            """
+        ).collect()
+    )
+    assert got == want
+    assert got == [(10, 11, 1), (11, 10, 1)]  # NULL basket minted nothing
