@@ -24,9 +24,23 @@ from pyspark.sql import DataFrame
 
 
 def executed_shuffle_metrics(df: DataFrame) -> dict[str, int]:
-    """Execute ``df``'s own plan and return its total shuffle write
-    volume: ``{"records": N, "bytes": N}`` summed across every
-    ShuffleExchange (AQE query stages included).
+    """Execute ``df``'s plan WITHOUT AQE and return its total shuffle
+    write volume: ``{"records": N, "bytes": N}`` summed across every
+    ShuffleExchange.
+
+    AQE is disabled for the capture (and restored after) because AQE
+    volumes are RACY, not merely adaptive: independent query stages
+    submit in parallel, and when a runtime broadcast conversion wins
+    the race against a sibling exchange's submission that exchange is
+    cancelled before writing — the same query measured 163 vs 91
+    records on back-to-back runs in one session (r9). The STATIC plan
+    is the deterministic canonical form the regression lint needs; a
+    code change that adds an exchange or bloats what flows through one
+    shows up identically in it, while AQE's runtime improvements
+    (broadcast conversion, skew splits, coalescing) never change the
+    static shape. ``executedPlan`` is materialized lazily inside this
+    call, so the toggle applies even to a DataFrame built earlier
+    under AQE.
 
     Executes ONE full run of the query (JVM-side row count, no driver
     transfer) — callers time their own runs separately; this pass is
@@ -50,12 +64,18 @@ def executed_shuffle_metrics(df: DataFrame) -> dict[str, int]:
                     byt += kv._2().value()
         for i in range(node.children().size()):
             walk(node.children().apply(i))
-        if name == "AdaptiveSparkPlanExec":
+        if name == "AdaptiveSparkPlanExec":  # pragma: no cover - AQE off
             walk(node.executedPlan())
-        if "QueryStage" in name:
+        if "QueryStage" in name:  # pragma: no cover - AQE off
             walk(node.plan())
 
-    qe = df._jdf.queryExecution()
-    qe.executedPlan().execute().count()
-    walk(qe.executedPlan())
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        qe = df._jdf.queryExecution()
+        qe.executedPlan().execute().count()
+        walk(qe.executedPlan())
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
     return {"records": int(rec), "bytes": int(byt)}

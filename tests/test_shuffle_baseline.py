@@ -29,11 +29,14 @@ _BASELINE_PATH = os.path.join(
 with open(_BASELINE_PATH) as _f:
     _BASELINE = json.load(_f)
 
-# Records tolerance: shuffle records are deterministic, but a handful
-# of keys legitimately wobble a little (seeded sampling feeding a
-# shuffle, AQE broadcast-vs-shuffle flips near the threshold). 20% is
+# Records tolerance: static-plan shuffle records are deterministic
+# (the capture disables AQE — its volumes are RACY: a runtime
+# broadcast conversion can cancel a sibling exchange before it writes,
+# and the same query measured 163 vs 91 records back-to-back). 20% is
 # the verdict's bar; genuine pathologies (the agg_approx_distinct case
-# was 170x at the Expand) clear it by orders of magnitude.
+# was 170x at the Expand) clear it by orders of magnitude. The +64
+# absolute slack keeps single-digit keys from failing on a couple of
+# partial-agg rows.
 _GROWTH = 1.20
 
 
