@@ -23,10 +23,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def executed_shuffle_metrics(df: DataFrame) -> dict[str, int]:
+def executed_shuffle_metrics(
+    df: DataFrame, shuffle_partitions: int | None = None
+) -> dict[str, int]:
     """Execute ``df``'s plan WITHOUT AQE and return its total shuffle
     write volume: ``{"records": N, "bytes": N}`` summed across every
     ShuffleExchange.
+
+    ``shuffle_partitions`` optionally pins ``spark.sql.shuffle.partitions``
+    for the capture (restored after). Shuffle RECORDS depend on it:
+    a second-stage partial aggregate runs on the previous shuffle's
+    partition count, so more partitions = smaller partials = less
+    map-side combining = more records written. A baseline is therefore
+    only comparable under the conf it was captured with — the suite
+    learned this when a CLI test's ``getOrCreate`` silently flipped the
+    shared session from 4 to 32 shuffle partitions and 27 text-heavy
+    keys "grew" 20-50% (r9). Lint callers pass the baseline's pinned
+    value; one-off callers can omit it.
 
     AQE is disabled for the capture (and restored after) because AQE
     volumes are RACY, not merely adaptive: independent query stages
@@ -70,12 +83,20 @@ def executed_shuffle_metrics(df: DataFrame) -> dict[str, int]:
             walk(node.plan())
 
     spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    pins = {"spark.sql.adaptive.enabled": "false"}
+    if shuffle_partitions is not None:
+        pins["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    prev = {k: spark.conf.get(k, None) for k in pins}
+    for k, v in pins.items():
+        spark.conf.set(k, v)
     try:
         qe = df._jdf.queryExecution()
         qe.executedPlan().execute().count()
         walk(qe.executedPlan())
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev)
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     return {"records": int(rec), "bytes": int(byt)}

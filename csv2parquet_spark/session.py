@@ -25,6 +25,16 @@ def get_spark(
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default all
     cores). On a real cluster the caller passes its own master / lets
     spark-submit set it; everything else here is cluster-safe.
+
+    CALLER BEWARE when a session already exists in this JVM:
+    ``getOrCreate()`` APPLIES the builder's SQL configs to the existing
+    session — it does not just return it. A second ``get_spark`` with
+    different defaults (e.g. the CLI inside a test process) silently
+    retunes the host session's ``spark.sql.shuffle.partitions``, which
+    changes plan-volume measurements (smaller partials = less map-side
+    combining = more shuffle records; r9 found 27 lint keys "grown"
+    20-50% this way). Measurement code must pin the confs it depends on
+    (tests/test_shuffle_baseline.py::pinned_conf).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     if master is None:

@@ -40,8 +40,29 @@ with open(_BASELINE_PATH) as _f:
 _GROWTH = 1.20
 
 
+@pytest.fixture()
+def pinned_conf(spark):
+    """Pin the session confs the baseline was captured under — shuffle
+    RECORDS depend on them (a second-stage partial aggregate runs on
+    the previous shuffle's partition count, so more partitions = less
+    map-side combining = more records). The full suite learned this the
+    hard way: CLI tests' ``getOrCreate`` applies builder configs to the
+    EXISTING session, silently flipping shared shuffle.partitions from
+    4 to 32, and 27 text-heavy keys "grew" 20-50% against the pin. The
+    pin wraps the query-fn construction too: internal localCheckpoints
+    materialize under the live conf, not at capture time."""
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(_BASELINE["shuffle_partitions"]))
+    try:
+        yield spark
+    finally:
+        spark.conf.set(key, prev)
+
+
 @pytest.mark.parametrize("name", sorted(_BASELINE["keys"]))
-def test_shuffle_volume_pinned(spark, name):
+def test_shuffle_volume_pinned(pinned_conf, name):
+    spark = pinned_conf
     base = _BASELINE["keys"][name]
     got = executed_shuffle_metrics(REGISTRY[name].fn(spark, _BASELINE["sf_dir"]))
     assert got["records"] <= max(base["records"] * _GROWTH, base["records"] + 64), (
