@@ -75,10 +75,15 @@ from csv2parquet_spark.queries import order_stats  # noqa: E402,F401
 #     now filtered to match self-equi-join semantics; value-neutral on
 #     NULL-free fixtures, plan gains the filter). Also covers
 #     bfs_hops_copurchase / pagerank paths through the same builder.
+#   - agg_approx_distinct: the split-agg rejoin is now NULL-SAFE
+#     (eqNullSafe — r9 NULL-twin audit; a plain equi-join dropped the
+#     NULL group its own oracle keeps). Values identical on the
+#     NULL-free driver fixtures, join condition changed.
 _FORCE_FIRST: list[str] = [
     "fuzzy_join_levenshtein",
     "hard_negative_mining",
     "lpa_copurchase_communities",
+    "agg_approx_distinct",
 ]
 
 # New registrations that must NOT displace pending proofs go here; they
