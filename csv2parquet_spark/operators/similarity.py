@@ -614,6 +614,7 @@ def knn_join(
     exclude_self: bool = True,
     query_cols: list[str] | None = None,
     pair_filter: Column | None = None,
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Batch kNN join: exact top-k corpus neighbors for EVERY query row
     at once — the production retrieval shape (one pass for a whole query
@@ -635,7 +636,24 @@ def knn_join(
     broadcast join, before anything shuffles — together they express
     constrained-neighbor variants (e.g. hard-negative mining's
     different-label constraint) without duplicating this plan.
+
+    The query-batch contract is ENFORCED like fuzzy_dim_join's
+    dimension contract (r9): the map-side work is corpus × queries dot
+    products, so a corpus-scale ``queries`` side silently turns the
+    one-pass retrieval into an all-pairs job (and the broadcast build
+    into an executor-memory bomb) — above ``max_query_rows`` this
+    raises and points at the IVF/LSH scale paths instead.
     """
+    from csv2parquet_spark.operators.scan import assert_dim_sized
+
+    assert_dim_sized(
+        queries,
+        "knn_join",
+        max_rows=max_query_rows,
+        hint="brute-force batch kNN is corpus x queries; for large "
+        "query sets use the IVF index (write_ivf_index/probe_ivf_index)"
+        " or LSH candidates (lsh_candidate_pairs) instead",
+    )
     q = F.broadcast(
         queries.select(
             F.col(qid_col),

@@ -2627,3 +2627,24 @@ def test_fuzzy_dim_join_enforces_dimension_contract(spark):
     assert assert_dim_sized(dim, "t", max_rows=50) is dim
     with pytest.raises(ValueError, match="no scale path"):
         assert_dim_sized(dim, "t", max_rows=49)
+
+
+def test_knn_join_enforces_query_batch_contract(spark):
+    """r9: knn_join's map-side work is corpus x queries — a corpus-scale
+    query batch must RAISE (pointing at the IVF/LSH scale paths), not
+    silently broadcast and run an all-pairs job. Dim-sized batches
+    still work."""
+    import pytest
+
+    from csv2parquet_spark.operators.similarity import knn_join
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)],
+        "vec_id bigint, embedding array<double>",
+    )
+    qs = vecs.selectExpr("vec_id AS query_id", "embedding")
+    out = knn_join(vecs, qs.limit(2), k=3)
+    assert out.groupBy("query_id").count().count() == 2
+
+    with pytest.raises(ValueError, match="knn_join"):
+        knn_join(vecs, qs, k=3, max_query_rows=10)
