@@ -202,6 +202,14 @@ def _lsh_blas_candidates(
     def _sig(embs: pd.Series) -> pd.DataFrame:
         if len(embs) == 0:
             return pd.DataFrame({"qz": [], "buckets": []})
+        if embs.isna().any():
+            # Actionable contract error instead of a bare numpy
+            # traceback (r9 NULL-twin audit): same discipline as the
+            # ranking kernels' NULL guards.
+            raise ValueError(
+                "lsh signatures: NULL embeddings in the input — "
+                "filter them first (df.filter(col.isNotNull()))"
+            )
         V = np.vstack([np.asarray(e, dtype=np.float64) for e in embs])
         m = np.max(np.abs(V), axis=1)
         m[m == 0.0] = 1.0
@@ -420,6 +428,11 @@ def _assign_clusters(
     def _argmax(embs: pd.Series) -> pd.Series:
         import numpy as np
 
+        if embs.isna().any():
+            raise ValueError(
+                "cluster assignment: NULL embeddings in the input — "
+                "filter them first (df.filter(col.isNotNull()))"
+            )
         M = np.vstack([np.asarray(e, dtype=np.float64) for e in embs])
         return pd.Series(np.argmax(M @ bc.value.T, axis=1).astype(np.int32))
 

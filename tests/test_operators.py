@@ -2648,3 +2648,26 @@ def test_knn_join_enforces_query_batch_contract(spark):
 
     with pytest.raises(ValueError, match="knn_join"):
         knn_join(vecs, qs, k=3, max_query_rows=10)
+
+
+def test_embedding_kernels_reject_null_embeddings_loudly(spark):
+    """r9 NULL-twin audit follow-up: the two central embedding kernels
+    raise an actionable contract error on NULL embeddings instead of a
+    bare numpy vstack traceback."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    from csv2parquet_spark.operators.similarity import (
+        _assign_clusters,
+        pairwise_near_dups,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    with pytest.raises((PythonException, Py4JJavaError), match="NULL embeddings"):
+        pairwise_near_dups(df, threshold=0.9, dim=2).collect()
+    with pytest.raises((PythonException, Py4JJavaError), match="NULL embeddings"):
+        _assign_clusters(df, [[1.0, 0.0], [0.0, 1.0]]).collect()
