@@ -538,6 +538,12 @@ def main() -> None:
     # they flood the tail and can push the JSON summary line out of the
     # window — disable them for a clean machine-readable stream.
     spark = get_spark("bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
+    # Pin the session's INTENDED shuffle-partition count now, before any
+    # in-process getOrCreate can retune it (the r9 conf-leak hazard
+    # documented in session.py): the per-key shuffle capture passes this
+    # value explicitly so captured volumes stay comparable round-over-
+    # round even if something mid-run flips the live conf (ADVICE r9).
+    bench_shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     # Warm the JVM/codegen once with the flagship query.
     REGISTRY["q1_pricing_summary"].fn(spark, sf_dir).write.format("noop").mode(
@@ -583,7 +589,9 @@ def main() -> None:
                     executed_shuffle_metrics,
                 )
 
-                shuffle[name] = executed_shuffle_metrics(fn(spark, sf_dir))
+                shuffle[name] = executed_shuffle_metrics(
+                    fn(spark, sf_dir), shuffle_partitions=bench_shuffle_parts
+                )
             except Exception as exc:  # pragma: no cover - defensive
                 shuffle[name] = {"error": repr(exc)}  # type: ignore[dict-item]
         if _GC_BETWEEN_KEYS:
@@ -607,14 +615,22 @@ def main() -> None:
         rotation = bench_rotation(spark, sf_dir, HEADLINE)
     except Exception as exc:  # pragma: no cover - defensive
         rotation = {"error": repr(exc)}
+    # Each conversion bench fails independently (ADVICE r9): a shared
+    # try block let a canary/big-path failure overwrite an
+    # already-successful small-fixture result and silently skip the
+    # conversion-canary calibration.
     try:
         conv = bench_conversion(spark, sf_dir)
-        conv_canary = bench_conversion_canary(spark, sf_dir)
-        conv_big = bench_conversion_big(spark, sf_dir)
     except Exception as exc:  # pragma: no cover - defensive
         conv = {"error": repr(exc)}
-        conv_canary = {}
-        conv_big = {}
+    try:
+        conv_canary = bench_conversion_canary(spark, sf_dir)
+    except Exception as exc:  # pragma: no cover - defensive
+        conv_canary = {"error": repr(exc)}
+    try:
+        conv_big = bench_conversion_big(spark, sf_dir)
+    except Exception as exc:  # pragma: no cover - defensive
+        conv_big = {"error": repr(exc)}
     try:
         conv_cal = (
             conv_canary_section(conv)
@@ -637,6 +653,7 @@ def main() -> None:
         "gc_between_keys": _GC_BETWEEN_KEYS,
         "canary": canary,
         "shuffle": shuffle,
+        "shuffle_partitions": bench_shuffle_parts,
         "rotation": rotation,
         "csv_to_parquet": conv,
         "csv_to_parquet_canary": conv_canary,

@@ -741,6 +741,15 @@ def simhash_signatures(
     def _simhash(harrs: pd.Series) -> pd.Series:
         import numpy as np
 
+        if harrs.isna().any():
+            # Actionable contract error instead of a bare numpy
+            # traceback (r9 NULL-twin audit adjudication: loud reject,
+            # same discipline as the LSH/cluster kernels).
+            raise ValueError(
+                "simhash signatures: NULL token arrays in the input "
+                f"(NULL '{text_col}' rows) — filter them first "
+                f"(df.filter(F.col('{text_col}').isNotNull()))"
+            )
         out = np.zeros(len(harrs), dtype=np.uint64)
         shifts = np.arange(bits, dtype=np.uint64)
         for i, h in enumerate(harrs):

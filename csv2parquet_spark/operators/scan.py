@@ -56,7 +56,25 @@ def assert_dim_sized(
     and far cheaper than the quadratic join it prevents when it
     doesn't. The default cap (5M rows) is supplier at TPC-H sf~500,
     comfortably inside executor-broadcast budgets at ~100 B/row.
+
+    EAGERNESS AND DOUBLE-EVALUATION (ADVICE r9): this guard runs a
+    Spark job at operator-CONSTRUCTION time, so operators that call it
+    (``knn_join``, ``fuzzy_dim_join``) are no longer lazy — a plan-only
+    use (``.explain()``, plan hashing, dry runs) executes the bounded
+    count — and the guarded side is evaluated TWICE (once counted here,
+    once in the real join). A NONDETERMINISTIC guarded side (e.g. a
+    ``.sample()`` without a seeded, cached frame) can therefore pass
+    the count with one draw and broadcast a different one: cache or
+    ``localCheckpoint()`` nondeterministic sides before handing them to
+    a guarded operator. Plan-only tooling that must stay job-free can
+    opt out for the process via ``SPARK_GRAFT_DIM_GUARD=0`` — the
+    contract still holds semantically; only its eager enforcement is
+    skipped.
     """
+    import os
+
+    if os.environ.get("SPARK_GRAFT_DIM_GUARD", "1") == "0":
+        return df
     n = df.limit(max_rows + 1).count()
     if n > max_rows:
         raise ValueError(

@@ -505,6 +505,11 @@ def _probe_lists(spark, centroids: list[list[float]], nprobe: int):
     def _topn(embs: pd.Series) -> pd.Series:
         import numpy as np
 
+        if embs.isna().any():
+            raise ValueError(
+                "ivf probe: NULL query embeddings in the input — "
+                "filter them first (df.filter(col.isNotNull()))"
+            )
         M = np.vstack([np.asarray(e, dtype=np.float64) for e in embs])
         order = np.argsort(-(M @ bc.value.T), axis=1, kind="stable")[:, :nprobe]
         return pd.Series([row.astype(np.int32) for row in order])
@@ -656,6 +661,14 @@ def knn_join(
     one-pass retrieval into an all-pairs job (and the broadcast build
     into an executor-memory bomb) — above ``max_query_rows`` this
     raises and points at the IVF/LSH scale paths instead.
+
+    The guard is EAGER (runs a bounded count job when this function is
+    CALLED, not when the result executes) and evaluates ``queries``
+    twice — once for the count, once in the broadcast. Cache or
+    ``localCheckpoint()`` a nondeterministic query side first, or the
+    counted batch may differ from the broadcast one; plan-only callers
+    can disable enforcement with ``SPARK_GRAFT_DIM_GUARD=0`` (see
+    ``operators/scan.py::assert_dim_sized``).
     """
     from csv2parquet_spark.operators.scan import assert_dim_sized
 
@@ -863,6 +876,12 @@ def _pq_assign(sv: DataFrame, codebooks) -> DataFrame:
         for pdf in batches:
             C = bc.value  # (m, k, dsub)
             subs = pdf["sub"].to_numpy()
+            if pdf["subvec"].isna().any():
+                raise ValueError(
+                    "pq assign: NULL subvectors in the input (NULL "
+                    "embeddings upstream) — filter them first "
+                    "(df.filter(col.isNotNull()))"
+                )
             M = np.vstack([np.asarray(x, dtype=np.float64) for x in pdf["subvec"]])
             codes = np.empty(len(pdf), dtype=np.int32)
             for s in np.unique(subs):

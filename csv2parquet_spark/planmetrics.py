@@ -20,7 +20,53 @@ summing the Exchange write metrics.
 
 from __future__ import annotations
 
+import hashlib
+import re
+
 from pyspark.sql import DataFrame
+
+# Run-varying tokens inside a physical plan string: expression ids
+# (`l_orderkey#123`), plan ids (`[plan_id=456]`), and exchange/subquery
+# ids (`[id=#78]`) all come from JVM-global counters that differ run to
+# run while the plan SHAPE is identical. Strip them before hashing.
+_PLAN_ID_NOISE = re.compile(r"#\d+|plan_id=\d+|\[id=[^\]]*\]")
+
+
+def plan_signature(df: DataFrame, shuffle_partitions: int | None = None) -> str:
+    """Hash of ``df``'s STATIC physical plan with run-varying ids
+    normalized away — the cheap plan-identity check behind the shuffle
+    lint's fast path (VERDICT r9 item 6).
+
+    Shuffle volume is a pure function of (plan, data, conf); on frozen
+    data under pinned conf, an UNCHANGED plan string implies an
+    unchanged volume, so the lint can skip the full executed-plan
+    capture (one complete query run) whenever this signature matches
+    the pinned one. Materializing ``executedPlan`` runs NO jobs — the
+    signature costs milliseconds where the capture costs the query.
+
+    Same determinism rules as ``executed_shuffle_metrics``: AQE is
+    disabled for the materialization (the AdaptiveSparkPlan wrapper
+    string mutates as stages finish) and ``shuffle_partitions`` should
+    be pinned to the baseline's value (partition counts appear inside
+    ``hashpartitioning(...)`` nodes, so a conf drift changes the
+    signature — which is correct, because it changes the volume too).
+    """
+    spark = df.sparkSession
+    pins = {"spark.sql.adaptive.enabled": "false"}
+    if shuffle_partitions is not None:
+        pins["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    prev = {k: spark.conf.get(k, None) for k in pins}
+    for k, v in pins.items():
+        spark.conf.set(k, v)
+    try:
+        raw = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return hashlib.sha256(_PLAN_ID_NOISE.sub("", raw).encode()).hexdigest()
 
 
 def executed_shuffle_metrics(
@@ -77,6 +123,19 @@ def executed_shuffle_metrics(
                     byt += kv._2().value()
         for i in range(node.children().size()):
             walk(node.children().apply(i))
+        # Subquery plans (scalar/IN-subquery expressions) hang off the
+        # node's EXPRESSIONS, not children() — without this walk an
+        # exchange inside a SubqueryExec is invisible to the lint, so a
+        # regression that moves work into a subquery would go unseen
+        # (ADVICE r9). ReusedSubqueryExec wraps the SAME physical
+        # subquery instance another node already owns — skip it or a
+        # reused subquery's volume double-counts nondeterministically
+        # (reuse pairing depends on dedup order).
+        subs = node.subqueries()
+        for i in range(subs.size()):
+            sub = subs.apply(i)
+            if "ReusedSubquery" not in sub.getClass().getSimpleName():
+                walk(sub)
         if name == "AdaptiveSparkPlanExec":  # pragma: no cover - AQE off
             walk(node.executedPlan())
         if "QueryStage" in name:  # pragma: no cover - AQE off

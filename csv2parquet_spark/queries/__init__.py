@@ -62,28 +62,34 @@ from csv2parquet_spark.queries import order_stats  # noqa: E402,F401
 # ranking.py:286-303); NULL-free plans are byte-identical. The filter
 # draft was reverted because Catalyst pushed the predicate into
 # callers' ANSI-evaluated join conditions (ROUND8.md §12).
-# Behavior changes this round that alter the executed plan of an
-# already-proven query go in _FORCE_FIRST:
-#   - fuzzy_join_levenshtein: the dim-contract size guard (VERDICT r8
-#     item 5) adds a LocalLimit count pre-action; the join plan itself
-#     is unchanged for dim-sized inputs, re-proof is belt-and-braces.
-#   - hard_negative_mining: the anchor panel is now FIXED (vec_id <
-#     2000, the sf0.1 ids — VERDICT r8 item 4); a no-op filter at the
-#     driver's SFs, values identical, plan gains the predicate.
-#   - lpa_copurchase_communities: representative re-proof for the
-#     copurchase_edges NULL-group fix (review r9 — NULL basket keys
-#     now filtered to match self-equi-join semantics; value-neutral on
-#     NULL-free fixtures, plan gains the filter). Also covers
-#     bfs_hops_copurchase / pagerank paths through the same builder.
-#   - agg_approx_distinct: the split-agg rejoin is now NULL-SAFE
-#     (eqNullSafe — r9 NULL-twin audit; a plain equi-join dropped the
-#     NULL group its own oracle keeps). Values identical on the
-#     NULL-free driver fixtures, join condition changed.
+# Round-10: the four r9 re-proofs (fuzzy_join_levenshtein,
+# hard_negative_mining, lpa_copurchase_communities,
+# agg_approx_distinct) all landed green in CORRECTNESS_r09.json —
+# rotated out per protocol. This round's deliberate re-proofs are the
+# NULL-guard hardenings (VERDICT r9 item 4, "improve the 9 numpy-kernel
+# NULL crash messages"): each adds an actionable-raise guard inside a
+# kernel or driver-side collect of an already-proven query. The guards
+# only fire on NULL inputs — the driver fixtures are NULL-free, so
+# values and plans are unchanged; re-proof is belt-and-braces plus
+# the full-registry PREFLIGHT_r10 run.
+#   - simhash_near_dups: NULL token-array guard in the _simhash pandas
+#     UDF (covers every simhash_signatures caller).
+#   - similarity_topk_ivf: NULL query-embedding guard in the IVF probe
+#     UDF (covers similarity_topk_ivf_full and probe_ivf_index users).
+#   - similarity_topk_pq: NULL query-vector guard at the head() read +
+#     NULL subvec guard in the _pq_assign mapInPandas kernel.
+#   - binary_stats_arrow: NULL payload guard in the mapInArrow kernel.
+#   - asof_cogroup_merge: NULL timestamp guard in the cogroup
+#     applyInPandas merge (pandas merge_asof key-dtype contract).
+#   - t_closeness_report: NULL sensitive-value guard before the
+#     driver-side CDF sort.
 _FORCE_FIRST: list[str] = [
-    "fuzzy_join_levenshtein",
-    "hard_negative_mining",
-    "lpa_copurchase_communities",
-    "agg_approx_distinct",
+    "simhash_near_dups",
+    "similarity_topk_ivf",
+    "similarity_topk_pq",
+    "binary_stats_arrow",
+    "asof_cogroup_merge",
+    "t_closeness_report",
 ]
 
 # New registrations that must NOT displace pending proofs go here; they

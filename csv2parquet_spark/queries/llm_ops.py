@@ -1384,7 +1384,16 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    qvec = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    if qvec is None:
+        # Actionable contract error instead of a bare 'NoneType is not
+        # iterable' (r9 NULL-twin audit): the query panel must carry a
+        # real vector.
+        raise ValueError(
+            "similarity_topk_pq: the query vector (vec_id=0) has a NULL "
+            "embedding — fill or filter NULL embeddings first"
+        )
+    query = [float(x) for x in qvec]
     codebooks, sv = pq_train_codebooks(emb, m=8, k=16, n_iter=3)
     encoded = pq_encode(sv, codebooks)
     pq10 = pq_adc_topk(
@@ -1469,6 +1478,12 @@ def binary_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     def kernel(batches):
         for batch in batches:
             payloads = [p.as_py() for p in batch.column("payload")]
+            if any(p is None for p in payloads):
+                raise ValueError(
+                    "binary_stats_arrow: NULL payloads in the input "
+                    "(NULL text rows) — filter them first "
+                    "(df.filter(F.col('text').isNotNull()))"
+                )
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column("doc_id"),

@@ -1339,10 +1339,16 @@ def t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Global sensitive CDF: m (=5) rows — driver-side, enters as literals.
     # Derived from the already-materialized cell grid (Σcp per sens), so
     # the customer⋈orders pass runs ONCE, not twice (ADVICE r7).
-    grows = sorted(
-        cell.groupBy("sens").agg(F.sum("cp").alias("cq")).collect(),
-        key=lambda r: r.sens,
-    )
+    grows_raw = cell.groupBy("sens").agg(F.sum("cp").alias("cq")).collect()
+    if any(r.sens is None for r in grows_raw):
+        # Actionable contract error instead of a bare NoneType-vs-str
+        # sort TypeError (r9 NULL-twin audit): a NULL sensitive value
+        # has no place on the t-closeness CDF.
+        raise ValueError(
+            "t_closeness_report: NULL sensitive-attribute values "
+            "(o_orderpriority) — fill or filter them first"
+        )
+    grows = sorted(grows_raw, key=lambda r: r.sens)
     n_total = sum(r.cq for r in grows)
     m = len(grows)
     run, cq_cum = 0, {}

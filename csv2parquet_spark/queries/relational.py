@@ -584,6 +584,11 @@ def fuzzy_dim_join(
     For corpus-x-corpus fuzzy matching use the blocked n-gram/MinHash
     joins in operators/dedup.py instead; an all-pairs edit distance has
     no scale path.
+
+    The guard is EAGER (a bounded count job at call time) and evaluates
+    ``dim`` twice — cache/checkpoint a nondeterministic dimension side,
+    and see ``operators/scan.py::assert_dim_sized`` for the plan-only
+    opt-out (``SPARK_GRAFT_DIM_GUARD=0``).
     """
     from csv2parquet_spark.operators.scan import assert_dim_sized
 

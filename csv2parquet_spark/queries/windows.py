@@ -369,6 +369,16 @@ def asof_cogroup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             return pd.DataFrame(
                 columns=["event_id", "user_id", "purchase_ms", "prev_click_ms"]
             )
+        if left["purchase_ms"].isna().any() or right["click_ms"].isna().any():
+            # NULL ts rows arrive as NaN and flip the pandas merge key
+            # to float64 — merge_asof then dies with an opaque
+            # 'incompatible merge keys' (r9 NULL-twin audit). Reject
+            # with the contract instead.
+            raise ValueError(
+                "asof_cogroup_merge: NULL event timestamps in the "
+                "input — filter them first "
+                "(df.filter(F.col('ts').isNotNull()))"
+            )
         left = left.sort_values("purchase_ms", kind="mergesort")
         out = left.rename(columns={"purchase_ms": "ts"})
         right = right.sort_values("click_ms", kind="mergesort")

@@ -25,7 +25,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from csv2parquet_spark.planmetrics import executed_shuffle_metrics  # noqa: E402
+from csv2parquet_spark.planmetrics import (  # noqa: E402
+    executed_shuffle_metrics,
+    plan_signature,
+)
 from csv2parquet_spark.queries import REGISTRY  # noqa: E402
 from csv2parquet_spark.session import get_spark  # noqa: E402
 
@@ -48,7 +51,12 @@ def main() -> None:
     )
     baseline: dict = {"sf_dir": SF_DIR, "master": "local[4]",
                       "shuffle_partitions": 4, "keys": {}}
-    if only and os.path.exists(OUT):
+    # ALWAYS merge into the existing baseline when it exists (ADVICE r9):
+    # the old code loaded it only for explicit key args, so a bare
+    # `gen_shuffle_baseline.py` run (HEADLINE keys) silently REPLACED the
+    # committed 286-key file with a 76-key one and ~210 queries lost
+    # their lint pin. Keys not selected this run keep their old volumes.
+    if os.path.exists(OUT):
         with open(OUT) as f:
             baseline = json.load(f)
     # Registry-wide coverage (--all): HEADLINE gets its plan lint from
@@ -62,6 +70,12 @@ def main() -> None:
             continue
         try:
             m = executed_shuffle_metrics(REGISTRY[name].fn(spark, SF_DIR))
+            # Plan signature on a FRESH frame (executedPlan caches per
+            # QueryExecution): the lint's fast path skips the full
+            # capture when a key's signature matches this pin.
+            m["plan_sig"] = plan_signature(
+                REGISTRY[name].fn(spark, SF_DIR), shuffle_partitions=4
+            )
         except Exception as exc:  # noqa: BLE001 — record, don't abort
             print(f"{name}: FAILED {exc!r}", file=sys.stderr)
             continue

@@ -19,8 +19,19 @@ import os
 
 import pytest
 
-from csv2parquet_spark.planmetrics import executed_shuffle_metrics
+from csv2parquet_spark.planmetrics import executed_shuffle_metrics, plan_signature
 from csv2parquet_spark.queries.registry import REGISTRY
+
+# Fast path (VERDICT r9 item 6 — the 286-key full-capture lint costs
+# ~5.5 min of every suite run): a key whose NORMALIZED plan-string
+# signature matches its pin has, by construction, the pinned volume
+# (volume is a function of plan + frozen data + pinned conf), so the
+# full executed capture is skipped. Keys whose signature differs — or
+# that have no pinned signature — always get the full capture and the
+# volume assertion. CI/round-close runs set
+# SPARK_GRAFT_SHUFFLE_LINT_FULL=1 to force the full capture everywhere,
+# keeping an end-to-end volume measurement in the record each round.
+_FULL = os.environ.get("SPARK_GRAFT_SHUFFLE_LINT_FULL", "0") == "1"
 
 _BASELINE_PATH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -64,6 +75,13 @@ def pinned_conf(spark):
 def test_shuffle_volume_pinned(pinned_conf, name):
     spark = pinned_conf
     base = _BASELINE["keys"][name]
+    if not _FULL and base.get("plan_sig"):
+        sig = plan_signature(
+            REGISTRY[name].fn(spark, _BASELINE["sf_dir"]),
+            shuffle_partitions=_BASELINE["shuffle_partitions"],
+        )
+        if sig == base["plan_sig"]:
+            return  # unchanged plan -> pinned volume holds by construction
     got = executed_shuffle_metrics(REGISTRY[name].fn(spark, _BASELINE["sf_dir"]))
     assert got["records"] <= max(base["records"] * _GROWTH, base["records"] + 64), (
         f"{name}: shuffle records grew {base['records']} -> {got['records']} "
