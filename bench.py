@@ -231,6 +231,15 @@ CONV_CANARY_REF = {
     "r8": {"single_file_sec": 3.227, "parallel_sec": 1.955},
 }
 
+# Mid-size (~117 MB) conversion canary pins — driver-measured r9
+# (BENCH_DETAIL.json @ commit 2b99c06; adopted into the BASELINE.md
+# anchor table in r10 per VERDICT r9 item 5). Large enough that
+# parse+encode dominates job overhead, so this ratio tracks sustained
+# conversion throughput where the 39 MB fixture tracks fixed overhead.
+MID_CONV_CANARY_REF = {
+    "r9": {"single_file_sec": 5.463, "parallel_sec": 3.419},
+}
+
 
 def _inter_key_cleanup(spark) -> None:
     """JMH-style forced GC between benchmark keys — OFF by default
@@ -287,13 +296,14 @@ def canary_section(times: dict[str, float]) -> dict:
     return out
 
 
-def conv_canary_section(conv: dict) -> dict:
+def conv_canary_section(conv: dict, mid: dict | None = None) -> dict:
     """Box I/O-speed ratios for the conversion path, from the pinned
-    small-fixture times (see CONV_CANARY_REF). Lives next to the query
+    small-fixture times (see CONV_CANARY_REF) and, when available, the
+    mid-size canary (MID_CONV_CANARY_REF). Lives next to the query
     canaries so a future big-conversion swing arrives pre-adjudicated:
     conv canary moved too = box I/O phase; big path moved alone at
     stable canary = real code/plan regression."""
-    out: dict = {"ref": CONV_CANARY_REF}
+    out: dict = {"ref": CONV_CANARY_REF, "mid_ref": MID_CONV_CANARY_REF}
     for rnd, ref in CONV_CANARY_REF.items():
         ratios = {
             k: round(conv[k] / ref[k], 3)
@@ -302,6 +312,16 @@ def conv_canary_section(conv: dict) -> dict:
         }
         out[f"ratios_vs_{rnd}"] = ratios
         out[f"box_ratio_vs_{rnd}"] = (
+            round(_median(list(ratios.values())), 3) if ratios else None
+        )
+    for rnd, ref in MID_CONV_CANARY_REF.items():
+        ratios = {
+            k: round(mid[k] / ref[k], 3)
+            for k in ("single_file_sec", "parallel_sec")
+            if mid and isinstance(mid.get(k), (int, float)) and ref.get(k)
+        }
+        out[f"mid_ratios_vs_{rnd}"] = ratios
+        out[f"mid_box_ratio_vs_{rnd}"] = (
             round(_median(list(ratios.values())), 3) if ratios else None
         )
     return out
@@ -633,7 +653,7 @@ def main() -> None:
         conv_big = {"error": repr(exc)}
     try:
         conv_cal = (
-            conv_canary_section(conv)
+            conv_canary_section(conv, conv_canary)
             if sf_val == 0.1 and "error" not in conv
             else {"skipped": f"conv canary refs are sf0.1, ran sf{sf_val}"}
         )

@@ -245,6 +245,28 @@ def _apply_writer_conf(spark: SparkSession, opts: ConvertOptions) -> dict[str, s
             "both chunk and page level)",
             stacklevel=3,
         )
+    if opts.encoding in ("bit-packed", "delta-length-byte-array"):
+        # The two residual W2 values (VERDICT r9 item 7): make the
+        # documented fallback LOUD instead of a silent nearest-neighbor.
+        # bit-packed is a deprecated LEVEL encoding parquet-mr always
+        # chooses itself (the flag can't change data encodings);
+        # delta-length-byte-array is unreachable because v2 writers emit
+        # DELTA_BYTE_ARRAY for byte arrays (reference accepts both:
+        # /root/reference/src/main.rs:25-35, applied at main.rs:206-218).
+        import warnings
+
+        fallback = (
+            "level encodings are chosen by parquet-mr; data encodings "
+            "keep their defaults"
+            if opts.encoding == "bit-packed"
+            else "format v2 with dictionary off writes byte arrays as "
+            "DELTA_BYTE_ARRAY (its delta family) instead"
+        )
+        warnings.warn(
+            f"encoding={opts.encoding!r} cannot be forced through "
+            f"parquet-mr; {fallback}",
+            stacklevel=3,
+        )
     # Record None for keys that were UNSET so restore can conf.unset()
     # them — restoring as "" would make a later parquet write in the same
     # JVM feed Hadoop's Configuration.getInt an empty string (NFE).
