@@ -304,11 +304,23 @@ def conv_canary_section(conv: dict, mid: dict | None = None) -> dict:
     conv canary moved too = box I/O phase; big path moved alone at
     stable canary = real code/plan regression."""
     out: dict = {"ref": CONV_CANARY_REF, "mid_ref": MID_CONV_CANARY_REF}
+    # Each ref family gates on ITS OWN source dict (ADVICE r10): a
+    # failed small-fixture bench must not skip the independent
+    # mid-canary calibration, and vice versa — and a skip is recorded
+    # with an explicit reason, never as silently-empty ratios.
+    conv_ok = isinstance(conv, dict) and "error" not in conv
+    mid_ok = isinstance(mid, dict) and "error" not in mid
+    if not conv_ok:
+        out["small_skipped"] = f"conv bench unavailable: {conv!r}"[:200]
+    if not mid_ok:
+        out["mid_skipped"] = f"mid conv canary unavailable: {mid!r}"[:200]
     for rnd, ref in CONV_CANARY_REF.items():
         ratios = {
             k: round(conv[k] / ref[k], 3)
             for k in ("single_file_sec", "parallel_sec")
-            if isinstance(conv.get(k), (int, float)) and ref.get(k)
+            if conv_ok
+            and isinstance(conv.get(k), (int, float))
+            and ref.get(k)
         }
         out[f"ratios_vs_{rnd}"] = ratios
         out[f"box_ratio_vs_{rnd}"] = (
@@ -318,7 +330,9 @@ def conv_canary_section(conv: dict, mid: dict | None = None) -> dict:
         ratios = {
             k: round(mid[k] / ref[k], 3)
             for k in ("single_file_sec", "parallel_sec")
-            if mid and isinstance(mid.get(k), (int, float)) and ref.get(k)
+            if mid_ok
+            and isinstance(mid.get(k), (int, float))
+            and ref.get(k)
         }
         out[f"mid_ratios_vs_{rnd}"] = ratios
         out[f"mid_box_ratio_vs_{rnd}"] = (
@@ -652,9 +666,12 @@ def main() -> None:
     except Exception as exc:  # pragma: no cover - defensive
         conv_big = {"error": repr(exc)}
     try:
+        # Per-family gating lives INSIDE conv_canary_section (ADVICE
+        # r10); the only section-level skip is the wrong-SF case where
+        # no ref family is comparable.
         conv_cal = (
             conv_canary_section(conv, conv_canary)
-            if sf_val == 0.1 and "error" not in conv
+            if sf_val == 0.1
             else {"skipped": f"conv canary refs are sf0.1, ran sf{sf_val}"}
         )
     except Exception as exc:  # pragma: no cover - defensive

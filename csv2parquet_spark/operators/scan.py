@@ -4,6 +4,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# One-shot latch for the SPARK_GRAFT_DIM_GUARD=0 warning below.
+_DIM_GUARD_WARNED = False
+
 
 def parallelize_scan(df: DataFrame) -> DataFrame:
     """Repartition a too-few-partition input up to default parallelism.
@@ -74,6 +77,23 @@ def assert_dim_sized(
     import os
 
     if os.environ.get("SPARK_GRAFT_DIM_GUARD", "1") == "0":
+        # One-time loud trace (ADVICE r10): the env var is meant for
+        # plan-only tooling; if it leaks into a real run, the
+        # quadratic-join path reopens — make that visible in logs
+        # instead of silent.
+        global _DIM_GUARD_WARNED
+        if not _DIM_GUARD_WARNED:
+            _DIM_GUARD_WARNED = True
+            import warnings
+
+            warnings.warn(
+                "SPARK_GRAFT_DIM_GUARD=0: the broadcastable-dimension "
+                "size guard is DISABLED process-wide; oversized lookup "
+                "sides will broadcast unchecked (intended only for "
+                "plan-only tooling that must stay job-free)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return df
     n = df.limit(max_rows + 1).count()
     if n > max_rows:

@@ -159,3 +159,59 @@ def executed_shuffle_metrics(
             else:
                 spark.conf.set(k, v)
     return {"records": int(rec), "bytes": int(byt)}
+
+
+def kernel_source_hash(fn) -> str:
+    """SHA-256 over the source of ``fn``'s defining module plus every
+    in-package module it transitively reaches — the UDF-body half of
+    the shuffle lint's fast-path identity (ADVICE r10).
+
+    ``plan_signature`` hashes the physical plan STRING, and plans with
+    Python kernels (mapInPandas / applyInPandas / ArrowEvalPython —
+    pervasive here) show only the UDF's *name*: a kernel-body edit
+    that changes emitted row counts leaves the signature untouched, so
+    the fast path would silently skip the volume assertion for exactly
+    the regression class it exists to catch. Folding in a source hash
+    of the query fn's module closure makes any edit anywhere near the
+    key's code invalidate the fast path — the full executed capture
+    then re-measures the real volume. False invalidations (editing an
+    unrelated query in the same module) cost one capture, never a
+    missed regression; the pin self-heals at the next baseline regen.
+
+    Closure rule: start at ``fn``'s module; pull in (a) package
+    submodules it references, (b) the defining modules of any
+    package-level functions/classes it imported; repeat to a fixed
+    point. Hash = sha256 over (sorted module name, source bytes).
+    """
+    import inspect
+    import sys as _sys
+
+    pkg = __name__.split(".")[0] + "."
+    mod = inspect.getmodule(fn)
+    todo = [mod.__name__] if mod is not None else []
+    seen: set[str] = set()
+    while todo:
+        name = todo.pop()
+        if name in seen or not name.startswith(pkg):
+            continue
+        seen.add(name)
+        m = _sys.modules.get(name)
+        if m is None:
+            continue
+        for attr in vars(m).values():
+            if inspect.ismodule(attr):
+                todo.append(getattr(attr, "__name__", ""))
+            else:
+                owner = getattr(attr, "__module__", None)
+                if isinstance(owner, str):
+                    todo.append(owner)
+    h = hashlib.sha256()
+    for name in sorted(seen):
+        m = _sys.modules.get(name)
+        try:
+            src = inspect.getsource(m)
+        except (OSError, TypeError):  # pragma: no cover - C/missing src
+            src = name
+        h.update(name.encode())
+        h.update(src.encode())
+    return h.hexdigest()

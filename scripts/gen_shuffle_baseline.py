@@ -27,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from csv2parquet_spark.planmetrics import (  # noqa: E402
     executed_shuffle_metrics,
+    kernel_source_hash,
     plan_signature,
 )
 from csv2parquet_spark.queries import REGISTRY  # noqa: E402
@@ -76,6 +77,12 @@ def main() -> None:
             m["plan_sig"] = plan_signature(
                 REGISTRY[name].fn(spark, SF_DIR), shuffle_partitions=4
             )
+            # UDF-body half of the fast-path identity (ADVICE r10):
+            # plans with Python kernels show only the UDF *name*, so
+            # the plan signature alone is blind to kernel-body edits —
+            # the source-closure hash invalidates the fast path for any
+            # edit near the key's code.
+            m["kernel_sig"] = kernel_source_hash(REGISTRY[name].fn)
         except Exception as exc:  # noqa: BLE001 — record, don't abort
             print(f"{name}: FAILED {exc!r}", file=sys.stderr)
             continue

@@ -226,6 +226,21 @@ def diff_vs_prior(hits: dict, rnd: int | None) -> tuple[dict, list[str]]:
                 "changed": sorted(changed)})
     flags += [f"NEW hit vs prior: {n}" for n in new]
     flags += [f"CHANGED vs prior: {c}" for c in sorted(changed)]
+    # A resolved hit in a DELIBERATE-raise class is itself a behavior
+    # change worth a loud flag (ADVICE r10): guard-loud and
+    # kernel-null-reject hits exist BECAUSE the guard raises on the
+    # NULL twin — one "resolving" means the guard stopped firing, which
+    # is a regression unless the kernel grew a real (tested) NULL
+    # contract this round. Other classes resolving is the intended
+    # burn-down and stays informational.
+    for name in resolved:
+        pc = phits[name].get("class")
+        if pc in ("guard-loud", "kernel-null-reject"):
+            flags.append(
+                f"RESOLVED {pc} hit: {name} — its guard no longer fires "
+                "on the NULL twin; verify a tested NULL contract "
+                "replaced it before committing"
+            )
     return out, flags
 
 
@@ -255,6 +270,13 @@ def main() -> None:
     rnd: int | None = None
     if "--round" in args:
         i = args.index("--round")
+        # Validate loudly (ADVICE r10): a missing/non-integer value used
+        # to die with a bare IndexError/ValueError.
+        if i + 1 >= len(args) or not args[i + 1].lstrip("-").isdigit():
+            sys.exit(
+                "usage: null_audit.py [--gen-only] [--round N] [key ...]"
+                " — --round requires an integer round number"
+            )
         rnd = int(args[i + 1])
         args = args[:i] + args[i + 2:]
     gen_fixture()

@@ -44,6 +44,12 @@ GUARDED = [
     ("asof_cogroup_merge", "asof_cogroup_merge: NULL event timestamps"),
     ("t_closeness_report", "NULL sensitive-attribute values"),
     ("embedding_near_dups", "lsh signatures: NULL embeddings"),
+    # ADVICE r10: the two remaining adjudicated kernel-null-reject
+    # entry points share kernels with rows above but enter through
+    # DIFFERENT paths (full-index probe; localCheckpoint-wrapped LSH
+    # pipeline) — pin them so an entry-path regression can't hide.
+    ("similarity_topk_ivf_full", "ivf probe: NULL query embeddings"),
+    ("embedding_semantic_dedup", "lsh signatures: NULL embeddings"),
 ]
 
 

@@ -19,7 +19,11 @@ import os
 
 import pytest
 
-from csv2parquet_spark.planmetrics import executed_shuffle_metrics, plan_signature
+from csv2parquet_spark.planmetrics import (
+    executed_shuffle_metrics,
+    kernel_source_hash,
+    plan_signature,
+)
 from csv2parquet_spark.queries.registry import REGISTRY
 
 # Fast path (VERDICT r9 item 6 — the 286-key full-capture lint costs
@@ -28,9 +32,13 @@ from csv2parquet_spark.queries.registry import REGISTRY
 # (volume is a function of plan + frozen data + pinned conf), so the
 # full executed capture is skipped. Keys whose signature differs — or
 # that have no pinned signature — always get the full capture and the
-# volume assertion. CI/round-close runs set
-# SPARK_GRAFT_SHUFFLE_LINT_FULL=1 to force the full capture everywhere,
-# keeping an end-to-end volume measurement in the record each round.
+# volume assertion. Round-close runs MUST set
+# SPARK_GRAFT_SHUFFLE_LINT_FULL=1 (mandatory per ADVICE r10, not
+# opt-in): the fast path is a dev-loop accelerator only; each round's
+# record keeps one end-to-end volume measurement of every key. The
+# fast path checks BOTH the plan signature and the kernel
+# source-closure hash — UDF-body edits, invisible in the plan string,
+# also force the real capture.
 _FULL = os.environ.get("SPARK_GRAFT_SHUFFLE_LINT_FULL", "0") == "1"
 
 _BASELINE_PATH = os.path.join(
@@ -75,13 +83,25 @@ def pinned_conf(spark):
 def test_shuffle_volume_pinned(pinned_conf, name):
     spark = pinned_conf
     base = _BASELINE["keys"][name]
-    if not _FULL and base.get("plan_sig"):
+    if not _FULL and base.get("plan_sig") and base.get("kernel_sig"):
+        # Fast path requires BOTH halves of the identity (ADVICE r10):
+        # the plan signature (plan shape under pinned conf) AND the
+        # kernel source-closure hash. Plans with Python kernels
+        # (mapInPandas / applyInPandas / ArrowEvalPython) show only the
+        # UDF *name* in the plan string, so a kernel-body edit that
+        # changes emitted row counts would pass the plan check alone —
+        # the source hash forces the full capture for exactly those
+        # edits. Keys without a kernel_sig pin always get the full
+        # capture until the baseline is regenerated.
         sig = plan_signature(
             REGISTRY[name].fn(spark, _BASELINE["sf_dir"]),
             shuffle_partitions=_BASELINE["shuffle_partitions"],
         )
-        if sig == base["plan_sig"]:
-            return  # unchanged plan -> pinned volume holds by construction
+        if (
+            sig == base["plan_sig"]
+            and kernel_source_hash(REGISTRY[name].fn) == base["kernel_sig"]
+        ):
+            return  # unchanged plan+kernels -> pinned volume holds
     got = executed_shuffle_metrics(REGISTRY[name].fn(spark, _BASELINE["sf_dir"]))
     assert got["records"] <= max(base["records"] * _GROWTH, base["records"] + 64), (
         f"{name}: shuffle records grew {base['records']} -> {got['records']} "
