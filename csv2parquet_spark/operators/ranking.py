@@ -34,22 +34,29 @@ from pyspark.sql import functions as F
 
 def global_row_number(
     df: DataFrame,
-    keys: list[str],
+    keys: list,
     rn_col: str = "rn",
     num_partitions: int | None = None,
 ) -> tuple[DataFrame, int]:
     """Attach a 1-based global row number ordered by ``keys`` (which must
     be a total order) without any single-partition stage. Returns
     ``(df_with_rn, total_rows)``.
+
+    ``keys`` entries may be column names or sort-order Columns
+    (e.g. ``F.asc_nulls_last("x")``) — NULL-bearing order keys need an
+    EXPLICIT NULL placement to match any fixed oracle contract (r11
+    NULL-twin burn-down; Spark's range sort defaults to NULLS FIRST
+    where DuckDB defaults to NULLS LAST).
     """
     import numpy as np
     import pandas as pd  # noqa: F401  (mapInPandas batches are pandas)
 
+    cols = [k if isinstance(k, Column) else F.col(k) for k in keys]
     part = df.repartitionByRange(
         num_partitions
         or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")),
-        *[F.col(k) for k in keys],
-    ).sortWithinPartitions(*keys)
+        *cols,
+    ).sortWithinPartitions(*cols)
     part = part.localCheckpoint()  # pin layout: both passes, one sort
 
     # pass 1: P partition counts -> cumulative offsets (driver holds P ints)
@@ -335,7 +342,7 @@ def ntile_of(rn: Column, n: int, tiles: int) -> Column:
 
 def rank_stats(
     df: DataFrame,
-    keys: list[str],
+    keys: list,
     tiles: int = 4,
     num_partitions: int | None = None,
 ) -> DataFrame:

@@ -83,13 +83,31 @@ from csv2parquet_spark.queries import order_stats  # noqa: E402,F401
 #     applyInPandas merge (pandas merge_asof key-dtype contract).
 #   - t_closeness_report: NULL sensitive-value guard before the
 #     driver-side CDF sort.
+# Round-11: the six r10 NULL-guard re-proofs all landed green in
+# CORRECTNESS_r10.json — rotated out per protocol. This round's
+# deliberate re-proofs are the NULL-twin burn-down edits (VERDICT r10
+# items 1/2/4): each aligns a NULL contract (explicit NULLS LAST
+# ordering, NULL-key-never-matches gates, NULL-row exclusion filters)
+# on BOTH the Spark query and its oracle. Clean-fixture values are
+# unchanged by construction (the driver fixtures are NULL-free), but
+# every one of these queries' code or oracle changed, so they take the
+# window head for a driver re-proof.
 _FORCE_FIRST: list[str] = [
-    "simhash_near_dups",
-    "similarity_topk_ivf",
-    "similarity_topk_pq",
-    "binary_stats_arrow",
-    "asof_cogroup_merge",
-    "t_closeness_report",
+    # null-sort-order class (14)
+    "incremental_dedup_report",
+    "window_lag_lead_order_gaps",
+    "window_ntile_scalable",
+    "window_first_last_nth",
+    "asof_purchase_prev_click",
+    "asof_purchase_nearest_click",
+    "top_event_trigrams",
+    "mom_revenue_growth",
+    "ewma_user_value",
+    "stock_running_balance",
+    "km_reorder_survival",
+    "event_transition_bigrams",
+    "rrf_fusion_hybrid",
+    "scd2_user_tier_history",
 ]
 
 # New registrations that must NOT displace pending proofs go here; they

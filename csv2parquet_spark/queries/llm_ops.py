@@ -1913,12 +1913,19 @@ def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT new_id AS doc_id, count(*) AS n_near_dups
       FROM cross_pairs GROUP BY new_id
     ), old_md5 AS (
-      SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 7 <> 0
+      -- NULL contract (r11): NULL text is never an exact dup — keep
+      -- NULL hashes out of the IN-list and coalesce the three-valued
+      -- NULL IN (...) result to FALSE, matching the engine's left-semi
+      -- screen (where a NULL hash simply never matches).
+      SELECT DISTINCT md5(text) AS h FROM documents
+      WHERE doc_id % 7 <> 0 AND text IS NOT NULL
     )
     SELECT d.doc_id,
-           (md5(d.text) IN (SELECT h FROM old_md5)) AS is_exact_dup,
+           coalesce(md5(d.text) IN (SELECT h FROM old_md5), FALSE)
+             AS is_exact_dup,
            coalesce(near.n_near_dups, 0) AS n_near_dups,
-           CASE WHEN md5(d.text) IN (SELECT h FROM old_md5) THEN 'exact'
+           CASE WHEN coalesce(md5(d.text) IN (SELECT h FROM old_md5), FALSE)
+                  THEN 'exact'
                 WHEN coalesce(near.n_near_dups, 0) > 0 THEN 'near'
                 ELSE 'unique' END AS verdict
     FROM documents d LEFT JOIN near ON near.doc_id = d.doc_id

@@ -311,7 +311,7 @@ def lang_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN value < 50 THEN 'low'
                   WHEN value < 150 THEN 'mid'
                   ELSE 'high' END AS tier
-      FROM events WHERE event_type = 'purchase'
+      FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
     ), o AS (
       SELECT user_id, ts, event_id, tier,
              CASE WHEN lag(tier) OVER (PARTITION BY user_id
@@ -353,10 +353,13 @@ def scd2_user_tier_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan is one keyed shuffle + narrow windows; this is exactly how
     MERGE-style SCD2 engines (Delta/Hudi) sequence change capture.
     """
+    # NULL contract (r11): a purchase with NULL ts has no place on a
+    # validity timeline — excluded on both sides (NULL ts otherwise
+    # sorts differently per engine and shifts every change point).
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     p = (
         table(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "purchase")
+        .filter((F.col("event_type") == "purchase") & F.col("ts").isNotNull())
         .select(
             "user_id",
             "ts",

@@ -333,8 +333,9 @@ def _rank_by_count(
     ), dense AS (
       SELECT b.vec_id AS doc_id,
              round({_sql_cosine('b.embedding', 'q.embedding')}, 6) AS sim
-      FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
-      WHERE b.vec_id <> 0
+      FROM embeddings b, (SELECT embedding FROM embeddings
+                          WHERE vec_id = 0 AND embedding IS NOT NULL) q
+      WHERE b.vec_id <> 0 AND b.embedding IS NOT NULL
       ORDER BY sim DESC, b.vec_id LIMIT 20
     ), drank AS (
       SELECT doc_id,
@@ -375,7 +376,13 @@ def rrf_fusion_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csv2parquet_spark.operators.similarity import topk_similar
 
     sparse = _bm25_top20(spark, sf_dir).localCheckpoint()
-    e = table(spark, sf_dir, "embeddings")
+    # NULL contract (r11): a NULL vector can neither be queried nor
+    # retrieved — filtered on both sides of the dense retriever and
+    # mirrored in the oracle (with a NULL query the dense leg is empty
+    # and fusion degrades to sparse-only ranks, identically).
+    e = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     q = e.filter(F.col("vec_id") == 0).select("embedding")
     dense = (
         topk_similar(e.filter(F.col("vec_id") != 0), q, k=20)

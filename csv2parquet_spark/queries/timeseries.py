@@ -410,7 +410,9 @@ def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
              string_split(list_aggr(list(substr(event_type, 1, 1)
                                          ORDER BY ts, event_id),
                                     'string_agg', '~'), '~') AS t
-      FROM events GROUP BY user_id
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY user_id
     )
     SELECT t[i] || '>' || t[i+1] || '>' || t[i+2] AS path, count(*) AS n
     FROM s, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i)
@@ -426,8 +428,16 @@ def top_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded per-key state, event_id tie-break); trigrams come from
     the O(n) zip_with shingle builder map-side; the census is a
     partial-aggregated count + TakeOrderedAndProject top-10.
+
+    NULL contract (r11): events with a NULL timestamp or NULL type
+    carry no position / no step in a behavioral path — excluded
+    explicitly on both sides (an implicit contract diverged: DuckDB's
+    string_agg silently skips NULL chars while Spark's array keeps
+    them, and NULL ts sorts differently per engine).
     """
-    e = table(spark, sf_dir, "events")
+    e = table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
     seqs = (
         e.select(
             "user_id",
@@ -461,7 +471,7 @@ def top_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_orderpriority AS priority,
              strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
              {sql_dsum('o_totalprice', 'revenue')}
-      FROM orders GROUP BY 1, 2
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2
     )
     SELECT priority, month, revenue,
            round(CASE WHEN lag(revenue) OVER w IS NULL THEN NULL
@@ -481,8 +491,14 @@ def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     never over raw rows); revenue is the registry's decimal-sum
     discipline, so the growth ratio divides two engine-identical
     doubles before the 6-dp round.
+
+    NULL contract (r11): orders with a NULL date belong to no month —
+    excluded explicitly on both sides (an implicit NULL month cell
+    otherwise lands at a different end of each engine's lag chain).
     """
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    )
     m = o.groupBy(
         F.col("o_orderpriority").alias("priority"),
         F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
@@ -788,7 +804,7 @@ def _ewma_lag_sql() -> str:
     SELECT event_id, user_id, epoch_ms(ts) AS epoch_ms,
            round(CAST(({num}) AS DOUBLE) / ({den}) / 100, 4) AS ewma
     FROM c
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id)
     """
 
 
@@ -811,6 +827,11 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one hash exchange on ``user_id`` (high-cardinality), lag
     frame of constant depth 8 — state per row is O(K); no global sort,
     no unbounded frame growth.
+
+    NULL contract (r11): rows with NULL ts sort LAST, explicitly on
+    both sides (Spark ASC defaults NULLS FIRST, DuckDB NULLS LAST);
+    NULL values already renormalize identically via the null-aware
+    denominator.
     """
     e = table(spark, sf_dir, "events")
     c = e.select(
@@ -819,7 +840,9 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), "event_id"
+    )
     num = None
     den = None
     for i in range(_EWMA_K):
@@ -850,12 +873,14 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_id, epoch_ms, delta,
              sum(delta) OVER w AS cum
       FROM d
-      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms, event_id)
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms NULLS LAST,
+                   event_id)
     ), m AS (
       SELECT user_id, event_id, epoch_ms, delta, cum,
              min(cum) OVER w AS run_min
       FROM s
-      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms, event_id)
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms NULLS LAST,
+                   event_id)
     )
     SELECT user_id, event_id, epoch_ms, delta,
            CAST(cum - least(run_min, 0) AS BIGINT) AS balance
@@ -876,6 +901,10 @@ def stock_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deltas are integer (floor of value), so the closed form is exact
     arithmetic on both engines; the oracle computes the identical
     nested windows.
+
+    NULL contract (r11): NULL-ts rows sort LAST explicitly on both
+    sides (engine defaults diverge); their NULL deltas are skipped by
+    sum/min identically, so the balances agree once order does.
     """
     e = table(spark, sf_dir, "events")
     d = e.select(
@@ -889,7 +918,9 @@ def stock_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(-F.floor(F.col("value") / 2).cast("long"))
         .alias("delta"),
     )
-    w = Window.partitionBy("user_id").orderBy("epoch_ms", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("epoch_ms"), "event_id"
+    )
     cum = F.sum("delta").over(w)
     run_min = F.min(cum).over(w)
     return d.select(
@@ -1331,7 +1362,7 @@ def sessionize_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_custkey AS c,
              CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT)
                AS day
-      FROM orders
+      FROM orders WHERE o_orderdate IS NOT NULL
     ), w AS (
       SELECT CAST(max(day) AS BIGINT) AS wend FROM o
     ), sp AS (
@@ -1398,13 +1429,21 @@ def km_reorder_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from csv2parquet_spark.operators.ranking import global_cumsum
 
-    o = table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c"),
-        F.datediff(
-            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+    # NULL contract (r11): an order with no date has no duration —
+    # excluded on both sides before the gap windows (a NULL day would
+    # otherwise sort differently per engine and poison nxt-day gaps).
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .select(
+            F.col("o_custkey").alias("c"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1992-01-01").cast("date"),
+            )
+            .cast("long")
+            .alias("day"),
         )
-        .cast("long")
-        .alias("day"),
     )
     wend = o.agg(F.max("day").alias("wend"))
     sp = o.withColumn(
@@ -1938,6 +1977,7 @@ _PEAK_SHARD_BUCKETS: int | None = None
              lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nts,
              ts
       FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
     )
     SELECT src_event, dst_event, CAST(count(*) AS BIGINT) AS n_transitions
     FROM nxt
@@ -1961,8 +2001,17 @@ def event_transition_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One window partitioned by user (high-cardinality key, single
     exchange), one 25-cell aggregate, TakeOrdered top-k — no self-join
-    on the event stream."""
-    e = table(spark, sf_dir, "events")
+    on the event stream.
+
+    NULL contract (r11): an event with NULL ts has no position in the
+    gap-bounded adjacency and a NULL type is not a step — both
+    excluded explicitly on both sides (NULL ts otherwise sorts
+    differently per engine, changing which events are adjacent, and a
+    NULL src group reaching the top-20 LIMIT boundary ties
+    differently)."""
+    e = table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     nxt = e.select(
         F.col("event_type").alias("src_event"),

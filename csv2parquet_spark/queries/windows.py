@@ -59,13 +59,21 @@ def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            epoch_ms(lag(o_orderdate)  OVER w) AS prev_ms,
            epoch_ms(lead(o_orderdate) OVER w) AS next_ms
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate NULLS LAST, o_orderkey)
     """,
 )
 def window_lag_lead_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag/lead over per-customer order history: gap-to-previous days."""
+    """lag/lead over per-customer order history: gap-to-previous days.
+
+    NULL contract (r11): orders with NULL o_orderdate sort LAST,
+    explicitly on both sides — Spark defaults ASC to NULLS FIRST,
+    DuckDB to NULLS LAST, so an implicit ordering diverges the moment
+    a date is missing (NULL-twin audit class null-sort-order)."""
     o = table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc_nulls_last("o_orderdate"), "o_orderkey"
+    )
     return o.select(
         "o_custkey",
         "o_orderkey",
@@ -132,7 +140,7 @@ def window_ntile_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(percent_rank() OVER w, 6) AS pct_rank,
            round(cume_dist() OVER w, 6) AS cume
     FROM orders
-    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    WINDOW w AS (ORDER BY o_totalprice NULLS LAST, o_orderkey)
     """,
 )
 def window_ntile_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -146,39 +154,51 @@ def window_ntile_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csv2parquet_spark.operators.ranking import rank_stats
 
     o = table(spark, sf_dir, "orders")
-    return rank_stats(o, ["o_totalprice", "o_orderkey"], tiles=4).select(
-        "o_orderkey", "quartile", "pct_rank", "cume"
-    )
+    # NULL contract (r11): NULL prices rank LAST, explicit on both
+    # sides (rank_stats threads the sort-order through the range
+    # exchange; Spark's default would be NULLS FIRST, DuckDB's LAST).
+    return rank_stats(
+        o, [F.asc_nulls_last("o_totalprice"), "o_orderkey"], tiles=4
+    ).select("o_orderkey", "quartile", "pct_rank", "cume")
 
 
 @register(
     "window_first_last_nth",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           first_value(o_totalprice) OVER w AS cheapest,
-           last_value(o_totalprice)  OVER w AS priciest,
-           nth_value(o_totalprice, 2) OVER w AS second_cheapest
+           first_value(o_totalprice IGNORE NULLS) OVER w AS cheapest,
+           last_value(o_totalprice IGNORE NULLS)  OVER w AS priciest,
+           nth_value(o_totalprice, 2 IGNORE NULLS) OVER w AS second_cheapest
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice NULLS LAST, o_orderkey
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
 )
 def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first/last/nth_value over a full-partition frame (the frame must
     be explicit: the SQL default frame stops at CURRENT ROW, which makes
-    last_value just the current row)."""
+    last_value just the current row).
+
+    NULL contract (r11): value picks IGNORE NULLS on both sides — a
+    NULL price is never 'cheapest'/'priciest'/'second cheapest'; the
+    non-NULL subsequence keeps its relative order under any NULL
+    placement, and the ordering is pinned NULLS LAST explicitly for
+    good measure (null-sort-order burn-down)."""
     o = table(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy("o_totalprice", "o_orderkey")
+        .orderBy(F.asc_nulls_last("o_totalprice"), "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.first("o_totalprice").over(w).alias("cheapest"),
-        F.last("o_totalprice").over(w).alias("priciest"),
-        F.nth_value("o_totalprice", 2).over(w).alias("second_cheapest"),
+        F.first("o_totalprice", ignorenulls=True).over(w).alias("cheapest"),
+        F.last("o_totalprice", ignorenulls=True).over(w).alias("priciest"),
+        F.nth_value("o_totalprice", 2, ignoreNulls=True)
+        .over(w)
+        .alias("second_cheapest"),
     )
 
 
@@ -238,6 +258,18 @@ def asof_purchase_prev_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern — one shuffle on user_id, a range-frame max over epoch
     millis, then filter back to purchases. Scales as a single window
     (no per-row subquery, no pandas): state per user is O(1).
+
+    NULL contract (r11): a NULL join key never matches — SQL equality
+    semantics, which the oracle's correlated subquery gets for free
+    but ``partitionBy`` does NOT (Spark windows lump NULL keys into
+    one pseudo-partition, so a NULL-user purchase would see NULL-user
+    clicks). The explicit ``user_id IS NOT NULL`` gate restores the
+    SQL contract. A NULL event time is gated explicitly too: Spark
+    range frames anchored on a NULL ordering value are asymmetric
+    (empty BACKWARD frame, but the FORWARD frame sees every non-NULL
+    row because NULLs sort first) — the gate pins `ts < NULL` / `ts >
+    NULL` = no match on both directions rather than relying on that
+    incidental emptiness.
     """
     e = table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "click")
@@ -249,8 +281,12 @@ def asof_purchase_prev_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts_ms")
         .rangeBetween(Window.unboundedPreceding, -1)
     )
+    prev = F.when(
+        F.col("user_id").isNotNull() & F.col("ts_ms").isNotNull(),
+        F.max(click_ms).over(w),
+    )
     return (
-        e.withColumn("prev_click_ms", F.max(click_ms).over(w))
+        e.withColumn("prev_click_ms", prev)
         .filter(F.col("event_type") == "purchase")
         .select(
             "event_id",
@@ -297,7 +333,14 @@ def asof_purchase_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     union+window pass — a single user_id shuffle; the two range frames
     share the window's partitioning and sort, so the forward direction
     is free once the backward one is paid. No per-row subquery, no
-    pandas; state per user is O(1)."""
+    pandas; state per user is O(1).
+
+    NULL contract (r11): same as the backward twin — a NULL user_id
+    or NULL purchase time never matches (explicit gate mirroring SQL
+    equality/comparison; Spark's partitionBy would otherwise pair
+    NULL-user purchases with NULL-user clicks, and the FORWARD range
+    frame anchored on a NULL ts sees every non-NULL row because NULLs
+    sort first)."""
     e = table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "click")
     )
@@ -306,6 +349,7 @@ def asof_purchase_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = Window.partitionBy("user_id").orderBy("ts_ms")
     w_prev = base.rangeBetween(Window.unboundedPreceding, -1)
     w_next = base.rangeBetween(1, Window.unboundedFollowing)
+    keyed = F.col("user_id").isNotNull() & F.col("ts_ms").isNotNull()
     prev_c, next_c = F.col("prev_click_ms"), F.col("next_click_ms")
     nearest = (
         F.when(prev_c.isNull(), next_c)
@@ -314,8 +358,8 @@ def asof_purchase_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(next_c)
     )
     return (
-        e.withColumn("prev_click_ms", F.max(click_ms).over(w_prev))
-        .withColumn("next_click_ms", F.min(click_ms).over(w_next))
+        e.withColumn("prev_click_ms", F.when(keyed, F.max(click_ms).over(w_prev)))
+        .withColumn("next_click_ms", F.when(keyed, F.min(click_ms).over(w_next)))
         .filter(F.col("event_type") == "purchase")
         .select(
             "event_id",
