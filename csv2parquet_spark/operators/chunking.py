@@ -37,7 +37,12 @@ def chunk_documents(
 ) -> DataFrame:
     """(doc_id, chunk_idx, chunk_text[, *extra_cols]) via Catalyst array
     ops only. ``extra_cols`` are carried through the explode (no join
-    needed downstream to recover metadata like source/lang)."""
+    needed downstream to recover metadata like source/lang).
+
+    NULL contract (r11): a NULL text produces NO chunks (the row is
+    dropped) — the alternative, one chunk of '' per textless doc, is
+    an artifact of concat_ws's NULL-swallowing, not a chunk."""
+    df = df.filter(F.col(text_col).isNotNull())
     tok = F.split(text_col, " ")
     n = F.size(tok)
     starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
@@ -63,7 +68,9 @@ def make_chunk_udtf(size: int = 32, stride: int = 24):
     @udtf(returnType=CHUNK_SCHEMA)
     class ChunkDocs:
         def eval(self, doc_id, text):  # noqa: ANN001 - UDTF contract
-            toks = (text or "").split(" ")
+            if text is None:  # NULL contract (r11): no chunks
+                return
+            toks = text.split(" ")
             idx = 0
             for start in range(0, max(len(toks), 1), stride):
                 yield doc_id, idx, " ".join(toks[start : start + size])

@@ -119,7 +119,10 @@ def winnow_fingerprint_digests(
         [
             in_schema[id_col],
             StructField("n_fp", LongType(), False),
-            StructField("fp_digest", StringType(), False),
+            # nullable: the empty fingerprint set digests to NULL (r11
+            # NULL contract), never to md5('') — matching the oracle,
+            # where array_to_string of an empty/NULL list is NULL.
+            StructField("fp_digest", StringType(), True),
         ]
     )
 
@@ -154,6 +157,8 @@ def winnow_fingerprint_digests(
                     hashlib.md5(
                         ",".join(str(int(x)) for x in u).encode()
                     ).hexdigest()
+                    if u.size
+                    else None  # NULL text / sub-k text: no fingerprint
                 )
             yield pd.DataFrame(
                 {id_col: pdf[id_col], "n_fp": n_fp, "fp_digest": digests}

@@ -108,6 +108,18 @@ _FORCE_FIRST: list[str] = [
     "event_transition_bigrams",
     "rrf_fusion_hybrid",
     "scd2_user_tier_history",
+    # null-vs-empty-str class (10) + the chunk-contract follower
+    "string_funcs",
+    "map_funcs",
+    "array_funcs2",
+    "try_funcs",
+    "winnowing_fingerprints",
+    "doc_fingerprints",
+    "lang_id_heuristic",
+    "chunk_documents",
+    "chunk_documents_udtf",
+    "listagg_sorted",
+    "paragraph_dedup_rebuild",
 ]
 
 # New registrations that must NOT displace pending proofs go here; they

@@ -231,16 +231,22 @@ def sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def listagg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered string aggregation: collect_list → sort_array →
-    array_join (deterministic regardless of shuffle arrival order)."""
+    array_join (deterministic regardless of shuffle arrival order).
+
+    NULL contract (r11): SQL LISTAGG/string_agg semantics — NULL
+    values are skipped and a group with NO non-NULL values aggregates
+    to NULL, not '' (collect_list drops NULLs, so the empty-array
+    array_join is gated on a non-NULL count)."""
     n = table(spark, sf_dir, "nation")
     s = table(spark, sf_dir, "supplier")
     return (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.array_join(F.sort_array(F.collect_list("s_name")), ",").alias(
-                "suppliers"
-            )
+            F.when(
+                F.count("s_name") > 0,
+                F.array_join(F.sort_array(F.collect_list("s_name")), ","),
+            ).alias("suppliers")
         )
     )
 

@@ -762,11 +762,19 @@ def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive document fingerprint (md5 of sorted distinct
-    token set) — the canonical key for clustering re-ordered dups."""
+    token set) — the canonical key for clustering re-ordered dups.
+
+    NULL contract (r11): NULL text → NULL fingerprint on both sides
+    (concat_ws would silently turn a NULL token array into '' and
+    fingerprint every textless doc identically — the audit's
+    null-vs-empty-str trap)."""
     d = table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     canon = F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
-    return d.select("doc_id", F.md5(canon).alias("fp"))
+    return d.select(
+        "doc_id",
+        F.when(F.col("text").isNotNull(), F.md5(canon)).alias("fp"),
+    )
 
 
 @register(
@@ -812,7 +820,7 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT lang, token, row_number() OVER (
           PARTITION BY lang ORDER BY count(*) DESC, token
         ) AS rn
-        FROM tok GROUP BY lang, token
+        FROM tok WHERE lang IS NOT NULL GROUP BY lang, token
       ) WHERE rn <= 10
     ), votes AS (
       SELECT t.doc_id, t.lang, lt.model_lang, count(*) AS score
@@ -832,14 +840,22 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-driven language ID: learn top-10 tokens per language from the
     corpus, predict by distinct-token overlap vote, report the confusion
-    counts. Pure DataFrame ops — two shuffles (model fit + vote)."""
+    counts. Pure DataFrame ops — two shuffles (model fit + vote).
+
+    NULL contract (r11): a NULL lang is not a model class — excluded
+    from the fit on both sides. Docs with NULL lang still get
+    predictions (their true-lang cell is the NULL group); keeping NULL
+    out of the model also removes the NULL model_lang tiebreak, whose
+    placement differs per engine (NULLS FIRST vs LAST at equal vote
+    scores)."""
     from pyspark.sql import Window
 
     d = table(spark, sf_dir, "documents")
     tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("token"))
     w = Window.partitionBy("lang").orderBy(F.desc("cnt"), "token")
     lang_top = (
-        tok.groupBy("lang", "token")
+        tok.filter(F.col("lang").isNotNull())
+        .groupBy("lang", "token")
         .agg(F.count("*").alias("cnt"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 10)
@@ -862,8 +878,13 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Chunking & grouped-pandas ops
 # --------------------------------------------------------------------------
+# NULL contract (r11): a NULL text yields NO chunks on either side —
+# without the filter DuckDB would emit one NULL chunk (greatest(len
+# (NULL),1)=1) while Spark's concat_ws-joined slice emits one ''
+# chunk: the null-vs-empty-str audit class in one line.
 _CHUNK_ORACLE = """
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents)
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok
+               FROM documents WHERE text IS NOT NULL)
     SELECT doc_id, CAST((s - 1) // 24 AS INTEGER) AS chunk_idx,
            array_to_string(tok[s:s + 31], ' ') AS chunk_text
     FROM t, LATERAL (SELECT unnest(range(1, greatest(len(tok), 1) + 1, 24)) AS s)
@@ -1509,7 +1530,8 @@ def binary_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "paragraph_dedup_rebuild",
     oracle="""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok
+               FROM documents WHERE text IS NOT NULL),
     ch AS (
       SELECT doc_id, CAST((s - 1) // 16 AS INTEGER) AS chunk_idx,
              array_to_string(tok[s:s + 15], ' ') AS chunk_text
@@ -1535,7 +1557,11 @@ def paragraph_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrence, and each doc is rebuilt from its surviving chunks in
     order (output carries the rebuilt text's md5 so the hashed result
     stays narrow). See operators/dedup.py:chunk_level_dedup for the
-    two-shuffle scale shape."""
+    two-shuffle scale shape.
+
+    NULL contract (r11): a NULL-text doc has no paragraphs and no
+    rebuild row — excluded on both sides (follows the chunker's
+    NULL-text-yields-no-chunks contract)."""
     return D.chunk_level_dedup(table(spark, sf_dir, "documents"), size=16)
 
 

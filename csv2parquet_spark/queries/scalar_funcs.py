@@ -26,17 +26,22 @@ from csv2parquet_spark.tables import table
            lower(p_brand) AS brand_lower,
            length(p_name) AS name_len,
            substring(p_name, 1, 8) AS name_prefix,
-           concat(p_brand, '-', p_type) AS brand_type,
+           p_brand || '-' || p_type AS brand_type,
            replace(p_name, ' ', '_') AS name_snake,
            len(string_split(p_name, ' ')) AS n_words,
            regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowels,
            CASE WHEN contains(p_type, 'BRASS') THEN 1 ELSE 0 END AS is_brass,
-           trim(concat(' ', p_brand, ' ')) AS brand_trim
+           trim(' ' || p_brand || ' ') AS brand_trim
     FROM part
     """,
 )
 def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String family: case, length, substring, concat, regexp, trim."""
+    """String family: case, length, substring, concat, regexp, trim.
+
+    NULL contract (r11): ``brand_type`` uses NULL-propagating concat on
+    both sides (the oracle's ``concat``) — Spark's ``concat_ws`` would
+    silently SKIP a NULL brand/type where SQL concat nulls the result
+    (null-vs-empty-str audit class)."""
     p = table(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
@@ -44,7 +49,7 @@ def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower("p_brand").alias("brand_lower"),
         F.length("p_name").alias("name_len"),
         F.substring("p_name", 1, 8).alias("name_prefix"),
-        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.concat("p_brand", F.lit("-"), "p_type").alias("brand_type"),
         F.regexp_replace(F.col("p_name"), " ", "_").alias("name_snake"),
         F.size(F.split("p_name", " ")).alias("n_words"),
         F.regexp_replace(F.col("p_name"), "[aeiou]", "").alias("name_novowels"),
@@ -208,16 +213,21 @@ def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map_funcs",
     oracle="""
     SELECT event_id,
-           'k' AS first_key,
+           CASE WHEN props IS NOT NULL THEN 'k' END AS first_key,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
-           1 AS map_size
+           CASE WHEN props IS NOT NULL THEN 1 END AS map_size
     FROM events
     """,
 )
 def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map functions: build a map from parsed JSON, then read it back via
     map_keys / element_at / size. DuckDB oracle produces the same values
-    without a map type (the hash checks values, not construction)."""
+    without a map type (the hash checks values, not construction).
+
+    NULL contract (r11): an absent props map has no first key and no
+    size — the oracle's constants are CASE-gated on ``props IS NOT
+    NULL`` to match Spark's NULL map semantics (size(NULL map) is NULL
+    under the non-legacy default)."""
     e = table(spark, sf_dir, "events")
     m = F.from_json("props", "map<string,bigint>")
     return e.select(
@@ -311,6 +321,7 @@ def string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS toks_flat,
            list_contains(string_split(s_name, ' '), 'Supplier') AS has_supplier
     FROM supplier
+    WHERE s_name IS NOT NULL
     """,
 )
 def array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -319,8 +330,14 @@ def array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     Array-typed outputs are serialized with ``concat_ws`` — the driver's
     canonicalizer (pandas sort_values) cannot hash list cells, so every
     registry query must emit scalar columns only.
+
+    NULL contract (r11): NULL names are excluded at the input on both
+    sides — the NULL-array behaviors of the exercised functions are
+    engine-specific (Spark flatten propagates a NULL element where
+    DuckDB skips it; concat_ws('' ) vs array_to_string(NULL)), so the
+    function-family exercise is defined over non-NULL input.
     """
-    s = table(spark, sf_dir, "supplier")
+    s = table(spark, sf_dir, "supplier").filter(F.col("s_name").isNotNull())
     toks = F.split("s_name", " ")
     return s.select(
         "s_suppkey",
@@ -476,9 +493,11 @@ def sql_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRY_CAST(CASE WHEN o_orderkey % 3 = 0 THEN 'not-a-number'
                          ELSE CAST(o_orderkey AS VARCHAR) END
                     AS BIGINT) AS safe_parse,
-           CASE (o_orderkey % 3) + 1
-                WHEN 1 THEN split_part(o_orderpriority, '-', 1)
-                WHEN 2 THEN split_part(o_orderpriority, '-', 2)
+           CASE WHEN o_orderpriority IS NULL THEN NULL
+                WHEN (o_orderkey % 3) + 1 = 1
+                  THEN split_part(o_orderpriority, '-', 1)
+                WHEN (o_orderkey % 3) + 1 = 2
+                  THEN split_part(o_orderpriority, '-', 2)
                 ELSE NULL END AS safe_elem
     FROM orders
     WHERE o_orderkey < 500
@@ -499,6 +518,11 @@ def try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle reproduces each with explicit CASE/TRY_CAST guards —
     the boilerplate try_* removes. All map-side expressions; the
     filter is pushed to the scan.
+
+    NULL contract (r11): a NULL o_orderpriority yields a NULL
+    safe_elem on both sides — DuckDB's ``split_part(NULL, ...)``
+    returns '' (not NULL), so the oracle CASE-gates it explicitly to
+    match Spark's NULL-propagating ``try_element_at(split(NULL))``.
     """
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
     bad_str = F.when(

@@ -2254,8 +2254,8 @@ def test_minhash_recall_audit_bounds(spark, sf_dir):
 
 def test_winnow_digests_null_and_short_text(spark):
     """The vectorized winnowing kernel: NULL text → empty fingerprint
-    set (md5 of ''), sub-k text → empty, exactly-k text → one
-    fingerprint; digest matches the Catalyst variant's convention."""
+    set → NULL digest (r11 NULL contract: never md5('')), sub-k text →
+    empty → NULL, exactly-k text → one fingerprint."""
     import hashlib
 
     from csv2parquet_spark.operators.text import winnow_fingerprint_digests
@@ -2265,9 +2265,8 @@ def test_winnow_digests_null_and_short_text(spark):
     )
     got = {r.doc_id: (r.n_fp, r.fp_digest) for r in
            winnow_fingerprint_digests(df).collect()}
-    empty = hashlib.md5(b"").hexdigest()
-    assert got[1] == (0, empty)
-    assert got[2] == (0, empty)
+    assert got[1] == (0, None)
+    assert got[2] == (0, None)
     h = ((((ord("a") * 257 + ord("b")) * 257 + ord("c")) * 257
           + ord("d")) * 257 + ord("e"))
     assert got[3] == (1, hashlib.md5(str(h).encode()).hexdigest())

@@ -244,13 +244,20 @@ def test_winnow_kernel_equals_catalyst_variant(spark):
         [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
     )
     fps = winnow_fingerprints("text")
+    # r11 NULL contract: an empty fingerprint set digests to NULL (not
+    # md5('')) — the Catalyst-side convention mirrors the kernel's.
     want = {
         r.doc_id: (r.n, r.digest)
         for r in df.select(
             "doc_id",
             F.size(fps).cast("bigint").alias("n"),
-            F.md5(
-                F.concat_ws(",", F.transform(fps, lambda x: x.cast("string")))
+            F.when(
+                F.size(fps) > 0,
+                F.md5(
+                    F.concat_ws(
+                        ",", F.transform(fps, lambda x: x.cast("string"))
+                    )
+                ),
             ).alias("digest"),
         ).collect()
     }
