@@ -715,7 +715,7 @@ def _connected_components_star(edges: DataFrame, max_iter: int = 20) -> DataFram
 
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64,
-    hasher=None,
+    hasher=None, on_null: str = "raise",
 ) -> DataFrame:
     """``bits``-bit SimHash per document, computed per-row (map-only, no
     explode, no shuffle).
@@ -734,8 +734,18 @@ def simhash_signatures(
     numpy unpacks all 64 bit-planes of a doc in one vectorized op. This
     is the documented exception to "built-ins first": the built-in
     formulation cannot reach codegen.
+
+    ``on_null="skip"`` drops NULL-``text_col`` rows before the kernel,
+    counting them via an Observation (see operators/null_policy.py);
+    the default ``"raise"`` keeps the loud contract below.
     """
     from pyspark.sql.functions import pandas_udf
+
+    from csv2parquet_spark.operators.null_policy import check_on_null, skip_nulls
+
+    check_on_null(on_null)
+    if on_null == "skip":
+        df = skip_nulls(df, [text_col], "simhash_signatures")
 
     @pandas_udf("bigint")
     def _simhash(harrs: pd.Series) -> pd.Series:
@@ -779,6 +789,7 @@ def simhash_near_dups(
     bits: int = 64,
     hasher=None,
     n_bands: int = 4,
+    on_null: str = "raise",
 ) -> DataFrame:
     """SimHash near-dup pairs: block on ``n_bands`` equal-width bands
     (default 4×16-bit over 64 bits — any pair within Hamming ≤ 3 shares
@@ -795,7 +806,9 @@ def simhash_near_dups(
         )
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
-    sig = simhash_signatures(df, text_col, id_col, bits, hasher).localCheckpoint()
+    sig = simhash_signatures(
+        df, text_col, id_col, bits, hasher, on_null=on_null
+    ).localCheckpoint()
     band_arr = F.array(
         *[
             F.struct(

@@ -327,6 +327,7 @@ def pairwise_near_dups(
     dim: int = 64,
     seed: int = 42,
     bucket_cap: int = 8192,
+    on_null: str = "raise",
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: (id_a, id_b, sim ≥ threshold).
 
@@ -339,7 +340,16 @@ def pairwise_near_dups(
 
     ``block_col`` blocks on a metadata column instead — only sound when
     that column is known near-uniform AND near-dups can't cross blocks.
+
+    ``on_null="skip"`` drops NULL-``vec_col`` rows before signatures
+    are computed, counting them via an Observation (null_policy.py);
+    the default ``"raise"`` keeps the loud kernel contract.
     """
+    from csv2parquet_spark.operators.null_policy import check_on_null, skip_nulls
+
+    check_on_null(on_null)
+    if on_null == "skip":
+        vectors = skip_nulls(vectors, [vec_col], "pairwise_near_dups")
     withn = vectors.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
@@ -586,6 +596,7 @@ def ivf_topk(
     n_iter: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    on_null: str = "raise",
 ) -> DataFrame:
     """IVF-Flat top-k (FAISS-style, in DataFrame algebra): train coarse
     centroids, assign every vector to its nearest list, probe only the
@@ -596,7 +607,17 @@ def ivf_topk(
     configuration); smaller ``nprobe`` is the approximate scale path.
     The probe is a broadcast join on the cluster column — on a stored
     index partitioned by ``cluster`` it becomes partition pruning.
+
+    ``on_null="skip"`` drops NULL-embedding rows from BOTH the corpus
+    (before centroid training/assignment) and the query batch (before
+    the probe), each counted under its own Observation context.
     """
+    from csv2parquet_spark.operators.null_policy import check_on_null, skip_nulls
+
+    check_on_null(on_null)
+    if on_null == "skip":
+        vectors = skip_nulls(vectors, [vec_col], "ivf_topk.corpus")
+        query = skip_nulls(query, [vec_col], "ivf_topk.query")
     centroids = kmeans_centroids(vectors, n_centroids, n_iter, vec_col, id_col)
     assigned = ivf_assign(vectors, centroids, vec_col)
     qprobe = F.broadcast(
@@ -903,14 +924,26 @@ def pq_train_codebooks(
     n_iter: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    on_null: str = "raise",
 ):
     """Per-subspace Lloyd k-means; returns the (m × k × dim/m) codebook
     tensor as nested Python lists (model-sized — the vectors never
     reach the driver). ALL subspaces train in the same jobs: one
     map-only assignment + one (sub, code, pos) partial-agg mean per
     iteration. Init = the subvector slices of the ``k`` vectors with
-    the smallest ``xxhash64(id)`` (deterministic, seed-free)."""
+    the smallest ``xxhash64(id)`` (deterministic, seed-free).
+
+    ``on_null="skip"`` drops NULL-``vec_col`` rows before subvector
+    slicing — the returned ``sv`` relation (and everything encoded
+    from it) is then NULL-free, so ``pq_encode``/``pq_adc_topk`` are
+    covered by the same quarantine."""
     import numpy as np
+
+    from csv2parquet_spark.operators.null_policy import check_on_null, skip_nulls
+
+    check_on_null(on_null)
+    if on_null == "skip":
+        vectors = skip_nulls(vectors, [vec_col], "pq_train_codebooks")
 
     init = (
         vectors.select(F.col(vec_col).alias("v"))

@@ -120,6 +120,42 @@ _FORCE_FIRST: list[str] = [
     "chunk_documents_udtf",
     "listagg_sorted",
     "paragraph_dedup_rebuild",
+    # oracle-loose class (8 edited; lang_id_agreement_kappa resolved
+    # via the lang_id_heuristic fix with no edit of its own)
+    "variant_explode_props",
+    "collation_case_insensitive",
+    "q12_late_shipment_priority",
+    "url_canonical_dedup",
+    "corpus_pipeline_end_to_end",
+    "table_diff_digest",
+    "merge_schema_evolution_read",
+    "length_bucket_packing_report",
+    # float-downstream class (10): NULL-population contracts aligned
+    # on both engines (percentile/rank/bin/cluster populations are the
+    # non-NULL values; NULL keys/labels are not classes)
+    "percentiles_approx",
+    "grouped_percentiles_exact",
+    "mann_whitney_u_test",
+    "ks_test_two_sample",
+    "woe_iv_value_bins",
+    "rfm_customer_segments",
+    "mad_outlier_report",
+    "kmv_quantile_sketch",
+    "kmeans_train_clusters",
+    "label_centroid_separation",
+    # on_null='skip' plumbing (9): default 'raise' path byte-identical
+    # on the clean fixture (kwarg-gated declarative pre-filter), so
+    # these queue BEHIND the result-affecting re-proofs; preflight
+    # covers any that miss the driver window.
+    "simhash_near_dups",
+    "embedding_near_dups",
+    "embedding_semantic_dedup",
+    "similarity_topk_ivf",
+    "similarity_topk_ivf_full",
+    "similarity_topk_pq",
+    "binary_stats_arrow",
+    "asof_cogroup_merge",
+    "t_closeness_report",
 ]
 
 # New registrations that must NOT displace pending proofs go here; they

@@ -100,6 +100,12 @@ def percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
+            # per-measure NON-NULL counts: the sketch's population
+            # excludes NULLs, so the rank bound must use the same N —
+            # dividing by count(*) under-counts the interval as soon
+            # as the column carries NULLs (NULL-twin audit r10)
+            F.count("l_quantity").alias("n50"),
+            F.count("l_extendedprice").alias("n90"),
             F.sum((F.col("l_quantity") < F.col("p50")).cast("long")).alias("lt50"),
             F.sum((F.col("l_quantity") <= F.col("p50")).cast("long")).alias("le50"),
             F.sum((F.col("l_extendedprice") < F.col("p90")).cast("long")).alias("lt90"),
@@ -107,17 +113,18 @@ def percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # rank interval must intersect [(q-eps)N, (q+eps)N], eps = 1/10000,
-    # all in integer basis points x10000 (no float rank arithmetic)
+    # all in integer basis points x10000 (no float rank arithmetic);
+    # N = the measure's non-null population, the sketch's own basis
     return verified.select(
         "l_linestatus",
         "n",
         (
-            (F.col("lt50") * 10000 <= (5000 + 1) * F.col("n"))
-            & (F.col("le50") * 10000 >= (5000 - 1) * F.col("n"))
+            (F.col("lt50") * 10000 <= (5000 + 1) * F.col("n50"))
+            & (F.col("le50") * 10000 >= (5000 - 1) * F.col("n50"))
         ).alias("p50_within_bound"),
         (
-            (F.col("lt90") * 10000 <= (9000 + 1) * F.col("n"))
-            & (F.col("le90") * 10000 >= (9000 - 1) * F.col("n"))
+            (F.col("lt90") * 10000 <= (9000 + 1) * F.col("n90"))
+            & (F.col("le90") * 10000 >= (9000 - 1) * F.col("n90"))
         ).alias("p90_within_bound"),
     )
 
@@ -906,10 +913,16 @@ def collation_case_insensitive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("mixed").alias("n_variants"),
         F.countDistinct(ci).alias("n_ci_variants"),
-        F.sum((F.col("mixed") == F.col("event_type")).cast("int"))
+        # when/otherwise(0), not bare cast: a NULL event_type compares
+        # to NULL, and sum-of-all-NULL would emit a NULL count where
+        # the oracle's CASE emits 0 (NULL-twin audit r10) — "no match"
+        # is the right answer for an incomparable row on both engines.
+        F.sum(
+            F.when(F.col("mixed") == F.col("event_type"), 1).otherwise(0)
+        )
         .cast("long")
         .alias("n_exact_match"),
-        F.sum((ci == F.col("event_type")).cast("int"))
+        F.sum(F.when(ci == F.col("event_type"), 1).otherwise(0))
         .cast("long")
         .alias("n_ci_match"),
     )

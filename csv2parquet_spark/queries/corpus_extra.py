@@ -1013,7 +1013,11 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     "length_bucket_packing_report",
     oracle="""
     WITH d AS (
+      -- a NULL text has no token length: it cannot be length-bucketed
+      -- (NULL-twin contract; Spark NULLS-FIRST vs DuckDB NULLS-LAST
+      -- would otherwise scatter the unbucketable rows differently)
       SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+      WHERE text IS NOT NULL
     ), b AS (
       SELECT doc_id, n_tokens,
              ntile(8) OVER (ORDER BY n_tokens, doc_id) AS bucket
@@ -1039,8 +1043,11 @@ def length_bucket_packing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     use), NOT a single-partition window; the rollup is an 8-key agg."""
     from csv2parquet_spark.operators.ranking import rank_stats
 
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    d = (
+        table(spark, sf_dir, "documents")
+        # NULL text is unbucketable by contract (see oracle note)
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
     )
     b = rank_stats(d, ["n_tokens", "doc_id"], tiles=8).select(
         "doc_id", "n_tokens", F.col("quartile").alias("bucket")

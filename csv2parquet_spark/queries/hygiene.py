@@ -191,7 +191,11 @@ def mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_pipeline_end_to_end",
     oracle=f"""
     WITH s AS (
+      -- a NULL source has no place in a per-source census (NULL-twin
+      -- contract; Spark's source equi-join would drop it silently —
+      -- make the exclusion explicit on both engines)
       SELECT doc_id, source, text, string_split(text, ' ') AS t FROM documents
+      WHERE source IS NOT NULL
     ), q AS (
       SELECT doc_id, source, text,
              len(t) >= 20
@@ -243,7 +247,9 @@ def corpus_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from csv2parquet_spark.operators.chunking import chunk_documents
 
-    docs = table(spark, sf_dir, "documents")
+    # NULL-source docs are excluded by contract (see oracle note) —
+    # explicit here rather than implicitly via the final equi-join.
+    docs = table(spark, sf_dir, "documents").filter(F.col("source").isNotNull())
     q = P.quality_columns(docs)
     per_source = q.groupBy("source").agg(
         F.count("*").alias("n_docs"),
@@ -691,8 +697,13 @@ def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_urls,
            count(DISTINCT canonical) AS n_canonical,
            count(*) - count(DISTINCT canonical) AS n_dupes,
-           count(*) AS n_utm_ok,
-           CAST(sum(doc_id) AS BIGINT) AS sum_ref
+           -- a NULL source builds no URL: nothing to extract utm/ref
+           -- from, so those rows contribute 0 (NULL-twin contract;
+           -- on the NULL-free driver fixture this equals count(*))
+           CAST(sum(CASE WHEN domain IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_utm_ok,
+           CAST(sum(CASE WHEN domain IS NOT NULL THEN doc_id ELSE 0 END)
+                AS BIGINT) AS sum_ref
     FROM u
     GROUP BY domain
     """,
@@ -742,8 +753,16 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_urls"),
         F.countDistinct("canonical").alias("n_canonical"),
         (F.count(F.lit(1)) - F.countDistinct("canonical")).alias("n_dupes"),
-        F.sum((F.col("utm") == "x").cast("int")).alias("n_utm_ok"),
-        F.sum(F.col("ref").cast("long")).alias("sum_ref"),
+        # when/otherwise(0) + coalesce(…, 0): an unparseable (NULL-
+        # source) URL contributes 0, matching the oracle's CASE — a
+        # bare sum over the NULL group would emit NULL and flip the
+        # whole pandas column to float (NULL-twin audit r10).
+        F.sum(F.when(F.col("utm") == "x", 1).otherwise(0))
+        .cast("long")
+        .alias("n_utm_ok"),
+        F.sum(F.coalesce(F.col("ref").cast("long"), F.lit(0)))
+        .cast("long")
+        .alias("sum_ref"),
     )
 
 

@@ -317,7 +317,12 @@ def _kmeans_oracle(k: int = _KM_K, n_iter: int = _KM_ITER) -> str:
     pairing), so the float distances are bit-identical."""
     parts = [f"""
     WITH emb AS MATERIALIZED (
+      -- a NULL embedding cannot be clustered (NULL-twin contract:
+      -- DuckDB's LATERAL range would fabricate dim NULL components
+      -- into every mean denominator where Spark's posexplode emits
+      -- no rows at all)
       SELECT vec_id, embedding FROM embeddings
+      WHERE embedding IS NOT NULL
     ), c0 AS MATERIALIZED (
       SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cluster,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
@@ -399,7 +404,10 @@ def kmeans_train_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs bit-identically with DuckDB's list_sum (proven by
     similarity_topk_exact)."""
     k = _KM_K
-    emb = table(spark, sf_dir, "embeddings")
+    # NULL embeddings are unclusterable by contract (see oracle note)
+    emb = table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     init = (
         emb.orderBy(F.md5(F.col("vec_id").cast("string")))
         .limit(k)
@@ -477,6 +485,9 @@ def kmeans_train_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(embedding[i] AS DOUBLE) AS v
       FROM embeddings,
            LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
+      -- a NULL label is not a class: it can neither fit a centroid
+      -- nor be audited against one (NULL-twin contract r11)
+      WHERE label IS NOT NULL
     ), cent AS MATERIALIZED (
       SELECT label AS clabel, pos,
              CAST(sum(CAST(v AS DECIMAL(20, 10))) AS DOUBLE) / count(*) AS c
@@ -529,7 +540,8 @@ def label_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines), distances rounded to 6dp before the compare/sum so the
     hashed output carries no raw float arithmetic. Fan-out per vector is
     n_classes, never corpus×corpus."""
-    e = table(spark, sf_dir, "embeddings")
+    # NULL labels are not classes (see oracle note)
+    e = table(spark, sf_dir, "embeddings").filter(F.col("label").isNotNull())
     ex = e.select(
         "vec_id", "label", F.posexplode("embedding").alias("pos", "vf")
     ).select("vec_id", "label", "pos", F.col("vf").cast("double").alias("v"))

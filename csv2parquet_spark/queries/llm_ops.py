@@ -398,7 +398,9 @@ def _simhash_oracle() -> str:
 
 
 @register("simhash_near_dups", oracle=_simhash_oracle())
-def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def simhash_near_dups(
+    spark: SparkSession, sf_dir: str, on_null: str = "raise"
+) -> DataFrame:
     """SimHash near-dup pairs with Hamming ≤ 3 via band blocking
     (pigeonhole-complete for the chosen radius), hash-checkable
     END-TO-END: 48-bit signatures from md5-slice token hashes (the
@@ -416,6 +418,7 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits=48,
         hasher=md5_48,
         n_bands=4,
+        on_null=on_null,
     )
 
 
@@ -438,7 +441,9 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE {_sql_cosine('va.embedding', 'vb.embedding')} >= 0.4
     """,
 )
-def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_near_dups(
+    spark: SparkSession, sf_dir: str, on_null: str = "raise"
+) -> DataFrame:
     """Embedding-cosine near-dup pairs blocked on multi-table LSH
     buckets (4 planes × 8 tables) with exact-cosine verification — the
     join is keyed on (table, bucket), never a data column, so a hot
@@ -447,6 +452,7 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pairwise_near_dups(
         table(spark, sf_dir, "embeddings"),
         threshold=0.4,
+        on_null=on_null,
         num_planes=_ND_PLANES,
         num_tables=_ND_TABLES,
     )
@@ -588,14 +594,17 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 10
     """,
 )
-def similarity_topk_ivf_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+def similarity_topk_ivf_full(
+    spark: SparkSession, sf_dir: str, on_null: str = "raise"
+) -> DataFrame:
     """IVF-Flat top-k probing EVERY list (nprobe = n_centroids): covers
     the whole index, so the result must hash-match the brute-force
     oracle — this is the correctness proof for the IVF machinery."""
     e = table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0).select("embedding")
     return S.ivf_topk(
-        e.filter(F.col("vec_id") != 0), q, k=10, n_centroids=8, nprobe=8, n_iter=2
+        e.filter(F.col("vec_id") != 0), q, k=10, n_centroids=8, nprobe=8,
+        n_iter=2, on_null=on_null,
     )
 
 
@@ -619,7 +628,9 @@ def similarity_topk_ivf_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ex
     """,
 )
-def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def similarity_topk_ivf(
+    spark: SparkSession, sf_dir: str, on_null: str = "raise"
+) -> DataFrame:
     """IVF-Flat approximate top-k (nprobe=2 of 8 lists) audited against
     the exact top-k computed in the same plan — the rows-only→bound-
     oracle conversion pattern of minhash_recall_audit (VERDICT r6 #2).
@@ -641,7 +652,7 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") == 0).select("embedding")
     corpus = e.filter(F.col("vec_id") != 0)
     probe = S.ivf_topk(
-        corpus, q, k=10, n_centroids=8, nprobe=2, n_iter=2
+        corpus, q, k=10, n_centroids=8, nprobe=2, n_iter=2, on_null=on_null
     ).localCheckpoint()
     exact = S.topk_similar(corpus, q, k=10).localCheckpoint()
     # Full exact-sim relation, SAME arithmetic as the probe's scorer
@@ -1197,7 +1208,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id
     """,
 )
-def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_semantic_dedup(
+    spark: SparkSession, sf_dir: str, on_null: str = "raise"
+) -> DataFrame:
     """SemDeDup-shaped semantic deduplication: embedding near-dup pairs
     (LSH-bucketed candidates + exact cosine ≥ 0.4 verify) → connected
     components (iterative min-label) → one representative per semantic
@@ -1210,7 +1223,8 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final assignment is one broadcast-sized left join."""
     emb = table(spark, sf_dir, "embeddings")
     pairs = S.pairwise_near_dups(
-        emb, threshold=0.4, num_planes=_ND_PLANES, num_tables=_ND_TABLES
+        emb, threshold=0.4, num_planes=_ND_PLANES, num_tables=_ND_TABLES,
+        on_null=on_null,
     ).select("id_a", "id_b")
     comp = D.connected_components(pairs)
     return (
@@ -1378,7 +1392,9 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ex
     """,
 )
-def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def similarity_topk_pq(
+    spark: SparkSession, sf_dir: str, on_null: str = "raise"
+) -> DataFrame:
     """Product-quantization ADC top-10 (8 subspaces × 16 codewords,
     3 Lloyd rounds, pool-50 exact re-rank; Jégou et al. 2011), audited
     against the exact top-k computed in the same plan — the rows-only→
@@ -1415,7 +1431,7 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding — fill or filter NULL embeddings first"
         )
     query = [float(x) for x in qvec]
-    codebooks, sv = pq_train_codebooks(emb, m=8, k=16, n_iter=3)
+    codebooks, sv = pq_train_codebooks(emb, m=8, k=16, n_iter=3, on_null=on_null)
     encoded = pq_encode(sv, codebooks)
     pq10 = pq_adc_topk(
         encoded, emb, query, codebooks, k=10, pool=50
@@ -1478,7 +1494,9 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
 )
-def binary_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+def binary_stats_arrow(
+    spark: SparkSession, sf_dir: str, on_null: str = "raise"
+) -> DataFrame:
     """The multimodal_binary_stats contract through ``mapInArrow`` —
     the LOWEST-overhead Python extension point (raw Arrow RecordBatches
     cross the boundary; no pandas conversion), the shape to reach for
@@ -1492,9 +1510,13 @@ def binary_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pyarrow as pa
 
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload")
-    )
+    from csv2parquet_spark.operators.null_policy import check_on_null, skip_nulls
+
+    check_on_null(on_null)
+    d = table(spark, sf_dir, "documents")
+    if on_null == "skip":
+        d = skip_nulls(d, ["text"], "binary_stats_arrow")
+    d = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
 
     def kernel(batches):
         for batch in batches:

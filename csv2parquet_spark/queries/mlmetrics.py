@@ -615,11 +615,14 @@ def backtest_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     "woe_iv_value_bins",
     oracle="""
     WITH g1 AS (
+      -- a NULL feature value cannot be equi-depth binned (NULL-twin
+      -- contract: the NULL cents key would land at opposite ends of
+      -- the two engines' cumsum orderings)
       SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
              CAST(count(*) AS BIGINT) AS cnt,
              CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
                   AS BIGINT) AS bads
-      FROM orders GROUP BY 1
+      FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
     ), cumrel AS (
       SELECT cents, cnt, bads,
              sum(cnt) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum,
@@ -670,7 +673,8 @@ def woe_iv_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     (domain-sized output), the two-pass cumsum on the compressed
     relation, then everything runs on an 8-row bin relation.
     """
-    o = table(spark, sf_dir, "orders")
+    # NULL feature values are unbinnable (see oracle note)
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
     g1 = (
         o.select(
             F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
@@ -929,10 +933,14 @@ def jackknife_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mann_whitney_u_test",
     oracle="""
     WITH o AS (
+      -- a NULL value has no rank in a rank-sum test (NULL-twin
+      -- contract; a NULL cents key would also land at opposite ends
+      -- of the two engines' cumsum orderings)
       SELECT CASE WHEN substr(md5(CAST(o_custkey AS VARCHAR)), 1, 1) < '8'
                   THEN 1 ELSE 0 END AS grp_a,
              CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
       FROM orders
+      WHERE o_totalprice IS NOT NULL
     ), g AS (
       SELECT cents,
              CAST(sum(grp_a) AS BIGINT) AS n_a,
@@ -975,15 +983,22 @@ def mann_whitney_u_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate onto the value domain + one two-pass cumsum — no row
     ever gets a rank.
     """
-    o = table(spark, sf_dir, "orders").select(
-        F.when(
-            F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 1) < "8", 1
+    # NULL values carry no rank (see oracle note)
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull())
+        .select(
+            F.when(
+                F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 1)
+                < "8",
+                1,
+            )
+            .otherwise(0)
+            .alias("grp_a"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
         )
-        .otherwise(0)
-        .alias("grp_a"),
-        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
-        .cast("long")
-        .alias("cents"),
     )
     g = o.groupBy("cents").agg(
         F.sum("grp_a").alias("n_a"),
@@ -1126,10 +1141,13 @@ def kendall_tau_b_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ks_test_two_sample",
     oracle="""
     WITH o AS (
+      -- a NULL value has no place on an empirical CDF (NULL-twin
+      -- contract, same population rule as mann_whitney_u_test)
       SELECT CASE WHEN substr(md5(CAST(o_custkey AS VARCHAR)), 1, 1) < '8'
                   THEN 1 ELSE 0 END AS grp_a,
              CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
       FROM orders
+      WHERE o_totalprice IS NOT NULL
     ), g AS (
       SELECT cents,
              CAST(sum(grp_a) AS BIGINT) AS n_a,
@@ -1169,15 +1187,22 @@ def ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain, one cumsum pass over the compressed CDF, one max — no row
     ever ranks, no partition ever holds the corpus.
     """
-    o = table(spark, sf_dir, "orders").select(
-        F.when(
-            F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 1) < "8", 1
+    # NULL values sit on no CDF (see oracle note)
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull())
+        .select(
+            F.when(
+                F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 1)
+                < "8",
+                1,
+            )
+            .otherwise(0)
+            .alias("grp_a"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
         )
-        .otherwise(0)
-        .alias("grp_a"),
-        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
-        .cast("long")
-        .alias("cents"),
     )
     g = o.groupBy("cents").agg(
         F.sum("grp_a").alias("n_a"),

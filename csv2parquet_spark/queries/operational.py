@@ -87,10 +87,16 @@ def interval_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "table_diff_digest",
     oracle="""
     WITH a AS (
+      -- NULL cells digest as the explicit '<NULL>' marker: an
+      -- anti-entropy digest must COVER NULLs (a NULL-vs-'X' cell
+      -- difference has to flip the bucket), and bare || would null
+      -- the whole row repr out of the sum (NULL-twin contract)
       SELECT CAST(o_orderkey % 64 AS INTEGER) AS bucket,
              CAST(sum(CAST(('0x' || substr(md5(
-                   CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|'
-                   || o_orderpriority), 1, 8)) AS BIGINT)) AS BIGINT) AS digest,
+                   CAST(o_orderkey AS VARCHAR) || '|'
+                   || coalesce(o_orderstatus, '<NULL>') || '|'
+                   || coalesce(o_orderpriority, '<NULL>')), 1, 8))
+                   AS BIGINT)) AS BIGINT) AS digest,
              count(*) AS n
       FROM orders GROUP BY 1
     ),
@@ -98,8 +104,10 @@ def interval_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(o_orderkey % 64 AS INTEGER) AS bucket,
              CAST(sum(CAST(('0x' || substr(md5(
                    CAST(o_orderkey AS VARCHAR) || '|' ||
-                   CASE WHEN o_orderkey % 7771 = 0 THEN 'X' ELSE o_orderstatus END
-                   || '|' || o_orderpriority), 1, 8)) AS BIGINT)) AS BIGINT) AS digest,
+                   coalesce(CASE WHEN o_orderkey % 7771 = 0 THEN 'X'
+                                 ELSE o_orderstatus END, '<NULL>')
+                   || '|' || coalesce(o_orderpriority, '<NULL>')), 1, 8))
+                   AS BIGINT)) AS BIGINT) AS digest,
              count(*) AS n
       FROM orders WHERE o_orderkey % 9973 <> 0 GROUP BY 1
     )
@@ -135,16 +143,27 @@ def table_diff_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
 
+    # coalesce to the '<NULL>' marker, never bare concat_ws: concat_ws
+    # SKIPS null fields (collapsing the field position entirely) where
+    # the oracle's || nulls the whole repr — both hide NULL cells from
+    # the digest, and a diff tool that can't see NULLs can't repair
+    # them (NULL-twin contract r11).
+    nn = lambda c: F.coalesce(F.col(c) if isinstance(c, str) else c, F.lit("<NULL>"))  # noqa: E731
     repr_a = F.concat_ws(
-        "|", F.col("o_orderkey").cast("string"), "o_orderstatus", "o_orderpriority"
+        "|",
+        F.col("o_orderkey").cast("string"),
+        nn("o_orderstatus"),
+        nn("o_orderpriority"),
     )
     repr_b = F.concat_ws(
         "|",
         F.col("o_orderkey").cast("string"),
-        F.when(F.col("o_orderkey") % 7771 == 0, "X").otherwise(
-            F.col("o_orderstatus")
+        nn(
+            F.when(F.col("o_orderkey") % 7771 == 0, "X").otherwise(
+                F.col("o_orderstatus")
+            )
         ),
-        F.col("o_orderpriority"),
+        nn("o_orderpriority"),
     )
     a = digest(o, repr_a)
     b = digest(o.filter(F.col("o_orderkey") % 9973 != 0), repr_b)
@@ -934,18 +953,23 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rfm_customer_segments",
     oracle="""
     WITH c AS (
+      -- a NULL custkey is not a customer; a customer whose every
+      -- order date (or price) is NULL has no recency (or monetary)
+      -- and cannot be quartiled (NULL-twin contract: NULL metrics
+      -- would land at opposite ends of the engines' ntile orderings)
       SELECT o_custkey,
              max(epoch_ms(o_orderdate)) AS recency_ms,
              count(*) AS frequency,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
                AS monetary
-      FROM orders GROUP BY o_custkey
+      FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey
     ), q AS (
       SELECT o_custkey,
              ntile(4) OVER (ORDER BY recency_ms, o_custkey) AS r_q,
              ntile(4) OVER (ORDER BY frequency, o_custkey) AS f_q,
              ntile(4) OVER (ORDER BY monetary, o_custkey) AS m_q
       FROM c
+      WHERE recency_ms IS NOT NULL AND monetary IS NOT NULL
     )
     SELECT r_q, f_q, m_q, CAST(count(*) AS BIGINT) AS n_customers
     FROM q GROUP BY r_q, f_q, m_q
@@ -961,13 +985,17 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-agg groupBy first."""
     from csv2parquet_spark.operators.ranking import rank_stats
 
-    o = table(spark, sf_dir, "orders")
+    # NULL-custkey orders and unquartile-able customers are excluded
+    # by contract (see oracle note)
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey").isNotNull())
     c = o.groupBy("o_custkey").agg(
         F.max(F.unix_millis("o_orderdate")).alias("recency_ms"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
         .cast("double")
         .alias("monetary"),
+    ).filter(
+        F.col("recency_ms").isNotNull() & F.col("monetary").isNotNull()
     )
     r = rank_stats(c, ["recency_ms", "o_custkey"], tiles=4).select(
         "o_custkey", F.col("quartile").alias("r_q")
@@ -995,6 +1023,10 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY o_totalprice, o_orderkey) AS rn,
              count(*) OVER (PARTITION BY o_orderpriority) AS n
       FROM orders
+      -- a percentile is defined over the NON-NULL values; without the
+      -- filter Spark ranks NULLs FIRST and DuckDB LAST, so every
+      -- quantile index lands on a different row (NULL-twin audit r10)
+      WHERE o_totalprice IS NOT NULL
     )
     SELECT grp, p.q, r.v AS value
     FROM r JOIN (VALUES (0.5), (0.9), (0.99)) p(q)
@@ -1008,7 +1040,8 @@ def grouped_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (scale-safe, unlike a global-order window); the rank→quantile index
     arithmetic stays in integers via DECIMAL literals on both engines
     (q·(n−1) is exact for these q)."""
-    o = table(spark, sf_dir, "orders")
+    # NULL values carry no rank (see oracle note)
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
     w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
     wc = Window.partitionBy("o_orderpriority")
     r = o.select(
@@ -1296,7 +1329,9 @@ def revenue_concentration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c_nationkey, c_mktsegment, bal_band, n_c, n, m
     """,
 )
-def t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t_closeness_report(
+    spark: SparkSession, sf_dir: str, on_null: str = "raise"
+) -> DataFrame:
     """t-closeness — the third classic anonymity measure, completing
     the governance family next to ``k_anonymity_report`` (class size)
     and ``l_diversity_report`` (distinct sensitive values): l-diversity
@@ -1319,9 +1354,17 @@ def t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy to the (class × 5)-cell grid; the per-class cumsum windows
     over the CLASS GRID (generalization space, never row count); the
     5-row global CDF is collected driver-side (model-sized) and enters
-    the plan as literals — no single-partition window anywhere."""
+    the plan as literals — no single-partition window anywhere.
+
+    ``on_null="skip"`` quarantines NULL-sensitive-value orders with a
+    counted drop (null_policy.py) instead of aborting the report."""
+    from csv2parquet_spark.operators.null_policy import check_on_null, skip_nulls
+
+    check_on_null(on_null)
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
+    if on_null == "skip":
+        o = skip_nulls(o, ["o_orderpriority"], "t_closeness_report")
     rel = o.join(
         F.broadcast(
             c.select(

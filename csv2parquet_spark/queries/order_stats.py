@@ -100,10 +100,13 @@ def _kth_pick(cum: F.Column, cnt: F.Column, k: F.Column, val: F.Column) -> F.Col
     "mad_outlier_report",
     oracle="""
     WITH g1 AS (
+      -- a NULL value has no place on the median/MAD CDF (NULL-twin
+      -- contract: the NULL cents key would land at opposite ends of
+      -- the two engines' window orderings and shift every k-th pick)
       SELECT o_orderpriority AS grp,
              CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
              CAST(count(*) AS BIGINT) AS cnt
-      FROM orders GROUP BY 1, 2
+      FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1, 2
     ), cdf AS (
       SELECT grp, cents, cnt,
              sum(cnt) OVER (PARTITION BY grp ORDER BY cents
@@ -172,7 +175,8 @@ def mad_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     magnitude below row count; group count (priority here; priority ×
     month in production) provides the window parallelism.
     """
-    o = table(spark, sf_dir, "orders")
+    # NULL values are off the CDF by contract (see oracle note)
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
     g1 = (
         o.select(
             F.col("o_orderpriority").alias("grp"),

@@ -623,6 +623,7 @@ def map_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
                               AS BIGINT) >= 50
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_big
     FROM events
+    WHERE props IS NOT NULL
     """,
 )
 def variant_explode_props(spark: SparkSession, sf_dir: str) -> DataFrame:

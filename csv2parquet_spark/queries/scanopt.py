@@ -254,22 +254,33 @@ def write_two_generation_orders(spark: SparkSession, sf_dir: str) -> str:
     """
     src = os.path.join(os.path.abspath(sf_dir), "orders.parquet")
     st = os.stat(src)
-    key = f"{os.path.basename(os.path.abspath(sf_dir))}-{st.st_size}-{int(st.st_mtime)}"
+    # v2: generations carry o_orderdate and the split is TOTAL
+    # (NULL dates belong to the current generation) — bump the cache
+    # key so stale v1 fixtures are never reused.
+    key = f"{os.path.basename(os.path.abspath(sf_dir))}-{st.st_size}-{int(st.st_mtime)}-v2"
     out = os.path.join("/tmp", "csv2parquet_spark_evolve", key)
     if os.path.exists(os.path.join(out, "gen2", "_SUCCESS")):
         return out
     staging = f"{out}.staging.{os.getpid()}"
     o = table(spark, sf_dir, "orders")
     cut = F.col("o_orderdate") < "1995-01-01"
+    # The split must be TOTAL: a NULL date is UNKNOWN, and where(cut)/
+    # where(~cut) would drop it from BOTH generations (NULL-twin audit
+    # r10 — rows silently vanishing from a dataset split). Contract: a
+    # row of unknown date belongs to the CURRENT generation (the one
+    # whose schema captures every column).
     (
         o.where(cut)
-        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
         .write.mode("overwrite")
         .parquet(os.path.join(staging, "gen1"))
     )
     (
-        o.where(~cut)
-        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        o.where(~cut | F.col("o_orderdate").isNull())
+        .select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+            "o_orderpriority",
+        )
         .write.mode("overwrite")
         .parquet(os.path.join(staging, "gen2"))
     )
@@ -312,10 +323,16 @@ def merge_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.option("mergeSchema", "true")
         .parquet(os.path.join(root, "gen1"), os.path.join(root, "gen2"))
     )
+    # Label from the GENERATION condition (the date), not from
+    # NULL-ness: with mergeSchema a back-filled pre-evolution NULL and
+    # a genuinely-NULL post-evolution value are indistinguishable, and
+    # coalesce would silently fold real NULLs into '<pre-evolution>'
+    # (NULL-twin audit r10). NULL-priority gen2 rows form their own
+    # NULL group, exactly as the oracle's CASE does.
     return merged.groupBy(
-        F.coalesce(F.col("o_orderpriority"), F.lit("<pre-evolution>")).alias(
-            "priority"
-        )
+        F.when(F.col("o_orderdate") < "1995-01-01", "<pre-evolution>")
+        .otherwise(F.col("o_orderpriority"))
+        .alias("priority")
     ).agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(18,6)"))

@@ -193,8 +193,12 @@ def _kmv_oracle() -> str:
     picks = ", ".join(f"({q!r}, {rn})" for q, rn in _KMV_IDX)
     return f"""
     WITH s AS (
+      -- quantile functions are defined over NON-NULL values (the
+      -- approx_percentile convention): sample the known-value
+      -- population, or the engines' opposite NULL sort orders shift
+      -- every rank pick (NULL-twin contract r11)
       SELECT o_totalprice AS v, md5(CAST(o_orderkey AS VARCHAR)) AS h
-      FROM orders ORDER BY h LIMIT {_KMV_K}
+      FROM orders WHERE o_totalprice IS NOT NULL ORDER BY h LIMIT {_KMV_K}
     ), r AS (
       SELECT v, h, row_number() OVER (ORDER BY v, h) AS rn FROM s
     )
@@ -217,7 +221,8 @@ def kmv_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     element, so even the ESTIMATES hash-match."""
     from csv2parquet_spark.operators.sketches import kmv_quantiles, kmv_sample
 
-    o = table(spark, sf_dir, "orders")
+    # NULL values carry no quantile information (see oracle note)
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
     return kmv_quantiles(
         kmv_sample(o, "o_totalprice", "o_orderkey", _KMV_K), _KMV_QS, _KMV_K
     )

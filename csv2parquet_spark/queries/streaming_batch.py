@@ -20,9 +20,13 @@ from csv2parquet_spark.tables import table
 @register(
     "stream_tumbling_window",
     oracle=f"""
+    -- a NULL timestamp has no window: Spark's window() rewrites add
+    -- `ts IS NOT NULL` implicitly; DuckDB's time_bucket(NULL) would
+    -- fabricate a NULL bucket row (NULL-twin contract r11)
     SELECT epoch_ms(time_bucket(INTERVAL '10 minutes', ts)) AS window_start_ms,
            event_type, count(*) AS n, {sql_dsum('value', 'total_value')}
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
 )
@@ -44,10 +48,12 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_sliding_window",
     oracle=f"""
+    -- NULL ts has no window (same contract as stream_tumbling_window)
     SELECT epoch_ms(time_bucket(INTERVAL '5 minutes', ts)
                     - to_minutes(off.off)) AS window_start_ms,
            count(*) AS n, {sql_dsum('value', 'total_value')}
     FROM events, (VALUES (0), (5)) AS off(off)
+    WHERE ts IS NOT NULL
     GROUP BY 1
     """,
 )
@@ -91,9 +97,12 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session_windows",
     oracle="""
     WITH ordered AS (
+      -- NULL ts has no session (Spark's session_window drops it; a
+      -- NULL gap comparison would also break the lag chain)
       SELECT user_id, ts, event_id,
              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
       FROM events
+      WHERE ts IS NOT NULL
     ), flagged AS (
       SELECT user_id, ts, event_id,
              CASE WHEN prev_ts IS NULL
@@ -229,7 +238,9 @@ def stream_interval_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events e
     JOIN customer c ON e.user_id = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
-    WHERE e.event_type = 'purchase'
+    -- ts IS NOT NULL: a NULL timestamp has no window (Spark's
+    -- window() drops it implicitly; NULL-twin contract r11)
+    WHERE e.event_type = 'purchase' AND e.ts IS NOT NULL
     GROUP BY 1, 2
     """,
 )
@@ -301,9 +312,10 @@ def stream_interval_join_outer_agg(spark: SparkSession, sf_dir: str) -> DataFram
     "stream_topk_trending",
     oracle="""
     WITH c AS (
+      -- NULL ts has no window (NULL-twin contract r11)
       SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS window_start_ms,
              event_type, count(*) AS n
-      FROM events GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ), r AS (
       SELECT *, row_number() OVER (PARTITION BY window_start_ms
                                    ORDER BY n DESC, event_type) AS rk
@@ -347,10 +359,14 @@ def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_dedup_within_watermark",
     oracle="""
     WITH dup AS (
-      SELECT event_id, ts, event_type FROM events
+      -- a NULL event time cannot be watermarked: the streaming
+      -- operator this twins (dropDuplicatesWithinWatermark) REQUIRES
+      -- an event-time column, so NULL-ts rows never enter the stream
+      -- (NULL-twin contract r11)
+      SELECT event_id, ts, event_type FROM events WHERE ts IS NOT NULL
       UNION ALL
       SELECT event_id, ts + INTERVAL 10 MINUTE, event_type
-      FROM events WHERE event_id % 7 = 0
+      FROM events WHERE event_id % 7 = 0 AND ts IS NOT NULL
     ), keep AS (
       SELECT event_id, ts, event_type,
              min(ts) OVER (PARTITION BY event_id) AS first_ts
@@ -381,7 +397,12 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     production the state store holds only in-watermark keys — the batch
     twin's window is the unbounded-history equivalent on a bounded
     replay."""
-    e = table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    # NULL event times cannot be watermarked (see oracle note)
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("event_id", "ts", "event_type")
+    )
     late = e.filter(F.col("event_id") % 7 == 0).withColumn(
         "ts", F.col("ts") + F.expr("INTERVAL 10 MINUTES")
     )

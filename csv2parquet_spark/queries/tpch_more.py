@@ -313,7 +313,11 @@ def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(bucket.alias("ship_bucket"))
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+            # when(~high), not otherwise(1): a NULL priority is UNKNOWN
+            # under SQL's NOT IN three-valued logic and belongs to
+            # neither bucket — otherwise(1) silently counted it as low
+            # (NULL-twin contract r11).
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
     )
 

@@ -384,7 +384,9 @@ def asof_purchase_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE p.event_type = 'purchase'
     """,
 )
-def asof_cogroup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+def asof_cogroup_merge(
+    spark: SparkSession, sf_dir: str, on_null: str = "raise"
+) -> DataFrame:
     """The SAME as-of join as ``asof_purchase_prev_click``, through the
     one pandas-UDF shape the engine hadn't exercised: cogrouped
     ``applyInPandas`` — purchases and clicks grouped by user on both
@@ -400,7 +402,14 @@ def asof_cogroup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import pandas as pd
 
+    from csv2parquet_spark.operators.null_policy import check_on_null, skip_nulls
+
+    check_on_null(on_null)
     e = table(spark, sf_dir, "events")
+    if on_null == "skip":
+        # A NULL-ts event has no place on either side of an as-of merge;
+        # drop-with-count instead of aborting the whole job.
+        e = skip_nulls(e, ["ts"], "asof_cogroup_merge")
     purchases = e.filter(F.col("event_type") == "purchase").select(
         "user_id", "event_id", F.unix_millis("ts").alias("purchase_ms")
     )
