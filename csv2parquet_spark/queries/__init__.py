@@ -143,6 +143,24 @@ _FORCE_FIRST: list[str] = [
     "kmv_quantile_sketch",
     "kmeans_train_clusters",
     "label_centroid_separation",
+    # null-ts-window class (12): NULL-timestamp contract — a NULL time
+    # has no window/bar/session/timeline on either engine. Mostly
+    # oracle-side (`ts IS NOT NULL` twins of Spark's implicit window()
+    # filter); Spark code changed for the watermark-dedup source gate,
+    # the topk NULLS LAST tie-break, the gapfill join-presence is_gap,
+    # the sessionize/ohlc/attribution timeline filters.
+    "stream_tumbling_window",
+    "stream_sliding_window",
+    "stream_session_windows",
+    "stream_static_enrich",
+    "stream_topk_trending",
+    "stream_dedup_within_watermark",
+    "error_burst_windows",
+    "sessionize_events_gap",
+    "sessionize_dynamic_gap",
+    "timeseries_gapfill_daily",
+    "ohlc_hourly_bars",
+    "attribution_last_click",
     # on_null='skip' plumbing (9): default 'raise' path byte-identical
     # on the clean fixture (kwarg-gated declarative pre-filter), so
     # these queue BEHIND the result-affecting re-proofs; preflight

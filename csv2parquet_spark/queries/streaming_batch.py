@@ -317,8 +317,10 @@ def stream_interval_join_outer_agg(spark: SparkSession, sf_dir: str) -> DataFram
              event_type, count(*) AS n
       FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ), r AS (
+      -- explicit NULLS LAST: an unknown event type loses rank ties
+      -- (the engine-wide NULL-ordering contract, r11)
       SELECT *, row_number() OVER (PARTITION BY window_start_ms
-                                   ORDER BY n DESC, event_type) AS rk
+                                   ORDER BY n DESC, event_type NULLS LAST) AS rk
       FROM c
     )
     SELECT window_start_ms, event_type, CAST(n AS BIGINT) AS n,
@@ -340,8 +342,13 @@ def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = e.groupBy(
         F.window("ts", "1 hour").alias("w"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n"))
+    # asc_nulls_last mirrors the oracle's NULLS LAST tie-break — an
+    # unknown event type loses ties (Spark's ASC default is NULLS
+    # FIRST, the one place the engines' tie order diverged)
     rk = F.row_number().over(
-        Window.partitionBy("w").orderBy(F.desc("n"), "event_type")
+        Window.partitionBy("w").orderBy(
+            F.desc("n"), F.asc_nulls_last("event_type")
+        )
     )
     return (
         c.withColumn("rk", rk)

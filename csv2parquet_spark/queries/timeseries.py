@@ -64,9 +64,13 @@ def timeseries_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events").filter(
         (F.col("event_type") == "purchase") & (F.col("user_id") % 29 == 3)
     )
+    # `present` marks join hits: is_gap must test the JOIN miss, not
+    # revenue-NULL — a day whose purchases all carry NULL values is a
+    # zero-revenue day, NOT a calendar gap (NULL-twin audit r10; the
+    # oracle's `daily.d IS NULL` already has this semantic)
     daily = e.groupBy(
         "user_id", F.to_date("ts").alias("d")
-    ).agg(dsum(F.col("value"), "revenue"))
+    ).agg(dsum(F.col("value"), "revenue")).withColumn("present", F.lit(1))
     bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
     cal = (
         daily.select("user_id")
@@ -80,7 +84,7 @@ def timeseries_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.date_format("d", "yyyy-MM-dd").alias("day"),
             F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
-            F.col("revenue").isNull().alias("is_gap"),
+            F.col("present").isNull().alias("is_gap"),
         )
     )
 
@@ -89,11 +93,16 @@ def timeseries_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionize_events_gap",
     oracle="""
     WITH marked AS (
+      -- an event with no timestamp cannot be sessionized: it has no
+      -- place on the per-user timeline, and the engines' opposite
+      -- NULL sort orders would thread it through the lag chain
+      -- differently (NULL-twin contract r11)
       SELECT user_id, event_id, ts, value,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 3600000
                   THEN 1 ELSE 0 END AS is_new
       FROM events
+      WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sess AS (
@@ -120,7 +129,8 @@ def sessionize_events_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch twin of streaming ``session_window`` (streaming_batch.py) with
     an explicitly derived session ordinal instead of a time range.
     """
-    e = table(spark, sf_dir, "events")
+    # NULL-ts events sit on no timeline (see oracle note)
+    e = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_ms = F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))
     marked = e.withColumn(
@@ -196,7 +206,9 @@ def streaks_user_active_days(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY ts, event_id) AS rn_a,
              row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
                                 ORDER BY ts DESC, event_id DESC) AS rn_d
-      FROM events WHERE value IS NOT NULL
+      -- ts IS NOT NULL: a bar is a TIME bucket; an event with no
+      -- timestamp belongs to no bar (NULL-twin contract r11)
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
     )
     SELECT event_type, epoch_ms(h) AS hour_ms,
            max(CASE WHEN rn_a = 1 THEN value END) AS open,
@@ -216,7 +228,10 @@ def ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max/decimal-sum. One shuffle on (event_type, hour); at 100 TB
     the window state per bar stays bar-sized.
     """
-    e = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # NULL-ts events belong to no bar (see oracle note)
+    e = table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
     e = e.withColumn("h", F.date_trunc("hour", "ts"))
     wa = Window.partitionBy("event_type", "h").orderBy("ts", "event_id")
     wd = Window.partitionBy("event_type", "h").orderBy(
@@ -519,9 +534,13 @@ def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     "error_burst_windows",
     oracle="""
     WITH w AS (
+      -- ts IS NOT NULL: a NULL timestamp has no window; DuckDB's
+      -- time_bucket(NULL) would otherwise fabricate a phantom bucket
+      -- that inflates the mean/stddev baseline AND can itself be
+      -- flagged as a burst (NULL-twin contract r11)
       SELECT epoch_ms(time_bucket(INTERVAL '5 minutes', ts)) AS win_ms,
              count(*) AS n
-      FROM events WHERE event_type = 'error'
+      FROM events WHERE event_type = 'error' AND ts IS NOT NULL
       GROUP BY 1
     ), s AS (
       SELECT CAST(avg(n) AS DOUBLE) AS mu,
@@ -659,17 +678,24 @@ def funnel_signup_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     "attribution_last_click",
     oracle="""
     WITH e AS (
+      -- ts IS NOT NULL: a NULL-time event sits on no attribution
+      -- timeline (the engines' opposite NULL sort orders would anchor
+      -- the RANGE frame differently); a NULL-user purchase matches no
+      -- click history and stays organic (the as-of NULL-key-never-
+      -- matches contract, r11)
       SELECT user_id, event_type, value, epoch_ms(ts) AS t,
              CASE WHEN event_type = 'click'
                   THEN epoch_ms(ts) * 100
                        + CAST(json_extract_string(props, '$.k') AS BIGINT) % 100
              END AS enc
-      FROM events WHERE event_type IN ('click', 'purchase')
+      FROM events
+      WHERE event_type IN ('click', 'purchase') AND ts IS NOT NULL
     ), x AS (
       SELECT user_id, event_type, value,
-             max(enc) OVER (PARTITION BY user_id ORDER BY t
-                            RANGE BETWEEN UNBOUNDED PRECEDING
-                                      AND 1 PRECEDING) AS last_enc
+             CASE WHEN user_id IS NOT NULL THEN
+               max(enc) OVER (PARTITION BY user_id ORDER BY t
+                              RANGE BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) END AS last_enc
       FROM e
     )
     SELECT COALESCE(CAST(last_enc % 100 AS INTEGER), -1) AS campaign_k,
@@ -690,8 +716,11 @@ def attribution_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     with % 100 after the fact (same-millisecond click ties break to the
     larger k on BOTH engines by the same arithmetic). Revenue sums in
     decimal (helpers.py convention)."""
+    # NULL-ts events are off the timeline; NULL-user purchases stay
+    # organic (see oracle note)
     e = table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "click")
+        & F.col("ts").isNotNull()
     )
     # '%' (C-style remainder, sign of dividend) on BOTH engines — the
     # oracle uses DuckDB '%', so F.pmod would diverge for negative k.
@@ -707,7 +736,10 @@ def attribution_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rangeBetween(Window.unboundedPreceding, -1)
     )
     return (
-        e.withColumn("last_enc", F.max(enc).over(w))
+        e.withColumn(
+            "last_enc",
+            F.when(F.col("user_id").isNotNull(), F.max(enc).over(w)),
+        )
         .filter(F.col("event_type") == "purchase")
         .groupBy(
             F.coalesce((F.col("last_enc") % 100).cast("int"), F.lit(-1)).alias(
@@ -1281,9 +1313,11 @@ _DYN_GAP_SQL = """CASE event_type WHEN 'purchase' THEN 7200000
     "sessionize_dynamic_gap",
     oracle=f"""
     WITH ends AS (
+      -- an event with no timestamp cannot be sessionized (same
+      -- contract as sessionize_events_gap, r11)
       SELECT user_id, event_id, ts,
              epoch_ms(ts) + {_DYN_GAP_SQL} AS w_end
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ), marked AS (
       SELECT user_id, event_id, ts,
              max(w_end) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -1322,7 +1356,8 @@ def sessionize_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     run in tests/test_streaming.py. Plan: two stacked windows (max-end
     carry, running-sum ordinal) and the rollup all share ONE user_id
     exchange."""
-    e = table(spark, sf_dir, "events")
+    # NULL-ts events sit on no timeline (see oracle note)
+    e = table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     gap = (
         F.when(F.col("event_type") == "purchase", 7_200_000)
         .when(F.col("event_type").isin("click", "view"), 3_600_000)
