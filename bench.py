@@ -702,6 +702,29 @@ def main() -> None:
     )
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
+    # Self-archive (ADVICE/VERDICT r10 item 5): BENCH_DETAIL.json is
+    # overwritten every run, which made per-key round-over-round
+    # comparison impossible from artifacts. Infer the CURRENT round as
+    # max(BENCH_r{N}.json)+1 — the driver writes BENCH_r{N} for the
+    # round being closed AFTER running this script — and keep a
+    # per-round copy. Re-runs within a round just refresh the same file.
+    try:
+        import glob
+        import re
+
+        root = os.path.dirname(os.path.abspath(__file__))
+        rounds = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(root, "BENCH_r*.json"))
+            if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+        ]
+        rnd = (max(rounds) + 1) if rounds else 1
+        with open(
+            os.path.join(root, f"BENCH_DETAIL_r{rnd:02d}.json"), "w"
+        ) as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass  # archiving is best-effort; the driver contract line matters
     # Earlier line: full detail for humans/archaeology. Final line: the
     # compact driver contract. The driver's tail capture is ~2 KB and the
     # per-query map outgrew it at 67 HEADLINE queries (BENCH_r05
