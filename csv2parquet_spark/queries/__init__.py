@@ -143,6 +143,11 @@ _FORCE_FIRST: list[str] = [
     "kmv_quantile_sketch",
     "kmeans_train_clusters",
     "label_centroid_separation",
+    # dim²-scoring rewrite (r11 §7): ncm joins _FORCE_FIRST alongside
+    # label_centroid above — both now score map-only against collected
+    # centroid literals (bit-identical by decimal exactness; oracle
+    # unchanged), and both need a driver re-proof of the new plan.
+    "ncm_confusion_matrix",
     # null-ts-window class (12): NULL-timestamp contract — a NULL time
     # has no window/bar/session/timeline on either engine. Mostly
     # oracle-side (`ts IS NOT NULL` twins of Spark's implicit window()

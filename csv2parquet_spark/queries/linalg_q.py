@@ -211,6 +211,57 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _fit_class_centroids(e, vec_col: str = "embedding", label_col: str = "label"):
+    """Per-class exact-decimal centroid fit, collected MODEL-SIZED.
+
+    One posexplode -> (label, pos) partial-agg pass over the corpus (the
+    unavoidable fit scan), then the classes x dims centroid table plus
+    each class's decimal-summed ||c||^2 come back to the driver as
+    literals — k x dim floats, the same model-sized-collect contract as
+    the k-means/IVF training loops. Rows sorted by class id (NULL class
+    last) so downstream expression chains are deterministic."""
+    ex = e.select(
+        label_col, F.posexplode(vec_col).alias("pos", "vf")
+    ).select(label_col, "pos", F.col("vf").cast("double").alias("v"))
+    cent = ex.groupBy(F.col(label_col).alias("clabel"), "pos").agg(
+        (
+            F.sum(F.col("v").cast("decimal(20,10)")).cast("double") / F.count("*")
+        ).alias("c")
+    )
+    cn = cent.groupBy("clabel").agg(
+        F.sum((F.col("c") * F.col("c")).cast("decimal(28,14)"))
+        .cast("double")
+        .alias("c2")
+    )
+    rows = (
+        cent.groupBy("clabel")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("clabel", F.col("pc.c").alias("cent"))
+        .join(cn, "clabel")
+        .collect()
+    )
+    rows.sort(key=lambda r: (r.clabel is None, r.clabel))
+    return rows
+
+
+def _dec_fold(arr):
+    """Exact decimal sum of an array of DECIMAL(28,14) terms, as DOUBLE.
+
+    Decimal addition is associative EXACTLY, so this per-row fold is
+    bit-identical to the grouped SUM over exploded rows it replaces —
+    the reformulation moves no output bit, it only deletes the
+    n x dim x k explode-join shuffle."""
+    return (
+        F.aggregate(
+            arr,
+            F.lit(0).cast("decimal(38,14)"),
+            lambda a, x: (a + x).cast("decimal(38,14)"),
+        )
+        .cast("double")
+    )
+
+
 @register(
     "ncm_confusion_matrix",
     oracle="""
@@ -259,39 +310,44 @@ def ncm_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores, and the argmin tie-breaks on the class id.
     """
     e = table(spark, sf_dir, "embeddings")
-    ex = e.select(
-        "vec_id", "label", F.posexplode("embedding").alias("pos", "vf")
-    ).select("vec_id", "label", "pos", F.col("vf").cast("double").alias("v"))
-    cent = ex.groupBy(F.col("label").alias("clabel"), "pos").agg(
-        (
-            F.sum(F.col("v").cast("decimal(20,10)")).cast("double") / F.count("*")
-        ).alias("c")
-    )
-    cn = cent.groupBy("clabel").agg(
-        F.sum((F.col("c") * F.col("c")).cast("decimal(28,14)"))
-        .cast("double")
-        .alias("c2")
-    )
-    dots = (
-        ex.join(F.broadcast(cent), "pos")
-        .groupBy("vec_id", "label", "clabel")
-        .agg(
-            F.sum((F.col("v") * F.col("c")).cast("decimal(28,14)"))
-            .cast("double")
-            .alias("dot")
+    # Fit: one explode pass, model-sized collect (_fit_class_centroids).
+    # Score: was an n·dim × k explode-JOIN + (vec, class) shuffle + a
+    # per-vec row_number — the registry's 2nd-slowest key at sf1
+    # (27.8 s, 8.6× at 10× data). Now a MAP-ONLY per-row fold against
+    # the k×dim centroid literals: score_c = ||c||² − 2·v·c with every
+    # accumulation in the SAME per-term DECIMAL(28,14) casts, so the
+    # doubles are bit-identical to the join formulation (decimal
+    # addition is exact — order can't move a bit) and the argmin picks
+    # the same class; ties break to the lower class id via the
+    # (score, clabel) struct ordering, exactly the old row_number
+    # order. Zero scoring shuffle; the oracle is unchanged.
+    rows = _fit_class_centroids(e)
+    if not rows:
+        return spark.createDataFrame(
+            [], "true_label int, pred_label int, n bigint"
         )
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("c2") - 2 * F.col("dot"), F.col("clabel")
-    )
-    scored = dots.join(F.broadcast(cn), "clabel").withColumn(
-        "rn", F.row_number().over(w)
-    )
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    v2_free_scores = []
+    for r in rows:
+        carr = F.array(*[F.lit(float(c)) for c in r.cent])
+        dot = _dec_fold(
+            F.zip_with(vd, carr, lambda x, y: (x * y).cast("decimal(28,14)"))
+        )
+        lab = (
+            F.lit(None).cast("int") if r.clabel is None else F.lit(int(r.clabel))
+        )
+        v2_free_scores.append(
+            F.struct(
+                (F.lit(float(r.c2)) - 2 * dot).alias("s"), lab.alias("l")
+            )
+        )
+    pred = F.array_min(F.array(*v2_free_scores))["l"]
     return (
-        scored.filter(F.col("rn") == 1)
+        # NULL embeddings were absent from the exploded relation; the
+        # map-only path keeps that contract with an explicit filter
+        e.filter(F.col("embedding").isNotNull())
         .groupBy(
-            F.col("label").alias("true_label"),
-            F.col("clabel").alias("pred_label"),
+            F.col("label").alias("true_label"), pred.alias("pred_label")
         )
         .agg(F.count("*").alias("n"))
     )
@@ -542,48 +598,40 @@ def label_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_classes, never corpus×corpus."""
     # NULL labels are not classes (see oracle note)
     e = table(spark, sf_dir, "embeddings").filter(F.col("label").isNotNull())
-    ex = e.select(
-        "vec_id", "label", F.posexplode("embedding").alias("pos", "vf")
-    ).select("vec_id", "label", "pos", F.col("vf").cast("double").alias("v"))
-    cent = ex.groupBy(F.col("label").alias("clabel"), "pos").agg(
-        (
-            F.sum(F.col("v").cast("decimal(20,10)")).cast("double") / F.count("*")
-        ).alias("c")
-    )
-    cn = cent.groupBy("clabel").agg(
-        F.sum((F.col("c") * F.col("c")).cast("decimal(28,14)"))
-        .cast("double")
-        .alias("c2")
-    )
-    vn = ex.groupBy("vec_id").agg(
-        F.sum((F.col("v") * F.col("v")).cast("decimal(28,14)"))
-        .cast("double")
-        .alias("v2")
-    )
-    dots = (
-        ex.join(F.broadcast(cent), "pos")
-        .groupBy("vec_id", "label", "clabel")
-        .agg(
-            F.sum((F.col("v") * F.col("c")).cast("decimal(28,14)"))
-            .cast("double")
-            .alias("dot")
+    # Fit: one explode pass + model-sized collect. Distances: was the
+    # registry's slowest sf1 key (35 s, dim² via an n·dim × k
+    # explode-join + vec-norm groupBy + a (vec, class) shuffle). Now a
+    # MAP-ONLY per-row fold: dist_c = round(||v||² − 2·v·c + ||c||², 6)
+    # against the k×dim centroid literals, with the SAME per-term
+    # DECIMAL(28,14) casts — decimal addition is exact, so every double
+    # (and therefore every hashed output) is bit-identical to the
+    # join formulation. d_own/d_other select by label equality over the
+    # k dist expressions; zero scoring shuffle, oracle unchanged.
+    rows = _fit_class_centroids(e)
+    if not rows:
+        return spark.createDataFrame(
+            [],
+            "label int, n_vecs bigint, n_separated bigint, "
+            "sum_d_own double, sum_d_other double",
         )
-    )
-    d2 = (
-        dots.join(F.broadcast(cn), "clabel")
-        .join(vn, "vec_id")
-        .select(
-            "vec_id",
-            "label",
-            "clabel",
-            F.round(F.col("v2") - 2 * F.col("dot") + F.col("c2"), 6).alias("dist"),
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    v2 = _dec_fold(F.transform(vd, lambda x: (x * x).cast("decimal(28,14)")))
+    dists = []
+    for r in rows:
+        carr = F.array(*[F.lit(float(c)) for c in r.cent])
+        dot = _dec_fold(
+            F.zip_with(vd, carr, lambda x, y: (x * y).cast("decimal(28,14)"))
         )
-    )
-    pv = d2.groupBy("vec_id", "label").agg(
-        F.min(F.when(F.col("clabel") == F.col("label"), F.col("dist"))).alias("d_own"),
-        F.min(F.when(F.col("clabel") != F.col("label"), F.col("dist"))).alias(
-            "d_other"
-        ),
+        dists.append(F.round(v2 - 2 * dot + F.lit(float(r.c2)), 6))
+    d_own = d_other = None
+    for i, r in enumerate(rows):
+        others = [d for j, d in enumerate(dists) if j != i]
+        oth = F.least(*others) if others else F.lit(None).cast("double")
+        cond = F.col("label") == F.lit(int(r.clabel))
+        d_own = F.when(cond, dists[i]) if d_own is None else d_own.when(cond, dists[i])
+        d_other = F.when(cond, oth) if d_other is None else d_other.when(cond, oth)
+    pv = e.filter(F.col("embedding").isNotNull()).select(
+        "label", d_own.alias("d_own"), d_other.alias("d_other")
     )
     return pv.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),

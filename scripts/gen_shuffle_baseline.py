@@ -65,7 +65,14 @@ def main() -> None:
     # protection — the rotation tier gives them a wall time only once
     # per 7 rounds, but shuffle volume is cheap and deterministic
     # enough to pin for every key on every suite run.
-    names = sorted(REGISTRY) if do_all else HEADLINE
+    # Explicit key args must reach NON-HEADLINE keys too: iterating
+    # HEADLINE when keys were named silently skipped any key outside
+    # it (found r11 — the dim²-rewrite regen was a no-op), leaving a
+    # stale pin that looks refreshed.
+    names = sorted(REGISTRY) if (do_all or only) else HEADLINE
+    missing = only - set(names)
+    if missing:
+        sys.exit(f"unknown keys: {sorted(missing)}")
     for name in names:
         if only and name not in only:
             continue
