@@ -48,15 +48,34 @@ NAN_COLS = {
     "events": ("event_id", ["value"]),
 }
 
-# Adjudicated classes (empty on the discovery run; fill as hits are
-# triaged, mirroring null_audit.CLASSES).
+# Adjudicated classes (fill as hits are triaged, mirroring
+# null_audit.CLASSES). Name-level entries win; the pattern classifier
+# below catches the mechanical mega-class.
 CLASSES: dict[str, str] = {}
+
+
+def auto_class(detail: str) -> str | None:
+    """Pattern-level adjudication for the r11 discovery findings.
+
+    nan-decimal-cast-oracle-strict (91/99 of the discovery hits): the
+    engine's decimal-stabilized sum convention (CAST(x AS
+    DECIMAL(18,6)) before SUM) hits a NaN — DuckDB's strict cast
+    ERRORS ("value is out of range for the destination type
+    INT64/INT128") while Spark's non-ANSI cast yields NULL and the
+    sum silently skips the row. BOTH behaviors are defensible alone;
+    the DIVERGENCE is the finding, and the Spark side is the sharper
+    operational hazard (a NaN silently vanishing from a revenue
+    total at 100 TB). r12 contract decision: either gate measures
+    with nanvl/isnan on both engines, or adopt loud-NaN guards like
+    the NULL kernel guards.
+    """
+    if "can't be cast because the value is out of range" in detail:
+        return "nan-decimal-cast-oracle-strict"
+    return None
 
 
 def gen_fixture() -> None:
     import shutil
-
-    import numpy as np
 
     os.makedirs(OUT, exist_ok=True)
     for tbl in ("region", "nation", "documents"):
@@ -139,7 +158,9 @@ def main() -> None:
         if i % 25 == 0:
             print(f"{i}/{len(names)} ok={ok}", file=sys.stderr, flush=True)
     for name, h in results.items():
-        h["class"] = CLASSES.get(name, "UNCLASSIFIED")
+        h["class"] = (
+            CLASSES.get(name) or auto_class(h["detail"]) or "UNCLASSIFIED"
+        )
     partial = bool(only)
     out = {"ok": ok, "total": len(names), "hits": results,
            "classes_doc": "discovery run — triage into CLASSES "
