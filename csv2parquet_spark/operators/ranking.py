@@ -103,6 +103,8 @@ def global_cumsum(
     weight_col: str | list[str],
     cum_col: str | list[str] = "cum",
     num_partitions: int | None = None,
+    return_totals: bool = False,
+    rn_col: str | None = None,
 ) -> DataFrame:
     """Attach the INCLUSIVE global running sum of ``weight_col`` in
     ``keys`` order (a total order) — same two-pass shape as
@@ -116,6 +118,21 @@ def global_cumsum(
     job instead of re-running the whole two-pass machinery per column
     (KS needs two CDFs, isotonic needs two prefix sums — one pass,
     not two).
+
+    ``return_totals=True`` additionally returns ``{weight_col: total}``
+    — the exact global sum of each weight column, a free by-product of
+    the pass-1 per-partition sums (r11 optimization): callers that need
+    N / grand totals alongside the cumsum (KS, Kaplan-Meier, Lorenz)
+    otherwise run a SEPARATE aggregate job whose upstream re-executes
+    the whole input pipeline. Identical integers by construction: the
+    total is the sum of the same per-partition sums the offsets come
+    from. The totals dict also carries ``"__rows"`` (total row count).
+
+    ``rn_col`` additionally attaches the 1-based global row number in
+    ``keys`` order — :func:`global_row_number` fused into the SAME
+    range sort / checkpoint / offsets job (r11): callers that need both
+    (Zipf coverage, CUSUM) otherwise build two complete two-pass
+    machines over the same input and join them back on the key.
     """
     import numpy as np
     import pandas as pd  # noqa: F401
@@ -159,9 +176,12 @@ def global_cumsum(
                 f"global_cumsum: NULL weights in {w!r} — "
                 "fill or filter first"
             )
-    per = {r.pid: [int(r[f"s{i}"]) for i in range(len(wcols))] for r in sums}
+    per = {
+        r.pid: [int(r[f"s{i}"]) for i in range(len(wcols))] + [int(r["n_rows"])]
+        for r in sums
+    }
     offsets: dict[int, list[int]] = {}
-    acc = [0] * len(wcols)
+    acc = [0] * (len(wcols) + 1)  # weight offsets + row offset
     for pid in sorted(per):
         offsets[pid] = list(acc)
         acc = [a + s for a, s in zip(acc, per[pid])]
@@ -172,11 +192,12 @@ def global_cumsum(
     out_schema = StructType(
         list(part.schema.fields)
         + [StructField(c, LongType()) for c in ccols]
+        + ([StructField(rn_col, LongType())] if rn_col else [])
     )
 
     def accumulate(batches):
         pid = TaskContext.get().partitionId()
-        seen = list(bc.value.get(pid, [0] * len(wcols)))
+        seen = list(bc.value.get(pid, [0] * (len(wcols) + 1)))
         for pdf in batches:
             pdf = pdf.copy()
             for i, (w, c) in enumerate(zip(wcols, ccols)):
@@ -184,9 +205,20 @@ def global_cumsum(
                 cs = np.cumsum(arr) + seen[i]
                 seen[i] = int(cs[-1]) if len(cs) else seen[i]
                 pdf[c] = cs
+            if rn_col:
+                k = len(pdf)
+                pdf[rn_col] = np.arange(
+                    seen[-1] + 1, seen[-1] + k + 1, dtype=np.int64
+                )
+                seen[-1] += k
             yield pdf
 
-    return part.mapInPandas(accumulate, out_schema)
+    out = part.mapInPandas(accumulate, out_schema)
+    if return_totals:
+        totals = {w: int(t) for w, t in zip(wcols, acc)}
+        totals["__rows"] = int(acc[-1])
+        return out, totals
+    return out
 
 
 def global_running_max(

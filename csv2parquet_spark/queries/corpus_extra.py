@@ -15,6 +15,7 @@ import pandas as pd  # noqa: F401  (resolves pandas-UDF type hints)
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from csv2parquet_spark.operators.scan import parallelize_scan as _ps
 from csv2parquet_spark.operators.text import shingles
 from csv2parquet_spark.queries.registry import register
 from csv2parquet_spark.tables import table
@@ -75,7 +76,10 @@ def exact_substr_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly how ExactSubstr's suffix-array semantics relax into a
     relational plan (window granularity instead of arbitrary length).
     """
-    d = table(spark, sf_dir, "documents")
+    # gated rebalance BEFORE the window build (r11): the single-file
+    # fixture scan otherwise runs the ~3M-window shingle+md5 map on ONE
+    # task (1.2 s of single-core CPU at sf0.1); a no-op at scale.
+    d = _ps(table(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = d.select("doc_id", F.split("text", " ").alias("t"))
     win = (
         toks.select(
@@ -981,7 +985,7 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe ranks are a tiny IN filter; the oracle states the same
     semantics as the naive global window.
     """
-    from csv2parquet_spark.operators.ranking import global_cumsum, global_row_number
+    from csv2parquet_spark.operators.ranking import global_cumsum
 
     d = table(spark, sf_dir, "documents")
     v = (
@@ -991,20 +995,23 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("freq"))
         .withColumn("neg", -F.col("freq"))
     )
-    ranked, _ = global_row_number(v, ["neg", "tok"])
-    cum = global_cumsum(v, ["neg", "tok"], "freq", cum_col="cum")
-    tot = v.agg(F.sum("freq").alias("tot"))
+    # rank + running mass + grand total from ONE two-pass machine (r11
+    # rn_col/return_totals fusion): the previous shape built two full
+    # range-sort/checkpoint/offsets chains over v and joined them back
+    # on tok, plus a third broadcast-subquery job for the total. Same
+    # ordering keys → identical rn/cum integers by construction.
+    cum, _tot = global_cumsum(
+        v, ["neg", "tok"], "freq", cum_col="cum",
+        return_totals=True, rn_col="rn",
+    )
     return (
-        ranked.select("tok", "rn")
-        .join(cum.select("tok", "cum"), "tok")
-        .filter(F.col("rn").isin(1, 10, 25))
-        .crossJoin(F.broadcast(tot))
+        cum.filter(F.col("rn").isin(1, 10, 25))
         .select(
             F.col("rn").alias("vocab_size"),
             F.col("cum").alias("tokens_covered"),
-            F.round(F.col("cum").cast("double") / F.col("tot"), 6).alias(
-                "coverage"
-            ),
+            F.round(
+                F.col("cum").cast("double") / F.lit(_tot["freq"]), 6
+            ).alias("coverage"),
         )
     )
 

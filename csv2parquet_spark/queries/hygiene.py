@@ -1014,8 +1014,13 @@ def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csv2parquet_spark.operators.ranking import global_cumsum
 
     d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    cum = global_cumsum(d, keys=["doc_id"], weight_col="n_chars", cum_col="cum")
-    total = int(cum.agg(F.max("cum")).collect()[0][0])  # scalar
+    # total from the cumsum's own pass-1 sums (r11) — max("cum") cost a
+    # separate job over the checkpointed relation for one integer
+    cum, _tot = global_cumsum(
+        d, keys=["doc_id"], weight_col="n_chars", cum_col="cum",
+        return_totals=True,
+    )
+    total = _tot["n_chars"]
     return (
         cum.filter(
             F.expr(f"(cum * 97) DIV {total}")

@@ -1081,6 +1081,9 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_synth_media_payload,
     )
 
+    # NO scan rebalance here (r11 measured negative): this kernel is
+    # light enough that the exchange + 32-task dispatch cost MORE than
+    # the single-task kernel (0.51 → 0.79 s); contrast resize/ahash.
     return decode_media(
         with_synth_media_payload(table(spark, sf_dir, "documents"))
     )
@@ -1616,7 +1619,12 @@ def image_ahash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_patterned_image,
     )
 
-    docs = table(spark, sf_dir, "documents").select("doc_id")
+    # gated rebalance BEFORE the synth/decode/hash Python kernels (r11):
+    # the single-file fixture scan otherwise pins every mapInPandas
+    # stage to ONE task; a no-op at scale (see parallelize_scan)
+    docs = SCAN.parallelize_scan(
+        table(spark, sf_dir, "documents").select("doc_id")
+    )
     imgs = with_patterned_image(docs)
     return image_near_dups(imgs, max_hamming=3).select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
@@ -1656,7 +1664,12 @@ def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_patterned_image,
     )
 
-    docs = table(spark, sf_dir, "documents").select("doc_id")
+    # gated rebalance BEFORE the synth (r11): all five Python-kernel
+    # stages (synth, resize, 2× ahash, re-decode) otherwise run on the
+    # single-file scan's ONE task; a no-op at scale
+    docs = SCAN.parallelize_scan(
+        table(spark, sf_dir, "documents").select("doc_id")
+    )
     imgs = with_patterned_image(docs).localCheckpoint()
     # checkpointed: feeds both the final select AND its aHash — without
     # it the decode/resample/re-encode kernel executes twice per run
@@ -1715,6 +1728,9 @@ def audio_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_patterned_wav,
     )
 
+    # NO scan rebalance here (r11 measured negative): the DSP kernel is
+    # light enough that the exchange + 32-task dispatch cost MORE than
+    # the single-task kernel (0.70 → 1.14 s); contrast resize/ahash.
     docs = table(spark, sf_dir, "documents").select("doc_id")
     return audio_features(with_patterned_wav(docs))
 
@@ -1779,6 +1795,9 @@ def image_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_counting_image,
     )
 
+    # NO scan rebalance here (r11 measured negative): the feature kernel
+    # is light enough that the exchange + 32-task dispatch cost MORE
+    # than the single-task kernel (0.67 → 0.93 s); contrast resize/ahash.
     docs = table(spark, sf_dir, "documents").select("doc_id")
     return image_features(with_counting_image(docs))
 

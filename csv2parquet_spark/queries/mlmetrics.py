@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from csv2parquet_spark.operators.ranking import global_cumsum
+from csv2parquet_spark.operators.scan import parallelize_scan as _ps
 from csv2parquet_spark.queries.registry import register
 from csv2parquet_spark.tables import table
 
@@ -685,8 +686,12 @@ def woe_iv_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cents")
         .agg(F.count(F.lit(1)).alias("cnt"), F.sum("bad").alias("bads"))
     )
-    cum = global_cumsum(g1, keys=["cents"], weight_col="cnt", cum_col="cum")
-    n = g1.agg(F.sum("cnt")).collect()[0][0]
+    # n rides the cumsum's pass-1 sums (r11): the separate aggregate
+    # re-ran the orders scan + groupBy as a whole extra job
+    cum, _tot = global_cumsum(
+        g1, keys=["cents"], weight_col="cnt", cum_col="cum", return_totals=True
+    )
+    n = _tot["cnt"]
     pb = (
         cum.select(
             F.expr(f"((cum - 1) * 8) div {n}").alias("bin"), "cnt", "bads"
@@ -1187,50 +1192,58 @@ def ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain, one cumsum pass over the compressed CDF, one max — no row
     ever ranks, no partition ever holds the corpus.
     """
-    # NULL values sit on no CDF (see oracle note)
-    o = (
+    # NULL values sit on no CDF (see oracle note). Gated rebalance
+    # BEFORE the md5 projection (r11): the single-row-group fixture
+    # scan otherwise runs the per-row md5 arm-assignment on ONE task
+    # (2.5 s of single-core CPU at sf0.1); a no-op at scale.
+    o = _ps(
         table(spark, sf_dir, "orders")
         .filter(F.col("o_totalprice").isNotNull())
-        .select(
-            F.when(
-                F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 1)
-                < "8",
-                1,
-            )
-            .otherwise(0)
-            .alias("grp_a"),
-            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
-            .cast("long")
-            .alias("cents"),
+        .select("o_custkey", "o_totalprice")
+    ).select(
+        F.when(
+            F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 1)
+            < "8",
+            1,
         )
+        .otherwise(0)
+        .alias("grp_a"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
     )
     g = o.groupBy("cents").agg(
         F.sum("grp_a").alias("n_a"),
         (F.count(F.lit(1)) - F.sum("grp_a")).alias("n_b"),
     )
-    c = global_cumsum(
-        g, keys=["cents"], weight_col=["n_a", "n_b"], cum_col=["ca", "cb"]
+    # totals ride the cumsum's own pass-1 sums (r11): the separate
+    # aggregate + crossJoin(broadcast) re-ran the whole two-pass chain
+    # as a broadcast subquery for two integers. Same integers by
+    # construction; the downstream doubles see identical operands, so
+    # every IEEE op reproduces bit-for-bit.
+    c, _tot = global_cumsum(
+        g,
+        keys=["cents"],
+        weight_col=["n_a", "n_b"],
+        cum_col=["ca", "cb"],
+        return_totals=True,
     )
-    # totals are needed inside the per-row gap — broadcast them back
-    tot = c.agg(F.sum("n_a").alias("na"), F.sum("n_b").alias("nb"))
-    j = c.crossJoin(F.broadcast(tot))
-    gap = F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
-    ks = j.agg(
-        F.max("na").alias("na"),
-        F.max("nb").alias("nb"),
-        F.max(gap).alias("d_num"),
-        (F.max("na") * F.max("nb")).alias("d_den"),
-    )
+    na, nb = _tot["n_a"], _tot["n_b"]
+    gap = F.abs(F.col("ca") * F.lit(nb) - F.col("cb") * F.lit(na))
+    ks = c.agg(F.max(gap).alias("d_num"))
     scaled = (
         F.col("d_num").cast("double")
-        / (F.col("na").cast("double") * F.col("nb"))
+        / (F.lit(na).cast("double") * F.lit(nb))
         * F.sqrt(
-            F.col("na").cast("double") * F.col("nb")
-            / (F.col("na") + F.col("nb"))
+            F.lit(na).cast("double") * F.lit(nb) / (F.lit(na) + F.lit(nb))
         )
     )
     return ks.select(
-        "na", "nb", "d_num", "d_den", F.round(scaled, 6).alias("ks_stat_scaled")
+        F.lit(na).cast("long").alias("na"),
+        F.lit(nb).cast("long").alias("nb"),
+        F.col("d_num"),
+        F.lit(na * nb).cast("long").alias("d_den"),
+        F.round(scaled, 6).alias("ks_stat_scaled"),
     )
 
 

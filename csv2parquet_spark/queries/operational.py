@@ -679,28 +679,29 @@ def pareto_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents4")
     )
-    c = global_cumsum(
+    # grand total from the cumsum's own pass-1 sums (r11): the
+    # max("cum") aggregate + crossJoin(broadcast) cost an extra job and
+    # a broadcast exchange for one integer. Identical by construction:
+    # sum of the per-partition sums == max of the inclusive cumsum.
+    c, _tot = global_cumsum(
         rev.withColumn("neg", -F.col("cents4")),
         ["neg", "l_partkey"],
         "cents4",
         cum_col="cum",
+        return_totals=True,
     )
-    # grand total = max of the INCLUSIVE cumsum — derived from the
-    # already-materialized two-pass output instead of re-running the
-    # lineitem scan + decimal aggregation a second time
-    tot = c.agg(F.max("cum").alias("tot"))
-    cls = c.crossJoin(F.broadcast(tot)).select(
-        F.when(F.col("cum") <= F.col("tot") * 0.8, "A")
-        .when(F.col("cum") <= F.col("tot") * 0.95, "B")
+    tot = _tot["cents4"]
+    cls = c.select(
+        F.when(F.col("cum") <= F.lit(tot) * 0.8, "A")
+        .when(F.col("cum") <= F.lit(tot) * 0.95, "B")
         .otherwise("C")
         .alias("abc_class"),
         "cents4",
-        "tot",
     )
     return cls.groupBy("abc_class").agg(
         F.count("*").alias("n_parts"),
         F.round(
-            F.sum("cents4").cast("double") / F.max("tot").cast("double"), 6
+            F.sum("cents4").cast("double") / F.lit(tot).cast("double"), 6
         ).alias("revenue_share"),
     )
 

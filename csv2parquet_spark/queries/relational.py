@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from csv2parquet_spark.operators.scan import parallelize_scan
 from csv2parquet_spark.queries.helpers import DEC, davg, dsum, sql_davg, sql_dsum
 from csv2parquet_spark.queries.registry import register
 from csv2parquet_spark.tables import table
@@ -52,8 +53,17 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+    # gated rebalance after the filter (r11): the single-row-group
+    # fixture scan otherwise runs the 9-aggregate decimal partial on
+    # ONE task (2.35 s of single-core CPU at sf0.1; 2.07 → 1.03 s
+    # measured). Decimal sums are order-exact, so the repartition
+    # cannot move a bit; a no-op at scale (see parallelize_scan).
     return (
-        l.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        parallelize_scan(
+            l.filter(
+                F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp")
+            )
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum(F.col("l_quantity"), "sum_qty"),

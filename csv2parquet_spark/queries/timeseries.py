@@ -1265,10 +1265,7 @@ def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     global machinery (operators/ranking.py — 8th/9th production uses),
     never a single-partition window; the argmax is
     TakeOrderedAndProject(1)."""
-    from csv2parquet_spark.operators.ranking import (
-        global_cumsum,
-        global_row_number,
-    )
+    from csv2parquet_spark.operators.ranking import global_cumsum
 
     o = table(spark, sf_dir, "orders")
     daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
@@ -1276,21 +1273,22 @@ def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents")
     )
-    ranked, n = global_row_number(daily, ["d"])
-    pre = global_cumsum(daily, ["d"], "cents", cum_col="prefix").select(
-        "d", "prefix"
+    # rank + prefix + grand total from ONE two-pass machine (r11
+    # rn_col/return_totals fusion): the previous shape built two full
+    # range-sort/checkpoint/offsets chains over `daily`, joined them
+    # back on d, and ran a third broadcast-subquery job for the total.
+    # Identical integers by construction (same ordering key).
+    cum, _tot = global_cumsum(
+        daily, ["d"], "cents", cum_col="prefix",
+        return_totals=True, rn_col="rn",
     )
-    tot = daily.agg(F.sum("cents").cast("bigint").alias("t"))
-    s = (
-        ranked.join(pre, "d")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "d",
-            (
-                F.lit(n).cast("bigint") * F.col("prefix")
-                - F.col("rn").cast("bigint") * F.col("t")
-            ).alias("sv"),
-        )
+    n, t = _tot["__rows"], _tot["cents"]
+    s = cum.select(
+        "d",
+        (
+            F.lit(n).cast("bigint") * F.col("prefix")
+            - F.col("rn").cast("bigint") * F.lit(t).cast("bigint")
+        ).alias("sv"),
     )
     return (
         s.orderBy(F.abs(F.col("sv")).desc(), "d")
@@ -1495,8 +1493,13 @@ def km_reorder_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.sum("d")).alias("c_t"),
         F.count(F.lit(1)).alias("cnt"),
     )
-    n = g.agg(F.sum("cnt")).collect()[0][0]
-    cum = global_cumsum(g, keys=["t"], weight_col="cnt", cum_col="cum")
+    # n rides the cumsum's own pass-1 sums (r11): the separate
+    # F.sum("cnt") aggregate re-ran the scan+window+groupBy upstream
+    # as a whole extra job for one integer
+    cum, _totals = global_cumsum(
+        g, keys=["t"], weight_col="cnt", cum_col="cum", return_totals=True
+    )
+    n = _totals["cnt"]
     at_risk = (F.lit(n) - (F.col("cum") - F.col("cnt"))).cast("long")
     lnterm = F.log(
         (at_risk - F.col("d_t")).cast("double") / at_risk.cast("double")
@@ -1818,8 +1821,12 @@ def anomaly_days_seasonal_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _med2_of(df, col):
         g = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
-        cum = global_cumsum(g, keys=[col], weight_col="cnt", cum_col="cum")
-        n = int(cum.agg(F.max("cum")).collect()[0][0])
+        # n from the cumsum's own pass-1 sums (r11) — max("cum") cost a
+        # separate job over the checkpointed relation per median
+        cum, _tot = global_cumsum(
+            g, keys=[col], weight_col="cnt", cum_col="cum", return_totals=True
+        )
+        n = _tot["cnt"]
         k1, k2 = (n + 1) // 2, (n + 2) // 2
         pick = lambda k: F.sum(  # noqa: E731
             F.when(
@@ -1916,8 +1923,11 @@ def conformal_interval_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("cents") - F.col("forecast")).alias("ar")
     )
     g = res.groupBy("ar").agg(F.count(F.lit(1)).alias("cnt"))
-    cum = global_cumsum(g, keys=["ar"], weight_col="cnt", cum_col="cum")
-    n = int(cum.agg(F.max("cum")).collect()[0][0])
+    # n from the cumsum's own pass-1 sums (r11) — same integer, one job
+    cum, _tot = global_cumsum(
+        g, keys=["ar"], weight_col="cnt", cum_col="cum", return_totals=True
+    )
+    n = _tot["cnt"]
     k = (n + 1) * 9 // 10
     return cum.agg(
         F.lit(n).cast("long").alias("n_cal"),

@@ -49,6 +49,20 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalescer respects parallelism first (default), but its
+        # 1m minPartitionSize FLOOR wins on small intermediate shuffles:
+        # a ~2 MB aggregated relation coalesces to 1-2 partitions and
+        # every downstream window/join stage runs serial while the rest
+        # of the machine idles (r11 profiling: mad_outlier_report spent
+        # 8 consecutive stages on one task; 2.32 s → 1.44 s with a 64k
+        # floor). 64k keeps parallelismFirst able to reach
+        # defaultParallelism on small relations; at cluster scale
+        # partitions are orders of magnitude above either floor, so the
+        # setting is inert there (and tunable via env either way).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # UTC everywhere: DuckDB oracle timestamps are UTC-naive.
         .config("spark.sql.session.timeZone", "UTC")

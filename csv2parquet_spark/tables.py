@@ -39,18 +39,57 @@ def ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
+# Resolved-relation memo (r11 optimization): `spark.read.parquet` builds
+# a fresh InMemoryFileIndex + reads the footer schema on EVERY call
+# (~130 ms warm on this box) and the NTZ-cast projection pays another
+# analysis round-trip (~100 ms) — driver-side METADATA work with no data
+# movement, re-paid inside every timed query construction. Spark itself
+# caches file listings per session for CATALOG tables
+# (spark.sql.hive.filesourcePartitionFileCacheSize, guide §6); bare-path
+# reads get no such cache, so we keep one here: the memo stores the
+# resolved DataFrame (a logical plan handle — NOT data, NOT results;
+# every action still scans parquet), keyed by (applicationId, path,
+# mtime_ns, size) so a rewritten fixture or a new SparkContext misses.
+# SPARK_GRAFT_TABLE_MEMO=0 disables it for debugging.
+_TABLE_MEMO: dict[tuple, DataFrame] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     ensure_session_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    memo_on = os.environ.get("SPARK_GRAFT_TABLE_MEMO", "1") == "1"
+    key = None
+    if memo_on:
+        try:
+            st = os.stat(path)
+            # id(spark) scopes the memo to the exact SparkSession
+            # wrapper: a child session (newSession — own SQLConf, e.g.
+            # scanopt's DSv2 session) must never be handed a relation
+            # resolved under another session's confs.
+            key = (
+                id(spark),
+                spark.sparkContext.applicationId,
+                os.path.abspath(path),
+                st.st_mtime_ns,
+                st.st_size,
+            )
+        except OSError:
+            key = None  # unstat-able (remote URI): build fresh
+        if key is not None and key in _TABLE_MEMO:
+            return _TABLE_MEMO[key]
+    df = spark.read.parquet(path)
     # Parquet naive timestamps surface as TIMESTAMP_NTZ in Spark 4; with
     # the session pinned to UTC, casting to TIMESTAMP (LTZ) is
     # value-identical and keeps unix_millis / time-window functions
-    # applicable. The cast is a zero-cost projection (no data rewrite).
-    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
-    for c in ntz:
-        df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
+    # applicable. The cast is a zero-cost projection (no data rewrite),
+    # built as ONE select so the analysis round-trip is paid once.
+    casts = {
+        f.name: F.col(f.name).cast(T.TimestampType())
+        for f in df.schema.fields
+        if isinstance(f.dataType, T.TimestampNTZType)
+    }
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # events.ts stored as parquet TIMESTAMP(NANOS) → read as epoch-nanos
         # long (spark.sql.legacy.parquet.nanosAsLong) → truncate to micros.
@@ -61,10 +100,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # round one microsecond LATE (review r8) — the pmod-subtract
         # form is exact floor for either sign (the kappa/grid-cell
         # pattern).
-        df = df.withColumn(
-            "ts",
-            F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) DIV 1000")),
+        casts["ts"] = F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) DIV 1000"))
+    if casts:
+        df = df.select(
+            *[casts.get(f.name, F.col(f.name)).alias(f.name) for f in df.schema.fields]
         )
+    if key is not None:
+        _TABLE_MEMO[key] = df
     return df
 
 
