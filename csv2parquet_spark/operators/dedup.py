@@ -68,7 +68,8 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def doc_shingle_arrays(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3,
+    sort: bool = False,
 ) -> DataFrame:
     """(id, sset: array<bigint>, sz) — each doc's distinct k-token shingle
     set as xxhash64 values, built entirely inside a per-row projection.
@@ -77,10 +78,19 @@ def doc_shingle_arrays(
     whole-stage codegen over the scan. This is the shared input relation
     for Jaccard and MinHash; docs too short to have a shingle are dropped
     (they cannot match anything).
+
+    ``sort=True`` stores each array ASCENDING (r11): the hash-order
+    prefix path needs sorted sets, and sorting here — once, before the
+    relation is checkpointed — replaces an ``array_sort`` re-computed
+    on BOTH sides of the prefix self-join. A set is order-free, so
+    every consumer (intersection verify, MinHash aggregate, explode)
+    reads identical values either way.
     """
     hashed = F.transform(
         F.array_distinct(shingles(tokens(text_col), k)), lambda s: F.xxhash64(s)
     )
+    if sort:
+        hashed = F.array_sort(hashed)
     return (
         _parallelize_scan(df)
         .select(F.col(id_col).alias("id"), hashed.alias("sset"))
@@ -196,13 +206,18 @@ def ngram_jaccard_pairs(
     # builds it ONCE without keeping a re-plannable in-memory columnar
     # copy — measured ~1.6× over recompute and faster than cache() at
     # sf0.1, and it is the reuse shape that survives 100 TB (spillable).
-    dsa = doc_shingle_arrays(df, text_col, id_col, k).localCheckpoint()
+    # hash order: store the arrays pre-sorted so the checkpoint holds
+    # them sorted ONCE instead of both prefix join sides re-sorting
+    # (r11; identical set values — see doc_shingle_arrays)
+    dsa = doc_shingle_arrays(
+        df, text_col, id_col, k, sort=prefix_filter and order == "hash"
+    ).localCheckpoint()
     if prefix_filter and order == "hash":
         plen = _prefix_len(threshold)
         prefix = dsa.select(
             "id",
             "sz",
-            F.posexplode(F.slice(F.array_sort("sset"), F.lit(1), plen)).alias(
+            F.posexplode(F.slice("sset", F.lit(1), plen)).alias(
                 "pos", "shingle"
             ),
         )

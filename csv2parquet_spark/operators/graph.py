@@ -134,7 +134,18 @@ def pagerank_fixed(
     """
     from pyspark.sql import Observation
 
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # Materialize the DISTINCT edge relation FIRST (r11): vertices and
+    # the degree-annotated edge relation both derive from it, and
+    # without this checkpoint each of their materializations re-ran the
+    # caller's whole edge-construction map (tokenize/explode/distinct)
+    # from the raw input — twice per run, on however few tasks the
+    # source scan has. One pass builds it; everything below reads the
+    # checkpoint blocks.
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
     out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     # Vertex relation carries a static has-out-edges flag so every
     # iteration's dangling sum is a map-side CASE over the state

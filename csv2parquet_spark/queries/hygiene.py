@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from csv2parquet_spark.operators import pipeline as P
+from csv2parquet_spark.operators.scan import parallelize_scan as _pscan
 from csv2parquet_spark.queries.registry import register
 from csv2parquet_spark.tables import table
 
@@ -249,7 +250,16 @@ def corpus_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # NULL-source docs are excluded by contract (see oracle note) —
     # explicit here rather than implicitly via the final equi-join.
-    docs = table(spark, sf_dir, "documents").filter(F.col("source").isNotNull())
+    # Gated rebalance + localCheckpoint (r11): the quality kernel feeds
+    # two consumer branches (per-source gate stats + the kept-chain),
+    # which re-ran the whole scan+filter chain per branch — round-robin
+    # exchanges are not reused across branches — and the single-file
+    # fixture scan ran each copy on ONE task. One rebalanced
+    # materialization feeds both branches 32-way (2.4 → 1.2 s measured;
+    # A/B: rebalance alone without the checkpoint was a wash).
+    docs = _pscan(
+        table(spark, sf_dir, "documents").filter(F.col("source").isNotNull())
+    ).localCheckpoint()
     q = P.quality_columns(docs)
     per_source = q.groupBy("source").agg(
         F.count("*").alias("n_docs"),

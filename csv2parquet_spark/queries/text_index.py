@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from csv2parquet_spark.operators.graph import pagerank_fixed
+from csv2parquet_spark.operators.scan import parallelize_scan as _ps
 from csv2parquet_spark.operators.text import shingles
 from csv2parquet_spark.queries.llm_ops import _sql_cosine
 from csv2parquet_spark.queries.registry import register
@@ -189,7 +190,10 @@ def textrank_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     library's float variant (closed-form-pinned in tests); ranking
     agreement between the two is pinned by a unit test.
     """
-    d = table(spark, sf_dir, "documents")
+    # gated rebalance BEFORE the token-pair explode (r11): the
+    # single-file fixture scan otherwise runs the edge-build map on ONE
+    # task; a no-op at scale (see parallelize_scan)
+    d = _ps(table(spark, sf_dir, "documents").select("text"))
     edges = (
         d.select(F.explode(shingles(F.split("text", " "), k=2)).alias("pair"))
         .select(
