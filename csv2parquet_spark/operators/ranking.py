@@ -105,6 +105,7 @@ def global_cumsum(
     num_partitions: int | None = None,
     return_totals: bool = False,
     rn_col: str | None = None,
+    pre_sorted: bool = False,
 ) -> DataFrame:
     """Attach the INCLUSIVE global running sum of ``weight_col`` in
     ``keys`` order (a total order) — same two-pass shape as
@@ -133,6 +134,16 @@ def global_cumsum(
     range sort / checkpoint / offsets job (r11): callers that need both
     (Zipf coverage, CUSUM) otherwise build two complete two-pass
     machines over the same input and join them back on the key.
+
+    ``pre_sorted=True`` skips the range repartition + sort and trusts
+    the CALLER that ``df`` is already range-partitioned and sorted by
+    ``keys`` (r11): the chained-cumsum case — a second running sum over
+    Catalyst projections of a previous global_cumsum's output, whose
+    map-preserved layout is exactly the one this pass needs. A second
+    range exchange would not only cost the shuffle, it would re-execute
+    the previous pass's Python kernel per materialization. The input is
+    still localCheckpoint-ed here (pinning the layout for the two
+    jobs), and correctness still requires the caller's claim to hold.
     """
     import numpy as np
     import pandas as pd  # noqa: F401
@@ -149,11 +160,14 @@ def global_cumsum(
                 f"{w!r}: {wtype} (fractional weights would be "
                 "silently truncated by the int64 batch kernel)"
             )
-    part = df.repartitionByRange(
-        num_partitions
-        or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")),
-        *[F.col(k) for k in keys],
-    ).sortWithinPartitions(*keys)
+    if pre_sorted:
+        part = df
+    else:
+        part = df.repartitionByRange(
+            num_partitions
+            or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")),
+            *[F.col(k) for k in keys],
+        ).sortWithinPartitions(*keys)
     part = part.localCheckpoint()
 
     sums = (

@@ -460,7 +460,10 @@ def kmeans_train_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs bit-identically with DuckDB's list_sum (proven by
     similarity_topk_exact)."""
     k = _KM_K
-    # NULL embeddings are unclusterable by contract (see oracle note)
+    # NULL embeddings are unclusterable by contract (see oracle note).
+    # NO rebalance/checkpoint at this head (r11 measured): interleaved
+    # A/B put rebalance+localCheckpoint at 2.10 s vs 2.01 s as-is —
+    # the 2 k-row relation is too small for the materialization to pay.
     emb = table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )

@@ -449,6 +449,9 @@ def embedding_near_dups(
     join is keyed on (table, bucket), never a data column, so a hot
     metadata value can't make it quadratic. Deterministic given the
     seeded hyperplanes; the oracle reproduces the same buckets."""
+    # NO scan rebalance here (r11 measured negative, 1.73 → 2.39 s):
+    # the quantize/signature work is batched numpy inside applyInPandas
+    # — 32-way task dispatch costs more than the single-task kernel.
     return S.pairwise_near_dups(
         table(spark, sf_dir, "embeddings"),
         threshold=0.4,

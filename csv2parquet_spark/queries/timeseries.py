@@ -1518,7 +1518,15 @@ def km_reorder_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("term_fp"),
     )
-    acc = global_cumsum(terms, keys=["t"], weight_col="term_fp", cum_col="lnacc")
+    # Chained cumsum (r11): ``terms`` is Catalyst projections over the
+    # first cumsum's map-preserved layout — already range-partitioned
+    # and sorted by t. pre_sorted skips the second range exchange AND
+    # stops every downstream materialization from re-executing the
+    # first pass's Python kernel (3 re-runs measured in the profile).
+    acc = global_cumsum(
+        terms, keys=["t"], weight_col="term_fp", cum_col="lnacc",
+        pre_sorted=True,
+    )
     return acc.select(
         "t",
         "at_risk",
