@@ -442,6 +442,10 @@ def skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from csv2parquet_spark.operators.skewjoin import salted_join_hot
     from csv2parquet_spark.queries.helpers import dsum
 
+    # NO scan rebalance here (r11 measured negative, ~1.7x slower):
+    # the added exchange feeds BOTH the hot-key detection pass and the
+    # two join branches, so the round-robin shuffle is re-executed per
+    # consumer instead of amortized.
     l = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )

@@ -49,9 +49,15 @@ def count_min_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partial agg collapses each partition map-side); the lookup
     broadcasts the 4096-cell sketch. cms_estimate ≥ exact_count always
     (CMS never undercounts) — the oracle pins both numbers."""
+    from csv2parquet_spark.operators.scan import parallelize_scan
     from csv2parquet_spark.operators.sketches import cms_build, cms_lookup
 
-    docs = table(spark, sf_dir, "documents")
+    # gated rebalance + one materialization (r11): the token explode
+    # feeds BOTH the sketch build and the exact-count arm, each of
+    # which re-ran the single-file single-task scan; no-op at scale
+    docs = parallelize_scan(
+        table(spark, sf_dir, "documents").select("text")
+    ).localCheckpoint()
     tok = docs.select(F.explode(F.split("text", " ")).alias("token"))
     sketch = cms_build(tok)
     cnt = tok.groupBy("token").agg(F.count("*").alias("exact_count"))
