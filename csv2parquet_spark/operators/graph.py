@@ -421,10 +421,14 @@ def bfs_hops(
             # empty edge relation: no source exists — empty distances,
             # not int(None) (review r8)
             return e.sparkSession.createDataFrame([], "id bigint, d bigint")
-    dist = (
-        e.sparkSession.createDataFrame([(int(source), 0)], "id bigint, d bigint")
-        .localCheckpoint()
-    )
+    from csv2parquet_spark.queries.helpers import local_result_df
+
+    # VALUES LocalRelation (r11): createDataFrame(list) materializes a
+    # pickled-RDD partition through a Python worker just to checkpoint
+    # one (id, 0) row.
+    dist = local_result_df(
+        e.sparkSession, [(int(source), 0)], "id bigint, d bigint"
+    ).localCheckpoint()
     for i in range(n_iter):
         # shuffle_hash for the same reason as label_propagation: the
         # checkpointed state has no stats, and sort-merge would re-sort

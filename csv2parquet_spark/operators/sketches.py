@@ -295,9 +295,9 @@ def kmv_quantiles(
     n_eff = max(1, min(k, sample.count()))  # 1: empty sample joins to
     # nothing below, yielding an empty result with the caller's v type
     idx = [(float(q), 1 + int(q * (n_eff - 1))) for q in qs]
-    picks = F.broadcast(
-        spark.createDataFrame(idx, "q double, rn int")
-    )
+    from csv2parquet_spark.queries.helpers import local_result_df
+
+    picks = F.broadcast(local_result_df(spark, idx, "q double, rn int"))
     ranked = sample.withColumn(
         "rn", F.row_number().over(Window.orderBy("v", "h"))
     )

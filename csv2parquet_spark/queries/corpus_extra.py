@@ -257,22 +257,9 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics, no overlap aliasing).
     """
     merges, _ = _bpe_train(spark, sf_dir, _BPE_ROUNDS, apply_last=False)
-    from pyspark.sql.types import (
-        IntegerType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
+    from csv2parquet_spark.queries.helpers import local_result_df
 
-    schema = StructType(
-        [
-            StructField("rank", IntegerType()),
-            StructField("pair", StringType()),
-            StructField("n", LongType()),
-        ]
-    )
-    return spark.createDataFrame(merges, schema)
+    return local_result_df(spark, merges, "rank int, pair string, n bigint")
 
 
 _SEQ_LEN = 512

@@ -59,3 +59,49 @@ def sql_davg(expr: str, alias: str) -> str:
         f"round(CAST(sum(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
         f" / count({expr}), 6) AS {alias}"
     )
+
+
+def local_result_df(spark, rows, ddl_schema: str):
+    """Model-sized driver-computed result rows → DataFrame as a pure-JVM
+    LocalRelation (SQL VALUES), NOT ``spark.createDataFrame(list)``.
+
+    ``createDataFrame`` on a Python list parallelizes PICKLED rows: the
+    noop-sink action then pays one Python-worker round per partition
+    (~250 ms each on this rig — profiled r11: the 8-row MMR result cost
+    more executor time than the corpus stage; 32 empty slices × a
+    worker spin-up). A VALUES relation evaluates entirely in the JVM —
+    zero Python workers, one task. Use ONLY for model-sized outputs of
+    driver-side iterative loops (weights, picks, merge tables).
+
+    ``ddl_schema``: "name type, name type, ..." — every column is CAST
+    to its declared type, so literal rendering quirks cannot leak into
+    the result schema. Supports int/float/str/bool/None cells.
+    """
+    cols = []
+    for field in ddl_schema.split(","):
+        name, typ = field.strip().split(None, 1)
+        cols.append((name, typ.strip()))
+
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, int):
+            return str(v)
+        if isinstance(v, float):
+            # string→double parse is exact IEEE nearest; repr round-trips
+            return f"CAST('{v!r}' AS DOUBLE)"
+        if isinstance(v, str):
+            escaped = v.replace("\\", "\\\\").replace("'", "\\'")
+            return f"'{escaped}'"
+        raise TypeError(f"unsupported literal type {type(v).__name__}")
+
+    values = ", ".join(
+        "(" + ", ".join(lit(c) for c in row) + ")" for row in rows
+    )
+    select = ", ".join(
+        f"CAST(c{i} AS {typ}) AS {name}" for i, (name, typ) in enumerate(cols)
+    )
+    names = ", ".join(f"c{i}" for i in range(len(cols)))
+    return spark.sql(f"SELECT {select} FROM VALUES {values} AS t({names})")

@@ -1135,7 +1135,10 @@ def kendall_tau_b_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     tau_b = (float(conc) - float(disc)) / (
         ((n0 - ties_x) * (n0 - ties_y)) ** 0.5
     )
-    return spark.createDataFrame(
+    from csv2parquet_spark.queries.helpers import local_result_df
+
+    return local_result_df(
+        spark,
         [(n, int(conc), int(disc), ties_x, ties_y, round(tau_b, 6))],
         "n_pairs_rows bigint, conc bigint, disc bigint, ties_x bigint, "
         "ties_y bigint, tau_b double",

@@ -807,9 +807,12 @@ def exact_percentiles_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         (float(q), 1 + int(Fraction(str(q)) * (n - 1)))
         for q in (0.5, 0.9, 0.99, 0.999)
     ]
-    pick_df = F.broadcast(
-        spark.createDataFrame(picks, "q double, rn bigint")
-    )
+    from csv2parquet_spark.queries.helpers import local_result_df
+
+    # VALUES LocalRelation, not createDataFrame(list): the broadcast
+    # build of a pickled-RDD relation pays a Python-worker round per
+    # slice (r11 profiling, see helpers.local_result_df)
+    pick_df = F.broadcast(local_result_df(spark, picks, "q double, rn bigint"))
     return ranked.join(pick_df, "rn").select(
         "q", F.col("l_extendedprice").alias("value")
     )
@@ -1055,8 +1058,10 @@ def grouped_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rn"),
         F.count(F.lit(1)).over(wc).alias("n"),
     )
+    from csv2parquet_spark.queries.helpers import local_result_df
+
     picks = F.broadcast(
-        o.sparkSession.createDataFrame([(0.5,), (0.9,), (0.99,)], "q double")
+        local_result_df(o.sparkSession, [(0.5,), (0.9,), (0.99,)], "q double")
     )
     # q·(n−1) in doubles is exact here: 0.5/0.9/0.99 × (n−1) floors
     # identically to DECIMAL for n below ~2^40 except at integral

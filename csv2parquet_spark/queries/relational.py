@@ -330,7 +330,10 @@ def join_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast, so the non-equi predicate never forces a shuffle.
     """
     o = table(spark, sf_dir, "orders")
-    bands = spark.createDataFrame(
+    from csv2parquet_spark.queries.helpers import local_result_df
+
+    bands = local_result_df(
+        spark,
         [("low", 0.0, 50000.0), ("mid", 50000.0, 150000.0), ("high", 150000.0, 1e18)],
         "band string, lo double, hi double",
     )

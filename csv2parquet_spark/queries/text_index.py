@@ -559,11 +559,17 @@ def mmr_diversify_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE corpus-touching stage (broadcast query × scan →
     TakeOrdered top-50); everything after operates on the model-sized
-    candidate set — a 50×50 broadcast pair-sim relation (checkpointed,
-    computed once) and 8 tiny argmax jobs, each a filter + partial-agg
-    over ≤2500 rows. The corpus is scanned exactly once regardless of
-    k; driver state is the k picked ids (the kmeans/logreg iterative
-    pattern).
+    candidate set — a 50×50 pair-sim relation computed once in Spark
+    (bit-identity of the cosine fold with the oracle) and then COLLECTED
+    along with the 50 candidate scores, after which the greedy argmax
+    loop runs driver-side over pure integers (r11 optimization: the loop
+    was 8 sequential filter+agg+collect Spark jobs over ≤2500-row
+    relations — per-pick scheduler/py4j round-trips dominated the key;
+    the candidate set is model-sized BY CONSTRUCTION, the same contract
+    as the kmeans/IVF centroid collects, so the collect moves ≤2500
+    integer triples and every pick is the same (mmr2, doc_id) integer
+    argmax as before — identical trajectory, identical output). The
+    corpus is scanned exactly once regardless of k.
     """
     from csv2parquet_spark.operators.similarity import dot, norm
 
@@ -598,40 +604,48 @@ def mmr_diversify_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (norm(F.col("ea")) * norm(F.col("eb")))
         * 10000
     ).cast("long")
-    pairs = (
+    # Two model-sized collects replace the per-pick Spark jobs: the
+    # n_cand scores and the n_cand² pairwise sims (integers computed by
+    # the SAME Spark cosine fold as before — only the greedy argmax
+    # moved to the driver). No checkpoint needed: each relation is
+    # consumed exactly once.
+    pairs_rows = (
         ca.join(F.broadcast(cb), F.col("a") != F.col("b"))
         .select("a", "b", sim_fp.alias("sim_fp"))
-        .localCheckpoint()
+        .collect()
     )
-    scores = cand.select("doc_id", "rel_fp")
+    sim = {(r["a"], r["b"]): r["sim_fp"] for r in pairs_rows}
+    scores = [
+        (r["doc_id"], r["rel_fp"])
+        for r in cand.select("doc_id", "rel_fp").collect()
+    ]
 
-    first = scores.orderBy(F.desc("rel_fp"), "doc_id").limit(1).collect()[0]
+    # First pick: max rel_fp, ties to the lower doc_id (the old
+    # orderBy(desc(rel_fp), doc_id).limit(1)).
+    first_id, first_rel = min(scores, key=lambda s: (-s[1], s[0]))
     picked = [
-        (1, first.doc_id, first.rel_fp, None, first.rel_fp)
+        (1, first_id, first_rel, None, first_rel)
     ]  # (pick_rank, doc_id, rel_fp, max_sim_fp, mmr2)
-    chosen = [first.doc_id]
+    chosen = [first_id]
     for t in range(2, k + 1):
-        best = (
-            scores.filter(~F.col("doc_id").isin(chosen))
-            .join(
-                pairs.filter(F.col("b").isin(chosen))
-                .groupBy("a")
-                .agg(F.max("sim_fp").alias("max_sim_fp")),
-                F.col("doc_id") == F.col("a"),
-            )
-            .select(
-                "doc_id",
-                "rel_fp",
-                "max_sim_fp",
-                (F.col("rel_fp") - F.col("max_sim_fp")).alias("mmr2"),
-            )
-            .orderBy(F.desc("mmr2"), "doc_id")
-            .limit(1)
-            .collect()[0]
+        # max sim to any already-picked doc, then argmax of the INTEGER
+        # mmr2 = rel_fp - max_sim_fp with ties to the lower doc_id —
+        # the exact join/groupBy/orderBy decision chain, on the same
+        # integers.
+        best = min(
+            (
+                (doc_id, rel_fp, max(sim[(doc_id, c)] for c in chosen))
+                for doc_id, rel_fp in scores
+                if doc_id not in chosen
+            ),
+            key=lambda s: (-(s[1] - s[2]), s[0]),
         )
-        picked.append((t, best.doc_id, best.rel_fp, best.max_sim_fp, best.mmr2))
-        chosen.append(best.doc_id)
-    return spark.createDataFrame(
+        picked.append((t, best[0], best[1], best[2], best[1] - best[2]))
+        chosen.append(best[0])
+    from csv2parquet_spark.queries.helpers import local_result_df
+
+    return local_result_df(
+        spark,
         picked,
         "pick_rank bigint, doc_id bigint, rel_fp bigint, "
         "max_sim_fp bigint, mmr2 bigint",
@@ -732,7 +746,10 @@ def zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("y") - F.lit(slope) * F.col("x")).alias("r")
     )
     intercept, n_tokens = exact_median(res, "r")
-    return spark.createDataFrame(
+    from csv2parquet_spark.queries.helpers import local_result_df
+
+    return local_result_df(
+        spark,
         [(n_tokens, n_pairs, round(slope, 6), round(intercept, 6))],
         "n_tokens bigint, n_pairs bigint, zipf_slope double, "
         "zipf_intercept double",

@@ -1639,7 +1639,10 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cents").cast("double") - F.lit(slope) * F.col("d")).alias("r")
     )
     intercept, n_days = exact_median(res, "r")
-    return spark.createDataFrame(
+    from csv2parquet_spark.queries.helpers import local_result_df
+
+    return local_result_df(
+        spark,
         [(n_days, n_pairs, round(slope, 6), round(intercept, 6))],
         "n_days bigint, n_pairs bigint, ts_slope double, ts_intercept double",
     )
