@@ -593,13 +593,30 @@ def connected_components(
         raise ValueError(f"unknown algorithm {algorithm!r}")
     from pyspark.sql import Observation
 
-    sym = edges.select("id_a", "id_b").union(
-        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    # Checkpoint the CALLER'S edge plan first (r11, the pagerank_fixed
+    # fix): sym and the label init both derive from it, and without
+    # this the labels materialization and the symmetrized edge relation
+    # each re-executed the whole upstream pair pipeline (for the
+    # near-dup callers that is the PPJoin verify — profiled as two
+    # extra 8-9 s array_intersect passes in dedup_keep_best_quality).
+    e0 = edges.select("id_a", "id_b").localCheckpoint()
+    # Scale-adaptive layout for the per-round edge map (a small pair
+    # graph inherits ~2× the parent's partition count through the
+    # union; ~20 near-empty tasks per round is pure scheduler constant
+    # at small SF). coalesce is narrow — no shuffle — and the gate
+    # leaves any data-sized pair graph at its natural parallelism.
+    n_edges = e0.count()  # one cheap scan of the checkpoint blocks
+    sc = e0.sparkSession.sparkContext
+    sym = e0.union(
+        e0.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )
+    if n_edges < 50_000 * sc.defaultParallelism:
+        sym = sym.coalesce(
+            max(1, min(sc.defaultParallelism, 1 + n_edges // 50_000))
+        )
     labels = (
         sym.select(F.col("id_a").alias("id")).distinct().withColumn("component", F.col("id"))
     ).localCheckpoint()
-    sym = sym.localCheckpoint()
     for _ in range(max_iter):
         nbr_min = (
             sym.join(
@@ -661,11 +678,15 @@ def _connected_components_star(edges: DataFrame, max_iter: int = 20) -> DataFram
     smaller-or-equal neighborhood onto its min. Kiveris et al. 2014
     prove convergence in O(log n) alternations with monotone edge-value
     decrease — the deep-chain cure the propagation variant lacks."""
+    # Checkpoint the caller's edge plan first (r11): sym, vertices and
+    # the oriented E all derive from it — without this each derived
+    # materialization re-executed the upstream pair pipeline.
+    e0 = edges.select("id_a", "id_b").localCheckpoint()
     sym = (
-        edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        e0.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .union(
-            edges.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")).filter(
+            e0.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")).filter(
                 F.col("u") != F.col("v")
             )
         )
@@ -674,8 +695,8 @@ def _connected_components_star(edges: DataFrame, max_iter: int = 20) -> DataFram
     # Every vertex appearing in ANY edge (self-loops included — a
     # vertex whose only edge is (x, x) is its own singleton component).
     vertices = (
-        edges.select(F.col("id_a").alias("id"))
-        .union(edges.select(F.col("id_b").alias("id")))
+        e0.select(F.col("id_a").alias("id"))
+        .union(e0.select(F.col("id_b").alias("id")))
         .distinct()
         .localCheckpoint()
     )

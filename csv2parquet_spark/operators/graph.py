@@ -182,6 +182,14 @@ def pagerank_fixed(
         .localCheckpoint()
     )
     dm = int(obs.get["dm"])
+
+    # NOTE (r11 measured negative): fusing superstep PAIRS into one
+    # materialization job — the mid-step's dangling mass carried
+    # in-plan as a broadcast 1-row aggregate — was A/B'd here and
+    # reverted: the saved checkpoint job was fully offset by the
+    # mid-state's contrib join re-executing for the dangling aggregate
+    # (2.46 vs 2.43 s on textrank at sf0.1, executor time UP). The
+    # simple one-job-per-superstep loop stays.
     for _ in range(n_iter):
         # shuffle_hash: same rationale as the float variant above.
         contrib = (

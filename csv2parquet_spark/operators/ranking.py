@@ -32,6 +32,29 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _range_partitioned(df: DataFrame, cols: list, num_partitions: int | None):
+    """Range-exchange ``df`` by ``cols`` — SIZE-ADAPTIVELY unless the
+    caller pins a count.
+
+    An explicit ``repartitionByRange(n, ...)`` is exempt from AQE
+    coalescing, so every two-pass machine ran its pandas kernel on
+    ``spark.sql.shuffle.partitions`` tasks regardless of data size —
+    profiled r11 on the survival/KS family as ~280 ms of Arrow
+    round-trip PER NEAR-EMPTY TASK (9 s executor time to cumsum a
+    0.15 MB relation). With no explicit count the exchange still
+    STARTS at spark.sql.shuffle.partitions but AQE may merge ADJACENT
+    range partitions (order is preserved, each partition stays a
+    contiguous key range, and this machinery reads partition ids off
+    the materialized checkpoint, so the offset arithmetic is
+    partition-count-agnostic). At scale nothing coalesces and the
+    plan is the one we always had — the partitioning now derives from
+    input size instead of a constant (guide §2).
+    """
+    if num_partitions:
+        return df.repartitionByRange(num_partitions, *cols)
+    return df.repartitionByRange(*cols)
+
+
 def global_row_number(
     df: DataFrame,
     keys: list,
@@ -52,11 +75,9 @@ def global_row_number(
     import pandas as pd  # noqa: F401  (mapInPandas batches are pandas)
 
     cols = [k if isinstance(k, Column) else F.col(k) for k in keys]
-    part = df.repartitionByRange(
-        num_partitions
-        or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")),
-        *cols,
-    ).sortWithinPartitions(*cols)
+    part = _range_partitioned(df, cols, num_partitions).sortWithinPartitions(
+        *cols
+    )
     part = part.localCheckpoint()  # pin layout: both passes, one sort
 
     # pass 1: P partition counts -> cumulative offsets (driver holds P ints)
@@ -163,10 +184,8 @@ def global_cumsum(
     if pre_sorted:
         part = df
     else:
-        part = df.repartitionByRange(
-            num_partitions
-            or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")),
-            *[F.col(k) for k in keys],
+        part = _range_partitioned(
+            df, [F.col(k) for k in keys], num_partitions
         ).sortWithinPartitions(*keys)
     part = part.localCheckpoint()
 
@@ -264,10 +283,8 @@ def global_running_max(
             f"global_running_max needs an integral value column, got "
             f"{value_col!r}: {vtype}"
         )
-    part = df.repartitionByRange(
-        num_partitions
-        or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")),
-        *[F.col(k) for k in keys],
+    part = _range_partitioned(
+        df, [F.col(k) for k in keys], num_partitions
     ).sortWithinPartitions(*keys)
     part = part.localCheckpoint()  # pin layout across the two passes
 

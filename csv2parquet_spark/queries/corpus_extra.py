@@ -434,22 +434,14 @@ def logreg_gd_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()[0]
         w = (row["a"], row["b"], row["c"])
         out.append((it, *w))
-    from pyspark.sql.types import (
-        DoubleType,
-        IntegerType,
-        StructField,
-        StructType,
-    )
+    from csv2parquet_spark.queries.helpers import local_result_df
 
-    schema = StructType(
-        [
-            StructField("iter", IntegerType()),
-            StructField("w_bias", DoubleType()),
-            StructField("w_qty", DoubleType()),
-            StructField("w_disc", DoubleType()),
-        ]
+    # VALUES LocalRelation, not createDataFrame(list): the pickled-RDD
+    # path cost this key a 32-empty-slice Python-worker save stage
+    # (7.4 s executor time, profiled r11 — see helpers.local_result_df)
+    return local_result_df(
+        spark, out, "iter int, w_bias double, w_qty double, w_disc double"
     )
-    return spark.createDataFrame(out, schema)
 
 
 _DF_CAP = 64  # tokens in more docs than this are dropped (semantic cap)

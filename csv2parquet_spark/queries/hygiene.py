@@ -257,10 +257,14 @@ def corpus_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixture scan ran each copy on ONE task. One rebalanced
     # materialization feeds both branches 32-way (2.4 → 1.2 s measured;
     # A/B: rebalance alone without the checkpoint was a wash).
+    # r11 follow-up: checkpoint AFTER quality_columns — the first cut
+    # materialized the filtered docs only, so the quality kernel (the
+    # expensive map) still executed once per branch (profiled as two
+    # equal heavy stages); materializing its output runs it once.
     docs = _pscan(
         table(spark, sf_dir, "documents").filter(F.col("source").isNotNull())
-    ).localCheckpoint()
-    q = P.quality_columns(docs)
+    )
+    q = P.quality_columns(docs).localCheckpoint()
     per_source = q.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_quality"),

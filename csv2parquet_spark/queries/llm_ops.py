@@ -1767,6 +1767,12 @@ def video_frame_sample_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_patterned_avi,
     )
 
+    # parallelize_scan at this head measured a WASH on wall and 13x on
+    # executor time (r11 A/B: 1-task 1.77 s exec / 1.31 s wall vs
+    # 32-task 22.7 s exec / 1.31-1.40 s wall) — the doubly-chained
+    # mapInPandas pays its per-task Arrow/worker constant twice per
+    # task, which at 32 near-empty tasks dwarfs the kernel. Stays
+    # serial-scan like the other light multimodal kernels.
     docs = table(spark, sf_dir, "documents").select("doc_id")
     return sample_frames_real(with_patterned_avi(docs), every=2)
 
