@@ -247,12 +247,26 @@ def copurchase_edges(
     is the one unavoidable big shuffle; at 100 TB it's the same
     hash-partitioned count any formulation pays.
 
-    ``partition_on`` ("src" or "dst") repartitions the RAW pairs by that
-    endpoint BEFORE the aggregation: HashPartitioning(dst) satisfies
-    ClusteredDistribution([src, dst]), so the groupBy/distinct reuses
-    the exchange and the OUTPUT is already partitioned on the superstep
-    join key — one pair-sized shuffle total, where aggregate-then-
+    ``partition_on`` ("src" or "dst") leaves the OUTPUT partitioned on
+    the superstep join key. On the UNWEIGHTED path it repartitions the
+    RAW pairs BEFORE the aggregation: HashPartitioning(dst) satisfies
+    ClusteredDistribution([src, dst]), so the distinct reuses the
+    exchange — one pair-sized shuffle total, where aggregate-then-
     repartition paid two (measured 2.8 → 0.5 s at sf0.1).
+
+    The WEIGHTED+partitioned path exploits symmetry instead (r11):
+    w(a,b) = w(b,a) by construction, so it emits each UNORDERED pair
+    once (half the explode CPU), aggregates half the rows, and mirrors
+    the aggregated relation — the post-mirror repartition it needs is
+    the partition_on exchange the caller asked for anyway (interleaved
+    A/B: LPA end-to-end 5.16 → 4.70 s; standalone edge build
+    4.58 → 3.38 s at sf0.1). The same trade measured NEGATIVE both on
+    the unweighted path (map-side-deduped ``distinct`` beats
+    mirror + re-exchange) and on the unpartitioned weighted path
+    (basket_lift 1.55 → 1.79 s — the mirror union denies the consumer
+    a single agg-partitioned relation), so both keep the ordered
+    emission. Output rows are identical either way (verified by full
+    collect comparison, 2 392 000 edges).
 
     NULL group keys are dropped BEFORE grouping (review r9): the
     equivalent relational formulation is a self-equi-join on the group
@@ -268,6 +282,33 @@ def copurchase_edges(
     per_group = df.filter(F.col(group_col).isNotNull()).groupBy(group_col).agg(
         F.collect_set(item_col).alias("items")
     )
+    if weighted and partition_on:
+        # Unordered emission (y > x): half the pairs explode, half the
+        # rows through the count aggregation; the mirror after the agg
+        # restores both orientations with identical counts.
+        pair = F.explode(
+            F.flatten(
+                F.transform(
+                    "items",
+                    lambda x: F.transform(
+                        F.filter("items", lambda y: y > x),
+                        lambda y: F.struct(x.alias("src"), y.alias("dst")),
+                    ),
+                )
+            )
+        )
+        half = (
+            per_group.select(pair.alias("p"))
+            .select("p.src", "p.dst")
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("w"))
+        )
+        edges = half.union(
+            half.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+        return edges.repartition(partition_on)
     pair = F.explode(
         F.flatten(
             F.transform(
