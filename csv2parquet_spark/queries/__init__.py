@@ -93,6 +93,27 @@ from csv2parquet_spark.queries import order_stats  # noqa: E402,F401
 # every one of these queries' code or oracle changed, so they take the
 # window head for a driver re-proof.
 _FORCE_FIRST: list[str] = [
+    # r11 OPTIMIZATION-round structural rewrites (window HEAD: these
+    # are the round's largest plan changes and must carry the driver's
+    # own stamp; each is oracle-identical by construction and already
+    # re-proven by PREFLIGHT_r11 286/286):
+    #   mmr — greedy argmax moved driver-side over collected
+    #         model-sized candidates; VALUES result relation.
+    #   keep_best / dedup_clusters follow the connected_components
+    #         input-checkpoint + adaptive-coalesce restructure.
+    #   lpa — weighted co-purchase pairs now emitted unordered and
+    #         mirrored after the count aggregation.
+    #   bfs — VALUES seed row (and shares the CC-free edge build).
+    #   logreg / bpe / exact_percentiles — pickled local relations
+    #         replaced by JVM VALUES.
+    "mmr_diversify_topk",
+    "dedup_keep_best_quality",
+    "lpa_copurchase_communities",
+    "bfs_hops_copurchase",
+    "dedup_clusters",
+    "logreg_gd_weights",
+    "bpe_train_merges",
+    "exact_percentiles_global",
     # null-sort-order class (14)
     "incremental_dedup_report",
     "window_lag_lead_order_gaps",
