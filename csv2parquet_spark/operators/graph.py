@@ -16,6 +16,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from csv2parquet_spark.operators.scan import localcheckpoint_partitioned
+
+
+def _named(col: str, name: str):
+    """``F.col(col).alias(name)`` ONLY when the name actually changes.
+
+    A same-name alias (``F.col("src").alias("src")``) mints a fresh
+    expression id in the ANALYZED plan that the optimizer then strips
+    as redundant — so the physical plan (and the partitioning a
+    subsequent ``localcheckpoint_partitioned`` records) keeps the OLD
+    id while the checkpointed Dataset's output carries the new one,
+    and the recorded layout never matches downstream (r12: the LPA
+    superstep kept its edge Exchange for exactly this reason). A plain
+    column reference reuses the attribute as-is; a genuine rename
+    survives into the physical projection, so either way the recorded
+    partitioning binds to the output ids.
+    """
+    return F.col(col) if col == name else F.col(col).alias(name)
+
+
 # Per-contribution decimal cast: IEEE addition is not associative, so
 # rank sums are accumulated in DECIMAL(38,18) — bit-identical results
 # regardless of partial-aggregation order (same discipline as
@@ -40,7 +60,7 @@ def pagerank(
 
     Vertices = union of endpoints. Uniform initial rank 1/N.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = edges.select(_named(src, "src"), _named(dst, "dst")).distinct()
     vertices = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
@@ -55,7 +75,10 @@ def pagerank(
     out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     # Edge relation with degree attached, partitioned once and reused
     # every superstep (checkpoint pins it; nothing recomputes).
-    ed = e.join(out_deg, "src").localCheckpoint()
+    # Partition-preserving checkpoints (r12; see pagerank_fixed): ed
+    # keeps hash(src) so the superstep contrib joins stop re-exchanging
+    # the edge relation every iteration.
+    ed = localcheckpoint_partitioned(e.join(out_deg.hint("shuffle_hash"), "src"))
 
     ranks = vertices.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
     for _ in range(n_iter):
@@ -142,7 +165,7 @@ def pagerank_fixed(
     # source scan has. One pass builds it; everything below reads the
     # checkpoint blocks.
     e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        edges.select(_named(src, "src"), _named(dst, "dst"))
         .distinct()
         .localCheckpoint()
     )
@@ -150,7 +173,14 @@ def pagerank_fixed(
     # Vertex relation carries a static has-out-edges flag so every
     # iteration's dangling sum is a map-side CASE over the state
     # relation, not a join.
-    vertices = (
+    # Partition-preserving checkpoints (r12): vertices keeps hash(id)
+    # and ed keeps hash(src), so each superstep's contrib join and
+    # rank-update join reuse the recorded layout instead of
+    # re-exchanging the edge relation and the vertex set every
+    # iteration (the r11 plans re-exchanged both, n_iter times). The
+    # heavy distinct edge build (e above) stays on the plain checkpoint
+    # so it keeps AQE.
+    vertices = localcheckpoint_partitioned(
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
@@ -160,13 +190,12 @@ def pagerank_fixed(
             "left",
         )
         .select("id", F.coalesce("has_out", F.lit(False)).alias("has_out"))
-        .localCheckpoint()
     )
     n = vertices.count()  # scalar: one number to the driver
     if n == 0:
         # empty graph: empty ranks, not a ZeroDivisionError (review r8)
         return vertices.select("id", F.lit(0).cast("long").alias("rank_fp"))
-    ed = e.join(out_deg, "src").localCheckpoint()
+    ed = localcheckpoint_partitioned(e.join(out_deg.hint("shuffle_hash"), "src"))
 
     base = ((damp_den - damp_num) * scale) // (damp_den * n)
 
@@ -176,10 +205,9 @@ def pagerank_fixed(
         ).cast("long").alias("dm")
 
     obs = Observation()
-    ranks = (
+    ranks = localcheckpoint_partitioned(
         vertices.withColumn("r", F.lit(scale // n).cast("long"))
         .observe(obs, dangling_sum())
-        .localCheckpoint()
     )
     dm = int(obs.get["dm"])
 
@@ -202,7 +230,7 @@ def pagerank_fixed(
             .agg(F.sum("c").cast("long").alias("inflow"))
         )
         obs = Observation()
-        ranks = (
+        ranks = localcheckpoint_partitioned(
             vertices.join(
                 contrib.select(F.col("dst").alias("id"), "inflow"), "id", "left"
             )
@@ -218,7 +246,6 @@ def pagerank_fixed(
                 ).cast("long").alias("r"),
             )
             .observe(obs, dangling_sum())
-            .localCheckpoint()
         )
         dm = int(obs.get["dm"])
     return ranks.select("id", F.col("r").alias("rank_fp"))
@@ -248,25 +275,22 @@ def copurchase_edges(
     hash-partitioned count any formulation pays.
 
     ``partition_on`` ("src" or "dst") leaves the OUTPUT partitioned on
-    the superstep join key. On the UNWEIGHTED path it repartitions the
-    RAW pairs BEFORE the aggregation: HashPartitioning(dst) satisfies
-    ClusteredDistribution([src, dst]), so the distinct reuses the
-    exchange — one pair-sized shuffle total, where aggregate-then-
-    repartition paid two (measured 2.8 → 0.5 s at sf0.1).
-
-    The WEIGHTED+partitioned path exploits symmetry instead (r11):
-    w(a,b) = w(b,a) by construction, so it emits each UNORDERED pair
-    once (half the explode CPU), aggregates half the rows, and mirrors
-    the aggregated relation — the post-mirror repartition it needs is
-    the partition_on exchange the caller asked for anyway (interleaved
-    A/B: LPA end-to-end 5.16 → 4.70 s; standalone edge build
-    4.58 → 3.38 s at sf0.1). The same trade measured NEGATIVE both on
-    the unweighted path (map-side-deduped ``distinct`` beats
-    mirror + re-exchange) and on the unpartitioned weighted path
-    (basket_lift 1.55 → 1.79 s — the mirror union denies the consumer
-    a single agg-partitioned relation), so both keep the ordered
-    emission. Output rows are identical either way (verified by full
-    collect comparison, 2 392 000 edges).
+    the superstep join key, by repartitioning the RAW pairs BEFORE the
+    aggregation: HashPartitioning(dst) satisfies
+    ClusteredDistribution([src, dst]), so the distinct / count
+    aggregation reuses the exchange — one pair-sized shuffle total,
+    where aggregate-then-repartition paid two (measured 2.8 → 0.5 s at
+    sf0.1 on the unweighted path). The weighted path adopted the same
+    fused shape in r12: the r11 symmetry variant (emit each unordered
+    pair once, aggregate half the rows, mirror, repartition) halved the
+    explode CPU but paid TWO exchanges (raw half + mirrored aggregate,
+    1.5·E rows total) where the fused ordered emission pays one
+    exchange of E raw rows and no mirror union — interleaved A/B at
+    sf0.1: LPA end-to-end best 4.52 → 3.52 s, median 4.85 → 4.31;
+    relation verified identical by exceptAll in both directions
+    (2 392 000 edges, 0 diff). The unpartitioned weighted path keeps
+    the plain aggregate (its one exchange IS the groupBy; r11 measured
+    the mirror union negative there too, basket_lift 1.55 → 1.79 s).
 
     NULL group keys are dropped BEFORE grouping (review r9): the
     equivalent relational formulation is a self-equi-join on the group
@@ -282,33 +306,6 @@ def copurchase_edges(
     per_group = df.filter(F.col(group_col).isNotNull()).groupBy(group_col).agg(
         F.collect_set(item_col).alias("items")
     )
-    if weighted and partition_on:
-        # Unordered emission (y > x): half the pairs explode, half the
-        # rows through the count aggregation; the mirror after the agg
-        # restores both orientations with identical counts.
-        pair = F.explode(
-            F.flatten(
-                F.transform(
-                    "items",
-                    lambda x: F.transform(
-                        F.filter("items", lambda y: y > x),
-                        lambda y: F.struct(x.alias("src"), y.alias("dst")),
-                    ),
-                )
-            )
-        )
-        half = (
-            per_group.select(pair.alias("p"))
-            .select("p.src", "p.dst")
-            .groupBy("src", "dst")
-            .agg(F.count(F.lit(1)).alias("w"))
-        )
-        edges = half.union(
-            half.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
-            )
-        )
-        return edges.repartition(partition_on)
     pair = F.explode(
         F.flatten(
             F.transform(
@@ -335,7 +332,7 @@ def label_propagation(
     dst: str = "dst",
     weight: str = "w",
     pre_partitioned: bool = False,
-    ckpt_every: int = 2,
+    ckpt_every: int = 1,
     symmetric: bool = False,
 ) -> DataFrame:
     """Synchronous weighted Label Propagation (Raghavan et al. 2007)
@@ -363,19 +360,21 @@ def label_propagation(
     # ``pre_partitioned`` skips the exchange when the caller's edge plan
     # already emits hash(dst) (copurchase_edges(partition_on="dst")).
     e = edges.select(
-        F.col(src).alias("src"),
-        F.col(dst).alias("dst"),
-        F.col(weight).alias("w"),
+        _named(src, "src"), _named(dst, "dst"), _named(weight, "w")
     )
     if not pre_partitioned:
         e = e.repartition("dst")
-    e = e.localCheckpoint()
+    # Partition-preserving checkpoint (r12): the plain localCheckpoint
+    # recorded UnknownPartitioning under AQE, so supersteps 2..n each
+    # re-exchanged the full edge relation (plans/r11/lpa_*, Exchange
+    # hashpartitioning(dst) per superstep) — the one cost the
+    # pre-partitioning existed to remove.
+    e = localcheckpoint_partitioned(e)
     labels = None
     if not symmetric:
-        labels = (
+        labels = localcheckpoint_partitioned(
             e.select(F.col("src").alias("id")).distinct()
             .select("id", F.col("id").alias("lbl"))
-            .localCheckpoint()
         )
     elif n_iter <= 0:
         # Zero supersteps on the symmetric path: the loop (whose first
@@ -416,14 +415,25 @@ def label_propagation(
             .agg(F.max(F.struct(F.col("tw"), (-F.col("lbl")).alias("nl"))).alias("m"))
             .select(F.col("src").alias("id"), (-F.col("m.nl")).alias("lbl"))
         )
-        # Truncate lineage every ckpt_every supersteps, not every one:
-        # each state is consumed exactly once by the next superstep, so
-        # skipping a checkpoint folds two supersteps into one job — the
-        # materialization job is the dominant per-round constant at
-        # small SF (VERDICT r5); lineage depth stays bounded for any
-        # n_iter.
+        # Default ckpt_every=1 (r12): a superstep plan that references
+        # the edge checkpoint more than once loses its recorded
+        # partitioning on the re-aliased occurrences (the
+        # DeduplicateRelations caveat on localcheckpoint_partitioned)
+        # and re-exchanges the EDGES — per-superstep state
+        # materialization keeps every plan single-reference, so only
+        # the (vertex, label) state ever moves. The r5-r11 cost model
+        # that favored skipping checkpoints predates the partitioned
+        # checkpoint: back then each materialization re-exchanged the
+        # edges anyway, so fewer jobs won; measured a wash at sf0.1 AND
+        # sf1 now, and edge-exchange-free is the right 100 TB shape
+        # (state is vertex-sized, edges are not). ckpt_every>1 remains
+        # for callers that want fewer jobs over partition reuse.
         if (it + 1) % ckpt_every == 0:
-            labels = labels.localCheckpoint()
+            # hash(src)-partitioned from the argmax aggregation; keeping
+            # it recorded lets the next superstep's state join reuse the
+            # layout (alias-tracked src → id → dst) instead of
+            # re-exchanging the state.
+            labels = localcheckpoint_partitioned(labels)
     return labels
 
 
@@ -433,7 +443,7 @@ def bfs_hops(
     n_iter: int = 4,
     src: str = "src",
     dst: str = "dst",
-    ckpt_every: int = 2,
+    ckpt_every: int = 1,
     pre_partitioned: bool = False,
 ) -> DataFrame:
     """Breadth-first hop distances from ``source`` over a directed edge
@@ -449,21 +459,27 @@ def bfs_hops(
     edges, candidate ``d+1`` rows union the existing relation, and a
     min-groupBy keeps the best distance — the shuffled state is
     (vertex, distance), never edges; same Pregel cost model as
-    :func:`pagerank` / :func:`label_propagation`. Lineage is truncated
-    every ``ckpt_every`` supersteps rather than every superstep: the
-    materialization job is the dominant per-round constant at small SF
-    (VERDICT r5), and two relaxations of (vertex, distance) state are
-    a shallow enough plan that AQE handles them as one job; identical
-    interleavings either way since min-relaxation is a CRDT merge.
+    :func:`pagerank` / :func:`label_propagation`. Default
+    ckpt_every=1 (r12): a relaxation plan that references the edge
+    checkpoint twice loses the recorded hash(src) layout on the
+    re-aliased second occurrence (see localcheckpoint_partitioned) and
+    re-exchanges the edges — one state materialization per superstep
+    keeps every plan single-reference, so only (vertex, distance)
+    moves; measured a wash at sf0.1/sf1 and structurally right at
+    scale. Identical results for any ckpt_every since min-relaxation
+    is a CRDT merge.
     """
     # Partitioned on the superstep join key (src) once; the checkpoint
     # preserves the partitioning so only the distance state exchanges
     # per round. ``pre_partitioned`` skips the exchange when the edge
     # plan already emits hash(src).
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = edges.select(_named(src, "src"), _named(dst, "dst"))
     if not pre_partitioned:
         e = e.repartition("src")
-    e = e.localCheckpoint()
+    # Partition-preserving checkpoint (r12, same fix as
+    # label_propagation): keep hash(src) recorded so each relaxation's
+    # state join moves only the (vertex, distance) side.
+    e = localcheckpoint_partitioned(e)
     if source is None:
         source = e.agg(F.min("src")).collect()[0][0]  # scalar from the checkpoint
         if source is None:
@@ -491,5 +507,7 @@ def bfs_hops(
         )
         dist = dist.unionByName(cand).groupBy("id").agg(F.min("d").alias("d"))
         if (i + 1) % ckpt_every == 0 or i == n_iter - 1:
-            dist = dist.localCheckpoint()
+            # hash(id) from the min-groupBy; preserved so the next
+            # relaxation's edge join reads the state co-partitioned.
+            dist = localcheckpoint_partitioned(dist)
     return dist

@@ -43,6 +43,54 @@ def parallelize_scan(df: DataFrame) -> DataFrame:
     return df
 
 
+def localcheckpoint_partitioned(df: DataFrame) -> DataFrame:
+    """``localCheckpoint()`` that PRESERVES the plan's hash partitioning.
+
+    Under AQE the executed plan is an ``AdaptiveSparkPlanExec``, whose
+    ``outputPartitioning`` is ``UnknownPartitioning(0)``; the
+    checkpoint's ``LogicalRDD`` records that, so every downstream
+    join/aggregate keyed on the materialized layout RE-EXCHANGES the
+    checkpointed relation even though the bytes are already laid out
+    correctly (plans/r11/lpa_*: one full edge-relation Exchange per
+    superstep, ~21 MB × n_iter at sf0.1 and edge-sized at any scale).
+    Disabling AQE for just this one eager materialization makes the
+    executed plan the raw exchange, whose ``HashPartitioning`` the
+    checkpoint records — downstream co-partitioned joins then move only
+    the other side (verified: plans/r12/lpa_*, 2 edge Exchanges → 0).
+
+    The trade: the materialized subplan itself runs WITHOUT AQE (static
+    ``spark.sql.shuffle.partitions``, no runtime skew split /
+    coalescing). Use it for relations the caller has already explicitly
+    partitioned for repeated keyed reuse (Pregel edge relations,
+    iterative state) where the partition count IS the contract; leave
+    one-shot materializations on plain ``localCheckpoint``.
+
+    CAVEAT (r12, found wiring this in): the recorded partitioning binds
+    to THIS DataFrame's expression ids. A plan that references the
+    checkpoint ONCE reuses the layout; if one plan references it twice
+    or more, ``DeduplicateRelations`` re-aliases the later occurrences
+    and their recorded partitioning no longer matches — those
+    references exchange again. Iterative callers should therefore
+    checkpoint their per-iteration STATE every superstep (each
+    materialization job then references the edge relation exactly
+    once), not every k supersteps.
+
+    ``SPARK_GRAFT_CKPT_PART=0`` falls back to the plain checkpoint
+    (A/B + debugging).
+    """
+    import os
+
+    if os.environ.get("SPARK_GRAFT_CKPT_PART", "1") == "0":  # A/B + debug
+        return df.localCheckpoint()
+    spark = df.sparkSession
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return df.localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
 def assert_dim_sized(
     df: DataFrame, what: str, max_rows: int = 5_000_000, hint: str = ""
 ) -> DataFrame:

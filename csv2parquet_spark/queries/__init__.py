@@ -93,88 +93,30 @@ from csv2parquet_spark.queries import order_stats  # noqa: E402,F401
 # every one of these queries' code or oracle changed, so they take the
 # window head for a driver re-proof.
 _FORCE_FIRST: list[str] = [
-    # r11 OPTIMIZATION-round structural rewrites (window HEAD: these
-    # are the round's largest plan changes and must carry the driver's
-    # own stamp; each is oracle-identical by construction and already
-    # re-proven by PREFLIGHT_r11 286/286):
-    #   mmr — greedy argmax moved driver-side over collected
-    #         model-sized candidates; VALUES result relation.
-    #   keep_best / dedup_clusters follow the connected_components
-    #         input-checkpoint + adaptive-coalesce restructure.
-    #   lpa — weighted co-purchase pairs now emitted unordered and
-    #         mirrored after the count aggregation.
-    #   bfs — VALUES seed row (and shares the CC-free edge build).
-    #   logreg / bpe / exact_percentiles — pickled local relations
-    #         replaced by JVM VALUES.
-    "mmr_diversify_topk",
-    "dedup_keep_best_quality",
+    # Round-12 (optimization round 2): the r11 head's 8 structural
+    # rewrites plus the three NULL-twin classes all landed green in
+    # CORRECTNESS_r11.json — rotated out per protocol. Window HEAD is
+    # this round's structural rewrites (oracle-identical by
+    # construction; each re-proven locally at sf0.001 + sf0.01 before
+    # commit):
+    #   lpa / bfs — co-purchase edge build fused to ONE pair exchange
+    #         (raw pairs repartitioned on the superstep key, the
+    #         aggregation reuses the exchange); per-superstep state
+    #         checkpoints + partition-preserving edge checkpoints, so
+    #         supersteps never re-exchange the edge relation.
+    #   textrank — pagerank_fixed's vertices/ed/ranks checkpoints now
+    #         record their hash layout (plan-only change, same ints).
     "lpa_copurchase_communities",
     "bfs_hops_copurchase",
-    "dedup_clusters",
-    "logreg_gd_weights",
-    "bpe_train_merges",
-    "exact_percentiles_global",
-    # null-sort-order class (14)
-    "incremental_dedup_report",
-    "window_lag_lead_order_gaps",
-    "window_ntile_scalable",
-    "window_first_last_nth",
-    "asof_purchase_prev_click",
-    "asof_purchase_nearest_click",
-    "top_event_trigrams",
-    "mom_revenue_growth",
-    "ewma_user_value",
-    "stock_running_balance",
-    "km_reorder_survival",
-    "event_transition_bigrams",
-    "rrf_fusion_hybrid",
-    "scd2_user_tier_history",
-    # null-vs-empty-str class (10) + the chunk-contract follower
-    "string_funcs",
-    "map_funcs",
-    "array_funcs2",
-    "try_funcs",
-    "winnowing_fingerprints",
-    "doc_fingerprints",
-    "lang_id_heuristic",
-    "chunk_documents",
-    "chunk_documents_udtf",
-    "listagg_sorted",
-    "paragraph_dedup_rebuild",
-    # oracle-loose class (8 edited; lang_id_agreement_kappa resolved
-    # via the lang_id_heuristic fix with no edit of its own)
-    "variant_explode_props",
-    "collation_case_insensitive",
-    "q12_late_shipment_priority",
-    "url_canonical_dedup",
-    "corpus_pipeline_end_to_end",
-    "table_diff_digest",
-    "merge_schema_evolution_read",
-    "length_bucket_packing_report",
-    # float-downstream class (10): NULL-population contracts aligned
-    # on both engines (percentile/rank/bin/cluster populations are the
-    # non-NULL values; NULL keys/labels are not classes)
-    "percentiles_approx",
-    "grouped_percentiles_exact",
-    "mann_whitney_u_test",
-    "ks_test_two_sample",
-    "woe_iv_value_bins",
-    "rfm_customer_segments",
-    "mad_outlier_report",
-    "kmv_quantile_sketch",
-    "kmeans_train_clusters",
+    "textrank_tokens",
+    # r11 carry-over — missed the rotating r11 window (proven by
+    # PREFLIGHT_r11 286/286 but still without a driver stamp of the
+    # dim² map-only scoring rewrite):
     "label_centroid_separation",
-    # dim²-scoring rewrite (r11 §7): ncm joins _FORCE_FIRST alongside
-    # label_centroid above — both now score map-only against collected
-    # centroid literals (bit-identical by decimal exactness; oracle
-    # unchanged), and both need a driver re-proof of the new plan.
     "ncm_confusion_matrix",
-    # null-ts-window class (12): NULL-timestamp contract — a NULL time
-    # has no window/bar/session/timeline on either engine. Mostly
-    # oracle-side (`ts IS NOT NULL` twins of Spark's implicit window()
-    # filter); Spark code changed for the watermark-dedup source gate,
-    # the topk NULLS LAST tie-break, the gapfill join-presence is_gap,
-    # the sessionize/ohlc/attribution timeline filters.
+    # r11 null-ts-window class carry-over (oracle-side `ts IS NOT
+    # NULL` twins + the watermark-dedup source gate / topk tie-break /
+    # gapfill is_gap / timeline filters) — none stamped in r11:
     "stream_tumbling_window",
     "stream_sliding_window",
     "stream_session_windows",
@@ -187,10 +129,9 @@ _FORCE_FIRST: list[str] = [
     "timeseries_gapfill_daily",
     "ohlc_hourly_bars",
     "attribution_last_click",
-    # on_null='skip' plumbing (9): default 'raise' path byte-identical
-    # on the clean fixture (kwarg-gated declarative pre-filter), so
-    # these queue BEHIND the result-affecting re-proofs; preflight
-    # covers any that miss the driver window.
+    # r11 on_null='skip' plumbing carry-over (default 'raise' path
+    # byte-identical on the clean fixture; queue behind the
+    # result-affecting re-proofs):
     "simhash_near_dups",
     "embedding_near_dups",
     "embedding_semantic_dedup",

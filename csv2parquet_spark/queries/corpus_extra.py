@@ -1145,14 +1145,19 @@ def lpa_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = copurchase_edges(
         li, "l_orderkey", "l_partkey", weighted=True, partition_on="dst"
     )
-    # ckpt_every > n_iter: at 3 supersteps the whole propagation plus
-    # the community rollup below fits in ONE job with bounded lineage —
-    # per-superstep checkpoint materializations were the dominant
-    # constant (VERDICT r5 item 3).
+    # ckpt_every=1 (r12, was 4): with the partition-preserving edge
+    # checkpoint, materializing the label state every superstep keeps
+    # each superstep plan single-reference on the edge relation, so the
+    # edges NEVER re-exchange (a multi-superstep plan re-aliases the
+    # 2nd+ edge references and loses the recorded hash(dst) layout).
+    # The one-job shape this replaces paid one full edge Exchange per
+    # superstep after the first; A/B at sf0.1 and sf1 is a wash on wall
+    # clock, and V-sized state materializations beat E-sized exchanges
+    # at any real scale.
     # symmetric=True: co-purchase edges exist in both directions by
     # construction, so superstep 1 skips the identity state join.
     labels = label_propagation(
-        edges, n_iter=3, pre_partitioned=True, ckpt_every=4, symmetric=True
+        edges, n_iter=3, pre_partitioned=True, ckpt_every=1, symmetric=True
     )
     return (
         labels.groupBy(F.col("lbl").alias("community"))
