@@ -605,6 +605,19 @@ def connected_components(
     # union; ~20 near-empty tasks per round is pure scheduler constant
     # at small SF). coalesce is narrow — no shuffle — and the gate
     # leaves any data-sized pair graph at its natural parallelism.
+    #
+    # NOTE (r12 measured negative): the graph-family treatment —
+    # materialize sym ONCE hash(id_b)-partitioned with the
+    # partition-preserving checkpoint (+ co-partitioned labels) so the
+    # per-round state join stops re-exchanging sym — was A/B'd here
+    # and reverted: near-dup pair graphs are tiny (nparts=1 at sf0.1)
+    # and run 2-4 rounds, so the extra sym materialization job and
+    # labels-init exchange cost MORE than the saved per-round
+    # exchanges (interleaved stash A/B ×3: keep_best best 2.90→3.31 s,
+    # dedup_clusters 2.96→3.53 s). The narrow re-derive from e0 blocks
+    # per round stays; LPA/BFS keep the partitioned shape because
+    # their edge relations are corpus-derived (E >> V), not
+    # candidate-pair-sized.
     n_edges = e0.count()  # one cheap scan of the checkpoint blocks
     sc = e0.sparkSession.sparkContext
     sym = e0.union(
