@@ -399,41 +399,53 @@ def logreg_gd_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_quantity") / F.lit(50.0)).alias("x1"),
         (F.col("l_discount") * F.lit(10.0)).alias("x2"),
     )
+    from csv2parquet_spark.queries.helpers import no_aqe
+
     # single-file fixtures scan as ONE task; spread the checkpointed
-    # training set so every gradient pass runs on all cores
-    f = f.repartition(
-        int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ).localCheckpoint()
+    # training set so every gradient pass runs on all cores (A/B'd
+    # r12: 32 partitions beat 8/4/1 — each pass is compute-bound, the
+    # per-job constant is the scheduler, not the task count). The
+    # checkpoint materializes under no_aqe too (one stage-job, and an
+    # explicit-count round-robin exchange gains nothing from AQE).
+    with no_aqe(spark):
+        f = f.repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        ).localCheckpoint()
+
     lr = 0.5
     w = (0.0, 0.0, 0.0)
     out: list[tuple[int, float, float, float]] = []
-    for it in range(1, _GD_ITERS + 1):
-        z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
-        e = (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))) - F.col("y")
-        dec = "decimal(18,10)"
-        row = f.agg(
-            F.round(
-                F.lit(w[0])
-                - F.lit(lr) * F.sum(e.cast(dec)).cast("double") / F.count("*"),
-                6,
-            ).alias("a"),
-            F.round(
-                F.lit(w[1])
-                - F.lit(lr)
-                * F.sum((e * F.col("x1")).cast(dec)).cast("double")
-                / F.count("*"),
-                6,
-            ).alias("b"),
-            F.round(
-                F.lit(w[2])
-                - F.lit(lr)
-                * F.sum((e * F.col("x2")).cast(dec)).cast("double")
-                / F.count("*"),
-                6,
-            ).alias("c"),
-        ).collect()[0]
-        w = (row["a"], row["b"], row["c"])
-        out.append((it, *w))
+    # no_aqe: AQE splits each 1-row gradient aggregate into two
+    # driver-sequenced stage-jobs (13 jobs → 7 for the key; loop median
+    # 1.82 → 1.53 s interleaved) with nothing to re-plan — see helpers.
+    with no_aqe(spark):
+        for it in range(1, _GD_ITERS + 1):
+            z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+            e = (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))) - F.col("y")
+            dec = "decimal(18,10)"
+            row = f.agg(
+                F.round(
+                    F.lit(w[0])
+                    - F.lit(lr) * F.sum(e.cast(dec)).cast("double") / F.count("*"),
+                    6,
+                ).alias("a"),
+                F.round(
+                    F.lit(w[1])
+                    - F.lit(lr)
+                    * F.sum((e * F.col("x1")).cast(dec)).cast("double")
+                    / F.count("*"),
+                    6,
+                ).alias("b"),
+                F.round(
+                    F.lit(w[2])
+                    - F.lit(lr)
+                    * F.sum((e * F.col("x2")).cast(dec)).cast("double")
+                    / F.count("*"),
+                    6,
+                ).alias("c"),
+            ).collect()[0]
+            w = (row["a"], row["b"], row["c"])
+            out.append((it, *w))
     from csv2parquet_spark.queries.helpers import local_result_df
 
     # VALUES LocalRelation, not createDataFrame(list): the pickled-RDD

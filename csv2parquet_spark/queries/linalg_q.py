@@ -498,38 +498,57 @@ def kmeans_train_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).when(F.col("dc2") <= F.col("dc3"), 2).otherwise(3)
         return d.select("vec_id", "embedding", cl.alias("cluster"))
 
-    assigned = means = None
-    for _ in range(_KM_ITER):
-        assigned = assign(cents)
-        means = (
-            assigned.select(
-                "cluster",
-                F.posexplode(F.col("embedding").cast("array<double>")).alias(
-                    "pos", "x"
-                ),
+    from csv2parquet_spark.queries.helpers import no_aqe
+
+    assigned = None
+    mrows: list = []
+    # no_aqe around the training loop: each per-iteration mean
+    # aggregate is a fixed-shape two-stage collect; AQE only adds a
+    # second driver-sequenced stage-job per iteration (see helpers).
+    with no_aqe(spark):
+        for _ in range(_KM_ITER):
+            assigned = assign(cents)
+            # ONE job per iteration (r12): collect the k·dim mean rows
+            # directly off the aggregation — the r11 shape paid a
+            # localCheckpoint materialization job AND a collect job per
+            # iteration for a 64-row model relation. Model-sized driver
+            # collect, same contract as the init collect above.
+            mrows = (
+                assigned.select(
+                    "cluster",
+                    F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                        "pos", "x"
+                    ),
+                )
+                .groupBy("cluster", "pos")
+                .agg(
+                    F.round(
+                        F.sum(F.col("x").cast("decimal(18,12)")).cast("double")
+                        / F.count("*"),
+                        6,
+                    ).alias("mm")
+                )
+                .collect()
             )
-            .groupBy("cluster", "pos")
-            .agg(
-                F.round(
-                    F.sum(F.col("x").cast("decimal(18,12)")).cast("double")
-                    / F.count("*"),
-                    6,
-                ).alias("mm")
-            )
-            .localCheckpoint()  # k·dim rows; reused for cents AND checksum
-        )
-        rows = (
-            means.groupBy("cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "mm"))).alias("pm"))
-            .select("cluster", F.col("pm.mm").alias("cent"))
-            .collect()
-        )
-        new = {c: cents[c] for c in range(k)}  # empty cluster → carry forward
-        for r in rows:
-            new[r.cluster] = [float(x) for x in r.cent]
-        cents = [new[c] for c in range(k)]
+            new = {c: cents[c] for c in range(k)}  # empty cluster → carry forward
+            by_cluster: dict[int, list] = {}
+            for r in mrows:
+                by_cluster.setdefault(r.cluster, []).append((r.pos, r.mm))
+            for c, pm in by_cluster.items():
+                new[c] = [float(mm) for _, mm in sorted(pm)]
+            cents = [new[c] for c in range(k)]
 
     counts = assigned.groupBy("cluster").agg(F.count("*").alias("n_vecs"))
+    # Final-iteration means re-emitted as a JVM VALUES relation (exact:
+    # repr round-trips the 6dp-rounded doubles bit-for-bit), so the
+    # checksum is the same decimal sum the checkpointed relation fed.
+    from csv2parquet_spark.queries.helpers import local_result_df
+
+    means = local_result_df(
+        spark,
+        [(int(r.cluster), int(r.pos), float(r.mm)) for r in mrows],
+        "cluster int, pos int, mm double",
+    )
     ck = means.groupBy("cluster").agg(
         F.sum(F.col("mm").cast("decimal(18,6)")).cast("double").alias("checksum")
     )
