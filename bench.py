@@ -726,25 +726,41 @@ def main() -> None:
     except OSError:
         pass  # archiving is best-effort; the driver contract line matters
     # Earlier line: full detail for humans/archaeology. Final line: the
-    # compact driver contract. The driver's tail capture is ~2 KB and the
-    # per-query map outgrew it at 67 HEADLINE queries (BENCH_r05
-    # "parsed": null), so the map now lives ONLY in BENCH_DETAIL.json and
-    # the final line stays far under the truncation limit (VERDICT r5
-    # item 5).
+    # compact driver contract. The driver's tail capture is 2000 bytes
+    # (len(BENCH_r11.tail) == 2000 exactly) and a 76-key per-query map
+    # is ≥2.2 KB COMPACT (the key names alone are ~1.8 KB), so putting
+    # the map back in the final line would front-truncate it and break
+    # the parse — the BENCH_r05 "parsed": null failure mode (VERDICT r5
+    # item 5). VERDICT r11 item 3's fallback is used instead: a SECOND
+    # machine-readable line right before the final one carries the
+    # 2dp-rounded map for any capture window larger than the map (and
+    # for the repo's own artifacts); the final line stays small, last,
+    # and parseable, and additionally carries the canary box-speed
+    # ratio so a future driver swing arrives pre-adjudicated without
+    # the sidecar.
     print(json.dumps(detail))
-    sys.stdout.flush()
     print(
         json.dumps(
             {
-                "metric": "headline_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "n_queries": len(times),
+                "metric": "headline_query_per_query_sec",
+                "queries": {k: round(v, 2) for k, v in times.items()},
                 "sf": sf_val,
-                "queries_detail": "BENCH_DETAIL.json",
-            }
+            },
+            separators=(",", ":"),
         )
     )
+    sys.stdout.flush()
+    final = {
+        "metric": "headline_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(times),
+        "sf": sf_val,
+        "queries_detail": "BENCH_DETAIL.json",
+    }
+    if isinstance(canary, dict) and canary.get("box_ratio_vs_r8") is not None:
+        final["canary_box_ratio_vs_r8"] = canary["box_ratio_vs_r8"]
+    print(json.dumps(final))
 
 
 if __name__ == "__main__":
