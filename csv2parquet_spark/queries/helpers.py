@@ -109,6 +109,11 @@ def local_result_df(spark, rows, ddl_schema: str):
     for field in ddl_schema.split(","):
         name, typ = field.strip().split(None, 1)
         cols.append((name, typ.strip()))
+    if not rows:
+        # `FROM VALUES ` with zero tuples is a ParseException; the
+        # empty relation the createDataFrame path used to return is
+        # still the right answer (ADVICE r11).
+        return spark.createDataFrame([], ddl_schema)
 
     def lit(v):
         if v is None:
@@ -118,7 +123,17 @@ def local_result_df(spark, rows, ddl_schema: str):
         if isinstance(v, int):
             return str(v)
         if isinstance(v, float):
-            # string→double parse is exact IEEE nearest; repr round-trips
+            # string→double parse is exact IEEE nearest; repr
+            # round-trips. Non-finite floats spell differently per
+            # engine: repr gives 'inf'/'nan', which Spark's non-ANSI
+            # string→double cast turns into NULL SILENTLY — map them
+            # to the spellings Spark accepts (ADVICE r11).
+            if v != v:
+                return "CAST('NaN' AS DOUBLE)"
+            if v == float("inf"):
+                return "CAST('Infinity' AS DOUBLE)"
+            if v == float("-inf"):
+                return "CAST('-Infinity' AS DOUBLE)"
             return f"CAST('{v!r}' AS DOUBLE)"
         if isinstance(v, str):
             escaped = v.replace("\\", "\\\\").replace("'", "\\'")

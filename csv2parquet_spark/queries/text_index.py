@@ -586,7 +586,14 @@ def mmr_diversify_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 10000
     ).cast("long")
     cand = (
+        # NULL embeddings are un-rankable by contract (the kmeans
+        # NULL-twin rule): without the filter a NULL vector that
+        # reached the top-50 would surface as None rel_fp/sim_fp and
+        # TypeError in the driver-side argmax (ADVICE r11). The
+        # fixtures carry zero NULL embeddings, so output and hash are
+        # unchanged; NULLs sorted last and never ranked before either.
         e.filter(F.col("vec_id") != 0)
+        .filter(F.col("embedding").isNotNull())
         .crossJoin(q)
         .select(F.col("vec_id").alias("doc_id"), rel_fp.alias("rel_fp"), "embedding")
         .orderBy(F.desc("rel_fp"), "doc_id")

@@ -64,6 +64,21 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if memo_on:
         try:
             st = os.stat(path)
+            # Directory fixtures: a file rewritten IN PLACE inside the
+            # directory leaves the dir's own mtime/size unchanged, so
+            # the key also folds in the contained entries' stats
+            # (count, total size, max mtime — a shallow scandir, the
+            # same metadata the file listing reads anyway; ADVICE r11).
+            dir_sig: tuple = ()
+            if os.path.isdir(path):
+                n = tot = newest = 0
+                with os.scandir(path) as it:
+                    for entry in it:
+                        est = entry.stat()
+                        n += 1
+                        tot += est.st_size
+                        newest = max(newest, est.st_mtime_ns)
+                dir_sig = (n, tot, newest)
             # id(spark) scopes the memo to the exact SparkSession
             # wrapper: a child session (newSession — own SQLConf, e.g.
             # scanopt's DSv2 session) must never be handed a relation
@@ -74,11 +89,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 os.path.abspath(path),
                 st.st_mtime_ns,
                 st.st_size,
+                dir_sig,
             )
         except OSError:
             key = None  # unstat-able (remote URI): build fresh
         if key is not None and key in _TABLE_MEMO:
-            return _TABLE_MEMO[key]
+            # LRU touch: re-insertion keeps hot relations inside the
+            # size bound below.
+            df = _TABLE_MEMO.pop(key)
+            _TABLE_MEMO[key] = df
+            return df
     df = spark.read.parquet(path)
     # Parquet naive timestamps surface as TIMESTAMP_NTZ in Spark 4; with
     # the session pinned to UTC, casting to TIMESTAMP (LTZ) is
@@ -107,6 +127,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         )
     if key is not None:
         _TABLE_MEMO[key] = df
+        # Bound the memo (ADVICE r11: entries for stopped sessions were
+        # never evicted — a slow leak in a long-lived multi-session
+        # process). LRU over insertion order; 64 covers every
+        # (session, table) pair a test run touches at once while
+        # keeping dead-session plans collectable.
+        while len(_TABLE_MEMO) > 64:
+            _TABLE_MEMO.pop(next(iter(_TABLE_MEMO)))
     return df
 
 
