@@ -1195,11 +1195,16 @@ def ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain, one cumsum pass over the compressed CDF, one max — no row
     ever ranks, no partition ever holds the corpus.
     """
-    # NULL values sit on no CDF (see oracle note). Gated rebalance
-    # BEFORE the md5 projection (r11): the single-row-group fixture
-    # scan otherwise runs the per-row md5 arm-assignment on ONE task
-    # (2.5 s of single-core CPU at sf0.1); a no-op at scale.
-    o = _ps(
+    # NULL values sit on no CDF (see oracle note). The r11 gated
+    # rebalance before the md5 projection was REVERTED in r12: the
+    # cold-JVM re-A/B (VERDICT r11 item 2 protocol; interleaved ×4,
+    # best-of-3 each) read no-rebalance FASTER in all four pairs
+    # (1.46/1.26/1.71/1.40 vs 2.25/1.71/2.01/1.72 s) — the md5 arm
+    # assignment fuses into the groupBy's partial-agg stage, which the
+    # aggregation's own exchange already parallelizes; the extra
+    # round-robin exchange of the raw orders was pure cost. (q1 /
+    # exact_substr / multimodal re-confirmed KEEP in the same session.)
+    o = (
         table(spark, sf_dir, "orders")
         .filter(F.col("o_totalprice").isNotNull())
         .select("o_custkey", "o_totalprice")
