@@ -230,7 +230,14 @@ def _lsh_blas_candidates(
         "id",
         F.col("s.qz").alias("qz"),
         F.posexplode(F.col("s.buckets")).alias("tbl", "bucket"),
-    )
+    ).localCheckpoint()
+    # ^ materialized once (r12): bk feeds BOTH the bucket census and
+    # the salted group relation; unmaterialized, the _sig quantize+
+    # hyperplane kernel executed twice (profiled as two separate
+    # Python stages) — double signature compute at any scale, and the
+    # larger half of this key's run-to-run spread (BLAS thread jitter
+    # twice). The checkpoint is the T-fold narrow cell relation, the
+    # cheapest thing this operator owns.
 
     # Bucket census over the ≤ T·2^planes bucket space; r=1 (no salting)
     # for every bucket within the cap, so the common path is unchanged.
