@@ -697,6 +697,57 @@ def main() -> None:
         "csv_to_parquet_canary_calibration": conv_cal,
         "csv_to_parquet_big": conv_big,
     }
+    # Repo-side round-over-round comparison (VERDICT r11 item 3's
+    # intent, robust to the driver's 2 KB tail): diff this run's
+    # per-query map against the NEWEST archived BENCH_DETAIL_r{M}.json
+    # so n_common / improved / regressed exist as artifacts even when
+    # the driver-side PERF tooling cannot reconstruct them. Purely
+    # informational — wall ratios across rounds carry box phase; the
+    # canary ratios of both runs ride along for normalization.
+    try:
+        import glob as _g
+        import re as _re
+
+        root = os.path.dirname(os.path.abspath(__file__))
+        archived = sorted(
+            (
+                (int(m.group(1)), p)
+                for p in _g.glob(os.path.join(root, "BENCH_DETAIL_r*.json"))
+                if (m := _re.search(r"BENCH_DETAIL_r(\d+)\.json$", p))
+            )
+        )
+        if archived and sf_val == 0.1:
+            prev_round, prev_path = archived[-1]
+            with open(prev_path) as f:
+                prev = json.load(f)
+            pq = prev.get("queries", {})
+            common = [k for k in times if k in pq and pq[k] > 0]
+            import math as _math
+
+            ratios = [times[k] / pq[k] for k in common]
+            vs_prev = {
+                "prev_round_file": os.path.basename(prev_path),
+                "prev_total": prev.get("value"),
+                "prev_canary_box_ratio_vs_r8": (prev.get("canary") or {}).get(
+                    "box_ratio_vs_r8"
+                ),
+                "n_common": len(common),
+                "geomean_ratio": (
+                    round(
+                        _math.exp(sum(_math.log(r) for r in ratios) / len(ratios)),
+                        3,
+                    )
+                    if ratios
+                    else None
+                ),
+                "improved_gt10pct": sum(1 for r in ratios if r < 0.9),
+                "regressed_gt10pct": sum(1 for r in ratios if r > 1.1),
+            }
+        else:
+            vs_prev = {"skipped": "no archived detail or non-sf0.1 run"}
+    except Exception as exc:  # pragma: no cover - defensive
+        vs_prev = {"error": repr(exc)}
+    detail["vs_prev"] = vs_prev
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
