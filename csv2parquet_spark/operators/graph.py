@@ -60,14 +60,19 @@ def pagerank(
 
     Vertices = union of endpoints. Uniform initial rank 1/N.
     """
+    from pyspark.sql import Observation
+
     e = edges.select(_named(src, "src"), _named(dst, "dst")).distinct()
+    nobs = Observation()
     vertices = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
+        # vertex count rides the materialization (see pagerank_fixed)
+        .observe(nobs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint()
     )
-    n = vertices.count()  # scalar: one number to the driver
+    n = int(nobs.get["n"])  # scalar: one number to the driver
     if n == 0:
         # empty graph (e.g. everything filtered upstream): an empty
         # rank relation, not ZeroDivisionError at 1/n (review r8)
@@ -180,6 +185,7 @@ def pagerank_fixed(
     # iteration (the r11 plans re-exchanged both, n_iter times). The
     # heavy distinct edge build (e above) stays on the plain checkpoint
     # so it keeps AQE.
+    nobs = Observation()
     vertices = localcheckpoint_partitioned(
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
@@ -190,8 +196,12 @@ def pagerank_fixed(
             "left",
         )
         .select("id", F.coalesce("has_out", F.lit(False)).alias("has_out"))
+        # vertex count rides the SAME materialization via observe (the
+        # CC fixpoint pattern) — the separate count() job over the
+        # checkpoint was one more driver round-trip per call (r12).
+        .observe(nobs, F.count(F.lit(1)).alias("n"))
     )
-    n = vertices.count()  # scalar: one number to the driver
+    n = int(nobs.get["n"])  # scalar: one number to the driver
     if n == 0:
         # empty graph: empty ranks, not a ZeroDivisionError (review r8)
         return vertices.select("id", F.lit(0).cast("long").alias("rank_fp"))
@@ -473,15 +483,22 @@ def bfs_hops(
     # preserves the partitioning so only the distance state exchanges
     # per round. ``pre_partitioned`` skips the exchange when the edge
     # plan already emits hash(src).
+    from pyspark.sql import Observation
+
     e = edges.select(_named(src, "src"), _named(dst, "dst"))
     if not pre_partitioned:
         e = e.repartition("src")
     # Partition-preserving checkpoint (r12, same fix as
     # label_propagation): keep hash(src) recorded so each relaxation's
-    # state join moves only the (vertex, distance) side.
-    e = localcheckpoint_partitioned(e)
+    # state join moves only the (vertex, distance) side. The default
+    # source (min src) rides the SAME materialization via observe —
+    # the separate agg job over the checkpoint was one more driver
+    # round-trip (observe is a pass-through node: verified it keeps
+    # the recorded partitioning).
+    sobs = Observation()
+    e = localcheckpoint_partitioned(e.observe(sobs, F.min("src").alias("s0")))
     if source is None:
-        source = e.agg(F.min("src")).collect()[0][0]  # scalar from the checkpoint
+        source = sobs.get["s0"]
         if source is None:
             # empty edge relation: no source exists — empty distances,
             # not int(None) (review r8)
